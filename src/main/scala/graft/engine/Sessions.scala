@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory mirroring the reference's `SessionBuilder`
+  * (reference: src/consumer/session_builder.py:34-120) as a typed Scala
+  * builder. The reference chains `.config(...)` for UI port, S3A
+  * credentials and an Iceberg catalog; here the same shape is exposed
+  * as named options, with 100 TB-oriented defaults baked in:
+  *
+  *   - AQE on (runtime re-planning, skew-join splitting, partition
+  *     coalescing) — the single most important knob for a 1000-executor
+  *     cluster reading non-uniform data;
+  *   - shuffle partitions sized to the parallelism of the machine at
+  *     hand (the driver contract pins 32 locally; on a real cluster this
+  *     would be `executors * cores * 2-3` or simply left to AQE's
+  *     coalescing with a high initial value);
+  *   - UTC session timezone so timestamp semantics match the DuckDB
+  *     oracle and any downstream reader.
+  */
+object Sessions {
+
+  /** Build a local session with graft defaults. `cpus` drives both the
+    * master thread count and the shuffle partition count — on local
+    * mode there is no benefit to more shuffle partitions than cores.
+    */
+  def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
