@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-provided testdata tables
-  * (`/root/testdata/sf*/{name}.parquet`, see TESTDATA.md).
+  * (`/root/testdata/sf0.01/{name}.parquet` etc., see TESTDATA.md).
   *
   * All queries go through here so that the scan side is uniform:
   * plain parquet reads, letting Catalyst push filters/projections into
