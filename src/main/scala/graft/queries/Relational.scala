@@ -1,0 +1,506 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Relational capability queries over the driver testdata.
+  *
+  * The reference pipeline itself is deliberately join-free and agg-light —
+  * its only analytical queries are DuckDB count / group-by / limit over the
+  * ingested tables (reference: demos/duckdb.tape:10-34,
+  * src/duckdb/.duckdbrc:19-26). These queries declare the full relational
+  * surface of the engine (SURVEY.md §2.5-2.9): aggregations, all join
+  * shapes, window functions, sorts and top-k, set operations, rollup,
+  * pivot, sessionization and as-of alignment.
+  *
+  * Scale notes (100 TB design): dimension sides of joins are explicitly
+  * `broadcast(...)` (region/nation/supplier/part are tiny at any SF);
+  * fact-fact joins (orders x lineitem) shuffle on the join key and rely on
+  * AQE for skew/coalesce; windows partition by high-cardinality keys
+  * (supplier, user) so state is bounded per partition; top-k goes through
+  * the planner's TakeOrderedAndProject (orderBy.limit), never a global
+  * sort of the full relation.
+  */
+object Relational extends QueryPack {
+  import Q._
+
+  private val GapUs = 21600000000L // 6h session gap, in epoch micros
+
+  def defs: Map[String, QueryDef] = Map(
+    // ---- aggregation ----------------------------------------------------
+    "q1_pricing_summary" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= ts("2000-06-30 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    "agg_stats_orders" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            round(avg(col("o_totalprice")), 4).as("avg_price"),
+            round(stddev_samp(col("o_totalprice")), 2).as("sd_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(stddev_samp(o_totalprice), 2) AS sd_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    "agg_distinct_parts" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "rollup_docs" -> QueryDef(
+      (s, d) => {
+        Tables.documents(s, d)
+          .rollup(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+      },
+      Some("""
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+        ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
+
+    "distinct_segments" -> QueryDef(
+      (s, d) => Tables.customer(s, d).select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment")),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ---- joins ----------------------------------------------------------
+    "q3_shipping_priority" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val li = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("o_orderdate"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""")),
+
+    "q5_region_volume" -> QueryDef(
+      (s, d) => {
+        val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, d)
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1999-01-01 00:00:00"))
+        val li = Tables.lineitem(s, d)
+        val supp = Tables.supplier(s, d)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+                    JOIN supplier ON s_nationkey = n_nationkey
+                    JOIN lineitem ON l_suppkey = s_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    "join_brand_revenue" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""
+        SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    "join_left_customer_orders" -> QueryDef(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        Tables.customer(s, d)
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    "join_semi_active_customers" -> QueryDef(
+      (s, d) => {
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        Tables.customer(s, d)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    "join_anti_inactive_customers" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey""")),
+
+    // ---- sorts / top-k --------------------------------------------------
+    "sort_topk_lineitems" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"))
+          .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20)
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        FROM lineitem
+        ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""")),
+
+    // ---- set operations -------------------------------------------------
+    "setop_union_vips" -> QueryDef(
+      (s, d) => {
+        val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey").as("custkey"))
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey").as("custkey"))
+        rich.union(big).distinct().orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000.0
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000.0
+        ORDER BY custkey""")),
+
+    "setop_intersect_vips" -> QueryDef(
+      (s, d) => {
+        val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey").as("custkey"))
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("custkey"))
+        rich.intersect(big).orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        ORDER BY custkey""")),
+
+    "setop_except_dormant" -> QueryDef(
+      (s, d) => {
+        val all = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+          .select(col("o_custkey").as("custkey"))
+        all.except(recent).orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        ORDER BY custkey""")),
+
+    // ---- window functions ----------------------------------------------
+    "window_topk_orders" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""
+        SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_orderpriority, rn""")),
+
+    "window_running_supplier" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .filter(col("l_suppkey") < 4)
+          .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+          .select(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"),
+            col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+          .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+               l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        FROM lineitem WHERE l_suppkey < 4
+        ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""")),
+
+    "window_lag_events" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .filter(col("user_id") < 6)
+          .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 2))
+          .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"), col("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, round(value, 2) AS value,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), 2) AS delta
+        FROM events WHERE user_id < 6
+        ORDER BY user_id, event_id""")),
+
+    "window_ntile_orders" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy(col("o_orderstatus"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("o_totalprice")), 2).as("lo"),
+            round(max(col("o_totalprice")), 2).as("hi"))
+          .orderBy(col("o_orderstatus"), col("quartile"))
+      },
+      Some("""
+        SELECT o_orderstatus, quartile, CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        FROM (
+          SELECT o_orderstatus, o_totalprice,
+                 CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+          FROM orders) t
+        GROUP BY o_orderstatus, quartile ORDER BY o_orderstatus, quartile""")),
+
+    // ---- event-time operations -----------------------------------------
+    "time_tumbling_events" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d)
+          .withColumn("bucket_s", epochUs(date_trunc("hour", col("ts"))) / lit(1000000L))
+          .withColumn("bucket_s", col("bucket_s").cast("long"))
+          .groupBy(col("bucket_s"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("bucket_s"), col("event_type"))
+      },
+      Some("""
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS bucket_s,
+               event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "sessionize_events" -> QueryDef(
+      (s, d) => {
+        val order = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("tus", epochUs(col("ts")))
+          .withColumn("prev", lag(col("tus"), 1).over(order))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("tus") - col("prev") > GapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(s"""
+        WITH x AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, tus,
+                 CASE WHEN prev IS NULL OR tus - prev > ${GapUs} THEN 1 ELSE 0 END AS new_sess
+          FROM x),
+        z AS (
+          SELECT user_id, tus,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM y)
+        SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+               min(tus) AS start_us, max(tus) AS end_us
+        FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    "asof_purchase_signup" -> QueryDef(
+      (s, d) => {
+        // Scalable as-of alignment: union the two event streams, order by
+        // time within each user with signups winning ties, and carry the
+        // last-seen signup time forward with a running max — one shuffle on
+        // user_id, no per-row range join. (DuckDB oracle uses a correlated
+        // subquery; semantics identical at epoch-us precision.)
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .withColumn("tus", epochUs(col("ts")))
+          .withColumn("is_signup", (col("event_type") === "signup").cast("int"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("is_signup").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_signup_us",
+            max(when(col("is_signup") === 1, col("tus"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("tus").as("purchase_us"), col("last_signup_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+               (SELECT max(epoch_us(g.ts)) FROM events g
+                 WHERE g.user_id = p.user_id AND g.event_type = 'signup'
+                   AND epoch_us(g.ts) <= epoch_us(p.ts)) AS last_signup_us
+        FROM events p WHERE p.event_type = 'purchase'
+        ORDER BY p.event_id""")),
+
+    // ---- pivot / semi-structured ---------------------------------------
+    "pivot_user_events" -> QueryDef(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, d)
+          .filter(col("user_id") < 20)
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        FROM events WHERE user_id < 20
+        GROUP BY user_id ORDER BY user_id""")),
+
+    "json_props_events" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- filter pushdown / projection ----------------------------------
+    "filter_like_parts" -> QueryDef(
+      (s, d) => {
+        Tables.part(s, d)
+          .filter(col("p_name").contains("widget") && col("p_size") >= 10)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_size
+        FROM part WHERE p_name LIKE '%widget%' AND p_size >= 10
+        ORDER BY p_partkey"""))
+  )
+}
