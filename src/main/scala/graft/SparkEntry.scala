@@ -11,7 +11,10 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    Relational
+    Relational,
+    TextOps,
+    Dedup,
+    Similarity
   )
 
   private lazy val all: Map[String, QueryDef] =

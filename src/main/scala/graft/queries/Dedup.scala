@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Deduplication operators over the documents table: exact (hash
+  * group-by), MinHash signatures + LSH band candidate pairs, SimHash with
+  * chunk-blocked Hamming pairs, and exact n-gram Jaccard pairs.
+  *
+  * The reference explicitly defers dedup to a later Silver layer
+  * (reference: README.md:58-72 discusses and rejects dropDuplicates and
+  * MERGE at ingest); these queries are the §7.6 extension surface a
+  * 100 TB training-data pipeline needs.
+  *
+  * Everything is RELATIONAL — explode words to rows, window-lead for
+  * shingles, min/sum aggregations for signatures, self-joins for bands —
+  * not per-row array lambdas. That keeps the hot path in Tungsten
+  * aggregates and lets the shuffle partitioner spread 100 TB of documents
+  * by doc_id or shingle hash:
+  *
+  *   - MinHash: one shuffle to aggregate 16 signature mins per doc; LSH
+  *     candidates come from a self-join on (band, band-key), never an
+  *     all-pairs product. At scale the band join is the textbook
+  *     shingle-LSH plan (band key is uniformly distributed mod P, so no
+  *     skew).
+  *   - SimHash: Hamming-<=3 search joins on 4 x 8-bit chunks (pigeonhole:
+  *     any pair within distance 3 shares at least one exact chunk), again
+  *     avoiding the cross join.
+  *   - Exact Jaccard joins distinct shingles on their hash — docs sharing
+  *     zero shingles never meet.
+  *
+  * All arithmetic mirrors the DuckDB oracle value-for-value (Portable).
+  */
+object Dedup extends QueryPack {
+  import Portable._
+
+  private val JaccThreshold = "0.5"
+
+  // ---- Spark-side shared subplans --------------------------------------
+
+  /** (doc_id, pos, wh): one row per word occurrence with its polynomial
+    * hash. Narrow after the scan; the posexplode is the only row blowup.
+    */
+  private def wordHashRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+      .where("size(ws) >= 3")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .selectExpr("doc_id", "pos", s"${sparkStrHash("w")} AS wh")
+
+  /** (doc_id, sh): word-3-gram shingle hashes via window lead — one
+    * shuffle on doc_id.
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    wordHashRows(s, d)
+      .withColumn("wh2", lead("wh", 1).over(byPos))
+      .withColumn("wh3", lead("wh", 2).over(byPos))
+      .where(col("wh3").isNotNull)
+      .selectExpr("doc_id", s"((wh * 37 + wh2) % $P * 37 + wh3) % $P AS sh")
+  }
+
+  private def minHashSig(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).groupBy(col("doc_id")).agg(
+      expr(s"min((${minHashA.head} * sh + ${minHashB.head}) % $P)").as("s0"),
+      (1 until MinHashK).map(i =>
+        expr(s"min((${minHashA(i)} * sh + ${minHashB(i)}) % $P)").as(s"s$i")): _*)
+
+  private def bandKeyExpr(cols: Seq[String]): String =
+    cols.foldLeft(s"CAST(0 AS BIGINT)")((acc, c) => s"(($acc) * 31 + $c) % $P")
+
+  /** (doc_id, band, key) — MinHash signature folded per LSH band. */
+  private def minHashBands(s: SparkSession, d: String): DataFrame = {
+    val sig = minHashSig(s, d)
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}")
+      struct(lit(b).as("band"), expr(bandKeyExpr(cols)).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** (doc_a, doc_b, jacc): exact Jaccard via distinct-shingle self-join. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val shd = shingleRows(s, d).distinct()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shd.toDF("doc_a", "sh")
+      .join(shd.toDF("doc_b", "sh2"), col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jacc", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+  }
+
+  /** SimHash over SHINGLE hashes, not word hashes: the corpus vocabulary
+    * is tiny (~30 words), so word-presence simhashes collide corpus-wide
+    * (measured 16k hamming-<=3 pairs); 3-gram shingles have enough entropy
+    * that hamming <= 3 isolates the true near-dups (measured 24 pairs vs
+    * 25 exact-Jaccard pairs).
+    */
+  private def simHash(s: SparkSession, d: String): DataFrame = {
+    val sums = shingleRows(s, d).groupBy(col("doc_id")).agg(
+      expr("sum(CASE WHEN (shiftright(sh, 0) & 1) = 1 THEN 1 ELSE -1 END)").as("b0"),
+      (1 until SimHashBits).map(j =>
+        expr(s"sum(CASE WHEN (shiftright(sh, $j) & 1) = 1 THEN 1 ELSE -1 END)").as(s"b$j")): _*)
+    val packed = (0 until SimHashBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    sums.selectExpr("doc_id", s"CAST($packed AS BIGINT) AS simhash")
+  }
+
+  // ---- DuckDB oracle shared CTEs ---------------------------------------
+
+  private val duckBase: String = s"""
+    words AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents) t
+      WHERE len(ws) >= 3),
+    wh AS (SELECT doc_id, pos, ${duckStrHash("w")} AS wh FROM words),
+    sh AS (
+      SELECT doc_id,
+             ((wh * 37 + lead(wh, 1) OVER (PARTITION BY doc_id ORDER BY pos)) % $P * 37
+               + lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos)) % $P AS sh
+      FROM wh
+      QUALIFY lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+    shd AS (SELECT DISTINCT doc_id, sh FROM sh)"""
+
+  private val duckSig: String = {
+    val mins = (0 until MinHashK)
+      .map(i => s"min((${minHashA(i)} * sh + ${minHashB(i)}) % $P) AS s$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private val duckBands: String = {
+    val selects = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, ${bandKeyExpr(cols)} AS key FROM sig"
+    }
+    s"bands AS (${selects.mkString(" UNION ALL ")})"
+  }
+
+  private val duckJacc: String = s"""
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jacc AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jacc
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b)"""
+
+  private val duckSimHash: String = {
+    val sums = (0 until SimHashBits)
+      .map(j => s"sum(CASE WHEN ((sh >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val packed = (0 until SimHashBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""sums AS (SELECT doc_id, $sums FROM sh GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  // ---- declared queries ------------------------------------------------
+
+  def defs: Map[String, QueryDef] = Map(
+    "dedup_exact" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("kept_doc"), count(lit(1)).as("n_copies"))
+        .select(col("kept_doc"), col("n_copies"))
+        .orderBy(col("kept_doc")),
+      Some("""
+        SELECT min(doc_id) AS kept_doc, CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY text ORDER BY kept_doc""")),
+
+    "dedup_minhash_sig" -> QueryDef(
+      (s, d) => minHashSig(s, d).orderBy(col("doc_id")),
+      Some(s"""
+        WITH $duckBase, $duckSig
+        SELECT * FROM sig ORDER BY doc_id""")),
+
+    "dedup_minhash_pairs" -> QueryDef(
+      (s, d) => {
+        val cand = minHashBands(s, d).toDF("doc_a", "band", "key")
+          .join(minHashBands(s, d).toDF("doc_b", "band2", "key2"),
+            col("band") === col("band2") && col("key") === col("key2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cand.join(jaccardPairs(s, d), Seq("doc_a", "doc_b"))
+          .where(s"jacc >= $JaccThreshold")
+          .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $duckBase, $duckSig, $duckBands, $duckJacc,
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b, round(j.jacc, 4) AS jacc
+        FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jacc >= $JaccThreshold
+        ORDER BY 1, 2""")),
+
+    "dedup_jaccard_pairs" -> QueryDef(
+      (s, d) => jaccardPairs(s, d)
+        .where(s"jacc >= $JaccThreshold")
+        .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $duckBase, $duckJacc
+        SELECT doc_a, doc_b, round(jacc, 4) AS jacc
+        FROM jacc WHERE jacc >= $JaccThreshold
+        ORDER BY doc_a, doc_b""")),
+
+    "dedup_simhash_sig" -> QueryDef(
+      (s, d) => simHash(s, d).orderBy(col("doc_id")),
+      Some(s"""
+        WITH $duckBase, $duckSimHash
+        SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
+
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, d) => {
+        val sim = simHash(s, d)
+        val chunks = (0 until 4).map(c =>
+          struct(lit(c).as("chunk"), expr(s"shiftright(simhash, ${8 * c}) & 255").as("key")))
+        val blocked = sim
+          .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+          .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+        blocked.toDF("doc_a", "sim_a", "chunk", "key")
+          .join(blocked.toDF("doc_b", "sim_b", "chunk2", "key2"),
+            col("chunk") === col("chunk2") && col("key") === col("key2") &&
+              col("doc_a") < col("doc_b"))
+          .where("bit_count(sim_a ^ sim_b) <= 3")
+          .selectExpr("doc_a", "doc_b", "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming")
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $duckBase, $duckSimHash,
+        chunks AS (${(0 until 4).map(c =>
+          s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${8 * c}) & 255 AS key FROM sim")
+          .mkString(" UNION ALL ")})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b"""))
+  )
+}

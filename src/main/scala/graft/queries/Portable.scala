@@ -1,0 +1,74 @@
+package graft.queries
+
+/** Deterministic text/hash arithmetic expressible identically in Spark SQL
+  * and DuckDB SQL, so dedup / fingerprint / LSH queries can be verified
+  * value-for-value against the DuckDB oracle. Everything is integer
+  * arithmetic mod a 31-bit-safe prime: intermediate products stay under
+  * 2^62, so no overflow under Spark ANSI mode and no HUGEINT promotion
+  * surprises in DuckDB.
+  *
+  * Spark-side fragments are Spark SQL (used via expr/selectExpr): they use
+  * sequence/transform/aggregate/element_at. DuckDB fragments use
+  * range/list_transform/list_reduce/1-based indexing. Fold order is
+  * left-to-right in both (`aggregate` with explicit zero vs `list_reduce`
+  * over a zero-prepended list), so double folds are bit-identical too.
+  */
+object Portable {
+  /** Modulus for all polynomial hashes. */
+  val P = 1000000007L
+
+  /** MinHash family size and LSH banding (4 bands x 4 rows). */
+  val MinHashK = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** Deterministic MinHash coefficients, nonzero mod P. */
+  val minHashA: Seq[Long] = (0 until MinHashK).map(i => (1234567L * (2 * i + 1)) % P)
+  val minHashB: Seq[Long] = (0 until MinHashK).map(i => (7654321L * (i + 1) + 12345L) % P)
+
+  /** SimHash width in bits (fits in a BIGINT with headroom). */
+  val SimHashBits = 32
+
+  // ---- character-level polynomial hash ---------------------------------
+  def sparkChars(e: String): String =
+    s"transform(sequence(1, length($e)), i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))"
+  def duckChars(e: String): String =
+    s"list_transform(range(1, length($e)+1), i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))"
+
+  def sparkFoldHash(list: String): String =
+    s"aggregate($list, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)"
+  def duckFoldHash(list: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $list), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Polynomial rolling hash of a whole string, mod P. */
+  def sparkStrHash(e: String): String = sparkFoldHash(sparkChars(e))
+  def duckStrHash(e: String): String = duckFoldHash(duckChars(e))
+
+  // ---- tokenization ----------------------------------------------------
+  /** Whitespace words with empties dropped (double spaces are real in the
+    * corpus).
+    */
+  def sparkWords(e: String): String = s"filter(split($e, ' '), w -> w <> '')"
+  def duckWords(e: String): String = s"list_filter(string_split($e, ' '), w -> w <> '')"
+
+  /** Word 3-gram shingles from a words column named ws (guard size >= 3 at
+    * the row level before using).
+    */
+  val sparkShingles: String =
+    "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))"
+  val duckShingles: String =
+    "list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+
+  // ---- embeddings ------------------------------------------------------
+  /** Fixed testdata embedding dimensionality. */
+  val Dim = 64
+
+  /** Left-to-right double fold of element-wise products of two vector
+    * columns; bit-identical across engines. Inputs are float lists; cast
+    * each element to double before multiplying.
+    */
+  def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+}

@@ -36,4 +36,17 @@ object Q {
     * equivalent: epoch_us(col).
     */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Bit-identical cross-engine rounding: floor(x * 10^n + 0.5) / 10^n,
+    * every step an exact IEEE op on the same input. Spark's round() goes
+    * through the double's shortest DECIMAL representation (HALF_UP on the
+    * string form) while DuckDB rounds the binary double — a value whose
+    * shortest repr ends exactly in '5' at the cut (e.g. 0.53575 -> 0.5358
+    * vs 0.5357) splits the engines. Use this for derived doubles whose
+    * decimal expansion can terminate near the cut.
+    */
+  def roundExpr(e: String, n: Int): String = {
+    val p = "1" + "0" * n
+    s"floor(($e) * $p.0 + 0.5) / $p.0"
+  }
 }

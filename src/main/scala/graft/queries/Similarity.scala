@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Similarity search over the embeddings table (embedding: array<float>,
+  * 64-dim): brute-force cosine top-k as the exactness baseline, a
+  * hyperplane-LSH bucketed variant as the scale path, embedding-cosine
+  * near-dup pairs with label blocking, and per-label centroids.
+  *
+  * Scale notes (100 TB): the brute-force path broadcasts the (small)
+  * query set against the full corpus — a map-side nested loop with no
+  * shuffle on the corpus side; top-k is a per-query window over candidate
+  * rows. The LSH path buckets both sides deterministically (8 fixed
+  * pseudo-random hyperplanes), so the candidate join is an equi-join on
+  * bucket — at cluster scale that's a shuffle on an 8-bit key per side
+  * instead of a cross product. Dot products are left-to-right double
+  * folds (Portable.sparkDot) so scores are bit-identical to the DuckDB
+  * oracle — ranking therefore needs no tolerance.
+  */
+object Similarity extends QueryPack {
+  import Portable._
+
+  private val Planes = 8
+
+  /** Sign pattern for hyperplane j at dimension i (deterministic
+    * pseudo-random, same formula inlined in the oracle SQL).
+    */
+  private def signCond(j: Int): String = s"((i * 37 + ${j * 101}) % 97) % 2 = 0"
+
+  private def sparkPlaneFold(v: String, j: Int): String =
+    s"aggregate(sequence(1, $Dim), CAST(0.0 AS DOUBLE), (acc, i) -> acc + " +
+      s"(CASE WHEN ${signCond(j)} THEN CAST(element_at($v, i) AS DOUBLE) ELSE -CAST(element_at($v, i) AS DOUBLE) END))"
+
+  private def duckPlaneFold(v: String, j: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> " +
+      s"(CASE WHEN ${signCond(j)} THEN CAST($v[i] AS DOUBLE) ELSE -CAST($v[i] AS DOUBLE) END))), (acc, x) -> acc + x)"
+
+  private def sparkBucket(v: String): String =
+    (0 until Planes).map(j => s"(CASE WHEN ${sparkPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def duckBucket(v: String): String =
+    (0 until Planes).map(j => s"(CASE WHEN ${duckPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Cosine from three shared dot folds; both engines compute
+    * dot / (sqrt(na) * sqrt(nb)) on bit-identical inputs.
+    */
+  private def cosine(df: DataFrame, a: String, b: String): DataFrame =
+    df.withColumn("dot", expr(sparkDot(a, b)))
+      .withColumn("na", expr(sparkDot(a, a)))
+      .withColumn("nb", expr(sparkDot(b, b)))
+      .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
+
+  def defs: Map[String, QueryDef] = Map(
+    "dedup_embed_cosine" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("vid_a"), col("label"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vid_b"), col("label").as("label_b"), col("embedding").as("eb"))
+        cosine(
+          a.join(b, col("label") === col("label_b") && col("vid_a") < col("vid_b")),
+          "ea", "eb")
+          .where("cos >= 0.4")
+          .selectExpr("vid_a", "vid_b", "round(cos, 4) AS cos")
+          .orderBy(col("vid_a"), col("vid_b"))
+      },
+      Some(s"""
+        WITH pairs AS (
+          SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id),
+        sc AS (
+          SELECT vid_a, vid_b, ${duckDot("ea", "eb")} AS dot,
+                 ${duckDot("ea", "ea")} AS na, ${duckDot("eb", "eb")} AS nb
+          FROM pairs)
+        SELECT vid_a, vid_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+        FROM sc WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        ORDER BY vid_a, vid_b""")),
+
+    "sim_topk_cosine" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"))
+        val scored = cosine(
+          broadcast(q).join(n, col("qid") =!= col("vid")), "qv", "nv")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .selectExpr("qid", "rn", "vid", "round(cos, 6) AS cos")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        n AS (SELECT vec_id AS vid, embedding AS nv FROM embeddings),
+        sc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON qid <> vid),
+        ranked AS (
+          SELECT qid, vid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rn
+          FROM sc)
+        SELECT qid, rn, vid, round(cos, 6) AS cos
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    "sim_lsh_ann" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding")} AS bucket")
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+        val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"),
+          col("bucket").as("bucket_n"))
+        val scored = cosine(
+          broadcast(q).join(n, col("bucket") === col("bucket_n") && col("qid") =!= col("vid")),
+          "qv", "nv")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .selectExpr("qid", "rn", "vid", "round(cos, 6) AS cos")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e WHERE vec_id < 50),
+        n AS (SELECT vec_id AS vid, embedding AS nv, bucket AS bucket_n FROM e),
+        sc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON bucket = bucket_n AND qid <> vid),
+        ranked AS (
+          SELECT qid, vid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rn
+          FROM sc)
+        SELECT qid, rn, vid, round(cos, 6) AS cos
+        FROM ranked WHERE rn <= 3 ORDER BY qid, rn""")),
+
+    "embed_centroids" -> QueryDef(
+      (s, d) => {
+        val dims = (1 to 4).map(i =>
+          round(avg(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)")), 4).as(s"c$i"))
+        Tables.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), dims: _*)
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               ${(1 to 4).map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 4) AS c$i").mkString(", ")}
+        FROM embeddings GROUP BY label ORDER BY label"""))
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Text-analysis operators over the documents table: language-ID
+  * (stopword-profile heuristic), quality scoring, token counting
+  * (BPE-ish regex), document fingerprinting (polynomial rolling hash) and
+  * a multimodal binary-column pipeline (text bytes standing in for opaque
+  * media payloads; see graft.engine.multimodal for the decode plumbing).
+  *
+  * The reference has no text analytics (its only analytical surface is
+  * DuckDB count and group-by, reference: demos/duckdb.tape:22-34); these
+  * are the training-data-pipeline extensions from SURVEY.md §7.6.
+  *
+  * Scale notes: every query here is a narrow map over documents followed
+  * by at most one hash aggregation — no joins, no skew risk; at 100 TB the
+  * scans partition by input splits and the only shuffle carries the small
+  * aggregated result. Term explosion (text_top_terms) does map-side
+  * partial aggregation before its single shuffle.
+  */
+object TextOps extends QueryPack {
+  import Portable._
+
+  /** Keyword profiles for the heuristic language scorer. The corpus is a
+    * synthetic query-engine vocabulary, so the "languages" are profiles
+    * over that vocabulary; the classifier machinery (score per profile,
+    * argmax with fixed priority) is the real operator under test.
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "value"),
+    "es" -> Seq("query", "row", "table"),
+    "de" -> Seq("join", "merge", "group"),
+    "fr" -> Seq("filter", "sort", "order"),
+    "zh" -> Seq("scan", "hash", "stream"))
+
+  private val stopwords = Seq("the", "a", "or", "and")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Count of words from ws that are in the given set — identical syntax
+    * in Spark SQL and DuckDB except the size function name.
+    */
+  private def scoreExpr(words: Seq[String], sizeFn: String, filterFn: String): String =
+    s"CAST($sizeFn($filterFn(ws, w -> w IN ${inList(words)})) AS BIGINT)"
+
+  private def sparkScore(words: Seq[String]) = scoreExpr(words, "size", "filter")
+  private def duckScore(words: Seq[String]) = scoreExpr(words, "len", "list_filter")
+
+  /** argmax over profile scores with fixed priority order (first wins
+    * ties) — a CASE chain valid in both dialects over columns s_en...
+    */
+  private val predCase: String = {
+    val names = profiles.map(_._1)
+    val whens = names.zipWithIndex.map { case (n, i) =>
+      val later = names.drop(i + 1)
+      val conds = (if (later.isEmpty) Seq("TRUE")
+                   else later.map(o => s"s_$n >= s_$o")).mkString(" AND ")
+      s"WHEN $conds THEN '$n'"
+    }
+    s"CASE ${whens.mkString(" ")} END"
+  }
+
+  private val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val PunctPattern = "[^.,!?;:]"
+
+  def defs: Map[String, QueryDef] = Map(
+    "text_fingerprint" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", s"${sparkStrHash("text")} AS fp")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, ${duckStrHash("text")} AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    "text_tokens" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr(
+          "doc_id",
+          s"CAST(size(regexp_extract_all(text, '$TokenPattern', 0)) AS BIGINT) AS n_tokens",
+          s"CAST(size(array_distinct(regexp_extract_all(text, '$TokenPattern', 0))) AS BIGINT) AS n_unique")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT) AS n_unique
+        FROM documents ORDER BY doc_id""")),
+
+    "text_top_terms" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr(s"${sparkWords("text")} AS ws")
+        .select(explode(col("ws")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20),
+      Some(s"""
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(${duckWords("text")}) AS term FROM documents) t
+        GROUP BY term ORDER BY n DESC, term LIMIT 20""")),
+
+    "text_quality" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", "text", s"${sparkWords("text")} AS ws")
+        .selectExpr(
+          "doc_id",
+          "CAST(size(ws) AS BIGINT) AS n_words",
+          s"${Q.roundExpr(s"CAST(length(regexp_replace(text, '$PunctPattern', '')) AS DOUBLE) / length(text)", 4)} AS punct_ratio",
+          s"${Q.roundExpr(s"CAST(${sparkScore(stopwords)} AS DOUBLE) / size(ws)", 4)} AS stop_ratio",
+          s"""${Q.roundExpr(
+            s"""0.3 * least(CAST(size(ws) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '$PunctPattern', '')) AS DOUBLE) / length(text))
+               + 0.4 * (CAST(${sparkScore(stopwords)} AS DOUBLE) / size(ws))""", 4)} AS quality""")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               ${Q.roundExpr(s"CAST(length(regexp_replace(text, '$PunctPattern', '', 'g')) AS DOUBLE) / length(text)", 4)} AS punct_ratio,
+               ${Q.roundExpr(s"CAST(${duckScore(stopwords)} AS DOUBLE) / len(ws)", 4)} AS stop_ratio,
+               ${Q.roundExpr(
+                 s"""0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - CAST(length(regexp_replace(text, '$PunctPattern', '', 'g')) AS DOUBLE) / length(text))
+                 + 0.4 * (CAST(${duckScore(stopwords)} AS DOUBLE) / len(ws))""", 4)} AS quality
+        FROM (SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents) t
+        ORDER BY doc_id""")),
+
+    "text_langid" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr(Seq("doc_id", "lang", s"${sparkWords("text")} AS ws"): _*)
+        .selectExpr(Seq("doc_id", "lang") ++
+          profiles.map { case (n, ws) => s"${sparkScore(ws)} AS s_$n" }: _*)
+        .selectExpr("lang", s"$predCase AS pred_lang")
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang")),
+      Some(s"""
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT lang, $predCase AS pred_lang
+          FROM (
+            SELECT lang,
+                   ${profiles.map { case (n, ws) => s"${duckScore(ws)} AS s_$n" }.mkString(", ")}
+            FROM (SELECT lang, ${duckWords("text")} AS ws FROM documents) t1) t2) t3
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
+
+    "multimodal_meta" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents ORDER BY doc_id"""))
+  )
+}
