@@ -14,7 +14,8 @@ object SparkEntry {
     Relational,
     TextOps,
     Dedup,
-    Similarity
+    Similarity,
+    Ingest
   )
 
   private lazy val all: Map[String, QueryDef] =

@@ -1,0 +1,132 @@
+package graft.engine.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg-semantics bronze sink on plain parquet (SURVEY.md §7.4).
+  *
+  * Preserves the observable behaviors of the reference's Iceberg sink
+  * (reference: src/consumer/data_sinks.py:68-147) without the Iceberg
+  * runtime (not present in this offline build):
+  *
+  *   - create-on-first-write (data_sinks.py:86-101): first batch creates
+  *     the table directory and a schema sidecar (the stand-in for Iceberg
+  *     table metadata);
+  *   - hidden day partitioning (data_sinks.py:134-144, partitionedBy
+  *     days(event_timestamp)): a derived `_event_date` partition column is
+  *     added at write and never supplied by writers; readers still get
+  *     partition pruning from the directory layout;
+  *   - schema evolution on append (data_sinks.py:103-125): new nullable
+  *     columns are added; integer/float widening is accepted by casting
+  *     the incoming batch to the widened type (Spark 4's parquet reader
+  *     up-casts old narrow files on read); NARROWING is rejected exactly
+  *     as Iceberg would reject the ALTER at execution. Unlike the
+  *     reference — which fires ALTER COLUMN TYPE on any mismatch and lets
+  *     Iceberg throw (SURVEY.md §2.13) — the check happens before any
+  *     data is written;
+  *   - batch-level exactly-once (reference README.md:41): the sidecar
+  *     records the last committed batchId; a replayed foreachBatch id
+  *     (checkpoint recovery) is skipped instead of double-appended.
+  *
+  * At 100 TB the day-partitioned append is the same layout Iceberg
+  * produces underneath; the sidecar plays the metadata role for this
+  * single-writer pipeline.
+  */
+final class EvolvingTableSink(
+    val path: String,
+    timestampCol: String = "event_timestamp") {
+
+  private val PartitionCol = "_event_date"
+  private def metaPath: Path = Paths.get(path, "_graft_meta.json")
+
+  // ---- metadata sidecar -------------------------------------------------
+
+  private case class Meta(schema: StructType, lastBatchId: Long)
+
+  private def readMeta(): Option[Meta] =
+    if (Files.exists(metaPath)) {
+      val txt = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
+      val sep = txt.indexOf('\n')
+      Some(Meta(
+        DataType.fromJson(txt.substring(sep + 1)).asInstanceOf[StructType],
+        txt.substring(0, sep).toLong))
+    } else None
+
+  private def writeMeta(m: Meta): Unit = {
+    Files.createDirectories(Paths.get(path))
+    Files.write(metaPath,
+      (m.lastBatchId.toString + "\n" + m.schema.json).getBytes(StandardCharsets.UTF_8))
+  }
+
+  // ---- evolution rules --------------------------------------------------
+
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Merged table schema after accepting a batch, or an error for
+    * narrowing/incompatible changes.
+    */
+  private def evolve(table: StructType, batch: StructType): StructType = {
+    val evolvedExisting = table.fields.map { tf =>
+      batch.fields.find(_.name == tf.name) match {
+        case Some(bf) if widens(bf.dataType, tf.dataType) => tf
+        case Some(bf) if widens(tf.dataType, bf.dataType) =>
+          tf.copy(dataType = bf.dataType) // widen the table column
+        case Some(bf) =>
+          throw new IllegalArgumentException(
+            s"illegal type change for column ${tf.name}: ${tf.dataType.simpleString} -> ${bf.dataType.simpleString}")
+        case None => tf
+      }
+    }
+    val added = batch.fields.filter(bf => !table.fields.exists(_.name == bf.name))
+      .map(_.copy(nullable = true)) // new columns arrive nullable, as in Iceberg ADD COLUMN
+    StructType(evolvedExisting ++ added)
+  }
+
+  /** Align a batch to the merged schema: add missing columns as NULL,
+    * cast widened columns, order columns canonically.
+    */
+  private def align(df: DataFrame, merged: StructType): DataFrame =
+    df.select(merged.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+
+  // ---- write path -------------------------------------------------------
+
+  /** Append one micro-batch. Returns false when the batchId was already
+    * committed (checkpoint replay) and nothing was written.
+    */
+  def write(df: DataFrame, batchId: Long = -1L): Boolean = {
+    val meta = readMeta()
+    if (meta.exists(m => batchId >= 0 && batchId <= m.lastBatchId)) return false
+    val merged = meta.map(m => evolve(m.schema, df.schema)).getOrElse(df.schema)
+    val out = align(df, merged)
+      .withColumn(PartitionCol, to_date(col(timestampCol)))
+    out.write.mode("append").partitionBy(PartitionCol).parquet(path)
+    writeMeta(Meta(merged, if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L)))
+    true
+  }
+
+  /** Read the table back under the evolved schema (old narrow/absent
+    * columns up-cast/null-filled by the parquet reader).
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val schema = readMeta()
+      .map(_.schema.add(PartitionCol, DateType, nullable = true))
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    spark.read.schema(schema).parquet(path)
+  }
+
+  def tableSchema: Option[StructType] = readMeta().map(_.schema)
+}

@@ -1,0 +1,86 @@
+package graft.engine.stream
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.ingest.{EventSchema, JsonArrayBatchParser, Router}
+import graft.engine.sinks.{EvolvingTableSink, ParquetAppendSink}
+
+/** Streaming core: raw batch-file stream -> parse -> route -> dual sink
+  * (reference: src/consumer/stream_processor.py:24-167).
+  *
+  * Ports the reference semantics — foreachBatch fan-out to a valid sink
+  * and a dead-letter sink (stream_processor.py:124-129,148-157),
+  * processing-time trigger (T1), checkpointed batch-level exactly-once
+  * (T6) — with two deliberate physical upgrades over the reference
+  * (SURVEY.md §4.3):
+  *
+  *   - the micro-batch is persisted before the two sink writes, so the
+  *     parse plan executes once, not once per write;
+  *   - valid/dead-letter counters come from a single observe() metrics
+  *     pass riding the write jobs, replacing the reference's two extra
+  *     count() jobs per micro-batch (stream_processor.py:118-122).
+  *
+  * The parse+route path is narrow (no shuffle before the sinks), so at
+  * cluster scale each input file partition flows straight to its
+  * partitioned parquet writers.
+  */
+final class StreamProcessor(
+    validSink: EvolvingTableSink,
+    deadLetterSink: ParquetAppendSink,
+    schema: StructType = EventSchema.schema,
+    checkpointLocation: String,
+    trigger: Trigger = Trigger.ProcessingTime("30 seconds")) {
+
+  private val parser = new JsonArrayBatchParser(schema)
+
+  @volatile private var lastCounts: (Long, Long) = (0L, 0L)
+
+  /** (valid, deadLetter) row counts of the most recent micro-batch. */
+  def lastBatchCounts: (Long, Long) = lastCounts
+
+  /** Route one micro-batch to both sinks (the foreachBatch callback —
+    * callable directly for batch backfills too).
+    */
+  def routeBatch(batch: DataFrame, batchId: Long): Unit = {
+    val routed = Router.withReason(parser.parse(batch), schema)
+    val obs = Observation(s"route_$batchId")
+    val observed = routed.observe(obs,
+      count(when(col(EventSchema.DeadLetterReason).isNull, 1)).as("valid_rows"),
+      count(when(col(EventSchema.DeadLetterReason).isNotNull, 1)).as("dead_letter_rows"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wrote = validSink.write(Router.valid(observed, schema), batchId)
+      if (wrote) {
+        deadLetterSink.write(Router.deadLetters(observed, schema))
+        // obs.get blocks until an action ran on the observed plan — only
+        // safe after a real write (a replayed batch runs no action).
+        val m = obs.get
+        if (m.nonEmpty)
+          lastCounts = (m("valid_rows").asInstanceOf[Long], m("dead_letter_rows").asInstanceOf[Long])
+      }
+    } finally observed.unpersist()
+  }
+
+  /** Start the streaming query over a raw text stream (column `value`). */
+  def start(raw: DataFrame): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch(routeBatch _)
+      .start()
+
+  /** T7: the progress fields the reference logs per poll
+    * (reference: src/consumer/stream_processor.py:137-144).
+    */
+  def progressSummary(q: StreamingQuery): Option[String] =
+    Option(q.lastProgress).map { p =>
+      s"batchId=${p.batchId} numInputRows=${p.numInputRows} " +
+        s"inputRowsPerSecond=${p.inputRowsPerSecond} " +
+        s"processedRowsPerSecond=${p.processedRowsPerSecond} " +
+        s"triggerExecutionMs=${Option(p.durationMs.get("triggerExecution")).getOrElse(0L)}"
+    }
+}

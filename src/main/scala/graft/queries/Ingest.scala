@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.ingest.{EventSchema, JsonArrayBatchParser, Router}
+
+/** Oracle-checked queries for the ingestion path: the same literal batch
+  * strings flow through the engine's JsonArrayBatchParser + Router on the
+  * Spark side and through an equivalent JSON-SQL reimplementation in
+  * DuckDB, so the parser and routing semantics (corruption, invalid
+  * schema, extra fields, precedence, empty-array rule) are part of the
+  * correctness gate — not just unit-tested.
+  *
+  * Parser edge semantics mirrored from the reference
+  * (reference: src/consumer/batch_parsers.py:40-142,
+  * src/consumer/stream_processor.py:66-116).
+  */
+object Ingest extends QueryPack {
+  import EventSchema._
+
+  /** Literal input batches — every routing class represented:
+    * 1 valid x2 records; 2 truncated JSON (corrupted); 3 bogus key
+    * (invalid_schema); 4 seven keys (extra_fields); 5 empty array
+    * (corrupted, the G1 explode_outer rule); 6 missing required field;
+    * 7 valid + unparseable timestamp (per-record split); 8 non-object
+    * record (invalid_schema).
+    */
+  private val batches: Seq[String] = Seq(
+    """[{"user_id":"u1","event_id":"e01","event_timestamp":"2024-01-01 00:00:00","event_type":"page_view","properties":{"url":"http://a","user_agent":"ua1"}},{"user_id":"u2","event_id":"e02","event_timestamp":"2024-01-02 10:30:00","event_type":"purchase","product_id":"p1","properties":{"amount":19.99,"currency":"USD"}}]""",
+    """[{"user_id":"u3","event_id":"e03""",
+    """[{"glorp":"zzz"}]""",
+    """[{"user_id":"u4","event_id":"e04","event_timestamp":"2024-01-03 00:00:00","event_type":"page_view","product_id":null,"properties":{"url":"u"},"extra":"x"}]""",
+    """[]""",
+    """[{"user_id":"u5","event_id":"e05","event_type":"page_view"}]""",
+    """[{"user_id":"u6","event_id":"e06","event_timestamp":"2024-01-04 05:00:00","event_type":"page_view","properties":{"url":"q","user_agent":"z"}},{"user_id":"u6","event_id":"e07","event_timestamp":"bogus","event_type":"page_view"}]""",
+    """[42]""")
+
+  private val duckValues =
+    batches.map(b => s"('${b}')").mkString(", ")
+
+  /** DuckDB reimplementation of parse+route classification. */
+  private val duckClassified: String = s"""
+    raw(value) AS (VALUES $duckValues),
+    b AS (SELECT value,
+            (TRY_CAST(value AS JSON[]) IS NULL
+             OR json_array_length(TRY_CAST(value AS JSON)) = 0) AS corrupted
+          FROM raw),
+    recs AS (
+      SELECT unnest(TRY_CAST(value AS JSON[])) AS rec, FALSE AS corrupted
+      FROM b WHERE NOT corrupted
+      UNION ALL
+      SELECT NULL AS rec, TRUE AS corrupted FROM b WHERE corrupted),
+    cls AS (
+      SELECT rec,
+        CASE
+          WHEN corrupted THEN 'corrupted_batch'
+          WHEN json_extract_string(rec, '$$.user_id') IS NULL
+            OR json_extract_string(rec, '$$.event_id') IS NULL
+            OR TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP) IS NULL
+            OR json_extract_string(rec, '$$.event_type') IS NULL THEN 'invalid_schema'
+          WHEN coalesce(len(json_keys(rec)) > 6, FALSE) THEN 'extra_fields'
+          ELSE 'valid'
+        END AS reason
+      FROM recs)"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "ingest_route" -> QueryDef(
+      (s, _) => {
+        val spark = s
+        import spark.implicits._
+        val parsed = new JsonArrayBatchParser().parse(batches.toDF("value"))
+        Router.withReason(parsed)
+          .groupBy(coalesce(col(DeadLetterReason), lit("valid")).as("reason"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("reason"))
+      },
+      Some(s"""
+        WITH $duckClassified
+        SELECT reason, CAST(count(*) AS BIGINT) AS n
+        FROM cls GROUP BY reason ORDER BY reason""")),
+
+    "ingest_parse_events" -> QueryDef(
+      (s, _) => {
+        val spark = s
+        import spark.implicits._
+        val parsed = new JsonArrayBatchParser().parse(batches.toDF("value"))
+        Router.valid(Router.withReason(parsed))
+          .select(col("user_id"), col("event_id"),
+            Q.epochUs(col("event_timestamp")).as("ts_us"),
+            col("event_type"), col("product_id"),
+            expr("try_element_at(properties, 'url')").as("url"),
+            expr("try_element_at(properties, 'amount')").as("amount"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH $duckClassified
+        SELECT json_extract_string(rec, '$$.user_id') AS user_id,
+               json_extract_string(rec, '$$.event_id') AS event_id,
+               epoch_us(TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP)) AS ts_us,
+               json_extract_string(rec, '$$.event_type') AS event_type,
+               json_extract_string(rec, '$$.product_id') AS product_id,
+               json_extract_string(rec, '$$.properties.url') AS url,
+               json_extract_string(rec, '$$.properties.amount') AS amount
+        FROM cls WHERE reason = 'valid' ORDER BY event_id"""))
+  )
+}

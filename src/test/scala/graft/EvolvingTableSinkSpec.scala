@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.sinks.EvolvingTableSink
+
+/** Iceberg-semantics substitute on parquet (SURVEY.md §7.4): create on
+  * first write, hidden day partitioning, additive schema evolution, type
+  * widening, narrowing rejection, batch-replay idempotence.
+  */
+class EvolvingTableSinkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private val v1 = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("qty", IntegerType, nullable = true),
+    StructField("event_timestamp", TimestampType, nullable = false)))
+
+  test("create on first write, hidden day partitioning, additive evolution, widening") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+
+    assert(sink.write(df(v1,
+      Row("a", Integer.valueOf(1), ts("2024-01-01 10:00:00")),
+      Row("b", Integer.valueOf(2), ts("2024-01-02 11:00:00"))), batchId = 0))
+
+    // hidden partitioning: day directories exist, writers never supplied them
+    val days = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_event_date="))
+    assert(days.toSet == Set("_event_date=2024-01-01", "_event_date=2024-01-02"))
+
+    // evolution: new nullable column + int->long widening in one batch
+    val v2 = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("qty", LongType, nullable = true),
+      StructField("product_id", StringType, nullable = true),
+      StructField("event_timestamp", TimestampType, nullable = false)))
+    assert(sink.write(df(v2,
+      Row("c", java.lang.Long.valueOf(3L), "p1", ts("2024-01-03 09:00:00"))), batchId = 1))
+
+    val back = sink.read(spark)
+    assert(back.schema("qty").dataType == LongType)
+    assert(back.count() == 3)
+    // old rows read back with NULL product_id, new row carries it
+    val byId = back.collect().map(r => r.getAs[String]("id") -> r.getAs[String]("product_id")).toMap
+    assert(byId("a") == null && byId("c") == "p1")
+    // old narrow int32 files up-cast to long on read
+    assert(back.collect().map(_.getAs[Long]("qty")).sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("narrowing and incompatible type changes are rejected before writing") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    val long1 = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("qty", LongType, nullable = true),
+      StructField("event_timestamp", TimestampType, nullable = false)))
+    sink.write(df(long1, Row("a", java.lang.Long.valueOf(1L), ts("2024-01-01 00:00:00"))), 0)
+
+    val stringQty = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("qty", StringType, nullable = true),
+      StructField("event_timestamp", TimestampType, nullable = false)))
+    val e = intercept[IllegalArgumentException] {
+      sink.write(df(stringQty, Row("b", "oops", ts("2024-01-02 00:00:00"))), 1)
+    }
+    assert(e.getMessage.contains("illegal type change"))
+    assert(sink.read(spark).count() == 1)
+
+    // int batch into long table is fine (write-side up-cast, not narrowing)
+    assert(sink.write(df(v1, Row("c", Integer.valueOf(7), ts("2024-01-03 00:00:00"))), 1))
+    assert(sink.tableSchema.get("qty").dataType == LongType)
+    assert(sink.read(spark).count() == 2)
+  }
+
+  test("replayed batch ids are skipped (batch-level exactly-once)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    val row = Row("a", Integer.valueOf(1), ts("2024-01-01 00:00:00"))
+    assert(sink.write(df(v1, row), batchId = 5))
+    assert(!sink.write(df(v1, row), batchId = 5)) // replay: skipped
+    assert(!sink.write(df(v1, row), batchId = 4)) // older id: skipped
+    assert(sink.write(df(v1, row), batchId = 6))
+    assert(sink.read(spark).count() == 2)
+  }
+}
