@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    // one-time session warmup (codegen infra, parquet footers) so the
+    // per-query numbers measure the queries, not JVM startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -43,12 +43,14 @@ object Dedup extends QueryPack {
   /** (doc_id, pos, wh): one row per word occurrence with its polynomial
     * hash. Narrow after the scan; the posexplode is the only row blowup.
     */
-  private def wordHashRows(s: SparkSession, d: String): DataFrame =
+  private def wordHashRows(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
       .where("size(ws) >= 3")
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
       .selectExpr("doc_id", "pos", s"${sparkStrHash("w")} AS wh")
+  }
 
   /** (doc_id, sh): word-3-gram shingle hashes via window lead — one
     * shuffle on doc_id.
@@ -62,18 +64,20 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", s"((wh * 37 + wh2) % $P * 37 + wh3) % $P AS sh")
   }
 
-  private def minHashSig(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).groupBy(col("doc_id")).agg(
+  private def minHashSigFrom(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(
       expr(s"min((${minHashA.head} * sh + ${minHashB.head}) % $P)").as("s0"),
       (1 until MinHashK).map(i =>
         expr(s"min((${minHashA(i)} * sh + ${minHashB(i)}) % $P)").as(s"s$i")): _*)
+
+  private def minHashSig(s: SparkSession, d: String): DataFrame =
+    minHashSigFrom(shingleRows(s, d))
 
   private def bandKeyExpr(cols: Seq[String]): String =
     cols.foldLeft(s"CAST(0 AS BIGINT)")((acc, c) => s"(($acc) * 31 + $c) % $P")
 
   /** (doc_id, band, key) — MinHash signature folded per LSH band. */
-  private def minHashBands(s: SparkSession, d: String): DataFrame = {
-    val sig = minHashSig(s, d)
+  private def minHashBandsFrom(sig: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}")
       struct(lit(b).as("band"), expr(bandKeyExpr(cols)).as("key"))
@@ -82,9 +86,12 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** (doc_a, doc_b, jacc): exact Jaccard via distinct-shingle self-join. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val shd = shingleRows(s, d).distinct()
+  /** (doc_a, doc_b, jacc): exact Jaccard via distinct-shingle self-join.
+    * Pass a PERSISTED distinct-shingle frame: it feeds three scans (two
+    * join sides plus sizes) — at cluster scale this is the staged
+    * intermediate table of the textbook shingle-LSH plan.
+    */
+  private def jaccardFrom(shd: DataFrame): DataFrame = {
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shd.toDF("doc_a", "sh")
       .join(shd.toDF("doc_b", "sh2"), col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
@@ -101,8 +108,8 @@ object Dedup extends QueryPack {
     * that hamming <= 3 isolates the true near-dups (measured 24 pairs vs
     * 25 exact-Jaccard pairs).
     */
-  private def simHash(s: SparkSession, d: String): DataFrame = {
-    val sums = shingleRows(s, d).groupBy(col("doc_id")).agg(
+  private def simHashFrom(sh: DataFrame): DataFrame = {
+    val sums = sh.groupBy(col("doc_id")).agg(
       expr("sum(CASE WHEN (shiftright(sh, 0) & 1) = 1 THEN 1 ELSE -1 END)").as("b0"),
       (1 until SimHashBits).map(j =>
         expr(s"sum(CASE WHEN (shiftright(sh, $j) & 1) = 1 THEN 1 ELSE -1 END)").as(s"b$j")): _*)
@@ -183,12 +190,16 @@ object Dedup extends QueryPack {
 
     "dedup_minhash_pairs" -> QueryDef(
       (s, d) => {
-        val cand = minHashBands(s, d).toDF("doc_a", "band", "key")
-          .join(minHashBands(s, d).toDF("doc_b", "band2", "key2"),
+        // the shingle frame feeds the signature pipeline AND the exact
+        // Jaccard verification — persist it (staged intermediate at scale)
+        val sh = shingleRows(s, d).persist()
+        val bands = minHashBandsFrom(minHashSigFrom(sh)).persist()
+        val cand = bands.toDF("doc_a", "band", "key")
+          .join(bands.toDF("doc_b", "band2", "key2"),
             col("band") === col("band2") && col("key") === col("key2") &&
               col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
-        cand.join(jaccardPairs(s, d), Seq("doc_a", "doc_b"))
+        cand.join(jaccardFrom(sh.distinct().persist()), Seq("doc_a", "doc_b"))
           .where(s"jacc >= $JaccThreshold")
           .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
           .orderBy(col("doc_a"), col("doc_b"))
@@ -205,7 +216,7 @@ object Dedup extends QueryPack {
         ORDER BY 1, 2""")),
 
     "dedup_jaccard_pairs" -> QueryDef(
-      (s, d) => jaccardPairs(s, d)
+      (s, d) => jaccardFrom(shingleRows(s, d).distinct().persist())
         .where(s"jacc >= $JaccThreshold")
         .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
         .orderBy(col("doc_a"), col("doc_b")),
@@ -216,14 +227,14 @@ object Dedup extends QueryPack {
         ORDER BY doc_a, doc_b""")),
 
     "dedup_simhash_sig" -> QueryDef(
-      (s, d) => simHash(s, d).orderBy(col("doc_id")),
+      (s, d) => simHashFrom(shingleRows(s, d)).orderBy(col("doc_id")),
       Some(s"""
         WITH $duckBase, $duckSimHash
         SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
 
     "dedup_simhash_pairs" -> QueryDef(
       (s, d) => {
-        val sim = simHash(s, d)
+        val sim = simHashFrom(shingleRows(s, d)).persist()
         val chunks = (0 until 4).map(c =>
           struct(lit(c).as("chunk"), expr(s"shiftright(simhash, ${8 * c}) & 255").as("key")))
         val blocked = sim

@@ -40,8 +40,13 @@ object Portable {
   def duckFoldHash(list: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $list), (acc, x) -> (acc * 31 + x) % $P)"
 
-  /** Polynomial rolling hash of a whole string, mod P. */
-  def sparkStrHash(e: String): String = sparkFoldHash(sparkChars(e))
+  /** Polynomial rolling hash of a whole string, mod P. The Spark side
+    * uses the native codegen expression (graft.functions.PolyHash) — a
+    * bit-identical twin of the HOF fold kept in sparkStrHashHof below;
+    * the DuckDB oracle keeps the list_reduce form.
+    */
+  def sparkStrHash(e: String): String = s"graft_strhash($e)"
+  def sparkStrHashHof(e: String): String = sparkFoldHash(sparkChars(e))
   def duckStrHash(e: String): String = duckFoldHash(duckChars(e))
 
   // ---- tokenization ----------------------------------------------------
@@ -65,9 +70,12 @@ object Portable {
 
   /** Left-to-right double fold of element-wise products of two vector
     * columns; bit-identical across engines. Inputs are float lists; cast
-    * each element to double before multiplying.
+    * each element to double before multiplying. Spark side is the native
+    * codegen expression (graft.functions.FloatDot); the HOF twin below
+    * documents the identical fold.
     */
-  def sparkDot(a: String, b: String): String =
+  def sparkDot(a: String, b: String): String = s"graft_dot($a, $b)"
+  def sparkDotHof(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
   def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"

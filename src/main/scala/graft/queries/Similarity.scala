@@ -30,9 +30,15 @@ object Similarity extends QueryPack {
     */
   private def signCond(j: Int): String = s"((i * 37 + ${j * 101}) % 97) % 2 = 0"
 
-  private def sparkPlaneFold(v: String, j: Int): String =
-    s"aggregate(sequence(1, $Dim), CAST(0.0 AS DOUBLE), (acc, i) -> acc + " +
-      s"(CASE WHEN ${signCond(j)} THEN CAST(element_at($v, i) AS DOUBLE) ELSE -CAST(element_at($v, i) AS DOUBLE) END))"
+  /** The Spark side multiplies by a literal ±1.0f sign vector through the
+    * codegen dot product — x * ±1.0 is exact in IEEE, so the fold is
+    * bit-identical to the DuckDB signed-sum form below.
+    */
+  private def sparkPlaneFold(v: String, j: Int): String = {
+    val signs = (1 to Dim).map(i =>
+      if (((i * 37 + j * 101) % 97) % 2 == 0) "CAST(1.0 AS FLOAT)" else "CAST(-1.0 AS FLOAT)")
+    s"graft_dot($v, array(${signs.mkString(", ")}))"
+  }
 
   private def duckPlaneFold(v: String, j: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> " +
@@ -49,11 +55,13 @@ object Similarity extends QueryPack {
   /** Cosine from three shared dot folds; both engines compute
     * dot / (sqrt(na) * sqrt(nb)) on bit-identical inputs.
     */
-  private def cosine(df: DataFrame, a: String, b: String): DataFrame =
+  private def cosine(df: DataFrame, a: String, b: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("dot", expr(sparkDot(a, b)))
       .withColumn("na", expr(sparkDot(a, a)))
       .withColumn("nb", expr(sparkDot(b, b)))
       .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
+  }
 
   def defs: Map[String, QueryDef] = Map(
     "dedup_embed_cosine" -> QueryDef(
@@ -113,6 +121,7 @@ object Similarity extends QueryPack {
 
     "sim_lsh_ann" -> QueryDef(
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding")} AS bucket")
         val q = e.filter(col("vec_id") < 50)

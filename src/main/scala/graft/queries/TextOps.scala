@@ -67,9 +67,12 @@ object TextOps extends QueryPack {
 
   def defs: Map[String, QueryDef] = Map(
     "text_fingerprint" -> QueryDef(
-      (s, d) => Tables.documents(s, d)
-        .selectExpr("doc_id", s"${sparkStrHash("text")} AS fp")
-        .orderBy(col("doc_id")),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .selectExpr("doc_id", s"${sparkStrHash("text")} AS fp")
+          .orderBy(col("doc_id"))
+      },
       Some(s"""
         SELECT doc_id, ${duckStrHash("text")} AS fp
         FROM documents ORDER BY doc_id""")),
