@@ -1,0 +1,76 @@
+package graft.engine.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators beyond the reference's surface (the
+  * reference needs none: its producer guarantees never-late events and it
+  * explicitly rejects stateful dedup at ingest — reference README.md:24,
+  * 58-72; SURVEY.md §2.10 T2-T4). These are the standard Structured
+  * Streaming building blocks a downstream Silver layer would use,
+  * declared Spark-first: watermark + windowed aggregation, session
+  * windows, within-watermark dedup, and custom keyed state.
+  *
+  * Scale notes: all of these shuffle once on their grouping key and keep
+  * per-key state bounded by the watermark horizon — the state store
+  * evicts anything older, so 100 TB of history never accumulates in
+  * memory.
+  */
+object WindowedAggs {
+
+  /** Tumbling event-time counts/sums with a watermark bounding state and
+    * dropping late rows.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows: gap-based event-time sessions per user. */
+  def userSessions(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup with bounded state: duplicates of event_id
+    * arriving within the watermark horizon are dropped, state for older
+    * ids is evicted (the op the reference discusses and defers,
+    * reference README.md:58-72).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * event counter emitting an update row per input batch.
+    */
+  final case class UserEvent(user_id: Long, event_id: Long)
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L) + batch.size
+          state.update(seen)
+          Iterator(UserCount(user, seen))
+      }
+  }
+}

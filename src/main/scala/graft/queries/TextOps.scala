@@ -145,6 +145,29 @@ object TextOps extends QueryPack {
             FROM (SELECT lang, ${duckWords("text")} AS ws FROM documents) t1) t2) t3
         GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
 
+    "multimodal_features" -> QueryDef(
+      (s, d) => {
+        import graft.engine.multimodal.Multimodal
+        val feats = Multimodal.extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))
+        feats.selectExpr(Seq("doc_id", "n_bytes") ++
+          (1 to 4).map(i => s"${Q.roundExpr(s"element_at(features, $i)", 4)} AS f$i"): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def quarter(q: Int): String = {
+          val from = s"(($q * length(text)) // 4)"
+          val until = s"((${q + 1} * length(text)) // 4)"
+          Q.roundExpr(
+            s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+              s"list_transform(range($from + 1, $until + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
+              s"(acc, x) -> acc + x) AS DOUBLE) / ($until - $from)", 4)
+        }
+        s"""
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+               ${(0 until 4).map(q => s"${quarter(q)} AS f${q + 1}").mkString(", ")}
+        FROM documents ORDER BY doc_id"""
+      }),
+
     "multimodal_meta" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
