@@ -112,6 +112,63 @@ object Relational extends QueryPack {
         FROM documents GROUP BY ROLLUP(lang, source)
         ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
 
+    "agg_cube_events" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d)
+          .withColumn("day", to_date(col("ts")))
+          .cube(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+      },
+      Some("""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY CUBE(event_type, CAST(date_trunc('day', ts) AS DATE))
+        ORDER BY event_type NULLS FIRST, day NULLS FIRST""")),
+
+    "agg_grouping_sets_docs" -> QueryDef(
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+        s.sql("""
+          SELECT lang, source, count(1) AS n
+          FROM graft_documents
+          GROUP BY GROUPING SETS ((lang), (source))
+          ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY GROUPING SETS ((lang), (source))
+        ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
+
+    // HLL estimates are implementation-specific, so no value oracle —
+    // the driver records the weaker rows-only check for this one.
+    "agg_approx_distinct" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    "agg_median_orders" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+          .selectExpr("o_orderstatus",
+            s"${Q.roundExpr("median_price", 2)} AS median_price",
+            s"${Q.roundExpr("p90_price", 2)} AS p90_price")
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""
+        SELECT o_orderstatus,
+               ${Q.roundExpr("quantile_cont(o_totalprice, 0.5)", 2)} AS median_price,
+               ${Q.roundExpr("quantile_cont(o_totalprice, 0.9)", 2)} AS p90_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     "distinct_segments" -> QueryDef(
       (s, d) => Tables.customer(s, d).select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment")),
