@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone check that GraftExtensions installs the native functions
+  * through the spark.sql.extensions deployment path (must run in a fresh
+  * JVM — an active session would be reused and mask the injection).
+  *
+  * Usage: runMain graft.ExtensionsCheck
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-check")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      "SELECT graft_strhash('hello') AS h, " +
+        "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect().head
+    val ok = r.getAs[Long]("h") == 99162322L && r.getAs[Double]("d") == 11.0
+    println(s"[extensions-check] graft_strhash('hello')=${r.getAs[Long]("h")} " +
+      s"graft_dot=${r.getAs[Double]("d")} => ${if (ok) "OK" else "MISMATCH"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -53,6 +53,12 @@ object IngestDemo {
     q2.processAllAvailable()
     q2.stop()
     println(s"[demo] bronze rows after restart: ${bronze.read(spark).count()}")
+
+    // Silver layer: batch dedup downstream of ingest (the reference
+    // defers dedup here, reference: README.md:58-72)
+    val silverCount = graft.engine.silver.Silver.compact(
+      spark, bronze, root.resolve("silver").toString)
+    println(s"[demo] silver rows after dedup: $silverCount")
     spark.stop()
   }
 }

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: installs the engine's native
+  * expressions into any session built with
+  * `.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * deployment path a cluster job would use instead of calling
+  * GraftFunctions.register by hand.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_strhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_strhash"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => PolyHash(es.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => FloatDot(es.head, es(1))))
+  }
+}
