@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests on PHYSICAL PLAN SHAPE — the properties that make the
+  * queries survive a 100x scale-up, asserted so a refactor can't silently
+  * lose them: filter/projection pushdown into the parquet scan, broadcast
+  * of dimension/query sides, and the absence of cartesian products in the
+  * candidate-pair dedup plans.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1 pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    // only the 7 referenced columns are read, not the full 11-column schema
+    assert(!p.contains("l_orderkey"), "unreferenced columns must be pruned from the scan")
+  }
+
+  test("q5 joins every dimension via broadcast, never sort-merge") {
+    val p = plan("q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("string predicate pushdown reaches the scan") {
+    val p = plan("filter_like_parts")
+    assert(p.contains("StringContains(p_name,widget)"))
+  }
+
+  test("brute-force ANN broadcasts the query side only") {
+    val p = plan("sim_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BuildLeft"), "the small query set must be the build side")
+  }
+
+  test("LSH ANN joins on bucket equality, not a cross product") {
+    val p = plan("sim_lsh_ann")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin Inner BuildRight"),
+      "candidate join must be an equi-join on bucket")
+  }
+
+  test("dedup candidate-pair plans contain no cartesian product") {
+    for (q <- Seq("dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_jaccard_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must block, not cross-join")
+    }
+  }
+
+  test("top-k sorts plan as TakeOrderedAndProject, not a global sort") {
+    val p = plan("sort_topk_lineitems")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

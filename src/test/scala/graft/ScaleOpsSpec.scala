@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.Scale
+import graft.engine.Tables
+
+/** Physical-layout tools: bucketed co-located joins (no Exchange in the
+  * joined plan) and salted aggregation equivalence.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+  private val d = "/root/testdata/sf0.001"
+
+  test("bucketed tables join with zero shuffle") {
+    // the in-memory catalog forgets tables between JVMs but their files
+    // survive in the warehouse dir — clear both before writing
+    for (t <- Seq("graft_orders_b", "graft_lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Scale.writeBucketed(Tables.orders(spark, d), "graft_orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(Tables.lineitem(spark, d), "graft_lineitem_b", "l_orderkey", 8)
+    // force the shuffle-join path (at this tiny SF the optimizer would
+    // broadcast instead, hiding what bucketing buys at scale)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_lineitem_b")
+        .join(spark.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // co-located scans: a sort-merge join with NO exchange on either
+      // join key (the only exchange left is the final tiny aggregation)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle on the join keys:\n$plan")
+
+      // and it computes the same result as the unbucketed join
+      val want = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      assert(joined.collect().toSet == want.collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, d)
+    val got = Scale.saltedSumCount(li, col("l_returnflag"), col("l_orderkey"), 16)
+      .withColumnRenamed("_key", "l_returnflag")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_orderkey")).as("sum_value"), count(lit(1)).as("n"))
+    assert(got.collect().toSet == want.collect().toSet)
+  }
+}
