@@ -66,12 +66,18 @@ final class EventGen(
     ev
   }
 
-  /** One serialized batch, possibly truncated at the midpoint. */
-  def nextBatch(events: Int): String = {
+  /** One batch with its ground-truth stats (for property tests). */
+  final case class BatchInfo(json: String, records: Int, corrupted: Boolean)
+
+  def nextBatchInfo(events: Int): BatchInfo = {
     val body = Seq.fill(events)(nextEvent()).mkString("[", ",", "]")
-    if (rnd.nextDouble() < corruptionChance) body.substring(0, body.length / 2)
-    else body
+    if (rnd.nextDouble() < corruptionChance)
+      BatchInfo(body.substring(0, body.length / 2), events, corrupted = true)
+    else BatchInfo(body, events, corrupted = false)
   }
+
+  /** One serialized batch, possibly truncated at the midpoint. */
+  def nextBatch(events: Int): String = nextBatchInfo(events).json
 
   /** Write one file per batch into dir (the streaming file-source
     * contract: reference src/producer/data_sinks.py:99-121).

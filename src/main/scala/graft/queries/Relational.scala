@@ -351,6 +351,47 @@ object Relational extends QueryPack {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         ORDER BY custkey""")),
 
+    "join_range_bands" -> QueryDef(
+      (s, d) => {
+        // range (non-equi) join: classify event values into broadcast
+        // literal bands - the plan is a broadcast nested loop with the
+        // tiny band table on the build side, the scalable shape for
+        // range joins against a small dimension
+        val bands = s.range(0, 10).selectExpr("id AS band",
+          "CAST(id * 50 AS DOUBLE) AS lo", "CAST((id + 1) * 50 AS DOUBLE) AS hi")
+        Tables.events(s, d)
+          .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("band"))
+      },
+      Some("""
+        SELECT b.band, CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN (
+          SELECT i AS band, CAST(i * 50 AS DOUBLE) AS lo, CAST((i + 1) * 50 AS DOUBLE) AS hi
+          FROM range(0, 10) t(i)) b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band ORDER BY b.band""")),
+
+    "setop_union_by_name" -> QueryDef(
+      (s, d) => {
+        // schema-drift union: v1 rows lack the product-ish column, v2
+        // rows carry it - unionByName with allowMissingColumns is the
+        // batch analogue of the sink's additive evolution
+        val ev = Tables.events(s, d)
+        val v1 = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"))
+        val v2 = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, event_type, NULL AS value FROM events WHERE event_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT event_id, event_type, round(value, 2) AS value FROM events WHERE event_id % 2 = 1
+        ORDER BY event_id""")),
+
     // ---- window functions ----------------------------------------------
     "window_topk_orders" -> QueryDef(
       (s, d) => {

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.engine.ingest.{EventSchema, JsonArrayBatchParser, Router}
+import graft.fixtures.EventGen
+
+/** Property-based round-trips (the invariants promised in SURVEY.md §5):
+  * arbitrary fault-injected producer output through
+  * generate -> serialize -> corrupt -> parse -> route, checking the
+  * conservation and classification laws rather than specific values.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+  import EventSchema._
+
+  private val paramGen = for {
+    seed <- Gen.choose(0L, 10000L)
+    corrupt <- Gen.oneOf(0.0, 0.2, 0.5)
+    invalid <- Gen.oneOf(0.0, 0.2, 0.5)
+    dup <- Gen.oneOf(0.0, 0.3)
+    nBatches <- Gen.choose(1, 4)
+    perBatch <- Gen.choose(1, 30)
+  } yield (seed, corrupt, invalid, dup, nBatches, perBatch)
+
+  test("parse/route conservation and classification laws hold for arbitrary producer output") {
+    // raw ScalaCheck sampling (the scalatest bridge isn't in the offline
+    // dependency set): 8 generated parameter tuples from a fixed seed
+    val cases = Gen.listOfN(8, paramGen)
+      .apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(fail("generator exhausted"))
+    cases.foreach { case (seed, corrupt, invalid, dup, nBatches, perBatch) =>
+      val gen = new EventGen(seed, corrupt, invalid, dup)
+      val infos = Seq.fill(nBatches)(gen.nextBatchInfo(perBatch))
+
+      import spark.implicits._
+      val routed = Router.withReason(
+        new JsonArrayBatchParser().parse(infos.map(_.json).toDF("value"))).cache()
+      try {
+        val rows = routed.collect()
+
+        // row conservation: an intact batch yields one row per record; a
+        // truncation-corrupted batch yields exactly one dead-letter row
+        val expectedRows = infos.map(i => if (i.corrupted) 1 else i.records).sum
+        assert(rows.length == expectedRows)
+
+        // classification laws
+        rows.foreach { r =>
+          val reason = r.getAs[String](DeadLetterReason)
+          assert(reason == null || Set(Router.CorruptedBatch,
+            Router.InvalidSchema, Router.ExtraFields).contains(reason))
+          if (reason == null) {
+            // valid rows satisfy the required-field contract
+            assert(r.getAs[String]("user_id") != null)
+            assert(r.getAs[String]("event_id") != null)
+            assert(r.getAs[java.sql.Timestamp]("event_timestamp") != null)
+            assert(r.getAs[String]("event_type") != null)
+          } else {
+            // every dead letter carries its payload
+            assert(r.getAs[String](RawRecord) != null)
+          }
+        }
+
+        // the valid/dead split is a disjoint partition of the batch
+        val valid = Router.valid(routed).count()
+        val dead = Router.deadLetters(routed).count()
+        assert(valid + dead == rows.length)
+      } finally routed.unpersist()
+    }
+  }
+}
