@@ -86,12 +86,26 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Stop-shingle guard: a shingle occurring in more than this many docs
+    * is dropped from the feature space (consistently, so sizes and
+    * intersections stay coherent). Inert at test scale (max observed doc
+    * frequency is far below it) but load-bearing at corpus scale, where a
+    * single ultra-common shingle would turn the self-join quadratic on
+    * its bucket. Mirrored in the DuckDB oracle.
+    */
+  private val MaxShingleDocFreq = 1000
+
   /** (doc_a, doc_b, jacc): exact Jaccard via distinct-shingle self-join.
     * Pass a PERSISTED distinct-shingle frame: it feeds three scans (two
     * join sides plus sizes) — at cluster scale this is the staged
     * intermediate table of the textbook shingle-LSH plan.
     */
-  private def jaccardFrom(shd: DataFrame): DataFrame = {
+  private def jaccardFrom(shdRaw: DataFrame): DataFrame = {
+    val byFreq = Window.partitionBy(col("sh"))
+    val shd = shdRaw
+      .withColumn("_df", count(lit(1)).over(byFreq))
+      .where(col("_df") <= MaxShingleDocFreq)
+      .drop("_df")
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shd.toDF("doc_a", "sh")
       .join(shd.toDF("doc_b", "sh2"), col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
@@ -132,7 +146,11 @@ object Dedup extends QueryPack {
                + lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos)) % $P AS sh
       FROM wh
       QUALIFY lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
-    shd AS (SELECT DISTINCT doc_id, sh FROM sh)"""
+    shd_raw AS (SELECT DISTINCT doc_id, sh FROM sh),
+    shd AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shd_raw) t
+      WHERE df <= $MaxShingleDocFreq)"""
 
   private val duckSig: String = {
     val mins = (0 until MinHashK)

@@ -112,6 +112,52 @@ object Relational extends QueryPack {
         FROM documents GROUP BY ROLLUP(lang, source)
         ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
 
+    "q4_order_priority" -> QueryDef(
+      (s, d) => {
+        // TPC-H Q4 shape: orders with at least one late lineitem (semi
+        // join), counted per priority
+        val late = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > ts("1999-06-30 00:00:00"))
+          .select(col("l_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1998-01-01 00:00:00") &&
+            col("o_orderdate") < ts("2000-01-01 00:00:00"))
+          .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    "q6_forecast_revenue" -> QueryDef(
+      (s, d) => {
+        // TPC-H Q6 shape: pure filter + single aggregate, the minimal
+        // pushdown-then-reduce plan
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+            col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+            col("l_quantity") < 25)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 25""")),
+
     "agg_cube_events" -> QueryDef(
       (s, d) => {
         Tables.events(s, d)
