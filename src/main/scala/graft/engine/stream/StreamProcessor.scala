@@ -73,6 +73,27 @@ final class StreamProcessor(
       .foreachBatch(routeBatch _)
       .start()
 
+  /** T8: run until externally interrupted, stopping the query cleanly on
+    * JVM shutdown (the reference's KeyboardInterrupt -> query.stop path,
+    * reference: src/consumer/stream_processor.py:158-167), logging the
+    * T7 progress fields on the same <=10s poll cadence.
+    */
+  def runUntilInterrupted(raw: DataFrame, pollMs: Long = 10000L,
+      log: String => Unit = s => println(s"[stream] $s")): Unit = {
+    val query = start(raw)
+    val hook = new Thread(() => if (query.isActive) query.stop())
+    Runtime.getRuntime.addShutdownHook(hook)
+    try {
+      while (query.isActive) {
+        query.awaitTermination(pollMs)
+        progressSummary(query).foreach(log)
+      }
+    } finally {
+      if (query.isActive) query.stop()
+      try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: IllegalStateException => }
+    }
+  }
+
   /** T7: the progress fields the reference logs per poll
     * (reference: src/consumer/stream_processor.py:137-144).
     */

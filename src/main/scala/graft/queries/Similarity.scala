@@ -25,6 +25,9 @@ object Similarity extends QueryPack {
 
   private val Planes = 8
 
+  /** IVF coarse-codebook size. */
+  private val NList = 8
+
   /** Sign pattern for hyperplane j at dimension i (deterministic
     * pseudo-random, same formula inlined in the oracle SQL).
     */
@@ -147,6 +150,66 @@ object Similarity extends QueryPack {
           SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
                  ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
           FROM q JOIN n ON bucket = bucket_n AND qid <> vid),
+        ranked AS (
+          SELECT qid, vid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rn
+          FROM sc)
+        SELECT qid, rn, vid, round(cos, 6) AS cos
+        FROM ranked WHERE rn <= 3 ORDER BY qid, rn""")),
+
+    "sim_ivf_topk" -> QueryDef(
+      (s, d) => {
+        // IVF (inverted-file) ANN: a small deterministic coarse codebook
+        // (the first NLIST vectors), every vector assigned to its nearest
+        // centroid cell, queries probe ONLY their own cell. At cluster
+        // scale the cell id is the shuffle/bucket key, so search cost is
+        // corpus/NLIST per query instead of the full corpus.
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < NList)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+        // assign: argmin over centroid distances, deterministic tie-break
+        // on centroid id; distance via the shared dot folds
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("d2",
+            expr(s"${sparkDot("embedding", "embedding")} - 2 * ${sparkDot("embedding", "cv")} + ${sparkDot("cv", "cv")}"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+        val q = assigned.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cent_id"))
+        val n = assigned.select(col("vec_id").as("vid"), col("embedding").as("nv"),
+          col("cent_id").as("cent_n"))
+        val scored = cosine(
+          broadcast(q).join(n, col("cent_id") === col("cent_n") && col("qid") =!= col("vid")),
+          "qv", "nv")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .selectExpr("qid", "rn", "vid", "round(cos, 6) AS cos")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NList),
+        dists AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 ${duckDot("e.embedding", "e.embedding")} - 2 * ${duckDot("e.embedding", "c.cv")}
+                   + ${duckDot("c.cv", "c.cv")} AS d2
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id FROM (
+            SELECT vec_id, embedding, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM dists) t WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qv, cent_id FROM assigned WHERE vec_id < 20),
+        n AS (SELECT vec_id AS vid, embedding AS nv, cent_id AS cent_n FROM assigned),
+        sc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON cent_id = cent_n AND qid <> vid),
         ranked AS (
           SELECT qid, vid, dot / (sqrt(na) * sqrt(nb)) AS cos,
                  CAST(row_number() OVER (PARTITION BY qid
