@@ -63,6 +63,26 @@ object Ingest extends QueryPack {
       FROM recs)"""
 
   def defs: Map[String, QueryDef] = Map(
+    // Throughput probe for the core pipeline: 200 producer batches x 100
+    // events through parse+route (the full reference data path). No value
+    // oracle (the fixture generator is JVM-side), so the driver records
+    // the weaker rows-only check; its purpose is the BENCH timing — the
+    // reference's steady state is ~10 events/s end-to-end, this measures
+    // the engine parsing 20k events per run.
+    "ingest_throughput" -> QueryDef(
+      (s, _) => {
+        val spark = s
+        import spark.implicits._
+        val gen = new graft.fixtures.EventGen(seed = 99L,
+          corruptionChance = 0.1, invalidSchemaChance = 0.1)
+        val raw = Seq.fill(200)(gen.nextBatch(100)).toDF("value")
+        Router.withReason(new JsonArrayBatchParser().parse(raw))
+          .groupBy(coalesce(col(DeadLetterReason), lit("valid")).as("reason"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("reason"))
+      },
+      None),
+
     "ingest_route" -> QueryDef(
       (s, _) => {
         val spark = s

@@ -397,6 +397,45 @@ object Relational extends QueryPack {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         ORDER BY custkey""")),
 
+    "time_parts_events" -> QueryDef(
+      (s, d) => {
+        // calendar-part extraction; day-of-week aligned to DuckDB's
+        // 0=Sunday convention (Spark dayofweek is 1=Sunday)
+        Tables.events(s, d)
+          .select(year(col("ts")).as("y"), month(col("ts")).as("m"),
+            dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("h"),
+            (dayofweek(col("ts")) - 1).as("dow"))
+          .groupBy(col("y"), col("m"), col("dow"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("dom")).as("n_days"),
+            countDistinct(col("h")).as("n_hours"))
+          .orderBy(col("y"), col("m"), col("dow"))
+      },
+      Some("""
+        SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+               CAST(dayofweek(ts) AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT day(ts)) AS BIGINT) AS n_days,
+               CAST(count(DISTINCT hour(ts)) AS BIGINT) AS n_hours
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    "text_levenshtein" -> QueryDef(
+      (s, d) => {
+        // exact edit distance between 40-char prefixes of near-id docs —
+        // string-function parity surface (both engines compute classic
+        // Levenshtein)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), expr("substring(text, 1, 40)").as("p"))
+        docs.toDF("doc_a", "pa")
+          .join(docs.toDF("doc_b", "pb"), col("doc_b") === col("doc_a") + 1)
+          .selectExpr("doc_a", "doc_b", "levenshtein(pa, pb) AS dist")
+          .orderBy(col("doc_a"))
+      },
+      Some("""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS INT) AS dist
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        ORDER BY doc_a""")),
+
     "join_range_bands" -> QueryDef(
       (s, d) => {
         // range (non-equi) join: classify event values into broadcast

@@ -60,4 +60,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("sort_topk_lineitems")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("the ingest parse/route path is shuffle-free up to its final aggregation") {
+    val p = plan("ingest_route")
+    // one partial+final agg pair (2 exchanges incl. the output sort) is
+    // all the shuffling allowed; the parse path itself must be narrow
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(p.contains("Generate"), "explode_outer must plan as Generate")
+    assert(exchanges <= 2, s"parse path must be narrow, found $exchanges exchanges:\n$p")
+  }
 }
