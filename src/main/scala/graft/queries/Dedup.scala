@@ -102,10 +102,13 @@ object Dedup extends QueryPack {
     */
   private def jaccardFrom(shdRaw: DataFrame): DataFrame = {
     val byFreq = Window.partitionBy(col("sh"))
+    // persist AFTER the frequency cap: the capped frame feeds three scans
+    // and the windowed doc-frequency count must not recompute per scan
     val shd = shdRaw
       .withColumn("_df", count(lit(1)).over(byFreq))
       .where(col("_df") <= MaxShingleDocFreq)
       .drop("_df")
+      .persist()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shd.toDF("doc_a", "sh")
       .join(shd.toDF("doc_b", "sh2"), col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
@@ -217,7 +220,7 @@ object Dedup extends QueryPack {
             col("band") === col("band2") && col("key") === col("key2") &&
               col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
-        cand.join(jaccardFrom(sh.distinct().persist()), Seq("doc_a", "doc_b"))
+        cand.join(jaccardFrom(sh.distinct()), Seq("doc_a", "doc_b"))
           .where(s"jacc >= $JaccThreshold")
           .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
           .orderBy(col("doc_a"), col("doc_b"))
@@ -234,7 +237,7 @@ object Dedup extends QueryPack {
         ORDER BY 1, 2""")),
 
     "dedup_jaccard_pairs" -> QueryDef(
-      (s, d) => jaccardFrom(shingleRows(s, d).distinct().persist())
+      (s, d) => jaccardFrom(shingleRows(s, d).distinct())
         .where(s"jacc >= $JaccThreshold")
         .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
         .orderBy(col("doc_a"), col("doc_b")),
