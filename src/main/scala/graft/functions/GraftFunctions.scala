@@ -27,6 +27,16 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_strhash", es => PolyHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => FloatDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles", es => ShingleHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
+  }
+
+  /** Shared scalar fold (the strhash semantics) for reuse in eval paths. */
+  def strHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31L + s.charAt(i)) % Mod; i += 1 }
+    acc
   }
 }
 
@@ -69,6 +79,138 @@ case class PolyHash(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Word-3-gram shingle hashes of a string array in one generated loop:
+  * per-word polynomial hashes (identical to PolyHash) combined as
+  * ((h1*37 + h2) % P * 37 + h3) % P per consecutive triple. Returns an
+  * empty array for fewer than 3 words. One codegen'd pass replaces a
+  * words-explode + window-lead (shuffle) or an interpreted HOF lambda.
+  */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = GraftFunctions.strHash(arr.getUTF8String(i).toString); i += 1 }
+    val m = math.max(n - 2, 0)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      out(i) = ((wh(i) * 37 + wh(i + 1)) % GraftFunctions.Mod * 37 + wh(i + 2)) % GraftFunctions.Mod
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val wh = ctx.freshName("wh")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $wh = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  java.lang.String $s = $c.getUTF8String($i).toString();
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $s.length(); $j++) {
+         |    $acc = ($acc * 31L + $s.charAt($j)) % ${GraftFunctions.Mod}L;
+         |  }
+         |  $wh[$i] = $acc;
+         |}
+         |int $m = $n - 2 > 0 ? $n - 2 : 0;
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $out[$i] = ($wh[$i] * 37L + $wh[$i + 1]) % ${GraftFunctions.Mod}L * 37L;
+         |  $out[$i] = ($out[$i] + $wh[$i + 2]) % ${GraftFunctions.Mod}L;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** The 16 MinHash minima over a shingle-hash array in one generated
+  * loop (coefficients baked in from Portable's family). NULL-free input
+  * assumed (produced by ShingleHashes). Empty input yields an array of
+  * Long.MaxValue — callers filter size >= 3 upstream.
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression {
+
+  // the same coefficient family the oracle SQL is generated from
+  private val K = graft.queries.Portable.MinHashK
+  private val A: Array[Long] = graft.queries.Portable.minHashA.toArray
+  private val B: Array[Long] = graft.queries.Portable.minHashB.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var k = 0
+      while (k < K) {
+        val h = (A(k) * x + B(k)) % GraftFunctions.Mod
+        if (h < out(k)) out(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val as = ctx.freshName("as")
+      val bs = ctx.freshName("bs")
+      val aRef = ctx.addReferenceObj("minhashA", A, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", B, "long[]")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $as = $aRef;
+         |long[] $bs = $bRef;
+         |long[] $out = new long[$K];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $k = 0; $k < $K; $k++) {
+         |    long $h = ($as[$k] * $x + $bs[$k]) % ${GraftFunctions.Mod}L;
+         |    if ($h < $out[$k]) $out[$k] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 

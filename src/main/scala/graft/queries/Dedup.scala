@@ -14,17 +14,17 @@ import graft.engine.Tables
   * MERGE at ingest); these queries are the §7.6 extension surface a
   * 100 TB training-data pipeline needs.
   *
-  * Everything is RELATIONAL — explode words to rows, window-lead for
-  * shingles, min/sum aggregations for signatures, self-joins for bands —
-  * not per-row array lambdas. That keeps the hot path in Tungsten
-  * aggregates and lets the shuffle partitioner spread 100 TB of documents
-  * by doc_id or shingle hash:
+  * Signature extraction is a SHUFFLE-FREE map over the document scan:
+  * one codegen'd expression (graft.functions.ShingleHashes) turns the
+  * word array into shingle hashes per row, and graft_minhash folds the
+  * 16 signature minima in the same pass — no explode, no window, no
+  * per-element lambda interpretation. Only the genuinely relational
+  * steps shuffle:
   *
-  *   - MinHash: one shuffle to aggregate 16 signature mins per doc; LSH
-  *     candidates come from a self-join on (band, band-key), never an
-  *     all-pairs product. At scale the band join is the textbook
-  *     shingle-LSH plan (band key is uniformly distributed mod P, so no
-  *     skew).
+  *   - MinHash: LSH candidates come from a self-join on (band,
+  *     band-key), never an all-pairs product. At scale the band join is
+  *     the textbook shingle-LSH plan (band key is uniformly distributed
+  *     mod P, so no skew).
   *   - SimHash: Hamming-<=3 search joins on 4 x 8-bit chunks (pigeonhole:
   *     any pair within distance 3 shares at least one exact chunk), again
   *     avoiding the cross join.
@@ -40,38 +40,35 @@ object Dedup extends QueryPack {
 
   // ---- Spark-side shared subplans --------------------------------------
 
-  /** (doc_id, pos, wh): one row per word occurrence with its polynomial
-    * hash. Narrow after the scan; the posexplode is the only row blowup.
+  /** (doc_id, sh_arr): per-document word-3-gram shingle hash ARRAY,
+    * computed entirely row-local — the scalar graft_strhash inside a
+    * transform lambda plus index arithmetic, no explode, no window, no
+    * shuffle. This is the 100 TB shape: signature extraction maps
+    * straight over the document scan.
     */
-  private def wordHashRows(s: SparkSession, d: String): DataFrame = {
+  private def shingleArr(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
       .where("size(ws) >= 3")
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .selectExpr("doc_id", "pos", s"${sparkStrHash("w")} AS wh")
+      .selectExpr("doc_id", "graft_shingles(ws) AS sh_arr")
   }
 
-  /** (doc_id, sh): word-3-gram shingle hashes via window lead — one
-    * shuffle on doc_id.
+  /** (doc_id, sh): exploded shingle rows — only the set-intersection
+    * (Jaccard) and SimHash paths need the relational form.
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    wordHashRows(s, d)
-      .withColumn("wh2", lead("wh", 1).over(byPos))
-      .withColumn("wh3", lead("wh", 2).over(byPos))
-      .where(col("wh3").isNotNull)
-      .selectExpr("doc_id", s"((wh * 37 + wh2) % $P * 37 + wh3) % $P AS sh")
-  }
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleArr(s, d).select(col("doc_id"), explode(col("sh_arr")).as("sh"))
 
-  private def minHashSigFrom(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id")).agg(
-      expr(s"min((${minHashA.head} * sh + ${minHashB.head}) % $P)").as("s0"),
-      (1 until MinHashK).map(i =>
-        expr(s"min((${minHashA(i)} * sh + ${minHashB(i)}) % $P)").as(s"s$i")): _*)
-
+  /** Per-row MinHash signature: 16 array_min folds over the shingle
+    * array. Zero shuffle — each document's signature is a pure function
+    * of its row.
+    */
   private def minHashSig(s: SparkSession, d: String): DataFrame =
-    minHashSigFrom(shingleRows(s, d))
+    shingleArr(s, d)
+      .selectExpr("doc_id", "graft_minhash(sh_arr) AS sig")
+      .selectExpr("doc_id" +:
+        (0 until MinHashK).map(i => s"element_at(sig, ${i + 1}) AS s$i"): _*)
 
   private def bandKeyExpr(cols: Seq[String]): String =
     cols.foldLeft(s"CAST(0 AS BIGINT)")((acc, c) => s"(($acc) * 31 + $c) % $P")
@@ -211,16 +208,15 @@ object Dedup extends QueryPack {
 
     "dedup_minhash_pairs" -> QueryDef(
       (s, d) => {
-        // the shingle frame feeds the signature pipeline AND the exact
-        // Jaccard verification — persist it (staged intermediate at scale)
-        val sh = shingleRows(s, d).persist()
-        val bands = minHashBandsFrom(minHashSigFrom(sh)).persist()
+        // signatures map shuffle-free over the scan; the band table is
+        // persisted because the self-join reads it twice
+        val bands = minHashBandsFrom(minHashSig(s, d)).persist()
         val cand = bands.toDF("doc_a", "band", "key")
           .join(bands.toDF("doc_b", "band2", "key2"),
             col("band") === col("band2") && col("key") === col("key2") &&
               col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
-        cand.join(jaccardFrom(sh.distinct()), Seq("doc_a", "doc_b"))
+        cand.join(jaccardFrom(shingleRows(s, d).distinct()), Seq("doc_a", "doc_b"))
           .where(s"jacc >= $JaccThreshold")
           .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
           .orderBy(col("doc_a"), col("doc_b"))
