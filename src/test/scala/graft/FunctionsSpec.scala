@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Edge cases for the native expressions, including agreement between the
+  * interpreted eval path and whole-stage codegen (both exist and a config
+  * flip can switch them — they must never drift).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+
+  private def viaDf(exprStr: String): Any = {
+    val r = spark.range(1).selectExpr(s"$exprStr AS v").collect().head
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  test("graft_strhash matches the HOF fold and the known vector") {
+    assert(viaDf("graft_strhash('hello')") == 99162322L)
+    assert(viaDf("graft_strhash('')") == 0L)
+    assert(viaDf("graft_strhash(CAST(NULL AS STRING))") == null)
+    // codegen result == interpreted fold result on arbitrary strings
+    for (s <- Seq("a", "zz 9!", "the quick brown fox", "x" * 500)) {
+      assert(viaDf(s"graft_strhash('$s')") == GraftFunctions.strHash(s))
+    }
+    // equals the portable HOF formulation evaluated by Spark itself
+    val hof = graft.queries.Portable.sparkStrHashHof("'spark graft'")
+    assert(viaDf("graft_strhash('spark graft')") == viaDf(hof))
+  }
+
+  test("graft_shingles edge cases") {
+    assert(viaDf("size(graft_shingles(array('a','b','c','d')))") == 2)
+    assert(viaDf("size(graft_shingles(array('a','b','c')))") == 1)
+    assert(viaDf("size(graft_shingles(array('a','b')))") == 0)
+    assert(viaDf("size(graft_shingles(array()))") == 0)
+    // first shingle of [a b c] == combine of the three word hashes
+    val ha = GraftFunctions.strHash("a")
+    val hb = GraftFunctions.strHash("b")
+    val hc = GraftFunctions.strHash("c")
+    val want = ((ha * 37 + hb) % GraftFunctions.Mod * 37 + hc) % GraftFunctions.Mod
+    assert(viaDf("element_at(graft_shingles(array('a','b','c')), 1)") == want)
+  }
+
+  test("graft_minhash equals per-coefficient array_min folds") {
+    val arr = "array(CAST(5 AS BIGINT), CAST(123456789 AS BIGINT), CAST(999999999 AS BIGINT))"
+    val sig = spark.range(1).selectExpr(s"graft_minhash($arr) AS sig")
+      .selectExpr((0 until graft.queries.Portable.MinHashK)
+        .map(i => s"element_at(sig, ${i + 1}) AS s$i"): _*)
+      .collect().head
+    for (i <- 0 until graft.queries.Portable.MinHashK) {
+      val a = graft.queries.Portable.minHashA(i)
+      val b = graft.queries.Portable.minHashB(i)
+      val want = viaDf(s"array_min(transform($arr, x -> ($a * x + $b) % ${GraftFunctions.Mod}))")
+      assert(sig.getAs[Long](s"s$i") == want, s"coefficient $i")
+    }
+  }
+
+  test("graft_dot edge cases and HOF agreement") {
+    assert(viaDf("graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))") == 3.0)
+    assert(viaDf("graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))") == null,
+      "length mismatch must be NULL")
+    assert(viaDf("graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))") == null)
+    val a = "array(CAST(0.1 AS FLOAT), CAST(-2.5 AS FLOAT), CAST(3.25 AS FLOAT))"
+    val hof = graft.queries.Portable.sparkDotHof(a, a)
+    assert(viaDf(s"graft_dot($a, $a)") == viaDf(hof))
+  }
+
+  test("expressions survive with codegen disabled (interpreted path)") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      assert(viaDf("graft_strhash('hello')") == 99162322L)
+      assert(viaDf("size(graft_shingles(array('a','b','c','d')))") == 2)
+      assert(viaDf("graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))") == 3.0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
