@@ -28,11 +28,22 @@ object Silver {
       .select(col("event_id") +: cols.map(c => col(s"r.$c").as(c)): _*)
   }
 
-  /** bronze dir -> silver dir, returns deduplicated row count. */
+  /** bronze dir -> silver dir, returns deduplicated row count.
+    * Compaction is a REBUILD: the silver table is replaced wholesale, so
+    * re-running it (retried job, scheduled recompaction) is idempotent
+    * rather than appending a second copy of every row.
+    */
   def compact(spark: SparkSession, bronze: EvolvingTableSink, silverPath: String): Long = {
-    val deduped = dedupEvents(bronze.read(spark)).drop("_event_date")
+    val deduped = dedupEvents(bronze.read(spark)).drop("_event_date", "_batch_id")
+      .cache()
+    deduped.count() // materialize BEFORE wiping the old silver output
+    val dir = new java.io.File(silverPath)
+    if (dir.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
     val silver = new EvolvingTableSink(silverPath)
-    silver.write(deduped)
+    try silver.write(deduped) finally deduped.unpersist()
     silver.read(spark).count()
   }
 }

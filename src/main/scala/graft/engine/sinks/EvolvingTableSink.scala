@@ -41,6 +41,7 @@ final class EvolvingTableSink(
     timestampCol: String = "event_timestamp") {
 
   private val PartitionCol = "_event_date"
+  private val BatchCol = "_batch_id"
   private def metaPath: Path = Paths.get(path, "_graft_meta.json")
 
   // ---- metadata sidecar -------------------------------------------------
@@ -104,17 +105,41 @@ final class EvolvingTableSink(
 
   // ---- write path -------------------------------------------------------
 
+  /** True when the batchId was already committed (checkpoint replay). */
+  def isCommitted(batchId: Long): Boolean =
+    batchId >= 0 && readMeta().exists(batchId <= _.lastBatchId)
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+
   /** Append one micro-batch. Returns false when the batchId was already
     * committed (checkpoint replay) and nothing was written.
+    *
+    * Idempotence: data lands under a per-batch partition directory
+    * (`_batch_id=N`) which is wiped before writing, so a crash between
+    * the data append and the sidecar commit leaves a partial dir that the
+    * replay deletes and rewrites — no double-append (the sidecar marker
+    * alone could not guarantee that; SURVEY.md §7.4's idempotent
+    * per-batch overwrite).
     */
   def write(df: DataFrame, batchId: Long = -1L): Boolean = {
     val meta = readMeta()
     if (meta.exists(m => batchId >= 0 && batchId <= m.lastBatchId)) return false
     val merged = meta.map(m => evolve(m.schema, df.schema)).getOrElse(df.schema)
-    val out = align(df, merged)
+    // unstreamed callers (backfills) get the next internal id, so the
+    // directory layout is uniform
+    val effectiveId =
+      if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L) + 1
+    deleteRecursively(Paths.get(path, s"$BatchCol=$effectiveId"))
+    align(df, merged)
       .withColumn(PartitionCol, to_date(col(timestampCol)))
-    out.write.mode("append").partitionBy(PartitionCol).parquet(path)
-    writeMeta(Meta(merged, if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L)))
+      .withColumn(BatchCol, lit(effectiveId))
+      .write.mode("append").partitionBy(BatchCol, PartitionCol).parquet(path)
+    writeMeta(Meta(merged, effectiveId))
     true
   }
 
@@ -123,7 +148,9 @@ final class EvolvingTableSink(
     */
   def read(spark: SparkSession): DataFrame = {
     val schema = readMeta()
-      .map(_.schema.add(PartitionCol, DateType, nullable = true))
+      .map(_.schema
+        .add(BatchCol, LongType, nullable = true)
+        .add(PartitionCol, DateType, nullable = true))
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
     spark.read.schema(schema).parquet(path)
   }

@@ -44,8 +44,16 @@ final class StreamProcessor(
 
   /** Route one micro-batch to both sinks (the foreachBatch callback —
     * callable directly for batch backfills too).
+    *
+    * Ordering on replay: the bronze sink's sidecar marker is the commit
+    * point, so dead letters are written FIRST — a crash between the two
+    * writes can only duplicate dead-letter rows on replay (at-least-once
+    * DLQ), never lose them. The bronze append itself is idempotent per
+    * batchId (per-batch partition dir), so the marker-last ordering gives
+    * batch-level exactly-once on the valid path.
     */
   def routeBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (validSink.isCommitted(batchId)) return // replay: both sinks done
     val routed = Router.withReason(parser.parse(batch), schema)
     val obs = Observation(s"route_$batchId")
     val observed = routed.observe(obs,
@@ -53,15 +61,13 @@ final class StreamProcessor(
       count(when(col(EventSchema.DeadLetterReason).isNotNull, 1)).as("dead_letter_rows"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val wrote = validSink.write(Router.valid(observed, schema), batchId)
-      if (wrote) {
-        deadLetterSink.write(Router.deadLetters(observed, schema))
-        // obs.get blocks until an action ran on the observed plan — only
-        // safe after a real write (a replayed batch runs no action).
-        val m = obs.get
-        if (m.nonEmpty)
-          lastCounts = (m("valid_rows").asInstanceOf[Long], m("dead_letter_rows").asInstanceOf[Long])
-      }
+      deadLetterSink.write(Router.deadLetters(observed, schema))
+      validSink.write(Router.valid(observed, schema), batchId)
+      // obs.get blocks until an action ran on the observed plan — safe
+      // here, the dead-letter write above always runs one
+      val m = obs.get
+      if (m.nonEmpty)
+        lastCounts = (m("valid_rows").asInstanceOf[Long], m("dead_letter_rows").asInstanceOf[Long])
     } finally observed.unpersist()
   }
 

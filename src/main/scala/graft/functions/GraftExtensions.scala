@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => FloatDot(es.head, es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => ShingleHashes(es.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => MinHashSig(es.head)))
   }
 }

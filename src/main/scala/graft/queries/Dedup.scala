@@ -97,15 +97,22 @@ object Dedup extends QueryPack {
     * join sides plus sizes) — at cluster scale this is the staged
     * intermediate table of the textbook shingle-LSH plan.
     */
-  private def jaccardFrom(shdRaw: DataFrame): DataFrame = {
+  /** Apply the stop-shingle doc-frequency cap to a distinct-shingle
+    * frame — EVERY consumer of the shingle feature space must go through
+    * this (the oracle's shd CTE applies the same cap), or engine and
+    * oracle diverge on corpora where the cap binds.
+    */
+  private def cappedShingles(shd: DataFrame): DataFrame = {
     val byFreq = Window.partitionBy(col("sh"))
-    // persist AFTER the frequency cap: the capped frame feeds three scans
-    // and the windowed doc-frequency count must not recompute per scan
-    val shd = shdRaw
-      .withColumn("_df", count(lit(1)).over(byFreq))
+    shd.withColumn("_df", count(lit(1)).over(byFreq))
       .where(col("_df") <= MaxShingleDocFreq)
       .drop("_df")
-      .persist()
+  }
+
+  private def jaccardFrom(shdRaw: DataFrame): DataFrame = {
+    // persist AFTER the frequency cap: the capped frame feeds three scans
+    // and the windowed doc-frequency count must not recompute per scan
+    val shd = cappedShingles(shdRaw).persist()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shd.toDF("doc_a", "sh")
       .join(shd.toDF("doc_b", "sh2"), col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
@@ -222,7 +229,7 @@ object Dedup extends QueryPack {
         // corpus the unrestricted intersection is orders of magnitude
         // larger than the candidate set (measured 150s -> seconds at a
         // 50k-doc 10x-duplicate stress corpus)
-        val shd = shingleRows(s, d).distinct().persist()
+        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
         val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val interCounted = cand
           .join(shd.toDF("doc_a", "sh"), "doc_a")

@@ -57,7 +57,7 @@ object Ingest extends QueryPack {
             OR json_extract_string(rec, '$$.event_id') IS NULL
             OR TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP) IS NULL
             OR json_extract_string(rec, '$$.event_type') IS NULL THEN 'invalid_schema'
-          WHEN coalesce(len(json_keys(rec)) > 6, FALSE) THEN 'extra_fields'
+          WHEN coalesce(len(json_keys(rec)) > ${EventSchema.schema.fields.length}, FALSE) THEN 'extra_fields'
           ELSE 'valid'
         END AS reason
       FROM recs)"""

@@ -33,8 +33,12 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
       Row("a", Integer.valueOf(1), ts("2024-01-01 10:00:00")),
       Row("b", Integer.valueOf(2), ts("2024-01-02 11:00:00"))), batchId = 0))
 
-    // hidden partitioning: day directories exist, writers never supplied them
-    val days = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_event_date="))
+    // hidden partitioning: per-batch dir on top (idempotent replay unit),
+    // day directories nested inside — writers supplied neither
+    val batchDirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_batch_id="))
+    assert(batchDirs.toSet == Set("_batch_id=0"))
+    val days = new java.io.File(s"$dir/_batch_id=0").listFiles().map(_.getName)
+      .filter(_.startsWith("_event_date="))
     assert(days.toSet == Set("_event_date=2024-01-01", "_event_date=2024-01-02"))
 
     // evolution: new nullable column + int->long widening in one batch
@@ -79,6 +83,31 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     assert(sink.write(df(v1, Row("c", Integer.valueOf(7), ts("2024-01-03 00:00:00"))), 1))
     assert(sink.tableSchema.get("qty").dataType == LongType)
     assert(sink.read(spark).count() == 2)
+  }
+
+  test("a partial uncommitted batch dir is wiped and rewritten on replay") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1,
+      Row("a", Integer.valueOf(1), ts("2024-01-01 00:00:00")),
+      Row("b", Integer.valueOf(2), ts("2024-01-01 01:00:00"))), batchId = 0))
+
+    // simulate a crash between data append and sidecar commit for batch 1:
+    // data exists under _batch_id=1 but the marker still says 0
+    val src = java.nio.file.Paths.get(s"$dir/_batch_id=0")
+    val dst = java.nio.file.Paths.get(s"$dir/_batch_id=1")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    assert(!sink.isCommitted(1))
+
+    // the replayed write must wipe the partial dir, not double-append
+    assert(sink.write(df(v1, Row("c", Integer.valueOf(3), ts("2024-01-02 00:00:00"))), batchId = 1))
+    assert(sink.read(spark).count() == 3) // 2 from batch 0 + 1 from batch 1
+    assert(sink.isCommitted(1))
   }
 
   test("replayed batch ids are skipped (batch-level exactly-once)") {
