@@ -158,6 +158,75 @@ object Relational extends QueryPack {
           AND l_discount BETWEEN 0.02 AND 0.04
           AND l_quantity < 25""")),
 
+    "q17_small_quantity" -> QueryDef(
+      (s, d) => {
+        // TPC-H Q17 shape: correlated scalar subquery (per-part average)
+        // realized as an aggregate + re-join, the plan Catalyst produces
+        // for the SQL form too
+        val li = Tables.lineitem(s, d)
+        val partAvg = li.groupBy(col("l_partkey").as("pk"))
+          .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
+        li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#2")),
+            col("l_partkey") === col("p_partkey"))
+          .join(partAvg, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("qty_threshold"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#2'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")),
+
+    "q18_large_orders" -> QueryDef(
+      (s, d) => {
+        // TPC-H Q18 shape: HAVING-filtered aggregate driving a semi join
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 150.0)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            round(col("total_qty"), 2).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, round(total_qty, 2) AS total_qty
+        FROM orders JOIN (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0) t
+          ON o_orderkey = l_orderkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    "window_range_frame" -> QueryDef(
+      (s, d) => {
+        // value-RANGE frame: how many same-status orders fall within
+        // +/-10000 of each order's price
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, 10000L)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .withColumn("n_nearby", count(lit(1)).over(w))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"), col("n_nearby"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+               CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT) AS n_nearby
+        FROM orders WHERE o_custkey < 100
+        ORDER BY o_orderkey""")),
+
     "agg_cube_events" -> QueryDef(
       (s, d) => {
         Tables.events(s, d)
