@@ -145,6 +145,46 @@ object TextOps extends QueryPack {
             FROM (SELECT lang, ${duckWords("text")} AS ws FROM documents) t1) t2) t3
         GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
 
+    // Deterministic content-hash sampling: reproducible across runs and
+    // engines, stable under repartitioning (unlike rand()-based
+    // sampling) — the curation primitive for carving corpus subsets.
+    "sample_stratified" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .where(s"${sparkStrHash("text")} % 100 < 10")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE ${duckStrHash("text")} % 100 < 10
+        GROUP BY lang ORDER BY lang""")),
+
+    // Hash-based train/val/test assignment: membership is a pure function
+    // of content, so the split survives reprocessing and dedup.
+    "split_train_eval" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .selectExpr("lang",
+            s"""CASE WHEN ${sparkStrHash("text")} % 10 < 8 THEN 'train'
+                     WHEN ${sparkStrHash("text")} % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split""")
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(s"""
+        SELECT lang,
+               CASE WHEN ${duckStrHash("text")} % 10 < 8 THEN 'train'
+                    WHEN ${duckStrHash("text")} % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "multimodal_features" -> QueryDef(
       (s, d) => {
         import graft.engine.multimodal.Multimodal
