@@ -466,6 +466,35 @@ object Relational extends QueryPack {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         ORDER BY custkey""")),
 
+    "window_first_last" -> QueryDef(
+      (s, d) => {
+        // first/last_value over a full-partition frame: each user's
+        // opening and closing event values
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .withColumn("first_v", first(col("value")).over(w))
+          .withColumn("last_v", last(col("value")).over(w))
+          .groupBy(col("user_id"))
+          .agg(round(max(col("first_v")), 2).as("first_value"),
+            round(max(col("last_v")), 2).as("last_value"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+               round(max(fv), 2) AS first_value, round(max(lv), 2) AS last_value,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT user_id,
+                 first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+                 last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+          FROM events) t
+        GROUP BY user_id ORDER BY user_id""")),
+
     "time_parts_events" -> QueryDef(
       (s, d) => {
         // calendar-part extraction; day-of-week aligned to DuckDB's

@@ -102,6 +102,28 @@ object TextOps extends QueryPack {
         FROM (SELECT unnest(${duckWords("text")}) AS term FROM documents) t
         GROUP BY term ORDER BY n DESC, term LIMIT 20""")),
 
+    "text_top_bigrams" -> QueryDef(
+      (s, d) => {
+        // word bigram frequencies: arrays_zip of the word array against
+        // its own tail keeps the pairing row-local (no window shuffle)
+        Tables.documents(s, d)
+          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+          .where("size(ws) >= 2")
+          .selectExpr("explode(arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))) AS p")
+          .selectExpr("concat_ws(' ', p['0'], p['1']) AS bigram")
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          FROM (SELECT ${duckWords("lower(text)")} AS ws FROM documents) t
+          WHERE len(ws) >= 2) u
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
+
     "text_quality" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .selectExpr("doc_id", "text", s"${sparkWords("text")} AS ws")
