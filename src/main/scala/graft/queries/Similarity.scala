@@ -218,6 +218,43 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 3 ORDER BY qid, rn""")),
 
+    "embed_quantize_error" -> QueryDef(
+      (s, d) => {
+        // int8 scalar quantization: per-vector max-abs scale, round to
+        // the nearest of 127 levels, reconstruct, and report mean squared
+        // reconstruction error per label — all row-local double folds
+        // (bit-identical to the oracle), one tiny aggregation at the end
+        Tables.embeddings(s, d)
+          .selectExpr("label",
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS maxabs",
+            "embedding")
+          .where("maxabs > 0")
+          .selectExpr("label",
+            s"""aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
+                 a + pow(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / (maxabs / 127.0) + 0.5) * (maxabs / 127.0), 2)) AS err""")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), expr(s"${Q.roundExpr("avg(err)", 6)}").as("mse"))
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT label, embedding,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, ${Dim + 1}), i -> abs(CAST(embedding[i] AS DOUBLE)))),
+                   (a, x) -> greatest(a, x)) AS maxabs
+          FROM embeddings),
+        e AS (
+          SELECT label,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, ${Dim + 1}), i ->
+                     pow(CAST(embedding[i] AS DOUBLE)
+                       - floor(CAST(embedding[i] AS DOUBLE) / (maxabs / 127.0) + 0.5) * (maxabs / 127.0), 2))),
+                   (a, x) -> a + x) AS err
+          FROM v WHERE maxabs > 0)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               ${Q.roundExpr("avg(err)", 6)} AS mse
+        FROM e GROUP BY label ORDER BY label""")),
+
     "embed_centroids" -> QueryDef(
       (s, d) => {
         val dims = (1 to 4).map(i =>
