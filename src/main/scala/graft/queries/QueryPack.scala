@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *     full tie-breaks) and NULLS FIRST semantics on both sides;
   *   - double aggregates are rounded on both sides so association-order
   *     float noise (Spark partial aggs vs DuckDB sequential) cannot flip a
-  *     hash;
+  *     hash; derived doubles (ratios, folds, means-of-folds) additionally
+  *     leave as scaled BIGINTs (Q.scaledLong) so no build-dependent double
+  *     rendering ever reaches the driver's hash;
   *   - timestamps are never emitted raw: they leave as DATE or epoch-micros
   *     BIGINT, sidestepping parquet physical-type mismatches (testdata
   *     events.ts is ns; Spark truncates to micros, DuckDB keeps ns).
@@ -37,16 +39,16 @@ object Q {
     */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
-  /** Bit-identical cross-engine rounding: floor(x * 10^n + 0.5) / 10^n,
-    * every step an exact IEEE op on the same input. Spark's round() goes
-    * through the double's shortest DECIMAL representation (HALF_UP on the
-    * string form) while DuckDB rounds the binary double — a value whose
-    * shortest repr ends exactly in '5' at the cut (e.g. 0.53575 -> 0.5358
-    * vs 0.5357) splits the engines. Use this for derived doubles whose
-    * decimal expansion can terminate near the cut.
+  /** Round-half-up a derived double to n decimals and emit it as a SCALED
+    * BIGINT (value * 10^n). floor and the *10^n multiply are exact/correctly
+    * rounded IEEE ops on the same input in both engines, and an integer
+    * hashes identically across every DuckDB/arrow/pandas build — unlike a
+    * post-rounded DOUBLE, whose decimal re-rendering is build-dependent
+    * (round-2 driver hash failures were exactly the post-rounded-double
+    * queries). Derived double columns must leave the engine through this.
     */
-  def roundExpr(e: String, n: Int): String = {
+  def scaledLong(e: String, n: Int): String = {
     val p = "1" + "0" * n
-    s"floor(($e) * $p.0 + 0.5) / $p.0"
+    s"CAST(floor(($e) * $p.0 + 0.5) AS BIGINT)"
   }
 }

@@ -267,22 +267,54 @@ object Relational extends QueryPack {
       },
       None),
 
+    // Portable median/p90: explicit middle-element selection via
+    // row_number (engine quantile interpolation differs across builds —
+    // the round-2 driver hash fail), emitted as scaled BIGINT cents so no
+    // derived double reaches the driver's hash. Median = mean of the one/
+    // two middle values; p90 = nearest-rank (ceil(0.9 n)) — an actual data
+    // value, identical by construction in both engines. Exact percentiles
+    // need the per-group sort either way; at 100 TB swap to
+    // approx_percentile and drop the oracle to rows-only.
     "agg_median_orders" -> QueryDef(
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byStatus = Window.partitionBy(col("o_orderstatus"))
+        val ranked = byStatus.orderBy(col("o_totalprice"))
+        val mid = "CASE WHEN rn IN (lo, hi) THEN o_totalprice END"
         Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(ranked))
+          .withColumn("n", count(lit(1)).over(byStatus))
+          .selectExpr("o_orderstatus", "o_totalprice", "rn",
+            "(n + 1) div 2 AS lo", "(n + 2) div 2 AS hi",
+            "(9 * n + 9) div 10 AS r90")
           .groupBy(col("o_orderstatus"))
-          .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
-            expr("percentile(o_totalprice, 0.9)").as("p90_price"))
-          .selectExpr("o_orderstatus",
-            s"${Q.roundExpr("median_price", 2)} AS median_price",
-            s"${Q.roundExpr("p90_price", 2)} AS p90_price")
+          .agg(
+            expr(Q.scaledLong(s"(min($mid) + max($mid)) / 2.0", 2))
+              .as("median_cents"),
+            expr(Q.scaledLong("max(CASE WHEN rn = r90 THEN o_totalprice END)", 2))
+              .as("p90_cents"))
           .orderBy(col("o_orderstatus"))
       },
-      Some(s"""
+      Some {
+        val mid = "CASE WHEN rn IN (lo, hi) THEN o_totalprice END"
+        s"""
+        WITH r AS (
+          SELECT o_orderstatus, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice) AS rn,
+                 count(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM orders),
+        p AS (
+          SELECT o_orderstatus, o_totalprice, rn,
+                 (n + 1) // 2 AS lo, (n + 2) // 2 AS hi,
+                 (9 * n + 9) // 10 AS r90
+          FROM r)
         SELECT o_orderstatus,
-               ${Q.roundExpr("quantile_cont(o_totalprice, 0.5)", 2)} AS median_price,
-               ${Q.roundExpr("quantile_cont(o_totalprice, 0.9)", 2)} AS p90_price
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+               ${Q.scaledLong(s"(min($mid) + max($mid)) / 2.0", 2)} AS median_cents,
+               ${Q.scaledLong("max(CASE WHEN rn = r90 THEN o_totalprice END)", 2)} AS p90_cents
+        FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      }),
 
     "distinct_segments" -> QueryDef(
       (s, d) => Tables.customer(s, d).select(col("c_mktsegment")).distinct()

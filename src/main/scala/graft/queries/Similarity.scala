@@ -221,9 +221,13 @@ object Similarity extends QueryPack {
     "embed_quantize_error" -> QueryDef(
       (s, d) => {
         // int8 scalar quantization: per-vector max-abs scale, round to
-        // the nearest of 127 levels, reconstruct, and report mean squared
-        // reconstruction error per label — all row-local double folds
-        // (bit-identical to the oracle), one tiny aggregation at the end
+        // the nearest of 127 levels, reconstruct, report mean squared
+        // reconstruction error per label. The per-row error is a
+        // left-to-right double fold (bit-identical to the oracle); it is
+        // then SCALED TO A BIGINT per row, so the cross-row mean is pure
+        // integer arithmetic — no double ever crosses a partial-agg
+        // boundary (double sum order differs Spark-vs-DuckDB) or reaches
+        // the driver's hash. mse_e9 = round-half-up(sum/n) at 1e-9 scale.
         Tables.embeddings(s, d)
           .selectExpr("label",
             "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS maxabs",
@@ -232,8 +236,10 @@ object Similarity extends QueryPack {
           .selectExpr("label",
             s"""aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
                  a + pow(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / (maxabs / 127.0) + 0.5) * (maxabs / 127.0), 2)) AS err""")
+          .selectExpr("label", s"${Q.scaledLong("err", 9)} AS err_e9")
           .groupBy(col("label"))
-          .agg(count(lit(1)).as("n"), expr(s"${Q.roundExpr("avg(err)", 6)}").as("mse"))
+          .agg(count(lit(1)).as("n"),
+            expr("(2 * sum(err_e9) + count(1)) div (2 * count(1))").as("mse_e9"))
           .orderBy(col("label"))
       },
       Some(s"""
@@ -250,10 +256,11 @@ object Similarity extends QueryPack {
                      pow(CAST(embedding[i] AS DOUBLE)
                        - floor(CAST(embedding[i] AS DOUBLE) / (maxabs / 127.0) + 0.5) * (maxabs / 127.0), 2))),
                    (a, x) -> a + x) AS err
-          FROM v WHERE maxabs > 0)
+          FROM v WHERE maxabs > 0),
+        se AS (SELECT label, ${Q.scaledLong("err", 9)} AS err_e9 FROM e)
         SELECT label, CAST(count(*) AS BIGINT) AS n,
-               ${Q.roundExpr("avg(err)", 6)} AS mse
-        FROM e GROUP BY label ORDER BY label""")),
+               CAST((2 * CAST(sum(err_e9) AS BIGINT) + count(*)) // (2 * count(*)) AS BIGINT) AS mse_e9
+        FROM se GROUP BY label ORDER BY label""")),
 
     "embed_centroids" -> QueryDef(
       (s, d) => {

@@ -124,28 +124,32 @@ object TextOps extends QueryPack {
           WHERE len(ws) >= 2) u
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // Ratio columns leave as scaled BIGINTs (value * 10^4): every input is
+    // an exact integer count, the divisions/weighted sum are correctly
+    // rounded IEEE ops identical in both engines, and the integer output
+    // hashes identically across driver builds (Q.scaledLong).
     "text_quality" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .selectExpr("doc_id", "text", s"${sparkWords("text")} AS ws")
         .selectExpr(
           "doc_id",
           "CAST(size(ws) AS BIGINT) AS n_words",
-          s"${Q.roundExpr(s"CAST(length(regexp_replace(text, '$PunctPattern', '')) AS DOUBLE) / length(text)", 4)} AS punct_ratio",
-          s"${Q.roundExpr(s"CAST(${sparkScore(stopwords)} AS DOUBLE) / size(ws)", 4)} AS stop_ratio",
-          s"""${Q.roundExpr(
+          s"${Q.scaledLong(s"CAST(length(regexp_replace(text, '$PunctPattern', '')) AS DOUBLE) / length(text)", 4)} AS punct_ratio_e4",
+          s"${Q.scaledLong(s"CAST(${sparkScore(stopwords)} AS DOUBLE) / size(ws)", 4)} AS stop_ratio_e4",
+          s"""${Q.scaledLong(
             s"""0.3 * least(CAST(size(ws) AS DOUBLE) / 100.0, 1.0)
                + 0.3 * (1.0 - CAST(length(regexp_replace(text, '$PunctPattern', '')) AS DOUBLE) / length(text))
-               + 0.4 * (CAST(${sparkScore(stopwords)} AS DOUBLE) / size(ws))""", 4)} AS quality""")
+               + 0.4 * (CAST(${sparkScore(stopwords)} AS DOUBLE) / size(ws))""", 4)} AS quality_e4""")
         .orderBy(col("doc_id")),
       Some(s"""
         SELECT doc_id,
                CAST(len(ws) AS BIGINT) AS n_words,
-               ${Q.roundExpr(s"CAST(length(regexp_replace(text, '$PunctPattern', '', 'g')) AS DOUBLE) / length(text)", 4)} AS punct_ratio,
-               ${Q.roundExpr(s"CAST(${duckScore(stopwords)} AS DOUBLE) / len(ws)", 4)} AS stop_ratio,
-               ${Q.roundExpr(
+               ${Q.scaledLong(s"CAST(length(regexp_replace(text, '$PunctPattern', '', 'g')) AS DOUBLE) / length(text)", 4)} AS punct_ratio_e4,
+               ${Q.scaledLong(s"CAST(${duckScore(stopwords)} AS DOUBLE) / len(ws)", 4)} AS stop_ratio_e4,
+               ${Q.scaledLong(
                  s"""0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
                  + 0.3 * (1.0 - CAST(length(regexp_replace(text, '$PunctPattern', '', 'g')) AS DOUBLE) / length(text))
-                 + 0.4 * (CAST(${duckScore(stopwords)} AS DOUBLE) / len(ws))""", 4)} AS quality
+                 + 0.4 * (CAST(${duckScore(stopwords)} AS DOUBLE) / len(ws))""", 4)} AS quality_e4
         FROM (SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents) t
         ORDER BY doc_id""")),
 
@@ -207,22 +211,28 @@ object TextOps extends QueryPack {
                CAST(count(*) AS BIGINT) AS n
         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Quarter-mean byte features as scaled BIGINTs. The oracle sums bytes
+    // with list_aggregate('sum') — an order-free INTEGER sum, exact in any
+    // build — then does the single double division the decoder does; the
+    // round-2 list_reduce double fold was build-sensitive on the driver.
     "multimodal_features" -> QueryDef(
       (s, d) => {
         import graft.engine.multimodal.Multimodal
         val feats = Multimodal.extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))
         feats.selectExpr(Seq("doc_id", "n_bytes") ++
-          (1 to 4).map(i => s"${Q.roundExpr(s"element_at(features, $i)", 4)} AS f$i"): _*)
+          (1 to 4).map(i => s"${Q.scaledLong(s"element_at(features, $i)", 4)} AS f$i"): _*)
           .orderBy(col("doc_id"))
       },
       Some {
         def quarter(q: Int): String = {
           val from = s"(($q * length(text)) // 4)"
           val until = s"((${q + 1} * length(text)) // 4)"
-          Q.roundExpr(
-            s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-              s"list_transform(range($from + 1, $until + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
-              s"(acc, x) -> acc + x) AS DOUBLE) / ($until - $from)", 4)
+          val byteSum = s"CAST(coalesce(list_aggregate(" +
+            s"list_transform(range($from + 1, $until + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), " +
+            s"'sum'), 0) AS BIGINT)"
+          s"CASE WHEN $until > $from THEN " +
+            s"${Q.scaledLong(s"CAST($byteSum AS DOUBLE) / ($until - $from)", 4)} " +
+            s"ELSE CAST(0 AS BIGINT) END"
         }
         s"""
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
