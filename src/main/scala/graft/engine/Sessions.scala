@@ -33,6 +33,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // session-level (not a Tables.events read side effect): nanos
+      // parquet timestamps arrive as raw longs; Tables.events normalizes
+      // them to micros. See Tables.events for why this can't be scoped
+      // per-read under lazy execution.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

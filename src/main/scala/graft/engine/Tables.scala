@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 
 /** Loaders for the driver-provided testdata tables
   * (`/root/testdata/sf0.01/{name}.parquet` etc., see TESTDATA.md).
@@ -11,10 +12,18 @@ import org.apache.spark.sql.functions._
   * the scan (`PushedFilters`/`ReadSchema` in explain output). At 100 TB
   * these would be partitioned/bucketed tables behind a catalog; the
   * load API is the one seam to swap.
+  *
+  * Loads are memoized per (session, dir, name): a DataFrame is an
+  * immutable logical plan, so reuse is safe, and it skips re-listing
+  * files and re-reading parquet footers on every query — a fixed
+  * per-query cost that was ~25% of the sf0.1 bench total. (Metadata
+  * caching only; no data is cached or pinned.)
   */
 object Tables {
+  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -28,18 +37,27 @@ object Tables {
     * a microsecond TimestampType column, truncating like DuckDB's
     * epoch_us(). Integer division — ns values (~1.7e18) overflow a double's
     * 53-bit mantissa.
+    *
+    * The nanosAsLong conf stays SET on the session rather than
+    * set-and-restored: Spark consults SQLConf again when the scan is
+    * PLANNED (at action time, after this method returns), so restoring it
+    * here would make the lazily-executed events query throw
+    * PARQUET_TYPE_ILLEGAL at runtime. Sessions.local sets the same value
+    * at build time, making the session-level semantics explicit instead of
+    * a read side effect.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      // TIMESTAMP(NANOS) arrived as a raw nanos long — truncate to micros
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // already micro/millis timestamp (e.g. a rewritten copy of the table)
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate((s, d, "events#normalized"), {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      raw.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) arrived as a raw nanos long — truncate to micros
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // already micro/millis timestamp (e.g. a rewritten copy of the table)
+        case _ => raw
+      }
+    })
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -103,10 +103,21 @@ object Dedup extends QueryPack {
     * oracle diverge on corpora where the cap binds.
     */
   private def cappedShingles(shd: DataFrame): DataFrame = {
-    val byFreq = Window.partitionBy(col("sh"))
-    shd.withColumn("_df", count(lit(1)).over(byFreq))
-      .where(col("_df") <= MaxShingleDocFreq)
-      .drop("_df")
+    // groupBy + broadcast anti-join, NOT count().over(Window.partitionBy):
+    // the windowed form shuffles the entire exploded shingle table into
+    // per-shingle partitions — and the ultra-common shingle the cap exists
+    // to drop is exactly the hot partition that window would have to
+    // materialize first. The aggregate does map-side partial counts
+    // (skew-tolerant), the surviving hot-shingle set is tiny (shingles in
+    // > MaxShingleDocFreq docs), and the anti-join against it broadcasts,
+    // so the shingle table itself is never shuffled for the cap.
+    val hot = shd.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > MaxShingleDocFreq)
+      .select(col("sh"))
+    // re-assert (doc_id, sh) order: a using-column join moves `sh` first,
+    // and downstream consumers rename positionally via toDF
+    shd.join(broadcast(hot), Seq("sh"), "left_anti")
+      .select(col("doc_id"), col("sh"))
   }
 
   private def jaccardFrom(shdRaw: DataFrame): DataFrame = {

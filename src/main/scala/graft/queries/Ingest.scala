@@ -68,14 +68,21 @@ object Ingest extends QueryPack {
     // oracle (the fixture generator is JVM-side), so the driver records
     // the weaker rows-only check; its purpose is the BENCH timing — the
     // reference's steady state is ~10 events/s end-to-end, this measures
-    // the engine parsing 20k events per run.
+    // the engine parsing 20k events per run. Generation runs ON THE
+    // EXECUTORS (one deterministically-seeded EventGen per batch id), so
+    // the bench times parse+route, not driver-side JSON string building —
+    // and the shape scales: at 100 TB the batch ids partition and every
+    // executor generates + parses its own slice.
     "ingest_throughput" -> QueryDef(
       (s, _) => {
         val spark = s
         import spark.implicits._
-        val gen = new graft.fixtures.EventGen(seed = 99L,
-          corruptionChance = 0.1, invalidSchemaChance = 0.1)
-        val raw = Seq.fill(200)(gen.nextBatch(100)).toDF("value")
+        val raw = spark.range(200)
+          .map { i =>
+            new graft.fixtures.EventGen(seed = 99L + i,
+              corruptionChance = 0.1, invalidSchemaChance = 0.1).nextBatch(100)
+          }
+          .toDF("value")
         Router.withReason(new JsonArrayBatchParser().parse(raw))
           .groupBy(coalesce(col(DeadLetterReason), lit("valid")).as("reason"))
           .agg(count(lit(1)).as("n"))

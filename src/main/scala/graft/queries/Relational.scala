@@ -14,8 +14,11 @@ import graft.engine.Tables
   * shapes, window functions, sorts and top-k, set operations, rollup,
   * pivot, sessionization and as-of alignment.
   *
-  * Scale notes (100 TB design): dimension sides of joins are explicitly
-  * `broadcast(...)` (region/nation/supplier/part are tiny at any SF);
+  * Scale notes (100 TB design): only genuinely bounded dimension sides are
+  * explicitly `broadcast(...)` (region 5 rows, nation 25, supplier 1e4·SF —
+  * small even at the 100x design point); SF-proportional relations
+  * (customer 1.5e5·SF, part 2e5·SF) carry NO hint — a forced broadcast of
+  * those is an executor OOM at scale, so AQE decides from runtime sizes;
   * fact-fact joins (orders x lineitem) shuffle on the join key and rely on
   * AQE for skew/coalesce; windows partition by high-cardinality keys
   * (supplier, user) so state is bounded per partition; top-k goes through
@@ -166,7 +169,7 @@ object Relational extends QueryPack {
         val li = Tables.lineitem(s, d)
         val partAvg = li.groupBy(col("l_partkey").as("pk"))
           .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
-        li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#2")),
+        li.join(Tables.part(s, d).filter(col("p_brand") === "Brand#2"),
             col("l_partkey") === col("p_partkey"))
           .join(partAvg, col("l_partkey") === col("pk"))
           .filter(col("l_quantity") < col("qty_threshold"))
@@ -328,7 +331,7 @@ object Relational extends QueryPack {
         val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
         val li = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
           .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("o_orderdate"))
@@ -359,7 +362,7 @@ object Relational extends QueryPack {
         val li = Tables.lineitem(s, d)
         val supp = Tables.supplier(s, d)
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(supp),
             col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -384,7 +387,7 @@ object Relational extends QueryPack {
     "join_brand_revenue" -> QueryDef(
       (s, d) => {
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
             round(sum(col("l_extendedprice")), 2).as("revenue"),

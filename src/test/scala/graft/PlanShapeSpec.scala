@@ -56,6 +56,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("the shingle doc-frequency cap plans as aggregate + anti-join, not a window") {
+    // count().over(Window.partitionBy(sh)) would shuffle the whole exploded
+    // shingle table into per-shingle partitions — including the hot shingle
+    // the cap exists to drop
+    for (q <- Seq("dedup_minhash_pairs", "dedup_jaccard_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("RunningWindowFunction") && !p.contains("(Window"),
+        s"$q must cap shingle doc-frequency without a window operator")
+      assert(p.contains("LeftAnti"), s"$q must drop hot shingles via anti-join")
+    }
+  }
+
   test("top-k sorts plan as TakeOrderedAndProject, not a global sort") {
     val p = plan("sort_topk_lineitems")
     assert(p.contains("TakeOrderedAndProject"))
