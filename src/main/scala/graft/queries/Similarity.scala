@@ -66,7 +66,18 @@ object Similarity extends QueryPack {
       .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
   }
 
+  /** (vec_id, embedding, bucket): corpus with the 8-plane LSH bucket. */
+  private def bucketed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding")} AS bucket")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // Exactness baseline: label-blocked all-pairs (quadratic per label) —
+    // kept exact because the 0.4-threshold pairs in this corpus are
+    // low-cosine and provably not LSH-capturable (see dedup_embed_lsh for
+    // the measurement and the bucketed scale path).
     "dedup_embed_cosine" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -124,9 +135,7 @@ object Similarity extends QueryPack {
 
     "sim_lsh_ann" -> QueryDef(
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d)
-          .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding")} AS bucket")
+        val e = bucketed(s, d)
         val q = e.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
         val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"),
@@ -217,6 +226,133 @@ object Similarity extends QueryPack {
           FROM sc)
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 3 ORDER BY qid, rn""")),
+
+    // Recall@k of the LSH path against brute-force ground truth, per
+    // query id, as exact integers (hits of k) — quantifies the bucketing
+    // trade-off the ANN variants make. Both rankings use the shared
+    // bit-identical cosine folds with a vid tie-break, so the comparison
+    // is deterministic in both engines. The ground-truth side is the
+    // broadcast nested-loop scan (diagnostic cost, bounded query set);
+    // the LSH side is the production bucket equi-join.
+    "sim_lsh_recall" -> QueryDef(
+      (s, d) => {
+        val e = bucketed(s, d)
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+        val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"),
+          col("bucket").as("bucket_n"))
+        def top3(joined: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+          cosine(joined, "qv", "nv")
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") <= 3)
+            .select(col("qid"), col("vid"))
+        }
+        val gt = top3(broadcast(q.drop("bucket"))
+          .join(n.drop("bucket_n"), col("qid") =!= col("vid")))
+        val lsh = top3(broadcast(q)
+          .join(n, col("bucket") === col("bucket_n") && col("qid") =!= col("vid")))
+        val hits = gt.join(lsh, Seq("qid", "vid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .selectExpr("qid", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+            "CAST(3 AS BIGINT) AS k")
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e WHERE vec_id < 50),
+        n AS (SELECT vec_id AS vid, embedding AS nv, bucket AS bucket_n FROM e),
+        gsc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON qid <> vid),
+        gt AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS rn
+            FROM gsc) t WHERE rn <= 3),
+        lsc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON bucket = bucket_n AND qid <> vid),
+        lsh AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS rn
+            FROM lsc) t WHERE rn <= 3),
+        hits AS (
+          SELECT gt.qid, CAST(count(*) AS BIGINT) AS hits
+          FROM gt JOIN lsh ON gt.qid = lsh.qid AND gt.vid = lsh.vid
+          GROUP BY gt.qid)
+        SELECT qs.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+               CAST(3 AS BIGINT) AS k
+        FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits h ON qs.qid = h.qid
+        ORDER BY qs.qid""")),
+
+    // Banded-LSH embedding near-dup: candidates from a self-equi-join on
+    // 2 bands x 4 hyperplanes (collide if EITHER half-signature matches),
+    // exact cosine verify on candidates only. This is the 100 TB shape —
+    // the candidate join shuffles on a 4-bit band key, never all pairs.
+    // It is deliberately a SEPARATE query from dedup_embed_cosine: at
+    // this corpus's 0.4 threshold the qualifying pairs are genuinely
+    // low-cosine (measured 0.40-0.51), where random-hyperplane collision
+    // probability is ~(1 - theta/pi)^4 ~ 0.2/band — measured on sf0.1,
+    // 24 of 86 exact pairs share neither band (one shares 0 of 8 bits),
+    // so NO bucketing scheme reproduces the exact output; the oracle
+    // mirrors the banded semantics instead, and sim_lsh_recall quantifies
+    // the same trade-off on the ANN side. Production near-dup thresholds
+    // (>= 0.9) collide at >0.8/band, where this plan is both fast and
+    // high-recall.
+    "dedup_embed_lsh" -> QueryDef(
+      (s, d) => {
+        val bandRows = bucketed(s, d).selectExpr("vec_id",
+          "explode(array(named_struct('band', 0, 'key', bucket % 16), " +
+            "named_struct('band', 1, 'key', bucket div 16))) AS bk")
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bandRows.toDF("vid_a", "band", "key")
+          .join(bandRows.toDF("vid_b", "band2", "key2"),
+            col("band") === col("band2") && col("key") === col("key2") &&
+              col("vid_a") < col("vid_b"))
+          .select(col("vid_a"), col("vid_b")).distinct()
+        val e = Tables.embeddings(s, d)
+        val scored = cosine(
+          cand
+            .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
+            .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
+          "ea", "eb")
+        scored.where("cos >= 0.4")
+          .selectExpr("vid_a", "vid_b", s"${Q.scaledLong("cos", 4)} AS cos_e4")
+          .orderBy(col("vid_a"), col("vid_b"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM e
+          UNION ALL
+          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM e),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT c.vid_a, c.vid_b, ea.embedding AS ea, eb.embedding AS eb
+          FROM cand c JOIN embeddings ea ON ea.vec_id = c.vid_a
+                      JOIN embeddings eb ON eb.vec_id = c.vid_b),
+        sc AS (
+          SELECT vid_a, vid_b, ${duckDot("ea", "eb")} AS dot,
+                 ${duckDot("ea", "ea")} AS na, ${duckDot("eb", "eb")} AS nb
+          FROM pairs)
+        SELECT vid_a, vid_b,
+               ${Q.scaledLong("dot / (sqrt(na) * sqrt(nb))", 4)} AS cos_e4
+        FROM sc WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        ORDER BY vid_a, vid_b""")),
 
     "embed_quantize_error" -> QueryDef(
       (s, d) => {
