@@ -25,25 +25,41 @@ object Catalogs {
   def tableExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
 
-  /** Register (or re-register) a sink's table under a catalog name as an
-    * external partitioned parquet table and sync its partitions, so
+  /** Register (or re-register) a sink's table under a catalog name, so
     * downstream SQL reads `ns.table` like the reference's DuckDB reads
-    * bronze.default.events. Re-registering after the sink evolved
-    * refreshes the catalog schema (a CREATE IF NOT EXISTS would pin the
-    * stale one forever).
+    * bronze.default.events. Two catalog objects are created:
+    *
+    *   - `<name>_files`: the external partitioned parquet table over the
+    *     sink layout (partitions synced via MSCK);
+    *   - `<name>`: a view over it filtered to the sink's COMMITTED
+    *     `_batch_id` range — the same visibility `EvolvingTableSink.read`
+    *     enforces. Without the filter, an uncommitted partial batch dir
+    *     left by a crash (data written, sidecar not yet updated) would be
+    *     readable through the catalog as partial/duplicate rows.
+    *
+    * Re-registering after the sink evolved or committed more batches
+    * refreshes both schema and visible range (a CREATE IF NOT EXISTS
+    * would pin the stale ones forever); the view swap is CREATE OR
+    * REPLACE, so readers of `<name>` never observe a dropped state.
     */
   def registerTable(spark: SparkSession, name: String, sink: EvolvingTableSink): Unit = {
     val schema = sink.tableSchema.getOrElse(
       throw new IllegalStateException(s"no table at ${sink.path}"))
+    val (lo, hi) = sink.committedBatchRange.get
+    val filesTable = s"${name}_files"
     val dataCols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS $filesTable")
     spark.sql(
-      s"""CREATE TABLE $name ($dataCols,
+      s"""CREATE TABLE $filesTable ($dataCols,
          |  `_batch_id` BIGINT, `_event_date` DATE)
          |USING parquet
          |PARTITIONED BY (`_batch_id`, `_event_date`)
          |LOCATION '${sink.path}'""".stripMargin)
-    spark.sql(s"MSCK REPAIR TABLE $name")
+    spark.sql(s"MSCK REPAIR TABLE $filesTable")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $name AS
+         |SELECT * FROM $filesTable
+         |WHERE `_batch_id` BETWEEN $lo AND $hi""".stripMargin)
   }
 }

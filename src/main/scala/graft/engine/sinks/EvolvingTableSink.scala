@@ -161,4 +161,12 @@ final class EvolvingTableSink(
   }
 
   def tableSchema: Option[StructType] = readMeta().map(_.schema)
+
+  /** Inclusive `_batch_id` range of COMMITTED data (backfills use the
+    * negative id sequence below the low bound, streaming batches the
+    * non-negative ids up to the high bound). Catalog registration uses
+    * this to publish the same committed-only visibility `read` enforces.
+    */
+  def committedBatchRange: Option[(Long, Long)] =
+    readMeta().map(m => (m.nextBackfillId + 1, m.lastBatchId))
 }

@@ -90,6 +90,67 @@ object Ingest extends QueryPack {
       },
       None),
 
+    // End-to-end streaming roundtrip UNDER THE ORACLE GATE (not just
+    // specs): the literal batches are written as files, streamed through
+    // the real StreamProcessor (parse -> route -> EvolvingTableSink
+    // bronze + dead-letter parquet, checkpointed), the stream is then
+    // RESTARTED on the same checkpoint (must be a pure no-op — any
+    // double-append would flip the row counts and hashes), and the result
+    // is read back through the sink's committed-batch filter. DuckDB
+    // re-derives the same rows from the same literal batches, so S5-S9/T6
+    // are driver-checked, not only ScalaTest-checked.
+    "ingest_e2e_roundtrip" -> QueryDef(
+      (s, _) => {
+        import java.nio.charset.StandardCharsets
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.engine.sinks.{EvolvingTableSink, ParquetAppendSink}
+        import graft.engine.stream.StreamProcessor
+        val root = Files.createTempDirectory("graft_e2e_")
+        val in = Files.createDirectories(root.resolve("in"))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Files.write(in.resolve(f"batch_$i%03d.json"),
+            b.getBytes(StandardCharsets.UTF_8))
+        }
+        val sink = new EvolvingTableSink(root.resolve("bronze").toString)
+        val dl = new ParquetAppendSink(root.resolve("dead").toString)
+        val chk = root.resolve("chk").toString
+        def run(): Unit = {
+          val sp = new StreamProcessor(sink, dl, checkpointLocation = chk,
+            trigger = Trigger.AvailableNow())
+          val q = sp.start(s.readStream.text(in.toString))
+          q.awaitTermination(120000L)
+          if (q.isActive) q.stop()
+        }
+        run() // first pass: parse -> route -> bronze + dead letters
+        run() // restart on the same checkpoint: replay must be a no-op
+        val bronze = sink.read(s)
+          .select(lit("bronze").as("kind"),
+            concat_ws("|", col("user_id"), col("event_id"), col("event_type"),
+              coalesce(col("product_id"), lit("-"))).as("k"),
+            Q.epochUs(col("event_timestamp")).as("v"))
+        val dead = s.read.parquet(root.resolve("dead").toString)
+          .groupBy(col(DeadLetterReason))
+          .agg(count(lit(1)).as("v"))
+          .select(concat(lit("dead:"), col(DeadLetterReason)).as("kind"),
+            col(DeadLetterReason).as("k"), col("v"))
+        bronze.unionByName(dead).orderBy(col("kind"), col("k"))
+      },
+      Some(s"""
+        WITH $duckClassified
+        SELECT 'bronze' AS kind,
+               concat_ws('|', json_extract_string(rec, '$$.user_id'),
+                 json_extract_string(rec, '$$.event_id'),
+                 json_extract_string(rec, '$$.event_type'),
+                 coalesce(json_extract_string(rec, '$$.product_id'), '-')) AS k,
+               epoch_us(TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP)) AS v
+        FROM cls WHERE reason = 'valid'
+        UNION ALL
+        SELECT 'dead:' || reason AS kind, reason AS k,
+               CAST(count(*) AS BIGINT) AS v
+        FROM cls WHERE reason <> 'valid' GROUP BY reason
+        ORDER BY kind, k""")),
+
     "ingest_route" -> QueryDef(
       (s, _) => {
         val spark = s

@@ -39,6 +39,19 @@ class CatalogsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graft_bronze.events WHERE _event_date = DATE'2024-01-01'")
       .collect().head.getLong(0) == 1)
-    spark.sql("DROP TABLE graft_bronze.events")
+
+    // an UNCOMMITTED partial batch dir (crash between data append and
+    // sidecar commit) must be invisible through the registered name
+    val orphanRows = java.util.Arrays.asList(
+      Row("zz", java.sql.Timestamp.valueOf("2024-01-03 12:00:00")))
+    spark.createDataFrame(orphanRows, schema)
+      .write.parquet(s"$dir/_batch_id=7/_event_date=2024-01-03")
+    Catalogs.registerTable(spark, "graft_bronze.events", sink)
+    assert(spark.sql("SELECT count(*) FROM graft_bronze.events")
+      .collect().head.getLong(0) == 2,
+      "uncommitted batch dir leaked through the catalog view")
+
+    spark.sql("DROP VIEW graft_bronze.events")
+    spark.sql("DROP TABLE graft_bronze.events_files")
   }
 }
