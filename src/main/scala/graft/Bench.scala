@@ -12,10 +12,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.engine.Sessions.local(cpus, "graft-bench")
-    // one-time session warmup (codegen infra, parquet footers) so the
-    // per-query numbers measure the queries, not JVM startup
+    // Warmup iteration: run EVERY query once at the smallest SF before
+    // timing at the bench SF. First execution of a plan shape pays
+    // several seconds of one-time session cost (Janino compilation of
+    // the whole-stage-codegen classes, parquet reader setup) that would
+    // otherwise land on whichever query happens to run first — codegen
+    // classes are cached by generated source, so warming at sf0.001
+    // compiles them all for pennies. Also warms footers/listings of the
+    // bench-SF tables. All outside the timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).collect()
+    val warmDir = {
+      val small = new java.io.File("/root/testdata/sf0.001")
+      if (small.isDirectory) small.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      graft.engine.Tables.table(spark, sfDir, t).count()
+    graft.engine.Tables.events(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

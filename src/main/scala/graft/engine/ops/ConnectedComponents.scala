@@ -1,0 +1,62 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list by iterative
+  * min-label propagation — the clustering step that turns near-duplicate
+  * PAIRS into duplicate GROUPS (keep min-id doc per group, drop the rest).
+  *
+  * Each iteration is one shuffle on vertex id: neighbor labels are
+  * aggregated with min (map-side partial agg) and joined back. The loop
+  * converges when no label changes — at most `diameter` iterations, and
+  * duplicate clusters in a dedup workload are near-cliques (diameter 1-2),
+  * so 2-3 rounds in practice. Labels are truncated with localCheckpoint
+  * per round, so the plan does not grow with the iteration count (on a
+  * cluster, set a checkpoint dir and use checkpoint() instead). For
+  * pathological chain-shaped graphs switch to large-star/small-star
+  * (O(log n) rounds); dedup clusters never look like that.
+  *
+  * Deterministic: the fixpoint (min vertex id per component) is unique.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame (src, dst) of undirected edges
+    * @return (v, lbl): every vertex appearing in an edge, labelled with
+    *         the minimum vertex id of its component
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // the edge list feeds THREE scans (symmetric closure twice + vertex
+    // extraction); persist it or the upstream pipeline that produced the
+    // pairs (e.g. the whole MinHash verify) re-executes per scan
+    val e = edges.toDF("a", "b").persist()
+    val verts = e.select(col("a")).union(e.select(col("b"))).distinct()
+    // symmetric closure PLUS a self-loop per vertex: the self-loop row
+    // carries each vertex's own (old) label through the neighbor-min
+    // aggregation, so one round is exactly ONE join + ONE aggregation —
+    // no left-join back to the previous labels, no separate
+    // change-detection join (per-round stage count is what dominates
+    // wall time on small graphs, and shuffle count at 100 TB)
+    val sym = e.union(e.select(col("b"), col("a")))
+      .union(verts.select(col("a"), col("a")))
+      .distinct().persist()
+    var labels = verts.select(col("a").as("v"), col("a").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(sym("a").as("v"))
+        .agg(min(col("lbl")).as("nlbl"),
+          min(when(sym("b") === sym("a"), col("lbl"))).as("old"))
+        .select(col("v"), col("nlbl"), (col("nlbl") =!= col("old")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.where(col("chg")).count() // counts the cached round
+      labels = next.select(col("v"), col("nlbl").as("lbl"))
+      iter += 1
+    }
+    sym.unpersist()
+    e.unpersist()
+    labels
+  }
+}

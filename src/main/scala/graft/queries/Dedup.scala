@@ -150,6 +150,37 @@ object Dedup extends QueryPack {
     sums.selectExpr("doc_id", s"CAST($packed AS BIGINT) AS simhash")
   }
 
+  /** (doc_a, doc_b, jacc): LSH band candidates verified by exact Jaccard
+    * >= threshold. Signatures map shuffle-free over the scan; the band
+    * table is persisted because the self-join reads it twice.
+    * Exact-Jaccard verification is RESTRICTED to candidate pairs: join
+    * candidates to each side's shingles instead of intersecting every
+    * co-shingled pair in the corpus — at a dup-heavy 100 TB corpus the
+    * unrestricted intersection is orders of magnitude larger than the
+    * candidate set (measured 150s -> seconds at a 50k-doc
+    * 10x-duplicate stress corpus).
+    */
+  private def minHashDupPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = minHashBandsFrom(minHashSig(s, d)).persist()
+    val cand = bands.toDF("doc_a", "band", "key")
+      .join(bands.toDF("doc_b", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val interCounted = cand
+      .join(shd.toDF("doc_a", "sh"), "doc_a")
+      .join(shd.toDF("doc_b2", "sh2"),
+        col("doc_b") === col("doc_b2") && col("sh") === col("sh2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    interCounted
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jacc", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+      .where(s"jacc >= $JaccThreshold")
+  }
+
   // ---- DuckDB oracle shared CTEs ---------------------------------------
 
   private val duckBase: String = s"""
@@ -183,6 +214,12 @@ object Dedup extends QueryPack {
     }
     s"bands AS (${selects.mkString(" UNION ALL ")})"
   }
+
+  private val duckCand: String = """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
   private val duckJacc: String = s"""
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
@@ -225,46 +262,50 @@ object Dedup extends QueryPack {
         SELECT * FROM sig ORDER BY doc_id""")),
 
     "dedup_minhash_pairs" -> QueryDef(
-      (s, d) => {
-        // signatures map shuffle-free over the scan; the band table is
-        // persisted because the self-join reads it twice
-        val bands = minHashBandsFrom(minHashSig(s, d)).persist()
-        val cand = bands.toDF("doc_a", "band", "key")
-          .join(bands.toDF("doc_b", "band2", "key2"),
-            col("band") === col("band2") && col("key") === col("key2") &&
-              col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        // exact-Jaccard verification RESTRICTED to candidate pairs: join
-        // candidates to each side's shingles instead of intersecting
-        // every co-shingled pair in the corpus — at a dup-heavy 100 TB
-        // corpus the unrestricted intersection is orders of magnitude
-        // larger than the candidate set (measured 150s -> seconds at a
-        // 50k-doc 10x-duplicate stress corpus)
-        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
-        val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val interCounted = cand
-          .join(shd.toDF("doc_a", "sh"), "doc_a")
-          .join(shd.toDF("doc_b2", "sh2"),
-            col("doc_b") === col("doc_b2") && col("sh") === col("sh2"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-        interCounted
-          .join(sizes.toDF("doc_a", "na"), "doc_a")
-          .join(sizes.toDF("doc_b", "nb"), "doc_b")
-          .withColumn("jacc", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
-          .where(s"jacc >= $JaccThreshold")
-          .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => minHashDupPairs(s, d)
+        .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
-        WITH $duckBase, $duckSig, $duckBands, $duckJacc,
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand
         SELECT c.doc_a, c.doc_b, round(j.jacc, 4) AS jacc
         FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         WHERE j.jacc >= $JaccThreshold
         ORDER BY 1, 2""")),
+
+    // Duplicate GROUPS from duplicate pairs: connected components over
+    // the verified MinHash pairs (min-label propagation, one shuffle per
+    // round, 2-3 rounds on near-clique dup clusters — see
+    // engine/ops/ConnectedComponents). cluster_id = min doc_id of the
+    // component, i.e. the canonical document a dedup pass would keep.
+    // The oracle computes the same fixpoint via a recursive-CTE
+    // transitive closure.
+    "dedup_clusters" -> QueryDef(
+      (s, d) => {
+        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        graft.engine.ops.ConnectedComponents.run(pairs)
+          .selectExpr("CAST(v AS BIGINT) AS doc_id",
+            "CAST(lbl AS BIGINT) AS cluster_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
+        dup AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jacc >= $JaccThreshold),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM dup),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        verts AS (SELECT DISTINCT a AS v FROM edges)
+        SELECT CAST(v AS BIGINT) AS doc_id,
+               CAST(least(v, min(b)) AS BIGINT) AS cluster_id
+        FROM verts JOIN reach ON reach.a = v
+        GROUP BY v ORDER BY doc_id""")),
 
     "dedup_jaccard_pairs" -> QueryDef(
       (s, d) => jaccardFrom(shingleRows(s, d).distinct())

@@ -37,6 +37,21 @@ object Ingest extends QueryPack {
   private val duckValues =
     batches.map(b => s"('${b}')").mkString(", ")
 
+  /** Literal (ts, event_type) rows for the streaming tumbling-window
+    * roundtrip — spanning 4 hourly windows, two event types, delivered in
+    * two micro-batches (first 4, then the rest — the second batch adds to
+    * an already-open window AND opens new ones).
+    */
+  private val streamEvents: Seq[(String, String)] = Seq(
+    ("2024-01-01 00:10:00", "click"),
+    ("2024-01-01 00:50:00", "view"),
+    ("2024-01-01 01:05:00", "click"),
+    ("2024-01-01 01:10:00", "click"),
+    ("2024-01-01 01:30:00", "view"),
+    ("2024-01-01 02:59:00", "view"),
+    ("2024-01-01 03:20:00", "click"),
+    ("2024-01-01 03:21:00", "click"))
+
   /** DuckDB reimplementation of parse+route classification. */
   private val duckClassified: String = s"""
     raw(value) AS (VALUES $duckValues),
@@ -150,6 +165,44 @@ object Ingest extends QueryPack {
                CAST(count(*) AS BIGINT) AS v
         FROM cls WHERE reason <> 'valid' GROUP BY reason
         ORDER BY kind, k""")),
+
+    // Event-time tumbling windows through the REAL streaming runtime
+    // (MemoryStream -> watermark -> window agg -> memory sink), delivered
+    // across two micro-batches so incremental state merge is exercised;
+    // DuckDB re-derives the same windows from the same literal rows with
+    // date_trunc. Covers T2/T3 under the driver gate, complementing the
+    // append-mode/late-data specs.
+    "stream_tumbling_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, String)]
+        val src = in.toDF().toDF("ts_s", "event_type")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+          .withColumn("value", lit(1.0))
+        val agg = graft.engine.stream.WindowedAggs.tumblingCounts(src)
+        val qn = s"tumbling_rt_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        try {
+          in.addData(streamEvents.take(4))
+          q.processAllAvailable()
+          in.addData(streamEvents.drop(4))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qn)
+          .select(Q.epochUs(col("window_start")).as("ws_us"),
+            col("event_type"), col("n").cast("long").as("n"))
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      Some(s"""
+        WITH ev(ts, event_type) AS (VALUES ${streamEvents
+          .map { case (t, ty) => s"(TIMESTAMP '$t', '$ty')" }.mkString(", ")})
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     "ingest_route" -> QueryDef(
       (s, _) => {

@@ -319,6 +319,29 @@ object Relational extends QueryPack {
         FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus"""
       }),
 
+    // Skew-safe two-phase aggregation UNDER THE ORACLE GATE: events has
+    // only a handful of event_type values (each key is a hot key), so the
+    // salted path (Scale.saltedSumCount: spread each key over 16 partial
+    // groups, aggregate, re-aggregate) is exercised against a plain
+    // group-by oracle — proving the salting is semantics-preserving.
+    // Values are scaled to BIGINT cents per row BEFORE summation so the
+    // two-level sum is exact integer arithmetic (a salted double sum
+    // would change fold order vs the oracle).
+    "agg_salted_events" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("v_c", expr(Q.scaledLong("value", 2)))
+        graft.engine.ops.Scale.saltedSumCount(ev, col("event_type"), col("v_c"))
+          .selectExpr("_key AS event_type",
+            "CAST(sum_value AS BIGINT) AS sum_cents", "CAST(n AS BIGINT) AS n")
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type,
+               CAST(sum(${Q.scaledLong("value", 2)}) AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
     "distinct_segments" -> QueryDef(
       (s, d) => Tables.customer(s, d).select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment")),

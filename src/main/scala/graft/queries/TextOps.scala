@@ -153,6 +153,55 @@ object TextOps extends QueryPack {
         FROM (SELECT doc_id, text, ${duckWords("text")} AS ws FROM documents) t
         ORDER BY doc_id""")),
 
+    // TF-IDF top terms per document with a PORTABLE integer score:
+    // score_e6 = (tf * N * 10^6) div df — linear idf (N/df) instead of
+    // ln(N/df), because libm log implementations are not bit-identical
+    // across engines while integer arithmetic is; the ranking it induces
+    // is what matters for term selection. df is computed over the WHOLE
+    // corpus (one shuffle on term with map-side partial agg — the
+    // classic tf-idf shape); tf is filtered to the reported docs early so
+    // only df pays the full-corpus cost.
+    "text_tfidf_terms" -> QueryDef(
+      (s, d) => {
+        val docsW = Tables.documents(s, d)
+          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        val terms = docsW.select(col("doc_id"), explode(col("ws")).as("term"))
+        val tf = terms.where(col("doc_id") < 20)
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = terms.distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docsW.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score_e6").desc, col("term"))
+        tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .withColumn("score_e6", expr("(tf * n * 1000000) div df"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .selectExpr("doc_id", "CAST(rnk AS BIGINT) AS rnk", "term",
+            "CAST(score_e6 AS BIGINT) AS score_e6")
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH dw AS (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        terms AS (SELECT doc_id, unnest(ws) AS term FROM dw),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms WHERE doc_id < 20 GROUP BY doc_id, term),
+        dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM terms) t GROUP BY term),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dw),
+        scored AS (
+          SELECT t.doc_id, t.term, (t.tf * n.n * 1000000) // f.df AS score_e6
+          FROM tf t JOIN dfreq f USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, score_e6,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_e6 DESC, term) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT doc_id, rnk, term, CAST(score_e6 AS BIGINT) AS score_e6
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
     "text_langid" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .selectExpr(Seq("doc_id", "lang", s"${sparkWords("text")} AS ws"): _*)
