@@ -61,6 +61,38 @@ object Multimodal {
         lit("text/plain").as("mime"),
         octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Frame sampling over the opaque payload: split into fixed-size frames
+    * (stand-in for video frames / audio windows), keep every `stride`-th
+    * frame, and emit the sampled-frame count plus an integer digest (sum
+    * of sampled bytes — order-free, so exactly reproducible). Runs
+    * partition-wise like the decoder: at 100 TB each input split streams
+    * its payloads through the sampler with no shuffle and no driver
+    * involvement; a real deployment swaps the byte-block logic for a
+    * keyframe extractor behind the same seam.
+    */
+  def sampleFrames(media: DataFrame, frameLen: Int = 16, stride: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val blocks = bytes.length / frameLen
+          var nFrames = 0L
+          var digest = 0L
+          var b = 0
+          while (b < blocks) {
+            var i = b * frameLen
+            val end = i + frameLen
+            while (i < end) { digest += bytes(i) & 0xff; i += 1 }
+            nFrames += 1
+            b += stride
+          }
+          (id, bytes.length.toLong, nFrames, digest)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_frames", "digest")
+  }
+
   /** Partition-wise decode: one decoder pass per input split, no shuffle,
     * no driver round-trip.
     */

@@ -37,6 +37,18 @@ object Ingest extends QueryPack {
   private val duckValues =
     batches.map(b => s"('${b}')").mkString(", ")
 
+  /** Literal (ts, user_id) rows for the streaming session roundtrip:
+    * user 1 has two sessions (a 110-minute gap splits them), user 2 one
+    * session that SPANS the two delivery batches (10-minute gap merges
+    * across micro-batches — the state-merge case).
+    */
+  private val sessionEvents: Seq[(String, Long)] = Seq(
+    ("2024-01-01 00:00:00", 1L),
+    ("2024-01-01 00:10:00", 1L),
+    ("2024-01-01 00:20:00", 2L),
+    ("2024-01-01 00:30:00", 2L),
+    ("2024-01-01 02:00:00", 1L))
+
   /** Literal (ts, event_type) rows for the streaming tumbling-window
     * roundtrip — spanning 4 hourly windows, two event types, delivered in
     * two micro-batches (first 4, then the rest — the second batch adds to
@@ -203,6 +215,62 @@ object Ingest extends QueryPack {
         SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
                CAST(count(*) AS BIGINT) AS n
         FROM ev GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Gap-based session windows through the real streaming runtime in
+    // APPEND mode: sessions only emit once the watermark passes their
+    // close, so a far-future flush event (user_id -1, excluded from the
+    // result) advances the watermark past every real session — the
+    // output therefore proves watermark-driven finalization, not just
+    // windowing. DuckDB re-derives the same sessions with the lag/break
+    // construction (as sessionize_events does for the batch path).
+    "stream_session_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, Long)]
+        val src = in.toDF().toDF("ts_s", "user_id")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val agg = graft.engine.stream.WindowedAggs
+          .userSessions(src, gap = "30 minutes", watermark = "2 hours")
+        val qn = s"session_rt_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          in.addData(sessionEvents.take(3))
+          q.processAllAvailable()
+          in.addData(sessionEvents.drop(3))
+          q.processAllAvailable()
+          in.addData(Seq(("2024-01-05 00:00:00", -1L))) // watermark flush
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qn)
+          .where(col("user_id") >= 0)
+          .select(col("user_id"),
+            Q.epochUs(col("session_start")).as("start_us"),
+            Q.epochUs(col("session_end")).as("end_us"),
+            col("n_events").cast("long").as("n"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""
+        WITH ev(ts, user_id) AS (VALUES ${sessionEvents
+          .map { case (t, u) => s"(TIMESTAMP '$t', CAST($u AS BIGINT))" }.mkString(", ")}),
+        o AS (
+          SELECT ts, user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sgrp AS (
+          SELECT ts, user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id, epoch_us(min(ts)) AS start_us,
+               epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sgrp GROUP BY user_id, sid ORDER BY user_id, start_us""")),
 
     "ingest_route" -> QueryDef(
       (s, _) => {

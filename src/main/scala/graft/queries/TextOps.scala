@@ -289,6 +289,28 @@ object TextOps extends QueryPack {
         FROM documents ORDER BY doc_id"""
       }),
 
+    // Frame sampling through the multimodal seam: every 4th 16-byte
+    // frame, integer byte-sum digest (order-free — exact in any build).
+    // DuckDB mirrors the block arithmetic with range(start, stop, step)
+    // and ascii(substr(...)) over the same payload bytes.
+    "multimodal_framesample" -> QueryDef(
+      (s, d) => {
+        import graft.engine.multimodal.Multimodal
+        Multimodal.sampleFrames(Multimodal.mediaTable(Tables.documents(s, d)))
+          .selectExpr("doc_id", "n_bytes", "n_frames", "digest")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(len(range(0, length(text) // 16, 4)) AS BIGINT) AS n_frames,
+               CAST(coalesce(list_aggregate(flatten(
+                 list_transform(range(0, length(text) // 16, 4), b ->
+                   list_transform(range(1, 17), i ->
+                     CAST(ascii(substr(text, b * 16 + i, 1)) AS BIGINT)))),
+                 'sum'), 0) AS BIGINT) AS digest
+        FROM documents ORDER BY doc_id""")),
+
     "multimodal_meta" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),

@@ -68,6 +68,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf joins tf to df on term — no cartesian beyond the 1-row N broadcast") {
+    val p = plan("text_tfidf_terms")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multimodal frame sampling is narrow: at most the output-sort exchange") {
+    val p = plan("multimodal_framesample")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"frame sampling must not shuffle, found $exchanges exchanges")
+  }
+
   test("top-k sorts plan as TakeOrderedAndProject, not a global sort") {
     val p = plan("sort_topk_lineitems")
     assert(p.contains("TakeOrderedAndProject"))
