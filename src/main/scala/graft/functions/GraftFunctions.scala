@@ -29,6 +29,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dot", es => FloatDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles", es => ShingleHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", es => SimHashSig(es.head), "built-in")
   }
 
   /** Shared scalar fold (the strhash semantics) for reuse in eval paths. */
@@ -211,6 +212,72 @@ case class MinHashSig(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** SimHash signature over a shingle-hash array in one generated loop:
+  * per-bit +1/-1 counts over every element (duplicates count, matching
+  * the exploded-row formulation), packed to the bits with positive count.
+  * Replaces an explode + groupBy(doc_id) with 32 conditional-sum
+  * aggregates — i.e. a full shuffle of the exploded shingle table — with
+  * a row-local map over the document scan (signature extraction at
+  * 100 TB must not shuffle).
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression {
+
+  private val Bits = graft.queries.Portable.SimHashBits
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < Bits) {
+        counts(j) += (if (((x >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < Bits) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $counts = new int[$Bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < $Bits; $j++) {
+         |    $counts[$j] += ((($x >> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $Bits; $j++) {
+         |  if ($counts[$j] > 0) $sig |= 1L << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
 }
 

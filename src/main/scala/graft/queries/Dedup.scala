@@ -139,16 +139,15 @@ object Dedup extends QueryPack {
     * (measured 16k hamming-<=3 pairs); 3-gram shingles have enough entropy
     * that hamming <= 3 isolates the true near-dups (measured 24 pairs vs
     * 25 exact-Jaccard pairs).
+    *
+    * Computed ROW-LOCALLY by the graft_simhash codegen expression over the
+    * per-document shingle array — signature extraction never shuffles
+    * (the previous explode + groupBy(doc_id) with 32 conditional sums
+    * shuffled the whole exploded shingle table; same math, oracle
+    * unchanged).
     */
-  private def simHashFrom(sh: DataFrame): DataFrame = {
-    val sums = sh.groupBy(col("doc_id")).agg(
-      expr("sum(CASE WHEN (shiftright(sh, 0) & 1) = 1 THEN 1 ELSE -1 END)").as("b0"),
-      (1 until SimHashBits).map(j =>
-        expr(s"sum(CASE WHEN (shiftright(sh, $j) & 1) = 1 THEN 1 ELSE -1 END)").as(s"b$j")): _*)
-    val packed = (0 until SimHashBits)
-      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    sums.selectExpr("doc_id", s"CAST($packed AS BIGINT) AS simhash")
-  }
+  private def simHashSigs(s: SparkSession, d: String): DataFrame =
+    shingleArr(s, d).selectExpr("doc_id", "graft_simhash(sh_arr) AS simhash")
 
   /** (doc_a, doc_b, jacc): LSH band candidates verified by exact Jaccard
     * >= threshold. Signatures map shuffle-free over the scan; the band
@@ -319,14 +318,14 @@ object Dedup extends QueryPack {
         ORDER BY doc_a, doc_b""")),
 
     "dedup_simhash_sig" -> QueryDef(
-      (s, d) => simHashFrom(shingleRows(s, d)).orderBy(col("doc_id")),
+      (s, d) => simHashSigs(s, d).orderBy(col("doc_id")),
       Some(s"""
         WITH $duckBase, $duckSimHash
         SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
 
     "dedup_simhash_pairs" -> QueryDef(
       (s, d) => {
-        val sim = simHashFrom(shingleRows(s, d)).persist()
+        val sim = simHashSigs(s, d).persist()
         val chunks = (0 until 4).map(c =>
           struct(lit(c).as("chunk"), expr(s"shiftright(simhash, ${8 * c}) & 255").as("key")))
         val blocked = sim

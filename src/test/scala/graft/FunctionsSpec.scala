@@ -58,6 +58,20 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_simhash equals the conditional-sum formulation") {
+    val arr = "array(CAST(5 AS BIGINT), CAST(123456789 AS BIGINT), " +
+      "CAST(999999999 AS BIGINT), CAST(5 AS BIGINT))" // duplicate counts twice
+    val bits = graft.queries.Portable.SimHashBits
+    val sums = (0 until bits).map(j =>
+      s"aggregate(transform($arr, x -> CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END), 0, (a, x) -> a + x)")
+    val packed = sums.zipWithIndex
+      .map { case (sj, j) => s"(CASE WHEN ($sj) > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END)" }
+      .mkString(" + ")
+    assert(viaDf(s"graft_simhash($arr)") == viaDf(s"CAST($packed AS BIGINT)"))
+    assert(viaDf("graft_simhash(array())") == 0L)
+    assert(viaDf("graft_simhash(CAST(NULL AS ARRAY<BIGINT>))") == null)
+  }
+
   test("graft_dot edge cases and HOF agreement") {
     assert(viaDf("graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))") == 3.0)
     assert(viaDf("graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))") == null,

@@ -68,6 +68,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash signature extraction is shuffle-free up to the output sort") {
+    val p = plan("dedup_simhash_sig")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"row-local graft_simhash must not shuffle, found $exchanges exchanges:\n$p")
+  }
+
   test("tf-idf joins tf to df on term — no cartesian beyond the 1-row N broadcast") {
     val p = plan("text_tfidf_terms")
     assert(!p.contains("CartesianProduct"))
