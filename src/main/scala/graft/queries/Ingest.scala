@@ -49,6 +49,26 @@ object Ingest extends QueryPack {
     ("2024-01-01 00:30:00", 2L),
     ("2024-01-01 02:00:00", 1L))
 
+  /** Literal (ts, event_id) rows for the streaming dedup roundtrip: the
+    * first batch (first 4) re-emits event 101 VERBATIM inside the batch;
+    * the second batch re-emits event 102 across batches. Both duplicates
+    * must be dropped with exactly one copy surviving.
+    */
+  private val dedupEvents: Seq[(String, Long)] = Seq(
+    ("2024-01-01 00:00:00", 101L),
+    ("2024-01-01 00:00:00", 101L),
+    ("2024-01-01 00:05:00", 102L),
+    ("2024-01-01 00:10:00", 103L),
+    ("2024-01-01 00:05:00", 102L),
+    ("2024-01-01 00:20:00", 104L))
+
+  /** (user_id, event_id) rows per micro-batch for the custom-state
+    * roundtrip: user 1 appears in both batches (state carries over).
+    */
+  private val stateBatches: Seq[Seq[(Long, Long)]] = Seq(
+    Seq((1L, 1L), (1L, 2L), (2L, 3L)),
+    Seq((1L, 4L), (3L, 5L)))
+
   /** Literal (ts, event_type) rows for the streaming tumbling-window
     * roundtrip — spanning 4 hourly windows, two event types, delivered in
     * two micro-batches (first 4, then the rest — the second batch adds to
@@ -271,6 +291,80 @@ object Ingest extends QueryPack {
                epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
                CAST(count(*) AS BIGINT) AS n
         FROM sgrp GROUP BY user_id, sid ORDER BY user_id, start_us""")),
+
+    // Streaming exact dedup with bounded state (the op the reference
+    // discusses and defers to Silver): duplicates arrive VERBATIM (as the
+    // reference producer re-emits them), one inside a micro-batch and one
+    // across micro-batches; dropDuplicatesWithinWatermark must keep one
+    // copy of each. Oracle: SELECT DISTINCT over the same literal rows.
+    "stream_dedup_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, Long)]
+        val src = in.toDF().toDF("ts_s", "event_id")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val deduped = graft.engine.stream.WindowedAggs
+          .dedupWithinWatermark(src, watermark = "1 hour")
+        val qn = s"dedup_rt_${System.nanoTime()}"
+        val q = deduped.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          in.addData(dedupEvents.take(4)) // contains an in-batch duplicate
+          q.processAllAvailable()
+          in.addData(dedupEvents.drop(4)) // re-sends an earlier event
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qn)
+          .select(col("event_id"), Q.epochUs(col("ts")).as("ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH ev(ts, event_id) AS (VALUES ${dedupEvents
+          .map { case (t, id) => s"(TIMESTAMP '$t', CAST($id AS BIGINT))" }.mkString(", ")})
+        SELECT DISTINCT event_id, epoch_us(ts) AS ts_us
+        FROM ev ORDER BY event_id""")),
+
+    // Custom keyed state (flatMapGroupsWithState): per-user running event
+    // counter emitting one row per (user, micro-batch). The batch split
+    // is part of the declared input, so the oracle derives the same rows
+    // with a per-batch cumulative sum.
+    "stream_state_counts_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.engine.stream.WindowedAggs
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[WindowedAggs.UserEvent]
+        val counts = WindowedAggs.runningUserCounts(in.toDS())
+        val qn = s"state_rt_${System.nanoTime()}"
+        val q = counts.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          stateBatches.foreach { b =>
+            in.addData(b.map { case (u, e) => WindowedAggs.UserEvent(u, e) })
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(qn)
+          .select(col("user_id"), col("n_events").cast("long").as("n"))
+          .orderBy(col("user_id"), col("n"))
+      },
+      Some(s"""
+        WITH ev(user_id, batch) AS (VALUES ${stateBatches.zipWithIndex
+          .flatMap { case (b, i) => b.map { case (u, _) => s"(CAST($u AS BIGINT), $i)" } }
+          .mkString(", ")}),
+        per AS (
+          SELECT user_id, batch, CAST(count(*) AS BIGINT) AS c
+          FROM ev GROUP BY user_id, batch),
+        cum AS (
+          SELECT user_id,
+                 CAST(sum(c) OVER (PARTITION BY user_id ORDER BY batch) AS BIGINT) AS n
+          FROM per)
+        SELECT user_id, n FROM cum ORDER BY user_id, n""")),
 
     "ingest_route" -> QueryDef(
       (s, _) => {
