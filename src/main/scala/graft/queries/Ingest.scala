@@ -109,6 +109,20 @@ object Ingest extends QueryPack {
         END AS reason
       FROM recs)"""
 
+  /** Run `f` with a reduced shuffle-partition setting, restored after.
+    * A streaming query captures the state-store partition count at START
+    * from this conf; the literal-input roundtrip streams carry a handful
+    * of rows, so the analytic default (one partition per core) only adds
+    * empty state tasks per micro-batch. A production stream sizes this to
+    * the cluster instead.
+    */
+  private def withStreamingPartitions[A](s: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try f finally s.conf.set(key, prev)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Throughput probe for the core pipeline: 200 producer batches x 100
     // events through parse+route (the full reference data path). No value
@@ -216,14 +230,16 @@ object Ingest extends QueryPack {
           .withColumn("value", lit(1.0))
         val agg = graft.engine.stream.WindowedAggs.tumblingCounts(src)
         val qn = s"tumbling_rt_${System.nanoTime()}"
-        val q = agg.writeStream.format("memory").queryName(qn)
-          .outputMode("complete").start()
-        try {
-          in.addData(streamEvents.take(4))
-          q.processAllAvailable()
-          in.addData(streamEvents.drop(4))
-          q.processAllAvailable()
-        } finally q.stop()
+        withStreamingPartitions(s) {
+          val q = agg.writeStream.format("memory").queryName(qn)
+            .outputMode("complete").start()
+          try {
+            in.addData(streamEvents.take(4))
+            q.processAllAvailable()
+            in.addData(streamEvents.drop(4))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.table(qn)
           .select(Q.epochUs(col("window_start")).as("ws_us"),
             col("event_type"), col("n").cast("long").as("n"))
@@ -255,16 +271,18 @@ object Ingest extends QueryPack {
         val agg = graft.engine.stream.WindowedAggs
           .userSessions(src, gap = "30 minutes", watermark = "2 hours")
         val qn = s"session_rt_${System.nanoTime()}"
-        val q = agg.writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-        try {
-          in.addData(sessionEvents.take(3))
-          q.processAllAvailable()
-          in.addData(sessionEvents.drop(3))
-          q.processAllAvailable()
-          in.addData(Seq(("2024-01-05 00:00:00", -1L))) // watermark flush
-          q.processAllAvailable()
-        } finally q.stop()
+        withStreamingPartitions(s) {
+          val q = agg.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            in.addData(sessionEvents.take(3))
+            q.processAllAvailable()
+            in.addData(sessionEvents.drop(3))
+            q.processAllAvailable()
+            in.addData(Seq(("2024-01-05 00:00:00", -1L))) // watermark flush
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.table(qn)
           .where(col("user_id") >= 0)
           .select(col("user_id"),
@@ -309,14 +327,16 @@ object Ingest extends QueryPack {
         val deduped = graft.engine.stream.WindowedAggs
           .dedupWithinWatermark(src, watermark = "1 hour")
         val qn = s"dedup_rt_${System.nanoTime()}"
-        val q = deduped.writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-        try {
-          in.addData(dedupEvents.take(4)) // contains an in-batch duplicate
-          q.processAllAvailable()
-          in.addData(dedupEvents.drop(4)) // re-sends an earlier event
-          q.processAllAvailable()
-        } finally q.stop()
+        withStreamingPartitions(s) {
+          val q = deduped.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            in.addData(dedupEvents.take(4)) // contains an in-batch duplicate
+            q.processAllAvailable()
+            in.addData(dedupEvents.drop(4)) // re-sends an earlier event
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.table(qn)
           .select(col("event_id"), Q.epochUs(col("ts")).as("ts_us"))
           .orderBy(col("event_id"))
@@ -341,14 +361,16 @@ object Ingest extends QueryPack {
         val in = MemoryStream[WindowedAggs.UserEvent]
         val counts = WindowedAggs.runningUserCounts(in.toDS())
         val qn = s"state_rt_${System.nanoTime()}"
-        val q = counts.toDF().writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-        try {
-          stateBatches.foreach { b =>
-            in.addData(b.map { case (u, e) => WindowedAggs.UserEvent(u, e) })
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        withStreamingPartitions(s) {
+          val q = counts.toDF().writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            stateBatches.foreach { b =>
+              in.addData(b.map { case (u, e) => WindowedAggs.UserEvent(u, e) })
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
         s.table(qn)
           .select(col("user_id"), col("n_events").cast("long").as("n"))
           .orderBy(col("user_id"), col("n"))
