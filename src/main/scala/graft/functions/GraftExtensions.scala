@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => MinHashSig(es.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => SimHashSig(es.head)))
   }
 }
