@@ -294,21 +294,24 @@ object Ingest extends QueryPack {
       Some(s"""
         WITH ev(ts, user_id) AS (VALUES ${sessionEvents
           .map { case (t, u) => s"(TIMESTAMP '$t', CAST($u AS BIGINT))" }.mkString(", ")}),
-        o AS (
-          SELECT ts, user_id,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS brk
-          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        sgrp AS (
-          SELECT ts, user_id,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        x AS (
+          SELECT user_id, epoch_us(ts) AS tus,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts)) AS prev
+          FROM ev),
+        y AS (
+          SELECT user_id, tus,
+                 CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+          FROM x),
+        z AS (
+          SELECT user_id, tus,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY tus
                                 ROWS UNBOUNDED PRECEDING) AS sid
-          FROM o)
-        SELECT user_id, epoch_us(min(ts)) AS start_us,
-               epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+          FROM y)
+        SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+               CAST(max(tus) + 1800000000 AS BIGINT) AS end_us,
                CAST(count(*) AS BIGINT) AS n
-        FROM sgrp GROUP BY user_id, sid ORDER BY user_id, start_us""")),
+        FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""")),
 
     // Streaming exact dedup with bounded state (the op the reference
     // discusses and defers to Silver): duplicates arrive VERBATIM (as the
