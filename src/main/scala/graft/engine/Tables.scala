@@ -25,6 +25,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Drop memoized plans (all, or only those under `dir`). The memoized
+    * DataFrame pins the file listing captured at first load, so a caller
+    * that REWRITES a table directory mid-session must invalidate it here
+    * (or read around Tables) — otherwise the stale listing surfaces as
+    * missing-file errors or stale rows. The driver testdata this serves
+    * is immutable, so the gates never need this.
+    */
+  def invalidate(dir: Option[String] = None): Unit =
+    dir match {
+      case None => cache.clear()
+      case Some(d) => cache.keys.filter(_._2 == d).foreach(cache.remove)
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

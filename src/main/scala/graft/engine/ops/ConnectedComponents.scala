@@ -57,6 +57,11 @@ object ConnectedComponents {
     }
     sym.unpersist()
     e.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — graph diameter exceeds maxIter; " +
+          "raise maxIter or switch to a star-contraction variant")
     labels
   }
 }

@@ -168,6 +168,10 @@ object Ingest extends QueryPack {
         import graft.engine.sinks.{EvolvingTableSink, ParquetAppendSink}
         import graft.engine.stream.StreamProcessor
         val root = Files.createTempDirectory("graft_e2e_")
+        // the returned DataFrame reads the sink lazily, so the tree can
+        // only be reclaimed at JVM exit (each invocation makes one)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.engine.util.Fs.deleteRecursively(root)))
         val in = Files.createDirectories(root.resolve("in"))
         batches.zipWithIndex.foreach { case (b, i) =>
           Files.write(in.resolve(f"batch_$i%03d.json"),

@@ -296,8 +296,11 @@ object Similarity extends QueryPack {
 
     // Banded-LSH embedding near-dup: candidates from a self-equi-join on
     // 2 bands x 4 hyperplanes (collide if EITHER half-signature matches),
-    // exact cosine verify on candidates only. This is the 100 TB shape —
-    // the candidate join shuffles on a 4-bit band key, never all pairs.
+    // exact cosine verify on candidates only. The STRUCTURE (band
+    // equi-join + candidate-restricted verify) is the scale shape; the
+    // 4-bit band width is a recall/cost dial set for this corpus size —
+    // candidates grow as N^2/2^r per band, so a corpus-scale deployment
+    // raises r to 16+ planes per band (same plan, bigger key space).
     // It is deliberately a SEPARATE query from dedup_embed_cosine: at
     // this corpus's 0.4 threshold the qualifying pairs are genuinely
     // low-cosine (measured 0.40-0.51), where random-hyperplane collision

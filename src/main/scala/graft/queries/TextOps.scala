@@ -292,7 +292,10 @@ object TextOps extends QueryPack {
     // Frame sampling through the multimodal seam: every 4th 16-byte
     // frame, integer byte-sum digest (order-free — exact in any build).
     // DuckDB mirrors the block arithmetic with range(start, stop, step)
-    // and ascii(substr(...)) over the same payload bytes.
+    // and ascii(substr(...)) over the same payload bytes. Oracle parity
+    // assumes an ASCII payload (engine walks UTF-8 bytes, oracle walks
+    // characters — identical only when byte==codepoint; holds for the
+    // driver corpus, as multimodal_features already relies on).
     "multimodal_framesample" -> QueryDef(
       (s, d) => {
         import graft.engine.multimodal.Multimodal

@@ -60,9 +60,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // count().over(Window.partitionBy(sh)) would shuffle the whole exploded
     // shingle table into per-shingle partitions — including the hot shingle
     // the cap exists to drop
+    val windowNode = "(?m)^\\(\\d+\\) Window".r
+    // sanity: the detector must actually fire on a plan that HAS a window
+    assert(windowNode.findFirstIn(plan("window_topk_orders")).isDefined,
+      "window detector regex no longer matches formatted explain output")
     for (q <- Seq("dedup_minhash_pairs", "dedup_jaccard_pairs")) {
       val p = plan(q)
-      assert(!p.contains("RunningWindowFunction") && !p.contains("(Window"),
+      assert(windowNode.findFirstIn(p).isEmpty,
         s"$q must cap shingle doc-frequency without a window operator")
       assert(p.contains("LeftAnti"), s"$q must drop hot shingles via anti-join")
     }
