@@ -24,6 +24,24 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-order (Morton-interleaved) file layout: range-partition and sort
+    * the rows by the interleaved bits of two clustering keys before
+    * writing, so parquet min/max column statistics stay NARROW on BOTH
+    * dimensions — scans filtering on either key (or a box on both) prune
+    * most files. This is the multi-dimensional counterpart of plain
+    * sort-by-one-key layout, and the standard answer for 100 TB tables
+    * queried along two axes (e.g. user x time). The z expression is the
+    * oracle-checked Portable.sparkZ integer form (low 16 bits per key).
+    */
+  def writeZOrdered(df: DataFrame, keyA: String, keyB: String, path: String,
+      files: Int = 8): Unit =
+    df.withColumn("_z",
+        expr(graft.queries.Portable.sparkZ(s"($keyA & 65535)", s"($keyB & 65535)")))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Two-phase salted aggregation for skewed grouping keys: spread each
     * hot key over `saltBuckets` partial groups (salt derived
     * deterministically from the row content), aggregate partially, then

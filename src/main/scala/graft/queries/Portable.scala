@@ -29,6 +29,27 @@ object Portable {
   /** SimHash width in bits (fits in a BIGINT with headroom). */
   val SimHashBits = 32
 
+  // ---- Z-order (Morton) interleave -------------------------------------
+
+  /** Bits per dimension interleaved into the z-value. */
+  val ZBits = 16
+
+  /** Morton/Z-order value of two non-negative keys (low ZBits bits each),
+    * as pure integer bit arithmetic — identical in both engines, so the
+    * layout key used for multi-dimensional file clustering is itself
+    * oracle-checkable. Spark uses shiftright/shiftleft functions, DuckDB
+    * the >> << operators.
+    */
+  def sparkZ(a: String, b: String): String =
+    (0 until ZBits).map(i =>
+      s"(shiftleft(shiftright($a, $i) & 1, ${2 * i}) + shiftleft(shiftright($b, $i) & 1, ${2 * i + 1}))")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  def duckZ(a: String, b: String): String =
+    (0 until ZBits).map(i =>
+      s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
   // ---- character-level polynomial hash ---------------------------------
   def sparkChars(e: String): String =
     s"transform(sequence(1, length($e)), i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))"

@@ -342,6 +342,21 @@ object Relational extends QueryPack {
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // The Z-order layout key (Scale.writeZOrdered) verified value-for-
+    // value: Morton interleave of two keys as pure integer bit
+    // arithmetic, identical in both engines — so the clustering key that
+    // drives multi-dimensional file pruning is itself under the gate.
+    "layout_zorder" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .where(col("event_id") < 500)
+        .selectExpr("event_id", "user_id",
+          s"${Portable.sparkZ("(user_id & 65535)", "(event_id & 65535)")} AS z")
+        .orderBy(col("z"), col("event_id")),
+      Some(s"""
+        SELECT event_id, user_id,
+               ${Portable.duckZ("(user_id & 65535)", "(event_id & 65535)")} AS z
+        FROM events WHERE event_id < 500 ORDER BY z, event_id""")),
+
     "distinct_segments" -> QueryDef(
       (s, d) => Tables.customer(s, d).select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment")),

@@ -53,6 +53,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("z-ordered layout narrows per-file ranges on the second dimension too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    // a full 256x256 grid: both dimensions wide enough that per-file
+    // clustering is measurable (the sf0.001 tables have too few distinct
+    // users to show a span difference)
+    val grid = spark.range(65536).selectExpr("id % 256 AS a", "id div 256 AS b")
+    Scale.writeZOrdered(grid, "a", "b", s"$dir/z", files = 16)
+    // single-dimension layout for comparison: range-sorted by b, a left
+    // unclustered
+    grid.repartitionByRange(16, col("b")).sortWithinPartitions(col("b"))
+      .write.parquet(s"$dir/plain")
+    def avgASpan(path: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("a")) - min(col("a"))).as("span"))
+        .agg(avg(col("span"))).collect().head.getDouble(0)
+    val zSpan = avgASpan(s"$dir/z")
+    val plainSpan = avgASpan(s"$dir/plain")
+    // same rows either way
+    assert(spark.read.parquet(s"$dir/z").count() == 65536L)
+    // z-order must cluster `a` while the plain b-sort cannot: parquet
+    // min/max stats on `a` are then selective for a-filtered scans
+    assert(zSpan < plainSpan / 2,
+      s"z-order a-span $zSpan not narrower than plain layout $plainSpan")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, d)
     val got = Scale.saltedSumCount(li, col("l_returnflag"), col("l_orderkey"), 16)
