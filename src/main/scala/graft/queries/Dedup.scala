@@ -317,6 +317,25 @@ object Dedup extends QueryPack {
         FROM jacc WHERE jacc >= $JaccThreshold
         ORDER BY doc_a, doc_b""")),
 
+    // Within-document repetition ratio (the C4/Gopher-style quality
+    // signal: heavily repeated n-grams mark boilerplate/spam): fraction
+    // of duplicate 3-gram shingles per doc, row-local over the same
+    // shingle array the dedup path extracts — scan once, reuse the
+    // signature feature space for a quality feature.
+    "text_repetition" -> QueryDef(
+      (s, d) => shingleArr(s, d)
+        .selectExpr("doc_id",
+          "CAST(size(sh_arr) AS BIGINT) AS n_shingles",
+          "CAST(size(array_distinct(sh_arr)) AS BIGINT) AS n_distinct",
+          s"${Q.scaledLong("1.0 - CAST(size(array_distinct(sh_arr)) AS DOUBLE) / size(sh_arr)", 4)} AS rep_e4")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH $duckBase
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+               ${Q.scaledLong("1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*)", 4)} AS rep_e4
+        FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+
     "dedup_simhash_sig" -> QueryDef(
       (s, d) => simHashSigs(s, d).orderBy(col("doc_id")),
       Some(s"""

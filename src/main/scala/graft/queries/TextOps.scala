@@ -202,6 +202,43 @@ object TextOps extends QueryPack {
         SELECT doc_id, rnk, term, CAST(score_e6 AS BIGINT) AS score_e6
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
 
+    // Composite document filter in the Gopher/C4 style: precedence chain
+    // of cheap quality rules producing a keep/drop REASON per doc (the
+    // same routing shape the ingest Router applies to events, here for
+    // corpus curation). Thresholds sit inside the corpus distribution
+    // (words 10-99, median 56) so every class appears; all rules are
+    // integer/string logic — no float divergence possible.
+    "docs_quality_filter" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS nw",
+          s"CAST(${sparkScore(stopwords)} AS BIGINT) AS stop")
+        .selectExpr("doc_id",
+          """CASE WHEN nw < 20 THEN 'too_short'
+                  WHEN nw > 90 THEN 'too_long'
+                  WHEN stop = 0 THEN 'no_stopwords'
+                  ELSE 'ok' END AS verdict""")
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("verdict")),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        c AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+                 CAST(${duckScore(stopwords)} AS BIGINT) AS stop
+          FROM w),
+        v AS (
+          SELECT doc_id,
+                 CASE WHEN nw < 20 THEN 'too_short'
+                      WHEN nw > 90 THEN 'too_long'
+                      WHEN stop = 0 THEN 'no_stopwords'
+                      ELSE 'ok' END AS verdict
+          FROM c)
+        SELECT verdict, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM v GROUP BY verdict ORDER BY verdict""")),
+
     "text_langid" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .selectExpr(Seq("doc_id", "lang", s"${sparkWords("text")} AS ws"): _*)
