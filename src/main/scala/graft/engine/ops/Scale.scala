@@ -42,6 +42,19 @@ object Scale {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** Deterministic content-sharded export: every row's shard is a pure
+    * function of its content key (hash mod shards), so shard membership
+    * is REPRODUCIBLE across reprocessing runs and independent of input
+    * partitioning — the property a training-data export needs so that
+    * downstream loaders, split manifests, and resumable jobs all agree
+    * on which shard a document lives in. One task writes each shard
+    * (repartition on the shard id), shards land as partition dirs.
+    */
+  def writeContentSharded(df: DataFrame, path: String, shards: Int, keyCol: String): Unit =
+    df.withColumn("_shard", pmod(xxhash64(col(keyCol)), lit(shards)))
+      .repartition(shards, col("_shard"))
+      .write.partitionBy("_shard").mode("overwrite").parquet(path)
+
   /** Two-phase salted aggregation for skewed grouping keys: spread each
     * hot key over `saltBuckets` partial groups (salt derived
     * deterministically from the row content), aggregate partially, then

@@ -79,6 +79,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"z-order a-span $zSpan not narrower than plain layout $plainSpan")
   }
 
+  test("content-sharded export is stable under input repartitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    Scale.writeContentSharded(docs, s"$dir/a", 8, "text")
+    // a reprocessing run with a completely different input layout must
+    // produce the identical shard membership
+    Scale.writeContentSharded(docs.repartition(13), s"$dir/b", 8, "text")
+    def membership(path: String): Set[(Long, Long)] =
+      spark.read.parquet(path).select(col("doc_id"), col("_shard").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = membership(s"$dir/a")
+    assert(a == membership(s"$dir/b"))
+    assert(a.size == docs.count())
+    assert(a.map(_._2).size > 1, "rows must actually spread over shards")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, d)
     val got = Scale.saltedSumCount(li, col("l_returnflag"), col("l_orderkey"), 16)
