@@ -31,6 +31,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q17 keeps its brand filter at the scan with no forced broadcast hint") {
+    val p = plan("q17_small_quantity")
+    assert(p.contains("EqualTo(p_brand,Brand#2)"),
+      "the part filter must be pushed into the parquet scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("string predicate pushdown reaches the scan") {
     val p = plan("filter_like_parts")
     assert(p.contains("StringContains(p_name,widget)"))
