@@ -15,6 +15,7 @@ object SparkEntry {
     TextOps,
     Dedup,
     Similarity,
+    Curate,
     Ingest
   )
 

@@ -65,8 +65,23 @@ object StressCheck {
       println(s"[stress] members=$members clusters=${sizes.getLong(0)} max_cluster=${sizes.getLong(1)}")
       sizes.getLong(0)
     }
-    println(s"[stress] pairs=$pairs clusters=$clusters => " +
-      (if (pairs >= 6000 && clusters >= 1900) "OK" else "UNEXPECTED"))
+    // exactness audit: the unrestricted all-pairs Jaccard baseline (too
+    // expensive to DECLARE — quadratic in co-shingled pairs — but the
+    // ground truth the candidate-restricted production path must match).
+    // Run at sf0.01 full-corpus; any >=threshold pair LSH banding missed
+    // shows up as a nonzero miss count.
+    val missed = t("exact-vs-LSH recall audit (sf0.01)") {
+      val sf = "/root/testdata/sf0.01"
+      val exact = graft.queries.Dedup.jaccardAllPairs(spark, sf)
+        .where("jacc >= 0.5").select(col("doc_a"), col("doc_b"))
+      val lsh = SparkEntry.queries("dedup_minhash_pairs")(spark, sf)
+        .select(col("doc_a"), col("doc_b"))
+      val m = exact.exceptAll(lsh).count()
+      println(s"[stress] exact_pairs=${exact.count()} lsh_missed=$m")
+      m
+    }
+    println(s"[stress] pairs=$pairs clusters=$clusters missed=$missed => " +
+      (if (pairs >= 6000 && clusters >= 1900 && missed == 0) "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
   }

@@ -22,8 +22,26 @@ import scala.collection.concurrent.TrieMap
 object Tables {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Entries memoized for how many sessions (test visibility). */
+  private[graft] def cachedSessionCount: Int = cache.keys.map(_._1).toSet.size
+
+  /** Evict memoized plans whose session is stopped, so a long-lived JVM
+    * running many sessions (a service, the test suite) doesn't pin dead
+    * sessions' plans forever through the cache key. Called on every load;
+    * the scan is O(entries), entries is O(tables x sessions) — trivial.
+    * The predicate is injectable because in local mode every session
+    * shares one SparkContext, so a spec can't literally stop a session
+    * without killing the suite's shared context; TablesSpec injects the
+    * stopped-predicate and asserts the eviction path instead.
+    */
+  private[graft] def evictStopped(
+      stopped: SparkSession => Boolean = _.sparkContext.isStopped): Unit =
+    cache.keys.foreach { k => if (stopped(k._1)) cache.remove(k) }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    evictStopped()
     cache.getOrElseUpdate((spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Drop memoized plans (all, or only those under `dir`). The memoized
     * DataFrame pins the file listing captured at first load, so a caller
@@ -59,7 +77,8 @@ object Tables {
     * at build time, making the session-level semantics explicit instead of
     * a read side effect.
     */
-  def events(s: SparkSession, d: String): DataFrame =
+  def events(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
     cache.getOrElseUpdate((s, d, "events#normalized"), {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$d/events.parquet")
@@ -71,6 +90,7 @@ object Tables {
         case _ => raw
       }
     })
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -21,4 +21,28 @@ object Fs {
     Files.createDirectories(target.getParent)
     Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private val exitPaths = new java.util.concurrent.ConcurrentLinkedQueue[Path]
+  @volatile private var exitHookInstalled = false
+
+  /** Delete `p` recursively at JVM exit. One shared shutdown hook drains
+    * the whole registry, so callers that create a temp tree per invocation
+    * (bench warmup + timed run + verify = three trees in one JVM) accrete
+    * queue entries, not hooks.
+    */
+  def deleteOnExit(p: Path): Unit = {
+    exitPaths.add(p)
+    if (!exitHookInstalled) synchronized {
+      if (!exitHookInstalled) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          var q = exitPaths.poll()
+          while (q != null) {
+            try deleteRecursively(q) catch { case _: Exception => () }
+            q = exitPaths.poll()
+          }
+        }, "graft-fs-delete-on-exit"))
+        exitHookInstalled = true
+      }
+    }
+  }
 }

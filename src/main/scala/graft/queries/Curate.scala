@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** The composed corpus-curation funnel UNDER THE ORACLE GATE — the same
+  * stages CuratePipeline runs as a job, declared as one query emitting
+  * the stage-by-stage integer counts so the driver value-checks the
+  * END-TO-END pipeline, not just its parts:
+  *
+  *   1_total        corpus size
+  *   2_quality      docs surviving the Gopher/C4-style rules
+  *                  (docs_quality_filter's 'ok' class);
+  *   3_dedup        after dropping every non-canonical member of a
+  *                  MinHash-LSH duplicate cluster (dedup_clusters);
+  *   4_split_*      deterministic content-hash train/val/test counts
+  *                  over the surviving docs (split_train_eval's rule).
+  *
+  * Every stage reuses the oracle-checked primitive's exact arithmetic
+  * (TextOps score/stopword exprs, Dedup's cluster-label CTE chain,
+  * Portable.strHash), so the DuckDB re-derivation composes the existing
+  * CTEs rather than re-specifying the semantics.
+  *
+  * Scale shape: quality filtering and splitting are narrow maps over the
+  * document scan; the cluster-drop set arrives via an equi anti-join on
+  * doc_id (no forced broadcast — the dup set is corpus-proportional, AQE
+  * decides); the only iterative piece is the bounded-round connected
+  * components inside dedup_clusters.
+  */
+object Curate extends QueryPack {
+  import Portable._
+
+  def defs: Map[String, QueryDef] = Map(
+    "curate_funnel" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val qual = docs
+          .selectExpr("doc_id", "text", s"${sparkWords("lower(text)")} AS ws")
+          .where(s"size(ws) >= 20 AND size(ws) <= 90 AND ${TextOps.sparkScore(TextOps.stopwords)} > 0")
+          .select(col("doc_id"), col("text"))
+        val labels = Dedup.defs("dedup_clusters").build(s, d)
+        val drops = labels.where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        val dd = qual.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+        val splits = dd
+          .selectExpr(
+            s"""CASE WHEN ${sparkStrHash("text")} % 10 < 8 THEN 'train'
+                     WHEN ${sparkStrHash("text")} % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split""")
+          .groupBy(col("split")).agg(count(lit(1)).as("n"))
+          .select(concat(lit("4_split_"), col("split")).as("stage"), col("n"))
+        docs.agg(count(lit(1)).as("n"))
+          .select(lit("1_total").as("stage"), col("n"))
+          .unionByName(qual.agg(count(lit(1)).as("n"))
+            .select(lit("2_quality").as("stage"), col("n")))
+          .unionByName(dd.agg(count(lit(1)).as("n"))
+            .select(lit("3_dedup").as("stage"), col("n")))
+          .unionByName(splits)
+          .orderBy(col("stage"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.duckBase}, ${Dedup.duckSig}, ${Dedup.duckBands},
+        ${Dedup.duckJacc}, ${Dedup.duckCand}, ${Dedup.duckClusterLabels},
+        qual AS (
+          SELECT doc_id, text
+          FROM (SELECT doc_id, text, ${duckWords("lower(text)")} AS ws FROM documents) t
+          WHERE len(ws) >= 20 AND len(ws) <= 90 AND ${TextOps.duckScore(TextOps.stopwords)} > 0),
+        drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+        dd AS (
+          SELECT doc_id, text FROM qual
+          WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        sp AS (
+          SELECT CASE WHEN ${duckStrHash("text")} % 10 < 8 THEN 'train'
+                      WHEN ${duckStrHash("text")} % 10 < 9 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM dd)
+        SELECT stage, n FROM (
+          SELECT '1_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+          UNION ALL
+          SELECT '2_quality', CAST(count(*) AS BIGINT) FROM qual
+          UNION ALL
+          SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM dd
+          UNION ALL
+          SELECT '4_split_' || split, CAST(count(*) AS BIGINT) FROM sp GROUP BY split
+        ) u ORDER BY stage"""))
+  )
+}

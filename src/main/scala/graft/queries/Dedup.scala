@@ -38,6 +38,12 @@ object Dedup extends QueryPack {
 
   private val JaccThreshold = "0.5"
 
+  /** Every 16th doc_id lands in the exact-Jaccard audit stratum of
+    * dedup_jaccard_pairs (~1/256 of all pairs). Deterministic — the same
+    * documents audit on every run and in the oracle.
+    */
+  private val ExactStratumMod = 16
+
   // ---- Spark-side shared subplans --------------------------------------
 
   /** (doc_id, sh_arr): per-document word-3-gram shingle hash ARRAY,
@@ -120,10 +126,14 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("sh"))
   }
 
-  private def jaccardFrom(shdRaw: DataFrame): DataFrame = {
-    // persist AFTER the frequency cap: the capped frame feeds three scans
-    // and the windowed doc-frequency count must not recompute per scan
-    val shd = cappedShingles(shdRaw).persist()
+  /** All-pairs exact Jaccard over an already-capped (and persisted —
+    * it feeds three scans) distinct-shingle frame. Quadratic in the
+    * co-shingled pairs of its INPUT, so callers must bound that input:
+    * the declared query feeds it a deterministic 1/16 document stratum;
+    * only StressCheck runs it unrestricted (as the exactness baseline
+    * the candidate-restricted production path is measured against).
+    */
+  private def jaccardOver(shd: DataFrame): DataFrame = {
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shd.toDF("doc_a", "sh")
       .join(shd.toDF("doc_b", "sh2"), col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
@@ -133,6 +143,13 @@ object Dedup extends QueryPack {
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jacc", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
   }
+
+  /** Unrestricted exact-Jaccard baseline (quadratic in co-shingled
+    * pairs). NOT a declared query — StressCheck exercises it as the
+    * ground truth the candidate-restricted path is compared against.
+    */
+  private[graft] def jaccardAllPairs(s: SparkSession, d: String): DataFrame =
+    jaccardOver(cappedShingles(shingleRows(s, d).distinct()).persist())
 
   /** SimHash over SHINGLE hashes, not word hashes: the corpus vocabulary
     * is tiny (~30 words), so word-presence simhashes collide corpus-wide
@@ -159,14 +176,22 @@ object Dedup extends QueryPack {
     * candidate set (measured 150s -> seconds at a 50k-doc
     * 10x-duplicate stress corpus).
     */
-  private def minHashDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def minHashDupPairs(s: SparkSession, d: String): DataFrame =
+    minHashDupPairsOver(s, d, cappedShingles(shingleRows(s, d).distinct()).persist())
+
+  /** As minHashDupPairs, but over a caller-supplied capped+persisted
+    * distinct-shingle frame, so a query that needs BOTH the LSH pairs and
+    * another view of the shingle feature space (dedup_jaccard_pairs'
+    * audit stratum) materializes the shingle pipeline once, not twice.
+    */
+  private def minHashDupPairsOver(
+      s: SparkSession, d: String, shd: DataFrame): DataFrame = {
     val bands = minHashBandsFrom(minHashSig(s, d)).persist()
     val cand = bands.toDF("doc_a", "band", "key")
       .join(bands.toDF("doc_b", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") &&
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val interCounted = cand
       .join(shd.toDF("doc_a", "sh"), "doc_a")
@@ -182,7 +207,7 @@ object Dedup extends QueryPack {
 
   // ---- DuckDB oracle shared CTEs ---------------------------------------
 
-  private val duckBase: String = s"""
+  private[queries] val duckBase: String = s"""
     words AS (
       SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
       FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents) t
@@ -200,13 +225,13 @@ object Dedup extends QueryPack {
         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shd_raw) t
       WHERE df <= $MaxShingleDocFreq)"""
 
-  private val duckSig: String = {
+  private[queries] val duckSig: String = {
     val mins = (0 until MinHashK)
       .map(i => s"min((${minHashA(i)} * sh + ${minHashB(i)}) % $P) AS s$i").mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
   }
 
-  private val duckBands: String = {
+  private[queries] val duckBands: String = {
     val selects = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}")
       s"SELECT doc_id, $b AS band, ${bandKeyExpr(cols)} AS key FROM sig"
@@ -214,13 +239,36 @@ object Dedup extends QueryPack {
     s"bands AS (${selects.mkString(" UNION ALL ")})"
   }
 
-  private val duckCand: String = """
+  private[queries] val duckCand: String = """
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
-  private val duckJacc: String = s"""
+  /** Transitive-closure cluster labels over the verified dup pairs —
+    * requires WITH RECURSIVE plus $duckBase/$duckSig/$duckBands/$duckJacc/
+    * $duckCand in front; exposes `labels(doc_id, cluster_id)`. Shared by
+    * dedup_clusters and the composed curate_funnel oracle.
+    */
+  private[queries] val duckClusterLabels: String = s"""
+    dup AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jacc >= $JaccThreshold),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM dup),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    labels AS (
+      SELECT v AS doc_id, least(v, min(b)) AS cluster_id
+      FROM verts JOIN reach ON reach.a = v GROUP BY v)"""
+
+  private[queries] val duckJacc: String = s"""
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
@@ -287,35 +335,46 @@ object Dedup extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH RECURSIVE $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
-        dup AS (
-          SELECT c.doc_a, c.doc_b
-          FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-          WHERE j.jacc >= $JaccThreshold),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM dup
-          UNION
-          SELECT doc_b AS a, doc_a AS b FROM dup),
-        reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        verts AS (SELECT DISTINCT a AS v FROM edges)
-        SELECT CAST(v AS BIGINT) AS doc_id,
-               CAST(least(v, min(b)) AS BIGINT) AS cluster_id
-        FROM verts JOIN reach ON reach.a = v
-        GROUP BY v ORDER BY doc_id""")),
+        WITH RECURSIVE $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand, $duckClusterLabels
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id
+        FROM labels ORDER BY doc_id""")),
 
+    // Exact n-gram Jaccard with a BOUNDED worst case: the declared result
+    // is the LSH-candidate-verified pairs UNION an exact all-pairs pass
+    // over a deterministic 1/16 document stratum. The stratum is the
+    // exactness audit — any >=threshold pair inside it that LSH banding
+    // missed would surface here as a row the candidate branch lacks —
+    // while the full-corpus branch stays candidate-restricted, so no
+    // declared query is quadratic in co-shingled pairs any more (the
+    // unrestricted baseline lives on as jaccardAllPairs, exercised by
+    // StressCheck). At larger corpora the modulus scales with corpus
+    // size to keep the audit a fixed budget. Both branches compute
+    // jacc with identical arithmetic over the same capped feature
+    // space, so the UNION dedups exactly.
     "dedup_jaccard_pairs" -> QueryDef(
-      (s, d) => jaccardFrom(shingleRows(s, d).distinct())
-        .where(s"jacc >= $JaccThreshold")
-        .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
-        .orderBy(col("doc_a"), col("doc_b")),
+      (s, d) => {
+        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
+        val lsh = minHashDupPairsOver(s, d, shd)
+          .select(col("doc_a"), col("doc_b"), col("jacc"))
+        val exact = jaccardOver(shd.where(s"doc_id % $ExactStratumMod = 0"))
+          .where(s"jacc >= $JaccThreshold")
+          .select(col("doc_a"), col("doc_b"), col("jacc"))
+        lsh.unionByName(exact).distinct()
+          .selectExpr("doc_a", "doc_b", "round(jacc, 4) AS jacc")
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
       Some(s"""
-        WITH $duckBase, $duckJacc
-        SELECT doc_a, doc_b, round(jacc, 4) AS jacc
-        FROM jacc WHERE jacc >= $JaccThreshold
-        ORDER BY doc_a, doc_b""")),
+        WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand
+        SELECT doc_a, doc_b, round(jacc, 4) AS jacc FROM (
+          SELECT j.doc_a, j.doc_b, j.jacc
+          FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jacc >= $JaccThreshold
+          UNION
+          SELECT doc_a, doc_b, jacc FROM jacc
+          WHERE jacc >= $JaccThreshold
+            AND doc_a % $ExactStratumMod = 0 AND doc_b % $ExactStratumMod = 0
+        ) u ORDER BY doc_a, doc_b""")),
 
     // Within-document repetition ratio (the C4/Gopher-style quality
     // signal: heavily repeated n-grams mark boilerplate/spam): fraction

@@ -109,17 +109,19 @@ object Ingest extends QueryPack {
         END AS reason
       FROM recs)"""
 
-  /** Run `f` with a reduced shuffle-partition setting, restored after.
+  /** Run `f` with a single shuffle/state partition, restored after.
     * A streaming query captures the state-store partition count at START
-    * from this conf; the literal-input roundtrip streams carry a handful
-    * of rows, so the analytic default (one partition per core) only adds
-    * empty state tasks per micro-batch. A production stream sizes this to
-    * the cluster instead.
+    * from this conf; the literal-input roundtrip streams carry <=8 rows,
+    * and state-store provider setup per partition per micro-batch is the
+    * dominant cost of these queries — under a loaded driver the empty
+    * extra partitions triple the measured time. One partition carries the
+    * whole literal input; a production stream sizes this to the cluster
+    * instead.
     */
   private def withStreamingPartitions[A](s: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "4")
+    s.conf.set(key, "1")
     try f finally s.conf.set(key, prev)
   }
 
@@ -169,9 +171,9 @@ object Ingest extends QueryPack {
         import graft.engine.stream.StreamProcessor
         val root = Files.createTempDirectory("graft_e2e_")
         // the returned DataFrame reads the sink lazily, so the tree can
-        // only be reclaimed at JVM exit (each invocation makes one)
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          graft.engine.util.Fs.deleteRecursively(root)))
+        // only be reclaimed at JVM exit (each invocation makes one; the
+        // shared registry keeps it to one hook for all of them)
+        graft.engine.util.Fs.deleteOnExit(root)
         val in = Files.createDirectories(root.resolve("in"))
         batches.zipWithIndex.foreach { case (b, i) =>
           Files.write(in.resolve(f"batch_$i%03d.json"),

@@ -319,6 +319,26 @@ object Relational extends QueryPack {
         FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus"""
       }),
 
+    // The 100 TB percentile path the exact-median comment promises: a
+    // single-pass mergeable KLL/GK-style sketch (approx_percentile)
+    // instead of the per-group sort+row_number the exact query pays.
+    // Sketch internals are implementation-specific, so no value oracle —
+    // rows-only, like agg_approx_distinct; the exact twin above stays the
+    // value-checked query. Bench-wise this must beat agg_median_orders
+    // (no window, no sort — one partial+final aggregation).
+    "agg_approx_percentile" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr(Q.scaledLong("approx_percentile(o_totalprice, 0.5, 10000)", 2))
+              .as("approx_median_cents"),
+            expr(Q.scaledLong("approx_percentile(o_totalprice, 0.9, 10000)", 2))
+              .as("approx_p90_cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      None),
+
     // Skew-safe two-phase aggregation UNDER THE ORACLE GATE: events has
     // only a handful of event_type values (each key is a hot key), so the
     // salted path (Scale.saltedSumCount: spread each key over 16 partial
@@ -401,7 +421,10 @@ object Relational extends QueryPack {
         val supp = Tables.supplier(s, d)
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supp),
+          // no forced hint on supplier: it is SF-proportional (10k rows/SF),
+          // the same class as the customer/part hints removed earlier. AQE
+          // still broadcasts it while it fits its runtime size estimate.
+          .join(supp,
             col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -480,6 +503,40 @@ object Relational extends QueryPack {
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         ORDER BY c_custkey""")),
+
+    // FULL OUTER join with both null sides exercised: BUILDING customers
+    // vs high-value orders on custkey — customer-only rows are BUILDING
+    // customers with no big order, order-only rows are big orders from
+    // non-BUILDING customers. Aggregated per side so the result is
+    // compact and the null-marker logic (not raw row explosion) is what
+    // the oracle checks. Full outer cannot broadcast either side — it
+    // plans as a shuffle join on the equi-key, which is the right 100 TB
+    // shape.
+    "join_full_outer" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        cust.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            when(col("c_custkey").isNull, lit("order_only"))
+              .when(col("o_orderkey").isNull, lit("customer_only"))
+              .otherwise(lit("both")).as("side"),
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+          .groupBy(col("side"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("custkey")).as("n_keys"))
+          .orderBy(col("side"))
+      },
+      Some("""
+        SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                    WHEN o_orderkey IS NULL THEN 'customer_only'
+                    ELSE 'both' END AS side,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT coalesce(c_custkey, o_custkey)) AS BIGINT) AS n_keys
+        FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+          ON c_custkey = o_custkey
+        GROUP BY 1 ORDER BY 1""")),
 
     // ---- sorts / top-k --------------------------------------------------
     "sort_topk_lineitems" -> QueryDef(

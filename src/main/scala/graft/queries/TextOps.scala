@@ -34,7 +34,7 @@ object TextOps extends QueryPack {
     "fr" -> Seq("filter", "sort", "order"),
     "zh" -> Seq("scan", "hash", "stream"))
 
-  private val stopwords = Seq("the", "a", "or", "and")
+  private[queries] val stopwords = Seq("the", "a", "or", "and")
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -45,8 +45,8 @@ object TextOps extends QueryPack {
   private def scoreExpr(words: Seq[String], sizeFn: String, filterFn: String): String =
     s"CAST($sizeFn($filterFn(ws, w -> w IN ${inList(words)})) AS BIGINT)"
 
-  private def sparkScore(words: Seq[String]) = scoreExpr(words, "size", "filter")
-  private def duckScore(words: Seq[String]) = scoreExpr(words, "len", "list_filter")
+  private[queries] def sparkScore(words: Seq[String]): String = scoreExpr(words, "size", "filter")
+  private[queries] def duckScore(words: Seq[String]): String = scoreExpr(words, "len", "list_filter")
 
   /** argmax over profile scores with fixed priority order (first wins
     * ties) — a CASE chain valid in both dialects over columns s_en...

@@ -16,6 +16,7 @@ class ContractSpec extends AnyFunSuite {
     "TextOps" -> queries.TextOps.defs,
     "Dedup" -> queries.Dedup.defs,
     "Similarity" -> queries.Similarity.defs,
+    "Curate" -> queries.Curate.defs,
     "Ingest" -> queries.Ingest.defs)
 
   test("query names are globally unique across packs") {

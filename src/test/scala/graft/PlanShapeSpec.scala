@@ -31,6 +31,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q5 forces broadcast only on bounded dims (region, nation)") {
+    // customer/part/supplier grow linearly with SF — a forced hint on any
+    // of them becomes an executor OOM at the 100x design point. region and
+    // nation are spec-bounded (5 / 25 rows), so exactly those two hints may
+    // appear in the logical plan; everything else must be left to AQE's
+    // runtime size estimate (which still broadcasts them at test scale, as
+    // the BroadcastHashJoin assert above shows).
+    val analyzed = SparkEntry.queries("q5_region_volume")(spark, d)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints == 2,
+      s"expected broadcast hints on region+nation only, found $hints:\n$analyzed")
+  }
+
   test("q17 keeps its brand filter at the scan with no forced broadcast hint") {
     val p = plan("q17_small_quantity")
     assert(p.contains("EqualTo(p_brand,Brand#2)"),
