@@ -55,6 +55,31 @@ object WindowedAggs {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with event-time range correlation (the
+    * ad-attribution shape): each impression joins the clicks on the same
+    * ad within [imp_ts, imp_ts + followWindow]. Watermarks on BOTH sides
+    * plus the time-range predicate bound the join state — impressions
+    * older than the click watermark minus the follow window (and vice
+    * versa) are evicted, so state never grows with stream length. Inner
+    * join emits matches as soon as both rows are present (no watermark
+    * wait), which keeps the roundtrip deterministic per micro-batch set.
+    */
+  def adAttribution(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      followWindow: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val i = impressions.withWatermark("ts", watermark)
+      .select(col("ad_id"), col("ts").as("imp_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("ad_id").as("click_ad_id"), col("ts").as("click_ts"))
+    i.join(c,
+      expr(s"""ad_id = click_ad_id AND
+               click_ts >= imp_ts AND
+               click_ts <= imp_ts + INTERVAL $followWindow"""))
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * event counter emitting an update row per input batch.
     */

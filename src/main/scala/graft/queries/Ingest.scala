@@ -84,6 +84,26 @@ object Ingest extends QueryPack {
     ("2024-01-01 03:20:00", "click"),
     ("2024-01-01 03:21:00", "click"))
 
+  /** Ad-attribution fixtures for the stream-stream join roundtrip:
+    * impressions and clicks per ad id. Shapes exercised: a click inside
+    * the follow window (match), a click after it (no match), a click with
+    * no impression, an impression with no click, two impressions matching
+    * one click, and a cross-micro-batch match (click arrives a batch
+    * after its impression).
+    */
+  private val impEvents: Seq[(String, Long)] = Seq(
+    ("2024-01-01 00:00:00", 1L),
+    ("2024-01-01 00:30:00", 1L), // second impression also catches ad 1's click
+    ("2024-01-01 00:05:00", 2L), // click arrives 3 hours later -> outside window
+    ("2024-01-01 00:10:00", 3L), // impression with no click
+    ("2024-01-01 01:00:00", 4L)) // matched by a click in the NEXT micro-batch
+
+  private val clickEvents: Seq[(String, Long)] = Seq(
+    ("2024-01-01 00:40:00", 1L), // inside both ad-1 impressions' windows
+    ("2024-01-01 03:05:00", 2L), // outside ad 2's follow window
+    ("2024-01-01 00:20:00", 9L), // click with no impression
+    ("2024-01-01 01:45:00", 4L)) // cross-batch match for ad 4
+
   /** DuckDB reimplementation of parse+route classification. */
   private val duckClassified: String = s"""
     raw(value) AS (VALUES $duckValues),
@@ -355,6 +375,53 @@ object Ingest extends QueryPack {
           .map { case (t, id) => s"(TIMESTAMP '$t', CAST($id AS BIGINT))" }.mkString(", ")})
         SELECT DISTINCT event_id, epoch_us(ts) AS ts_us
         FROM ev ORDER BY event_id""")),
+
+    // Stream-stream inner join through the real streaming runtime (the
+    // one Structured Streaming join family the surface lacked): two
+    // MemoryStreams, watermarks on both sides, event-time range
+    // correlation (click within 1h of its impression). Delivered across
+    // two micro-batches so the cross-batch match (ad 4) proves buffered
+    // join state survives between triggers. DuckDB re-derives the same
+    // pairs from the literal rows with a plain range join.
+    "stream_join_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val imps = MemoryStream[(String, Long)]
+        val clicks = MemoryStream[(String, Long)]
+        def src(m: MemoryStream[(String, Long)]) = m.toDF().toDF("ts_s", "ad_id")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val joined = graft.engine.stream.WindowedAggs
+          .adAttribution(src(imps), src(clicks))
+        val qn = s"join_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = joined.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            imps.addData(impEvents)        // all impressions up front
+            clicks.addData(clickEvents.take(3))
+            q.processAllAvailable()
+            clicks.addData(clickEvents.drop(3)) // ad 4's click, next batch
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(qn)
+          .select(col("ad_id"), Q.epochUs(col("imp_ts")).as("imp_us"),
+            Q.epochUs(col("click_ts")).as("click_us"))
+          .orderBy(col("ad_id"), col("imp_us"), col("click_us"))
+      },
+      Some(s"""
+        WITH imp(ts, ad_id) AS (VALUES ${impEvents
+          .map { case (t, a) => s"(TIMESTAMP '$t', CAST($a AS BIGINT))" }.mkString(", ")}),
+        clk(ts, ad_id) AS (VALUES ${clickEvents
+          .map { case (t, a) => s"(TIMESTAMP '$t', CAST($a AS BIGINT))" }.mkString(", ")})
+        SELECT i.ad_id AS ad_id, epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+        FROM imp i JOIN clk c
+          ON i.ad_id = c.ad_id
+         AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
+        ORDER BY i.ad_id, imp_us, click_us""")),
 
     // Custom keyed state (flatMapGroupsWithState): per-user running event
     // counter emitting one row per (user, micro-batch). The batch split

@@ -230,6 +230,62 @@ object Relational extends QueryPack {
         FROM orders WHERE o_custkey < 100
         ORDER BY o_orderkey""")),
 
+    // Rank-distribution window functions (rank / percent_rank /
+    // cume_dist) on a deterministic ~1% orderkey stratum. The two
+    // distribution ratios are exact rationals ((rank-1)/(n-1), rank'/n)
+    // computed by one correctly-rounded IEEE division in both engines, and
+    // leave as scaled BIGINTs per the derived-double policy.
+    "window_rank_dist" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+        Tables.orders(s, d)
+          .where(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .selectExpr("o_orderstatus", "o_orderkey", "CAST(rnk AS BIGINT) AS rnk",
+            s"${Q.scaledLong("pr", 6)} AS pr_e6",
+            s"${Q.scaledLong("cd", 6)} AS cd_e6")
+          .orderBy(col("o_orderstatus"), col("rnk"), col("o_orderkey"))
+      },
+      Some(s"""
+        SELECT o_orderstatus, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               ${Q.scaledLong("percent_rank() OVER w", 6)} AS pr_e6,
+               ${Q.scaledLong("cume_dist() OVER w", 6)} AS cd_e6
+        FROM orders WHERE o_orderkey % 97 = 0
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+        ORDER BY o_orderstatus, rnk, o_orderkey""")),
+
+    // Wide-to-long reshape (unpivot/melt): the three per-lineitem charge
+    // columns become (charge, value) rows — the inverse of
+    // pivot_user_events. Values scale to integer cents PER ROW before the
+    // sum so the re-aggregation is exact integer arithmetic in both
+    // engines (a double sum would expose fold-order noise).
+    "unpivot_charges" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey")),
+            Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "charge", "value")
+          .groupBy(col("charge"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr(Q.scaledLong("value", 2))).as("sum_cents"))
+          .orderBy(col("charge"))
+      },
+      Some(s"""
+        SELECT charge, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${Q.scaledLong("value", 2)}) AS BIGINT) AS sum_cents
+        FROM (
+          SELECT unnest(['l_extendedprice', 'l_discount', 'l_tax']) AS charge,
+                 unnest([l_extendedprice, l_discount, l_tax]) AS value
+          FROM lineitem) t
+        GROUP BY charge ORDER BY charge""")),
+
     "agg_cube_events" -> QueryDef(
       (s, d) => {
         Tables.events(s, d)

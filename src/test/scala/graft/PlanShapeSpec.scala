@@ -52,6 +52,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("full-outer join plans as a shuffled equi-join, not nested-loop") {
+    // FullOuter cannot use BroadcastHashJoin; the right 100 TB shape is a
+    // key-partitioned join (sort-merge or shuffled-hash), never a
+    // nested-loop/cartesian fallback
+    val p = plan("join_full_outer")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("string predicate pushdown reaches the scan") {
     val p = plan("filter_like_parts")
     assert(p.contains("StringContains(p_name,widget)"))
