@@ -16,6 +16,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     Curate,
+    SourceFormats,
     Ingest
   )
 

@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** Source-format round-trips UNDER THE ORACLE GATE: the engine writes a
+  * projection of a driver table in the format under test, reads it back
+  * through the corresponding source (explicit schema — at 100 TB schema
+  * inference is an extra full pass over the data), and aggregates; DuckDB
+  * derives the same aggregate straight from the original parquet. A
+  * value-exact match proves the full write→read→compute path preserves
+  * types and values, not merely that the reader doesn't throw.
+  *
+  * This widens SURVEY §2.1 beyond the reference's text+parquet pair
+  * (reference: src/consumer/data_sources.py:9-50, data_sinks.py) to the
+  * other two formats a batch backfill actually encounters: CSV and
+  * JSON-lines.
+  *
+  * Scale notes: both round-trips shard the write across the input
+  * partitions (no coalesce), the read projects only the aggregated
+  * columns, and the aggregate itself is a map-side-partial groupBy on a
+  * 3-value key. Temp trees go through the shared Fs.deleteOnExit
+  * registry.
+  */
+object SourceFormats extends QueryPack {
+
+  private val charges = Seq("l_orderkey", "l_quantity", "l_returnflag")
+
+  private val csvSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_returnflag", StringType)))
+
+  /** groupBy returnflag: count + exact integer sum of quantity*100. */
+  private def chargeAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(Q.scaledLong("l_quantity", 2))).as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+
+  private val chargeOracle = s"""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(${Q.scaledLong("l_quantity", 2)}) AS BIGINT) AS qty_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  def defs: Map[String, QueryDef] = Map(
+    "source_csv_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_csv_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        Tables.lineitem(s, d).select(charges.map(col): _*)
+          .write.mode("overwrite").option("header", "true")
+          .csv(out.toString)
+        chargeAgg(s.read.schema(csvSchema).option("header", "true")
+          .csv(out.toString))
+      },
+      Some(chargeOracle)),
+
+    "source_jsonl_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_jsonl_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        Tables.lineitem(s, d).select(charges.map(col): _*)
+          .write.mode("overwrite").json(out.toString)
+        chargeAgg(s.read.schema(csvSchema).json(out.toString))
+      },
+      Some(chargeOracle)),
+
+    // Sketch-mergeable distinct counting — the 100 TB cardinality shape:
+    // each shard builds a DataSketches HLL sketch locally, the driver-side
+    // union merges 8 fixed-size binary sketches instead of shuffling the
+    // key space (how a 1000-executor distinct-count actually runs: sketch
+    // per partition, union the sketches). Estimates are
+    // implementation-specific, so rows-only — but the exact distinct count
+    // rides along and the spec asserts the estimate lands within HLL error
+    // of it.
+    "agg_hll_shards" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(expr("l_orderkey % 8").as("shard"))
+          .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+          .agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+              .cast("long").as("approx_parts"))
+          .crossJoin(broadcast(
+            Tables.lineitem(s, d)
+              .agg(countDistinct(col("l_partkey")).as("exact_parts"))))
+      },
+      None)
+  )
+}

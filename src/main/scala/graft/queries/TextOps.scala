@@ -90,6 +90,23 @@ object TextOps extends QueryPack {
                CAST(len(list_distinct(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT) AS n_unique
         FROM documents ORDER BY doc_id""")),
 
+    // Ordinal-position generator (posexplode): §2.4's indexed variant of
+    // explode — the row index survives the flattening, which explode
+    // alone loses. DuckDB mirrors with generate_subscripts (1-based).
+    "gen_posexplode_words" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .where(col("doc_id") < 5)
+        .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "term")))
+        .selectExpr("doc_id", "CAST(pos AS BIGINT) AS pos", "term")
+        .orderBy(col("doc_id"), col("pos")),
+      Some(s"""
+        SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
+               unnest(ws) AS term
+        FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws
+              FROM documents WHERE doc_id < 5) t
+        ORDER BY doc_id, pos""")),
+
     "text_top_terms" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .selectExpr(s"${sparkWords("text")} AS ws")

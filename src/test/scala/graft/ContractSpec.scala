@@ -17,6 +17,7 @@ class ContractSpec extends AnyFunSuite {
     "Dedup" -> queries.Dedup.defs,
     "Similarity" -> queries.Similarity.defs,
     "Curate" -> queries.Curate.defs,
+    "SourceFormats" -> queries.SourceFormats.defs,
     "Ingest" -> queries.Ingest.defs)
 
   test("query names are globally unique across packs") {
