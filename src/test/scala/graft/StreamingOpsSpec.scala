@@ -112,6 +112,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows.contains((1L, 3L))) // state carried into batch 2
   }
 
+  test("stream-stream join evicts impression state past the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    def src(m: MemoryStream[(Timestamp, Long)]) = m.toDF().toDF("ts", "ad_id")
+    val q = WindowedAggs.adAttribution(src(imps), src(clicks),
+        followWindow = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      imps.addData((ts("2024-01-01 00:00:00"), 1L))
+      q.processAllAvailable()
+      // advance BOTH watermarks 10h past ad 1's impression: its buffered
+      // state (useful only for clicks <= imp_ts + 1h) is evicted
+      imps.addData((ts("2024-01-01 10:00:00"), 2L))
+      clicks.addData((ts("2024-01-01 10:00:30"), 2L))
+      q.processAllAvailable()
+      // in-range click for ad 1, arriving after eviction: must NOT match
+      clicks.addData((ts("2024-01-01 00:30:00"), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(2L),
+        s"evicted impression must not re-match; got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("CentroidAggregator matches built-in per-dimension averages") {
     import spark.implicits._
     val e = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
