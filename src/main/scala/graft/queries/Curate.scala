@@ -35,20 +35,24 @@ object Curate extends QueryPack {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
+        // split is a pure row-local function of text, so compute it BEFORE
+        // the anti-join: the dedup-drop shuffle then carries (doc_id,
+        // split) — a long and a 5-char tag — instead of full document
+        // text. At 100 TB that is the difference between shuffling the
+        // corpus and shuffling an id list.
         val qual = docs
           .selectExpr("doc_id", "text", s"${sparkWords("lower(text)")} AS ws")
           .where(s"size(ws) >= 20 AND size(ws) <= 90 AND ${TextOps.sparkScore(TextOps.stopwords)} > 0")
-          .select(col("doc_id"), col("text"))
+          .selectExpr("doc_id",
+            s"""CASE WHEN ${sparkStrHash("text")} % 10 < 8 THEN 'train'
+                     WHEN ${sparkStrHash("text")} % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split""")
         val labels = Dedup.defs("dedup_clusters").build(s, d)
         val drops = labels.where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"))
         val dd = qual.join(drops, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text"))
+          .select(col("doc_id"), col("split"))
         val splits = dd
-          .selectExpr(
-            s"""CASE WHEN ${sparkStrHash("text")} % 10 < 8 THEN 'train'
-                     WHEN ${sparkStrHash("text")} % 10 < 9 THEN 'val'
-                     ELSE 'test' END AS split""")
           .groupBy(col("split")).agg(count(lit(1)).as("n"))
           .select(concat(lit("4_split_"), col("split")).as("stage"), col("n"))
         docs.agg(count(lit(1)).as("n"))

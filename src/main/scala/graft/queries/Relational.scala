@@ -594,6 +594,32 @@ object Relational extends QueryPack {
           ON c_custkey = o_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    // DataFrameNaFunctions surface (na.fill) over join-produced NULLs:
+    // customers without a qualifying order get (0.0, 'none') defaults
+    // before re-aggregation — the standard post-outer-join cleanup step.
+    // Fill-then-scale keeps the sum exact integer arithmetic.
+    "clean_na_fill" -> QueryDef(
+      (s, d) => {
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        Tables.customer(s, d)
+          .join(big, col("c_custkey") === col("o_custkey"), "left")
+          .na.fill(Map("o_totalprice" -> 0.0, "o_orderstatus" -> "none"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr(Q.scaledLong("o_totalprice", 2))).as("spend_cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""
+        SELECT coalesce(o_orderstatus, 'none') AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${Q.scaledLong("coalesce(o_totalprice, 0.0)", 2)}) AS BIGINT) AS spend_cents
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_totalprice > 400000.0) o
+          ON c_custkey = o_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- sorts / top-k --------------------------------------------------
     "sort_topk_lineitems" -> QueryDef(
       (s, d) => {

@@ -109,6 +109,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"row-local graft_simhash must not shuffle, found $exchanges exchanges:\n$p")
   }
 
+  test("curate funnel: no cartesian, and the dedup anti-join carries ids not text") {
+    val p = plan("curate_funnel")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), "cluster drops must apply via anti-join")
+    // the split tag is computed BEFORE the anti-join, so no Exchange row
+    // carries the text column (shuffling the corpus vs shuffling ids).
+    // Formatted explain lists shuffle rows as "(N) Exchange\nInput [..]"
+    // in the details section.
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+    // positive control: the detector must see text# where a shuffle DOES
+    // carry it (dedup_exact groups by the text column itself)
+    assert(exchangeInputs.findAllMatchIn(plan("dedup_exact"))
+        .exists(_.group(1).contains("text#")),
+      "exchange-input detector no longer matches formatted explain output")
+    val ins = exchangeInputs.findAllMatchIn(p).map(_.group(1)).toList
+    assert(ins.nonEmpty && !ins.exists(_.contains("text#")),
+      s"no shuffle may carry document text:\n${ins.mkString("\n")}")
+  }
+
   test("tf-idf joins tf to df on term — no cartesian beyond the 1-row N broadcast") {
     val p = plan("text_tfidf_terms")
     assert(!p.contains("CartesianProduct"))
