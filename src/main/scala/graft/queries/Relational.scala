@@ -594,6 +594,45 @@ object Relational extends QueryPack {
           ON c_custkey = o_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    // Typed Dataset surface (KeyValueGroupedDataset.mapGroups — the batch
+    // twin of the streaming flatMapGroupsWithState op): per-customer max
+    // inter-order gap, computed in typed Scala over case-class-encoded
+    // rows. Deliberately object-path (like CentroidAggregator) — the
+    // reserved §2.11 surface for logic genuinely awkward as expressions;
+    // timestamps enter as epoch-micros longs so the arithmetic is exact
+    // integers on both engines. Partitioning story: groupByKey shuffles
+    // once on the key, each group folds locally — same shape as a SQL
+    // aggregate, minus codegen (measured cost, documented trade).
+    "typed_order_gaps" -> QueryDef(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        Tables.orders(s, d)
+          .selectExpr("o_custkey",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS us")
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (cust, rows) =>
+            val ts = rows.map(_._2).toArray.sorted
+            val maxGap = if (ts.length < 2) 0L
+              else ts.sliding(2).map { case Array(a, b) => b - a }.max
+            (cust, ts.length.toLong, maxGap)
+          }
+          .toDF("o_custkey", "n_orders", "max_gap_us")
+          .where(col("n_orders") >= 2)
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT o_custkey, epoch_us(o_orderdate) AS us,
+                 epoch_us(o_orderdate) - lag(epoch_us(o_orderdate))
+                   OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)) AS gap
+          FROM orders)
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY o_custkey HAVING count(*) >= 2
+        ORDER BY o_custkey""")),
+
     // DataFrameNaFunctions surface (na.fill) over join-produced NULLs:
     // customers without a qualifying order get (0.0, 'none') defaults
     // before re-aggregation — the standard post-outer-join cleanup step.

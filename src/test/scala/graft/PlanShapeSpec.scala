@@ -139,6 +139,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"frame sampling must not shuffle, found $exchanges exchanges")
   }
 
+  test("unpivot prunes the lineitem scan to the three value columns") {
+    // the l_orderkey id column feeds nothing after the charge aggregation,
+    // so Catalyst prunes it straight through the unpivot — the scan reads
+    // exactly the three melted columns
+    val p = plan("unpivot_charges")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, "scan must expose ReadSchema")
+    val cols = read.get.split(",").map(_.takeWhile(_ != ':').trim).toSet
+    assert(cols == Set("l_extendedprice", "l_discount", "l_tax"),
+      s"unpivot must not widen the scan: $cols")
+  }
+
   test("top-k sorts plan as TakeOrderedAndProject, not a global sort") {
     val p = plan("sort_topk_lineitems")
     assert(p.contains("TakeOrderedAndProject"))
