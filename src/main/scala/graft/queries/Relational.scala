@@ -717,6 +717,30 @@ object Relational extends QueryPack {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         ORDER BY custkey""")),
 
+    // Bag-semantics set difference (exceptAll): each order priority keeps
+    // one multiset occurrence per non-big order — the multiplicity
+    // behavior .except (set semantics) erases. Aggregated so the result
+    // is the per-priority residual count.
+    "setop_except_all_priorities" -> QueryDef(
+      (s, d) => {
+        val all = Tables.orders(s, d).select(col("o_orderpriority"))
+        val big = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderpriority"))
+        all.exceptAll(big)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT o_orderpriority FROM orders
+          EXCEPT ALL
+          SELECT o_orderpriority FROM orders WHERE o_totalprice > 300000.0
+        ) t
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     "window_first_last" -> QueryDef(
       (s, d) => {
         // first/last_value over a full-partition frame: each user's
