@@ -33,6 +33,23 @@ object WindowedAggs {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) event-time counts: each event contributes to
+    * every `windowLen` window whose start is a multiple of `slide` and
+    * contains it (windowLen/slide windows per event). State per key is
+    * still watermark-bounded — the overlap multiplies row->window fanout,
+    * not retained history.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Session windows: gap-based event-time sessions per user. */
   def userSessions(
       events: DataFrame,
@@ -68,7 +85,8 @@ object WindowedAggs {
       impressions: DataFrame,
       clicks: DataFrame,
       followWindow: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val i = impressions.withWatermark("ts", watermark)
       .select(col("ad_id"), col("ts").as("imp_ts"))
     val c = clicks.withWatermark("ts", watermark)
@@ -76,9 +94,24 @@ object WindowedAggs {
     i.join(c,
       expr(s"""ad_id = click_ad_id AND
                click_ts >= imp_ts AND
-               click_ts <= imp_ts + INTERVAL $followWindow"""))
+               click_ts <= imp_ts + INTERVAL $followWindow"""),
+      joinType)
       .select(col("ad_id"), col("imp_ts"), col("click_ts"))
   }
+
+  /** Left-outer variant of [[adAttribution]]: impressions that attract no
+    * click inside the follow window STILL emit (null click_ts) — but only
+    * once the watermark passes imp_ts + followWindow, because until then
+    * a matching click could still arrive. The time-range predicate is
+    * what makes the outer join runnable at all: it gives the engine the
+    * eviction bound at which "no match" becomes final.
+    */
+  def adAttributionOuter(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      followWindow: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    adAttribution(impressions, clicks, followWindow, watermark, "left_outer")
 
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * event counter emitting an update row per input batch.

@@ -104,6 +104,15 @@ object Ingest extends QueryPack {
     ("2024-01-01 00:20:00", 9L), // click with no impression
     ("2024-01-01 01:45:00", 4L)) // cross-batch match for ad 4
 
+  /** (user_id, status, seq) per micro-batch for the streaming upsert
+    * roundtrip: user 1 is updated in BOTH batches (cross-batch
+    * replacement), user 2 updated within batch 2, user 3 inserted late.
+    * seq is the CDC ordering column (unique, monotone).
+    */
+  private val upsertBatches: Seq[Seq[(Long, String, Long)]] = Seq(
+    Seq((1L, "new", 1L), (2L, "new", 2L), (1L, "active", 3L)),
+    Seq((2L, "active", 4L), (3L, "new", 5L), (1L, "churned", 6L)))
+
   /** DuckDB reimplementation of parse+route classification. */
   private val duckClassified: String = s"""
     raw(value) AS (VALUES $duckValues),
@@ -422,6 +431,141 @@ object Ingest extends QueryPack {
           ON i.ad_id = c.ad_id
          AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
         ORDER BY i.ad_id, imp_us, click_us""")),
+
+    // Sliding (hopping) windows through the real streaming runtime: the
+    // same literal rows as the tumbling roundtrip, but each event lands
+    // in TWO 1-hour windows on a 30-minute hop. DuckDB fans each row out
+    // to its k = 0,1 window starts and re-derives the same counts.
+    "stream_sliding_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, String)]
+        val src = in.toDF().toDF("ts_s", "event_type")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val agg = graft.engine.stream.WindowedAggs.slidingCounts(src)
+        val qn = s"sliding_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = agg.writeStream.format("memory").queryName(qn)
+            .outputMode("complete").start()
+          try {
+            in.addData(streamEvents.take(4))
+            q.processAllAvailable()
+            in.addData(streamEvents.drop(4))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(qn)
+          .select(Q.epochUs(col("window_start")).as("ws_us"),
+            col("event_type"), col("n").cast("long").as("n"))
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      Some(s"""
+        WITH ev(ts, event_type) AS (VALUES ${streamEvents
+          .map { case (t, ty) => s"(TIMESTAMP '$t', '$ty')" }.mkString(", ")})
+        SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+                        - k * (INTERVAL '30 minutes')) AS ws_us,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // LEFT OUTER stream-stream join: impressions with no in-window click
+    // must STILL emit (null click_ts) — but only once the watermark
+    // passes imp_ts + follow window, because until then a matching click
+    // could arrive. Two far-future flush batches (filtered out of the
+    // result) push the watermark past every real impression's horizon:
+    // the first advances max event time, the second runs a batch under
+    // the advanced watermark so the evicted impressions emit their
+    // no-match rows. DuckDB mirrors with a plain LEFT JOIN.
+    "stream_left_join_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val imps = MemoryStream[(String, Long)]
+        val clicks = MemoryStream[(String, Long)]
+        def src(m: MemoryStream[(String, Long)]) = m.toDF().toDF("ts_s", "ad_id")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val joined = graft.engine.stream.WindowedAggs
+          .adAttributionOuter(src(imps), src(clicks))
+        val qn = s"ljoin_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = joined.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            imps.addData(impEvents)
+            clicks.addData(clickEvents.take(3))
+            q.processAllAvailable()
+            // batch 2: the cross-batch click (matched under batch 1's
+            // watermark, so ad 4's impression state is still live) PLUS
+            // the first flush rows raising both streams' max event time
+            clicks.addData(clickEvents.drop(3))
+            imps.addData(Seq(("2024-01-05 00:00:00", -1L)))
+            clicks.addData(Seq(("2024-01-05 00:00:00", -2L)))
+            q.processAllAvailable()
+            // batch 3 runs under the advanced watermark: unmatched
+            // impressions evict and emit their null-click rows
+            imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
+            clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(qn)
+          .where(col("ad_id") >= 0)
+          .select(col("ad_id"), Q.epochUs(col("imp_ts")).as("imp_us"),
+            Q.epochUs(col("click_ts")).as("click_us"))
+          .orderBy(col("ad_id"), col("imp_us"), col("click_us"))
+      },
+      Some(s"""
+        WITH imp(ts, ad_id) AS (VALUES ${impEvents
+          .map { case (t, a) => s"(TIMESTAMP '$t', CAST($a AS BIGINT))" }.mkString(", ")}),
+        clk(ts, ad_id) AS (VALUES ${clickEvents
+          .map { case (t, a) => s"(TIMESTAMP '$t', CAST($a AS BIGINT))" }.mkString(", ")})
+        SELECT i.ad_id AS ad_id, epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+        FROM imp i LEFT JOIN clk c
+          ON i.ad_id = c.ad_id
+         AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
+        ORDER BY i.ad_id, imp_us, click_us""")),
+
+    // Streaming keyed upsert (CDC last-write-wins): foreachBatch merges
+    // each micro-batch into a versioned parquet table; after both batches
+    // the table holds exactly the highest-seq row per user — cross-batch
+    // replacement (user 1 twice), in-batch replacement, and late insert
+    // all exercised. DuckDB re-derives the final state with arg_max.
+    "stream_upsert_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(Long, String, Long)]
+        val src = in.toDF().toDF("user_id", "status", "seq")
+        val root = java.nio.file.Files.createTempDirectory("graft_upsert_")
+        graft.engine.util.Fs.deleteOnExit(root)
+        val dir = s"$root/table"
+        withStreamingPartitions(s) {
+          val q = graft.engine.stream.Upsert.stream(
+            src, dir, Seq("user_id"), "seq", s"$root/chk")
+          try {
+            upsertBatches.foreach { b =>
+              in.addData(b)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        graft.engine.stream.Upsert.current(s, dir).get
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH ev(user_id, status, seq) AS (VALUES ${upsertBatches.flatten
+          .map { case (u, st, sq) => s"(CAST($u AS BIGINT), '$st', CAST($sq AS BIGINT))" }
+          .mkString(", ")})
+        SELECT user_id, arg_max(status, seq) AS status,
+               CAST(max(seq) AS BIGINT) AS seq
+        FROM ev GROUP BY user_id ORDER BY user_id""")),
 
     // Custom keyed state (flatMapGroupsWithState): per-user running event
     // counter emitting one row per (user, micro-batch). The batch split

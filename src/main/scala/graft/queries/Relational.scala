@@ -946,6 +946,28 @@ object Relational extends QueryPack {
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Sliding (hopping) windows over the batch table: 1-hour windows
+    // every 30 minutes, so each event contributes to len/slide = 2
+    // windows. Spark's window(ts, len, slide) generates the fan-out
+    // row-locally before the grouping shuffle; DuckDB mirrors it by
+    // cross-joining each row to its k = 0,1 window starts.
+    "time_sliding_events" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select((epochUs(col("window.start")) / lit(1000000L)).cast("long").as("ws_s"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("ws_s"), col("event_type"))
+      },
+      Some("""
+        SELECT CAST(epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+                    - k * (INTERVAL '30 minutes')) // 1000000 AS BIGINT) AS ws_s,
+               event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "sessionize_events" -> QueryDef(
       (s, d) => {
         val order = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
