@@ -103,4 +103,57 @@ class ScaleOpsSpec extends AnyFunSuite {
       .agg(sum(col("l_orderkey")).as("sum_value"), count(lit(1)).as("n"))
     assert(got.collect().toSet == want.collect().toSet)
   }
+
+  // At 100 TB the difference between scanning one day and scanning the
+  // table is the whole game: a filter on the partition column must become
+  // a PartitionFilter (directory-level pruning, no file even opened), not
+  // a post-scan predicate.
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_part_")
+    graft.engine.util.Fs.deleteOnExit(root)
+    val days = 10
+    spark.range(1000)
+      .selectExpr("id", s"concat('2024-01-', lpad(CAST(id % $days + 1 AS STRING), 2, '0')) AS d")
+      .write.partitionBy("d").mode("overwrite").parquet(root.toString)
+    val one = spark.read.parquet(root.toString).filter(col("d") === "2024-01-03")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-03"),
+      s"partition predicate must prune at directory level:\n$plan")
+    // pruning is observable, not just planned: the executed scan reads
+    // exactly 1 of the 10 partition directories
+    assert(one.collect().length === 100)
+    val scan = finalPlan(one.queryExecution.executedPlan).collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.metrics("numPartitions").value === 1,
+      s"scan must read 1 partition dir, read ${scan.metrics("numPartitions").value}")
+  }
+
+  private def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  // Dynamic partition pruning: when the partition keys worth reading are
+  // only known from a filtered dimension, the broadcast of that dimension
+  // must be REUSED as a runtime partition filter on the fact scan —
+  // otherwise a 100 TB fact table is read in full to join against 2 days.
+  test("dynamic partition pruning injects the dim filter into the fact scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp_")
+    graft.engine.util.Fs.deleteOnExit(root)
+    spark.range(1000)
+      .selectExpr("id", "CAST(id % 10 AS LONG) AS day_id")
+      .write.partitionBy("day_id").mode("overwrite").parquet(root.toString)
+    val fact = spark.read.parquet(root.toString)
+    val dim = spark.range(10).selectExpr("id AS day_id", "id % 5 = 0 AS keep")
+    val joined = fact.join(dim.filter(col("keep")), Seq("day_id"))
+      .groupBy(col("day_id")).agg(count(lit(1)).as("n"))
+    val planned = joined.queryExecution.executedPlan.toString
+    assert(planned.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning subquery:\n$planned")
+    // the partition column reads back as its inferred (integer) type
+    val rows = joined.collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue()).toMap
+    assert(rows === Map(0L -> 100L, 5L -> 100L))
+  }
 }
