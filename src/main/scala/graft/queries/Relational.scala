@@ -946,6 +946,85 @@ object Relational extends QueryPack {
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // SQL-authored entrypoint with correlated NOT EXISTS and scalar
+    // subqueries (TPC-H Q22 shape): customers above the positive-balance
+    // average with no BIG (>300k) order, per nation (this testdata gives
+    // every customer at least one order, so the plain Q22 predicate
+    // would be vacuously empty). The engine's SQL surface is the
+    // same Catalyst planner as the DataFrame API, so EXISTS decorrelates
+    // to the same anti-join q4 uses — declared here as SQL because a user
+    // of the engine writes this query as SQL. The average threshold is
+    // compared by integer cross-multiplication (cents * n > sum_cents),
+    // not a derived double, so both engines agree bit-exactly.
+    "sql_q22_no_orders" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+        val cents = Q.scaledLong("c_acctbal", 2)
+        s.sql(s"""
+          SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(sum($cents) AS BIGINT) AS bal_cents
+          FROM graft_customer c
+          WHERE $cents * (SELECT count(*) FROM graft_customer WHERE c_acctbal > 0.0)
+                > (SELECT sum($cents) FROM graft_customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM graft_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 300000.0)
+          GROUP BY c_nationkey ORDER BY c_nationkey""")
+      },
+      Some {
+        val cents = Q.scaledLong("c_acctbal", 2)
+        s"""
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum($cents) AS BIGINT) AS bal_cents
+        FROM customer c
+        WHERE $cents * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+              > (SELECT sum($cents) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)
+        GROUP BY c_nationkey ORDER BY c_nationkey"""
+      }),
+
+    // Explicit cross join — the one declared join shape left: both sides
+    // are genuinely bounded dimensions (region 5 x nation 25), the only
+    // case a deliberate cartesian is legitimate at scale (it plans as a
+    // broadcast nested loop over tiny inputs).
+    "join_cross_region_nation" -> QueryDef(
+      (s, d) => {
+        Tables.region(s, d).select(col("r_name"))
+          .crossJoin(Tables.nation(s, d).select(col("n_name")))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""")),
+
+    // Collection aggregation (collect_list -> array_sort / array_distinct
+    // / array_join): the per-key list materialization a feature-
+    // engineering export uses (e.g. per-user event sequences). The array
+    // is reduced to a canonical string + cardinality so the compare is
+    // order-deterministic; DuckDB mirrors with list()/list_sort. Scale:
+    // one hash shuffle on the (pre-filtered) key; per-group arrays are
+    // bounded by lines-per-order (<=7), never the table.
+    "agg_collect_arrays" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 97 === 0)
+          .withColumn("q", col("l_quantity").cast("long"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            array_join(array_sort(collect_list(col("q"))), ",").as("qtys"),
+            size(array_distinct(collect_list(col("q")))).cast("long").as("n_uniq"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS qtys,
+               CAST(len(list_distinct(list(CAST(l_quantity AS BIGINT)))) AS BIGINT) AS n_uniq
+        FROM lineitem WHERE l_orderkey % 97 = 0
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     // Sliding (hopping) windows over the batch table: 1-hour windows
     // every 30 minutes, so each event contributes to len/slide = 2
     // windows. Spark's window(ts, len, slide) generates the fan-out
