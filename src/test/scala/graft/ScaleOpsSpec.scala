@@ -128,6 +128,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"scan must read 1 partition dir, read ${scan.metrics("numPartitions").value}")
   }
 
+  // Nested-schema pruning: projecting one field of a struct column must
+  // narrow the parquet ReadSchema to that leaf — at 100 TB a multimodal
+  // metadata struct (dims, codec, checksums, provenance) can be wider
+  // than the payload pointer, and reading all of it for a width histogram
+  // is the nested-column version of SELECT *.
+  test("struct field projection prunes the parquet ReadSchema to the leaf") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nested_")
+    graft.engine.util.Fs.deleteOnExit(root)
+    spark.range(100)
+      .selectExpr("id",
+        "named_struct('width', CAST(id % 16 AS INT), 'height', CAST(id % 9 AS INT), 'codec', 'png') AS meta")
+      .write.mode("overwrite").parquet(root.toString)
+    val widths = spark.read.parquet(root.toString)
+      .groupBy(col("meta.width")).agg(count(lit(1)).as("n"))
+    val p = widths.queryExecution.executedPlan.toString
+    val read = "ReadSchema: struct<([^>]*>?[^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("width"), s"ReadSchema must include the projected leaf:\n$p")
+    assert(!read.contains("height") && !read.contains("codec"),
+      s"ReadSchema must NOT include unprojected struct leaves, got: $read")
+    assert(widths.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap.apply(0) === 7L)
+  }
+
   private def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
       : org.apache.spark.sql.execution.SparkPlan = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
