@@ -107,6 +107,41 @@ object TextOps extends QueryPack {
               FROM documents WHERE doc_id < 5) t
         ORDER BY doc_id, pos""")),
 
+    // Per-document term-frequency FEATURE MAP — the map-typed column a
+    // training pipeline ships to a trainer. Spark-side the map is real
+    // (map_from_entries over the per-term counts) and every output
+    // scalar is computed THROUGH map functions (map_keys, map_filter,
+    // aggregate over map_values), so their values gate the map ops; the
+    // oracle re-derives the same scalars relationally without ever
+    // building a map. Scale: explode -> two-level agg is one shuffle on
+    // (doc_id, term) then one on doc_id; per-doc maps are vocabulary-
+    // bounded, never corpus-bounded.
+    "map_term_features" -> QueryDef(
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr(s"regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        terms
+          .groupBy(col("doc_id"))
+          .agg(map_from_entries(collect_list(struct(col("term"), col("cnt")))).as("tf"))
+          .select(col("doc_id"),
+            size(map_keys(col("tf"))).cast("long").as("n_terms"),
+            size(map_filter(col("tf"), (_, v) => v > 1)).cast("long").as("n_repeated"),
+            expr("aggregate(map_values(tf), 0L, (a, x) -> a + x)").as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        g AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(count(*) FILTER (cnt > 1) AS BIGINT) AS n_repeated,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
     "text_top_terms" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .selectExpr(s"${sparkWords("text")} AS ws")
