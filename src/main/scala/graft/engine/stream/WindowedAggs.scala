@@ -50,6 +50,27 @@ object WindowedAggs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Chained stateful aggregation (window over window): fine-grained
+    * sub-windows aggregate first, then roll up into coarser windows —
+    * BOTH levels incremental in one streaming query (multiple stateful
+    * operators, the pre-aggregation cascade a high-rate metrics pipeline
+    * uses so the coarse level only sees one row per closed sub-window).
+    * Append-only: a coarse window emits once the watermark closes it.
+    */
+  def twoLevelCounts(
+      events: DataFrame,
+      subWindow: String = "30 minutes",
+      rollupWindow: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), subWindow), col("event_type"))
+      .agg(count(lit(1)).as("n_sub"))
+      .groupBy(window(col("window"), rollupWindow), col("event_type"))
+      .agg(sum(col("n_sub")).as("n"), count(lit(1)).as("n_subwindows"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("n_subwindows"))
+
   /** Session windows: gap-based event-time sessions per user. */
   def userSessions(
       events: DataFrame,

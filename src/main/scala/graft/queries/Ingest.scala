@@ -471,6 +471,56 @@ object Ingest extends QueryPack {
         FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Chained stateful aggregation through the real runtime: 30-minute
+    // sub-windows roll up into 1-hour windows, both levels incremental
+    // (two state stores in one query). Append mode means a coarse window
+    // only emits once the watermark closes it, so a far-future flush
+    // event (type "zz_flush", excluded) finalizes every real window.
+    // DuckDB re-derives both levels with nested time_bucket aggregates.
+    "stream_two_level_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, String)]
+        val src = in.toDF().toDF("ts_s", "event_type")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val agg = graft.engine.stream.WindowedAggs.twoLevelCounts(src)
+        val qn = s"twolevel_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = agg.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            in.addData(streamEvents.take(4))
+            q.processAllAvailable()
+            in.addData(streamEvents.drop(4))
+            q.processAllAvailable()
+            in.addData(Seq(("2024-01-05 00:00:00", "zz_flush")))
+            q.processAllAvailable()
+            in.addData(Seq(("2024-01-05 02:00:00", "zz_flush")))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(qn)
+          .where(col("event_type") =!= "zz_flush")
+          .select(Q.epochUs(col("window_start")).as("ws_us"),
+            col("event_type"), col("n").cast("long").as("n"),
+            col("n_subwindows").cast("long").as("n_sub"))
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      Some(s"""
+        WITH ev(ts, event_type) AS (VALUES ${streamEvents
+          .map { case (t, ty) => s"(TIMESTAMP '$t', '$ty')" }.mkString(", ")}),
+        sub AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS w30, event_type,
+                 count(*) AS n30
+          FROM ev GROUP BY 1, 2)
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', w30)) AS ws_us,
+               event_type, CAST(sum(n30) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_sub
+        FROM sub GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // LEFT OUTER stream-stream join: impressions with no in-window click
     // must STILL emit (null click_ts) — but only once the watermark
     // passes imp_ts + follow window, because until then a matching click

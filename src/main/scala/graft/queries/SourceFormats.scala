@@ -29,6 +29,18 @@ object SourceFormats extends QueryPack {
 
   private val charges = Seq("l_orderkey", "l_quantity", "l_returnflag")
 
+  /** Literal JSONL lines for the corrupt-record round-trip: 4 valid, 2
+    * structurally broken (truncated object, non-JSON text). Both engines
+    * classify by JSON parseability, so the split must agree exactly.
+    */
+  private val corruptLines = Seq(
+    """{"id": 1, "v": "a"}""",
+    """{"id": 2, "v": "b"}""",
+    """{"id": 3, "v": "c"""", // truncated mid-string
+    """{"id": 4, "v": "d"}""",
+    """not json at all""",
+    """{"id": 6, "v": "f"}""")
+
   private val csvSchema = StructType(Seq(
     StructField("l_orderkey", LongType),
     StructField("l_quantity", DoubleType),
@@ -77,6 +89,44 @@ object SourceFormats extends QueryPack {
     // implementation-specific, so rows-only — but the exact distinct count
     // rides along and the spec asserts the estimate lands within HLL error
     // of it.
+    // PERMISSIVE corrupt-record accounting: a 100 TB backfill over raw
+    // JSONL WILL contain malformed lines, and the job must quarantine
+    // them into _corrupt_record and keep going — never throw, never drop
+    // silently (the same contract the ingest router enforces for its
+    // batch format). The engine writes the literal lines (2 of 6
+    // structurally broken), reads them back in PERMISSIVE mode, and
+    // reports the accounting; DuckDB re-derives it with TRY_CAST to JSON
+    // over the same literals.
+    "source_jsonl_corrupt" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_jsonl_bad_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        val spark = s
+        import spark.implicits._
+        corruptLines.toDS().write.mode("overwrite").text(out.toString)
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("v", StringType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out.toString)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("id")).as("n_valid"),
+            count(col("_corrupt_record")).as("n_corrupt"),
+            sum(col("id")).as("sum_ids"))
+      },
+      Some(s"""
+        WITH raw(line) AS (VALUES ${corruptLines
+          .map(l => "('" + l.replace("'", "''") + "')").mkString(", ")}),
+        p AS (SELECT line, TRY_CAST(line AS JSON) AS j FROM raw)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(CASE WHEN j IS NOT NULL THEN 1 END) AS BIGINT) AS n_valid,
+               CAST(count(CASE WHEN j IS NULL THEN 1 END) AS BIGINT) AS n_corrupt,
+               CAST(sum(CAST(json_extract_string(j, '$$.id') AS BIGINT)) AS BIGINT) AS sum_ids
+        FROM p""")),
+
     "agg_hll_shards" -> QueryDef(
       (s, d) => {
         Tables.lineitem(s, d)
