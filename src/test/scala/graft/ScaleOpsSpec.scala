@@ -156,6 +156,64 @@ class ScaleOpsSpec extends AnyFunSuite {
     case other => other
   }
 
+  private def withConfs[A](kvs: (String, String)*)(f: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // Hot keys are the other 100 TB failure mode (one reducer gets the
+  // whale partition and the stage never finishes). Salting (above) is
+  // the manual tool; AQE's skew-join split is the automatic one — the
+  // engine must actually trigger it, not just ship with AQE on.
+  test("AQE splits a skewed join partition at runtime") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2") {
+      import spark.implicits._
+      val left = spark.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(900).select((col("id") % 9 + 1).as("k"), col("id").as("v")))
+      val right = spark.range(10).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, Seq("k"))
+      // AQE replans at execution time, so execute THIS dataset's plan
+      assert(j.collect().length === 200900)
+      val plan = finalPlan(j.queryExecution.executedPlan).toString
+      assert(plan.contains("skew=true"),
+        s"the whale key must trigger an AQE skew split:\n$plan")
+    }
+  }
+
+  // Runtime bloom-filter pushdown: a selective dim filter whose matching
+  // keys are only known at runtime gets compiled into a bloom filter
+  // probed on the fact side BEFORE the shuffle — the row-level
+  // counterpart of dynamic partition pruning, and the difference between
+  // shuffling 100 TB and shuffling the 0.1% that can match.
+  test("a selective dim filter injects a runtime bloom filter on the fact side") {
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val root = java.nio.file.Files.createTempDirectory("graft_bloom_")
+      graft.engine.util.Fs.deleteOnExit(root)
+      spark.range(100000).selectExpr("id AS fk", "id % 7 AS pay")
+        .write.mode("overwrite").parquet(s"$root/fact")
+      spark.range(1000).selectExpr("id AS dk", "id % 13 AS attr")
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val fact = spark.read.parquet(s"$root/fact")
+      val dim = spark.read.parquet(s"$root/dim").filter(col("attr") === 3)
+      val j = fact.join(dim, col("fk") === col("dk"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") || opt.contains("might_contain"),
+        s"selective join must inject a runtime bloom filter:\n$opt")
+      assert(j.count() === 77L) // 1000/13 -> 77 dim keys, 1 fact row each
+    }
+  }
+
   // Dynamic partition pruning: when the partition keys worth reading are
   // only known from a filtered dimension, the broadcast of that dimension
   // must be REUSED as a runtime partition filter on the fact scan —
