@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
 
 /** Text-analysis operators over the documents table: language-ID
@@ -329,6 +330,37 @@ object TextOps extends QueryPack {
 
     // Hash-based train/val/test assignment: membership is a pure function
     // of content, so the split survives reprocessing and dedup.
+    // Training-sequence packing: documents stream into fixed token-budget
+    // bins (budget 4096) in deterministic doc_id order per language —
+    // bin = floor(tokens-before-me / budget), the linear packing a
+    // sequence-packer uses when it concatenates documents up to the
+    // context length. Exact on both engines (integer running sum via
+    // window). Scale: one shuffle on lang, running sum within partition;
+    // at 100 TB packing runs per shard (lang x content-shard) so no
+    // partition carries a whole language.
+    "pack_sequences" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .withColumn("bin", (col("before") / lit(4096L)).cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bin_chars"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT lang, doc_id, n_chars,
+                 coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM documents)
+        SELECT lang, CAST(before // 4096 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS bin_chars
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "split_train_eval" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
