@@ -242,9 +242,11 @@ object Relational extends QueryPack {
           .where(col("o_orderkey") % 97 === 0)
           .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
           .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
           .withColumn("pr", percent_rank().over(w))
           .withColumn("cd", cume_dist().over(w))
           .selectExpr("o_orderstatus", "o_orderkey", "CAST(rnk AS BIGINT) AS rnk",
+            "CAST(drnk AS BIGINT) AS drnk",
             s"${Q.scaledLong("pr", 6)} AS pr_e6",
             s"${Q.scaledLong("cd", 6)} AS cd_e6")
           .orderBy(col("o_orderstatus"), col("rnk"), col("o_orderkey"))
@@ -252,6 +254,7 @@ object Relational extends QueryPack {
       Some(s"""
         SELECT o_orderstatus, o_orderkey,
                CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
                ${Q.scaledLong("percent_rank() OVER w", 6)} AS pr_e6,
                ${Q.scaledLong("cume_dist() OVER w", 6)} AS cd_e6
         FROM orders WHERE o_orderkey % 97 = 0

@@ -330,6 +330,31 @@ object TextOps extends QueryPack {
 
     // Hash-based train/val/test assignment: membership is a pure function
     // of content, so the split survives reprocessing and dedup.
+    // Text normalization — the first pass of every curation pipeline:
+    // lowercase, strip non-alphanumerics to spaces, collapse whitespace
+    // runs, trim. Gated by the normalized length AND the rolling-hash
+    // fingerprint of the normalized text, so both engines must produce
+    // the identical cleaned string byte-for-byte.
+    "text_normalize" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .selectExpr("doc_id",
+            "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' '), ' +', ' ')) AS norm")
+          .selectExpr("doc_id",
+            "CAST(length(norm) AS BIGINT) AS n_norm",
+            s"${sparkStrHash("norm")} AS fp")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
+               ${duckStrHash("norm")} AS fp
+        FROM n ORDER BY doc_id""")),
+
     // Training-sequence packing: documents stream into fixed token-budget
     // bins (budget 4096) in deterministic doc_id order per language —
     // bin = floor(tokens-before-me / budget), the linear packing a
