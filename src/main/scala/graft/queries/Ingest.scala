@@ -494,9 +494,11 @@ object Ingest extends QueryPack {
           try {
             in.addData(streamEvents.take(4))
             q.processAllAvailable()
-            in.addData(streamEvents.drop(4))
-            q.processAllAvailable()
-            in.addData(Seq(("2024-01-05 00:00:00", "zz_flush")))
+            // batch 2: the remaining real events (merging into open
+            // sub-windows under batch 1's watermark) + the first flush
+            // raising max event time; batch 3 then runs under the
+            // advanced watermark and finalizes BOTH state levels
+            in.addData(streamEvents.drop(4) :+ (("2024-01-05 00:00:00", "zz_flush")))
             q.processAllAvailable()
             in.addData(Seq(("2024-01-05 02:00:00", "zz_flush")))
             q.processAllAvailable()
