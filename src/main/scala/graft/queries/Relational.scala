@@ -101,6 +101,41 @@ object Relational extends QueryPack {
                CAST(count(*) AS BIGINT) AS n_rows
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Distributed sufficient statistics — the map-side-combinable moments
+    // (n, Σx, Σy, Σxy, Σx², Σy²) every downstream corr/covar/regression
+    // derives from. Emitted as exact integers (quantity is integral,
+    // price scales to cents) instead of calling corr() directly: the
+    // final division is one client-side op, while the heavy distributed
+    // part stays bit-exact and order-free on both engines.
+    "agg_suffstats_lineitem" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("x"),
+            expr(Q.scaledLong("l_extendedprice", 2)).as("y"))
+          .groupBy(col("l_returnflag"))
+          // product sums accumulate as DECIMAL(38,0): a BIGINT Σy² in
+          // cents overflows (and under ANSI, throws) past ~sf1 — the
+          // wide-decimal accumulator is the 100 TB-safe path, matching
+          // DuckDB's automatic HUGEINT sum
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("long").as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("long").as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).cast("long").as("syy"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                     ${Q.scaledLong("l_extendedprice", 2)} AS y
+              FROM lineitem) t
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "rollup_docs" -> QueryDef(
       (s, d) => {
         Tables.documents(s, d)
@@ -932,6 +967,31 @@ object Relational extends QueryPack {
                      ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
           FROM orders) t
         GROUP BY o_orderstatus, quartile ORDER BY o_orderstatus, quartile""")),
+
+    // Calendar arithmetic surface (datediff / date_add / last_day /
+    // year-month parts) — emitted as DATE and BIGINT columns, the two
+    // types the oracle gate hashes build-independently.
+    "time_date_arith" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 997 === 0)
+          .withColumn("od", to_date(col("o_orderdate")))
+          .select(col("o_orderkey"), col("od"),
+            datediff(lit(java.sql.Date.valueOf("2000-01-01")), col("od"))
+              .cast("long").as("days_to_y2k"),
+            date_add(col("od"), 90).as("due"),
+            last_day(col("od")).as("eom"),
+            (year(col("od")) * 100 + month(col("od"))).cast("long").as("yyyymm"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+               CAST(o_orderdate AS DATE) + 90 AS due,
+               last_day(CAST(o_orderdate AS DATE)) AS eom,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS yyyymm
+        FROM orders WHERE o_orderkey % 997 = 0
+        ORDER BY o_orderkey""")),
 
     // ---- event-time operations -----------------------------------------
     "time_tumbling_events" -> QueryDef(
