@@ -52,6 +52,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sql q22 decorrelates: NOT EXISTS becomes an anti join, no per-row subquery") {
+    val p = plan("sql_q22_no_orders")
+    // the correlated NOT EXISTS must compile to a single anti equi-join
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate to an anti join:\n$p")
+    // the two uncorrelated scalar subqueries execute once (Subquery
+    // nodes), never as a cartesian against the outer relation
+    assert(!p.contains("CartesianProduct"), s"no cartesian from scalar subqueries:\n$p")
+  }
+
   test("full-outer join plans as a shuffled equi-join, not nested-loop") {
     // FullOuter cannot use BroadcastHashJoin; the right 100 TB shape is a
     // key-partitioned join (sort-merge or shuffled-hash), never a
