@@ -1221,6 +1221,187 @@ object Relational extends QueryPack {
       Some("""
         SELECT p_partkey, p_name, p_brand, p_size
         FROM part WHERE p_name LIKE '%widget%' AND p_size >= 10
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // TPC-H Q7 shape: the same nation dimension joined in TWO roles
+    // (supplier's nation vs customer's nation) against one fact row, with
+    // a disjunctive nation-pair predicate and a per-year rollup. The two
+    // role filters are applied to each broadcast dimension BEFORE the
+    // join (n1/n2 keep only the two nations of interest), so the fact
+    // scan meets two 2-row build sides and only the surviving pair rows
+    // flow into the OR that removes same-direction pairs — the plan never
+    // relies on the optimizer decomposing the cross-side OR.
+    "q7_nation_volume" -> QueryDef(
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("volume"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS volume,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     l_extendedprice * (1.0 - l_discount) AS volume
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+                            JOIN supplier ON l_suppkey = s_suppkey
+                            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q13 shape: group-on-an-aggregate. Inner level is the
+    // customer-orders left join counted per customer (the join predicate
+    // carries an extra non-key filter, expressed by pre-filtering the
+    // right side — equivalent for LEFT joins and pushdown-friendly);
+    // outer level histograms those counts. Two shuffles total: one on
+    // custkey (the join and the first agg share it), one tiny one on
+    // c_count.
+    "q13_custdist" -> QueryDef(
+      (s, d) => {
+        val ord = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        Tables.customer(s, d)
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q14 shape: conditional aggregation (CASE inside sum) — the
+    // promo share of revenue per year. Emitted as the two exact scaled
+    // integer sums (the sufficient statistics; the final ratio is one
+    // client-side division) rather than a derived double ratio, per the
+    // scaled-BIGINT exit policy. The per-row revenue is scaled to 1e-4
+    // units BEFORE the cross-row sum, so both engines fold exact
+    // integers in any order.
+    "q14_promo_share" -> QueryDef(
+      (s, d) => {
+        val revE4 = expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4))
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(year(col("l_shipdate")).as("l_year"),
+            revE4.as("rev_e4"),
+            when(col("p_type") === "PROMO", revE4).otherwise(lit(0L)).as("promo_e4"))
+          .groupBy(col("l_year"))
+          .agg(sum(col("promo_e4")).as("promo_rev_e4"),
+            sum(col("rev_e4")).as("total_rev_e4"))
+          .orderBy(col("l_year"))
+      },
+      Some(s"""
+        SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN ${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}
+                 ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+               CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}) AS BIGINT) AS total_rev_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst's
+    // CNF conversion extracts the common conjuncts per side (p_brand IN
+    // (…) AND p_size <= 35 to the part scan, l_quantity <= 30 to the
+    // lineitem scan) so both scans are pruned BEFORE the join even
+    // though the full predicate spans the pair; the residual disjunction
+    // evaluates post-join on the tiny survivor set.
+    "q19_disjunctive" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the SAME
+    // fact table (lineitem self-joins). "Last shipper on a multi-supplier
+    // finished order": keep l1 rows where another supplier shipped on the
+    // order (left_semi self-join) but nobody shipped LATER than l1
+    // (left_anti self-join with an inequality conjunct). Both correlated
+    // subqueries become equi-joins on l_orderkey — the inequality rides
+    // along as a join residual, so the self-join shuffles once on
+    // orderkey and never goes quadratic.
+    "q21_last_shipper" -> QueryDef(
+      (s, d) => {
+        val fOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        val l1 = Tables.lineitem(s, d)
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val other = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"),
+            col("l_shipdate").as("sd2"))
+        l1
+          .join(other,
+            col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+            "left_semi")
+          .join(other,
+            col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey") &&
+              col("sd2") > col("l_shipdate"),
+            "left_anti")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some("""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10"""))
   )
 }
