@@ -44,6 +44,11 @@ object Dedup extends QueryPack {
     */
   private val ExactStratumMod = 16
 
+  /** Every 50th doc_id plays the "held-out benchmark" role in
+    * dedup_decontam. Deterministic, so the oracle sees the same split.
+    */
+  private val DecontamMod = 50
+
   // ---- Spark-side shared subplans --------------------------------------
 
   /** (doc_id, sh_arr): per-document word-3-gram shingle hash ARRAY,
@@ -375,6 +380,34 @@ object Dedup extends QueryPack {
           WHERE jacc >= $JaccThreshold
             AND doc_a % $ExactStratumMod = 0 AND doc_b % $ExactStratumMod = 0
         ) u ORDER BY doc_a, doc_b""")),
+
+    // Benchmark decontamination — the training-data hygiene pass that
+    // removes corpus documents overlapping a held-out eval set (the
+    // GPT-3/Gopher n-gram–collision rule). A deterministic 1/50 doc
+    // stratum plays the benchmark role; a corpus doc is contaminated if
+    // it shares ANY capped 3-gram shingle with any benchmark doc.
+    // Shape at 100 TB: eval suites are thousands of documents vs
+    // billions in the corpus, so the benchmark's distinct-shingle set is
+    // tiny and BROADCASTS — the corpus side is one scan + broadcast
+    // hash join + per-doc count, never shuffled on shingle.
+    "dedup_decontam" -> QueryDef(
+      (s, d) => {
+        val shd = cappedShingles(shingleRows(s, d).distinct())
+        val benchSh = shd.where(s"doc_id % $DecontamMod = 0")
+          .select(col("sh")).distinct()
+        shd.where(s"doc_id % $DecontamMod != 0")
+          .join(broadcast(benchSh), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $duckBase,
+        bench AS (SELECT DISTINCT sh FROM shd WHERE doc_id % $DecontamMod = 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM shd JOIN bench USING (sh)
+        WHERE doc_id % $DecontamMod <> 0
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // Within-document repetition ratio (the C4/Gopher-style quality
     // signal: heavily repeated n-grams mark boilerplate/spam): fraction

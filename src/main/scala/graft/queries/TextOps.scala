@@ -66,6 +66,13 @@ object TextOps extends QueryPack {
   private val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val PunctPattern = "[^.,!?;:]"
 
+  /** PII patterns for text_pii_redact, written in the common subset of
+    * Java regex (Spark) and RE2 (DuckDB): no backslash classes, no
+    * lookaround — character classes and counted repetition only.
+    */
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+"
+  private val PhoneRe = "[+]1-555-[0-9]{4}"
+
   def defs: Map[String, QueryDef] = Map(
     "text_fingerprint" -> QueryDef(
       (s, d) => {
@@ -354,6 +361,51 @@ object TextOps extends QueryPack {
         SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
                ${duckStrHash("norm")} AS fp
         FROM n ORDER BY doc_id""")),
+
+    // PII redaction — the scrubbing pass a curation pipeline runs before
+    // training: find and replace emails/phone numbers, count what was
+    // redacted, and fingerprint the scrubbed text. The synthetic corpus
+    // carries no PII, so deterministic fakes are injected first (an
+    // email for every 7th doc, a phone for every 5th — both pure
+    // functions of doc_id, mirrored in the oracle); the redaction
+    // machinery (regex find/replace/count over full documents) is the
+    // operator under test, and the rolling-hash fingerprint forces the
+    // scrubbed bytes to match exactly. Row-local map over the scan — no
+    // shuffle, the 100 TB shape for any per-document rewrite.
+    "text_pii_redact" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .selectExpr("doc_id",
+            "concat(text," +
+              " CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com') ELSE '' END," +
+              " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END) AS txt")
+          .selectExpr("doc_id",
+            s"CAST(size(regexp_extract_all(txt, '$EmailRe', 0)) AS BIGINT) AS n_emails",
+            s"CAST(size(regexp_extract_all(txt, '$PhoneRe', 0)) AS BIGINT) AS n_phones",
+            s"regexp_replace(regexp_replace(txt, '$EmailRe', '<EMAIL>'), '$PhoneRe', '<PHONE>') AS red")
+          .selectExpr("doc_id", "n_emails", "n_phones",
+            "CAST(length(red) AS BIGINT) AS n_red_chars",
+            s"${sparkStrHash("red")} AS fp")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS txt
+          FROM documents),
+        r AS (
+          SELECT doc_id, txt,
+                 regexp_replace(regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS red
+          FROM t)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phones,
+               CAST(length(red) AS BIGINT) AS n_red_chars,
+               ${duckStrHash("red")} AS fp
+        FROM r ORDER BY doc_id""")),
 
     // Training-sequence packing: documents stream into fixed token-budget
     // bins (budget 4096) in deterministic doc_id order per language —
