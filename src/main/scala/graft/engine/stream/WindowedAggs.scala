@@ -134,6 +134,21 @@ object WindowedAggs {
       watermark: String = "2 hours"): DataFrame =
     adAttribution(impressions, clicks, followWindow, watermark, "left_outer")
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a bounded dimension relation (LEFT, so stream rows with no dimension
+    * match still flow, null-marked). Stateless — nothing is buffered
+    * across micro-batches and no watermark is needed; the dimension side
+    * is broadcast, so at scale every executor enriches its stream
+    * partitions locally and the stream is never shuffled. This is the
+    * standard lookup/enrichment stage between ingest and windowed aggs.
+    */
+  def staticEnrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * event counter emitting an update row per input batch.
     */

@@ -104,6 +104,19 @@ object Ingest extends QueryPack {
     ("2024-01-01 00:20:00", 9L), // click with no impression
     ("2024-01-01 01:45:00", 4L)) // cross-batch match for ad 4
 
+  /** (ts, nation_key, value) rows for the stream-static join roundtrip,
+    * delivered in two micro-batches (first 3, then the rest). Key 99 has
+    * no nation row — the left join must null-mark it, not drop it; key 3
+    * appears in both batches, proving the dimension is re-joined per
+    * micro-batch.
+    */
+  private val enrichEvents: Seq[(String, Long, Long)] = Seq(
+    ("2024-01-01 00:00:00", 0L, 10L),
+    ("2024-01-01 00:05:00", 3L, 20L),
+    ("2024-01-01 00:10:00", 99L, 30L),
+    ("2024-01-01 00:15:00", 7L, 40L),
+    ("2024-01-01 00:20:00", 3L, 50L))
+
   /** (user_id, status, seq) per micro-batch for the streaming upsert
     * roundtrip: user 1 is updated in BOTH batches (cross-batch
     * replacement), user 2 updated within batch 2, user 3 inserted late.
@@ -431,6 +444,50 @@ object Ingest extends QueryPack {
           ON i.ad_id = c.ad_id
          AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
         ORDER BY i.ad_id, imp_us, click_us""")),
+
+    // Stream-static join through the real runtime: literal stream rows
+    // enrich against the REAL nation parquet dimension (the only
+    // roundtrip whose static side comes from the sf dir). Stateless
+    // micro-batch broadcast join — unmatched stream keys null-mark, and
+    // the dimension resolves fresh each micro-batch. Oracle: the same
+    // VALUES left-joined to nation in DuckDB.
+    "stream_static_join_roundtrip" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, Long, Long)]
+        val src = in.toDF().toDF("ts_s", "n_key", "value")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val dim = graft.engine.Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        val enriched = graft.engine.stream.WindowedAggs
+          .staticEnrich(src, dim, "n_key", "n_nationkey")
+        val qn = s"enrich_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = enriched.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            in.addData(enrichEvents.take(3))
+            q.processAllAvailable()
+            in.addData(enrichEvents.drop(3))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(qn)
+          .select(Q.epochUs(col("ts")).as("ts_us"), col("n_key"),
+            col("n_name"), col("value"))
+          .orderBy(col("n_key"), col("ts_us"))
+      },
+      Some(s"""
+        WITH ev(ts, n_key, value) AS (VALUES ${enrichEvents
+          .map { case (t, k, v) =>
+            s"(TIMESTAMP '$t', CAST($k AS BIGINT), CAST($v AS BIGINT))" }
+          .mkString(", ")})
+        SELECT epoch_us(ev.ts) AS ts_us, ev.n_key, n.n_name, ev.value
+        FROM ev LEFT JOIN nation n ON ev.n_key = n.n_nationkey
+        ORDER BY n_key, ts_us""")),
 
     // Sliding (hopping) windows through the real streaming runtime: the
     // same literal rows as the tumbling roundtrip, but each event lands
