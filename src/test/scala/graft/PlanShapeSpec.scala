@@ -173,4 +173,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "explode_outer must plan as Generate")
     assert(exchanges <= 2, s"parse path must be narrow, found $exchanges exchanges:\n$p")
   }
+
+  test("q19's OR-of-ANDs pushes per-side conjuncts into both scans") {
+    // each side's projection of the disjunction must reach its own scan
+    // (Spark pushes the full per-side OR-tree as a parquet filter) even
+    // though the complete predicate spans the join — without it both
+    // scans read everything and the OR evaluates only post-join
+    val p = plan("q19_disjunctive")
+    assert(p.contains("EqualTo(p_brand,Brand#12)") && p.contains("LessThanOrEqual(p_size,35)"),
+      s"part scan must receive its side of the disjunction:\n$p")
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"lineitem scan must receive its side of the disjunction:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q21's EXISTS/NOT EXISTS self-joins stay equi-keyed on orderkey") {
+    // both correlated subqueries must compile to semi/anti equi-joins on
+    // l_orderkey (the inequality conjuncts ride as join residuals) — a
+    // nested-loop fallback would be quadratic in lineitem
+    val p = plan("q21_last_shipper")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self-joins must not fall back to nested-loop:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark shingles, never shuffles the corpus side") {
+    // the benchmark set is tiny relative to the corpus (the whole point of
+    // the op); its distinct-shingle set must reach the corpus as a
+    // broadcast build side, and the only shuffles allowed are the
+    // benchmark side's own distinct and the final per-doc count (+ output
+    // sort) — the corpus shingle table itself must never exchange
+    val p = plan("dedup_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
