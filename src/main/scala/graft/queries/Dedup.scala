@@ -345,6 +345,47 @@ object Dedup extends QueryPack {
                CAST(cluster_id AS BIGINT) AS cluster_id
         FROM labels ORDER BY doc_id""")),
 
+    // Canonical-document centrality: fixed-iteration integer PageRank
+    // over the same verified dup-pair graph dedup_clusters labels. The
+    // centrality score replaces the arbitrary min-id canonical-doc rule
+    // with "keep the most-connected representative" — and because every
+    // update is BIGINT arithmetic (floor divisions, integer sums), three
+    // rounds of power iteration hash-match the DuckDB re-derivation
+    // exactly, which no floating-point PageRank can do across engines.
+    // Scale shape: one shuffle per round on the destination vertex; the
+    // plan is localCheckpoint-truncated per round (see engine/ops/
+    // PageRank.scala).
+    "graph_pagerank_dups" -> QueryDef(
+      (s, d) => {
+        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        graft.engine.ops.PageRank.run(pairs, iters = 3)
+          .selectExpr("CAST(v AS BIGINT) AS doc_id", "CAST(rank AS BIGINT) AS rank")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val damp = graft.engine.ops.PageRank.Scale * 15 / 100
+        def round(prev: String, next: String) = s"""
+          $next AS (
+            SELECT e.b AS v,
+                   CAST($damp + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+            FROM edges e JOIN $prev r ON e.a = r.v JOIN deg d ON e.a = d.a
+            GROUP BY e.b)"""
+        s"""
+        WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
+        dup AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jacc >= $JaccThreshold),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+                  UNION ALL SELECT doc_b, doc_a FROM dup),
+        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+        r0 AS (SELECT a AS v, CAST(${graft.engine.ops.PageRank.Scale} AS BIGINT) AS r FROM deg),
+        ${round("r0", "r1")},
+        ${round("r1", "r2")},
+        ${round("r2", "r3")}
+        SELECT v AS doc_id, r AS rank FROM r3 ORDER BY doc_id"""
+      }),
+
     // Exact n-gram Jaccard with a BOUNDED worst case: the declared result
     // is the LSH-candidate-verified pairs UNION an exact all-pairs pass
     // over a deterministic 1/16 document stratum. The stratum is the
