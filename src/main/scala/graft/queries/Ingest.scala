@@ -104,6 +104,22 @@ object Ingest extends QueryPack {
     ("2024-01-01 00:20:00", 9L), // click with no impression
     ("2024-01-01 01:45:00", 4L)) // cross-batch match for ad 4
 
+  /** (ts, event_type) rows for the UPDATE-output-mode roundtrip, two
+    * micro-batches (first 4, then 3). The second batch re-touches the
+    * (00:00, click) window, so the sink receives that group TWICE with
+    * counts 2 then 3 — the update-mode signature the oracle re-derives
+    * (append would wait for the watermark; complete would re-emit every
+    * group).
+    */
+  private val updateEvents: Seq[(String, String)] = Seq(
+    ("2024-01-01 00:10:00", "click"),
+    ("2024-01-01 00:20:00", "click"),
+    ("2024-01-01 00:40:00", "view"),
+    ("2024-01-01 01:10:00", "click"),
+    ("2024-01-01 00:50:00", "click"),
+    ("2024-01-01 01:20:00", "view"),
+    ("2024-01-01 01:40:00", "click"))
+
   /** (ts, nation_key, value) rows for the stream-static join roundtrip,
     * delivered in two micro-batches (first 3, then the rest). Key 99 has
     * no nation row — the left join must null-mark it, not drop it; key 3
@@ -444,6 +460,55 @@ object Ingest extends QueryPack {
           ON i.ad_id = c.ad_id
          AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
         ORDER BY i.ad_id, imp_us, click_us""")),
+
+    // UPDATE output mode through the real runtime: only the groups a
+    // micro-batch touched re-emit, with their new running counts — the
+    // third output mode (tumbling covers append, sliding covers
+    // complete). The memory table accumulates one row per (group,
+    // touching batch), so the same window appears twice with counts 2
+    // then 3. The oracle assigns each VALUES row its batch number and
+    // re-derives exactly that multiset.
+    "stream_update_mode_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, String)]
+        val src = in.toDF().toDF("ts_s", "event_type")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val agg = src
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        val qn = s"update_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = agg.writeStream.format("memory").queryName(qn)
+            .outputMode("update").start()
+          try {
+            in.addData(updateEvents.take(4))
+            q.processAllAvailable()
+            in.addData(updateEvents.drop(4))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(qn)
+          .select(Q.epochUs(col("window_start")).as("ws_us"),
+            col("event_type"), col("n").cast("long").as("n"))
+          .orderBy(col("ws_us"), col("event_type"), col("n"))
+      },
+      Some(s"""
+        WITH ev(ts, et, b) AS (VALUES ${updateEvents.zipWithIndex
+          .map { case ((t, ty), i) =>
+            s"(TIMESTAMP '$t', '$ty', ${if (i < 4) 1 else 2})" }
+          .mkString(", ")}),
+        em AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, et, b FROM ev),
+        touched AS (SELECT DISTINCT w, et, b FROM em)
+        SELECT epoch_us(t.w) AS ws_us, t.et AS event_type,
+               CAST((SELECT count(*) FROM em e
+                     WHERE e.w = t.w AND e.et = t.et AND e.b <= t.b) AS BIGINT) AS n
+        FROM touched t ORDER BY 1, 2, 3""")),
 
     // Stream-static join through the real runtime: literal stream rows
     // enrich against the REAL nation parquet dimension (the only

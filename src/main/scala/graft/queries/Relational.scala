@@ -1223,6 +1223,67 @@ object Relational extends QueryPack {
         FROM part WHERE p_name LIKE '%widget%' AND p_size >= 10
         ORDER BY p_partkey""")),
 
+    // max_by/min_by (arg-max aggregation): who produced the extreme value
+    // per group. The ordering key is a composite BIGINT — scaled value
+    // then event_id — because the raw value TIES at its extremes in this
+    // data (several rows share value 0.0), and an arg-max over a tied key
+    // is nondeterministic on both engines; the unique integer key makes
+    // the selection exact and portable (DuckDB arg_max/arg_min take only
+    // scalar keys, so the composite is encoded, not a struct).
+    "agg_argmax_events" -> QueryDef(
+      (s, d) => {
+        val key = "CAST(floor(value * 10000 + 0.5) AS BIGINT) * 10000000 + event_id"
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr(s"max_by(user_id, $key)").as("top_user"),
+            expr(s"min_by(user_id, $key)").as("bottom_user"),
+            expr(Q.scaledLong("max(value)", 4)).as("max_value_e4"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type,
+               arg_max(user_id, CAST(floor("value" * 10000 + 0.5) AS BIGINT) * 10000000 + event_id) AS top_user,
+               arg_min(user_id, CAST(floor("value" * 10000 + 0.5) AS BIGINT) * 10000000 + event_id) AS bottom_user,
+               ${Q.scaledLong("max(\"value\")", 4)} AS max_value_e4,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // percent_rank + cume_dist — the relative-position analytics that
+    // complete the window family. The window orders by a UNIQUE composite
+    // (price, orderkey) so ranks are tie-free and both ratios are exact
+    // small-integer divisions (bit-identical across engines); they exit
+    // as scaled BIGINTs per the derived-double policy. The deterministic
+    // orderkey sample keeps the output compact while still requiring the
+    // full-partition window to have run.
+    "window_pct_rank" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .where(col("o_orderkey") % 500 === 0)
+          .selectExpr("o_orderpriority", "o_orderkey",
+            s"${Q.scaledLong("pr", 6)} AS pr_e6",
+            s"${Q.scaledLong("cd", 6)} AS cd_e6")
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some(s"""
+        SELECT o_orderpriority, o_orderkey,
+               ${Q.scaledLong("pr", 6)} AS pr_e6,
+               ${Q.scaledLong("cd", 6)} AS cd_e6
+        FROM (SELECT o_orderpriority, o_orderkey,
+                     percent_rank() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS pr,
+                     cume_dist() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS cd
+              FROM orders)
+        WHERE o_orderkey % 500 = 0
+        ORDER BY o_orderpriority, o_orderkey""")),
+
     // TPC-H Q7 shape: the same nation dimension joined in TWO roles
     // (supplier's nation vs customer's nation) against one fact row, with
     // a disjunctive nation-pair predicate and a per-year rollup. The two
