@@ -29,6 +29,15 @@ object Portable {
   /** SimHash width in bits (fits in a BIGINT with headroom). */
   val SimHashBits = 32
 
+  /** Count-Min sketch geometry: depth hash rows (reusing the MinHash
+    * coefficient family) x width counters per row. Width is deliberately
+    * small relative to the test vocabulary so bucket collisions — and
+    * therefore the sketch's one-sided overestimate — are visible in the
+    * oracle-checked output.
+    */
+  val CmDepth = 3
+  val CmWidth = 16
+
   // ---- Z-order (Morton) interleave -------------------------------------
 
   /** Bits per dimension interleaved into the z-value. */

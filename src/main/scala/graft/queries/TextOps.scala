@@ -362,6 +362,58 @@ object TextOps extends QueryPack {
                ${duckStrHash("norm")} AS fp
         FROM n ORDER BY doc_id""")),
 
+    // Count-Min sketch — the streaming-friendly frequency summary (d=3
+    // hash rows x w=16 counters) built over the token stream, then probed
+    // for every vocabulary term against its true count. Every cell is an
+    // integer sum of integer hashes, so unlike HLL the whole sketch AND
+    // its estimates are bit-portable and sit under the exact oracle gate
+    // — est_n >= true_n always, with equality iff no colliding term
+    // shares all three cells. Scale shape: the sketch build is one
+    // map-side-combinable groupBy over (row, bucket) — d x w = 48 cells
+    // total regardless of corpus size, the canonical sketch property;
+    // the probe side joins the tiny cell table back to the vocabulary.
+    "sketch_countmin_terms" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val hash = (i: Int) => s"((${minHashA(i)} * th + ${minHashB(i)}) % $P) % $CmWidth"
+        val stackExpr = (0 until CmDepth)
+          .map(i => s"$i, ${hash(i)}").mkString(s"stack($CmDepth, ", ", ", ") AS (i, bucket)")
+        val toks = Tables.documents(s, d)
+          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS term")
+          .selectExpr("term", "graft_strhash(term) AS th")
+        val sketch = toks.selectExpr(stackExpr)
+          .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cell_n"))
+        val probes = toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("true_n"), min(col("th")).as("th"))
+          .selectExpr("term", "true_n", stackExpr)
+        probes.join(sketch, Seq("i", "bucket"))
+          .groupBy(col("term"), col("true_n"))
+          .agg(min(col("cell_n")).as("est_n"))
+          .orderBy(col("term"))
+      },
+      Some {
+        val hash = (i: Int, th: String) =>
+          s"((${minHashA(i)} * $th + ${minHashB(i)}) % $P) % $CmWidth"
+        val bkRows = (0 until CmDepth)
+          .map(i => s"SELECT $i AS i, ${hash(i, "th")} AS bucket FROM th")
+          .mkString(" UNION ALL ")
+        val pbRows = (0 until CmDepth)
+          .map(i => s"SELECT term, true_n, $i AS i, ${hash(i, "th")} AS bucket FROM tc")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH tm AS (
+          SELECT unnest(${duckWords("lower(text)")}) AS term FROM documents),
+        th AS (SELECT term, ${duckStrHash("term")} AS th FROM tm),
+        sk AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cell_n
+               FROM ($bkRows) b GROUP BY 1, 2),
+        tc AS (SELECT term, CAST(count(*) AS BIGINT) AS true_n, min(th) AS th
+               FROM th GROUP BY term),
+        pb AS ($pbRows)
+        SELECT pb.term, pb.true_n, CAST(min(sk.cell_n) AS BIGINT) AS est_n
+        FROM pb JOIN sk ON pb.i = sk.i AND pb.bucket = sk.bucket
+        GROUP BY 1, 2 ORDER BY pb.term"""
+      }),
+
     // PII redaction — the scrubbing pass a curation pipeline runs before
     // training: find and replace emails/phone numbers, count what was
     // redacted, and fingerprint the scrubbed text. The synthetic corpus
