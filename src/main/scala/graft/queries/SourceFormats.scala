@@ -81,6 +81,50 @@ object SourceFormats extends QueryPack {
       },
       Some(chargeOracle)),
 
+    // ORC round-trip: the second columnar format Spark ships natively.
+    // DuckDB cannot read ORC, but the oracle never needs to — it derives
+    // the aggregate from the ORIGINAL parquet, so a value-exact match
+    // still proves the ORC write→read path preserved every row.
+    "source_orc_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_orc_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        Tables.lineitem(s, d).select(charges.map(col): _*)
+          .write.mode("overwrite").orc(out.toString)
+        chargeAgg(s.read.schema(csvSchema).orc(out.toString))
+      },
+      Some(chargeOracle)),
+
+    // Hive-partitioned write + partition-pruned read, value-checked end
+    // to end: orders lands partitioned by o_orderstatus, the read-back
+    // filters one status — which must resolve to directory pruning (the
+    // ScaleOpsSpec observable asserts the scan touches exactly one
+    // partition), and the aggregate must still match DuckDB's over the
+    // unpartitioned original. This is the layout every 100 TB table
+    // actually uses; correctness here means the partition column's
+    // round-trip through directory names loses nothing.
+    "source_partitioned_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_part_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .write.mode("overwrite").partitionBy("o_orderstatus")
+          .parquet(out.toString)
+        s.read.parquet(out.toString)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr(Q.scaledLong("o_totalprice", 2))).as("price_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${Q.scaledLong("o_totalprice", 2)}) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Sketch-mergeable distinct counting — the 100 TB cardinality shape:
     // each shard builds a DataSketches HLL sketch locally, the driver-side
     // union merges 8 fixed-size binary sketches instead of shuffling the
