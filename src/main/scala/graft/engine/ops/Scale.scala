@@ -55,6 +55,30 @@ object Scale {
       .repartition(shards, col("_shard"))
       .write.partitionBy("_shard").mode("overwrite").parquet(path)
 
+  /** Skew-safe equi-join by salting: every fact row gets a deterministic
+    * salt in [0, saltBuckets), the dimension side is replicated once per
+    * salt value, and the join key becomes (key, salt) — so a
+    * pathologically hot key spreads over saltBuckets partitions instead
+    * of landing on one straggler task. The salt never escapes: the
+    * result multiset is exactly the plain join's (the oracle gate checks
+    * this value-for-value). Use when the dim side is modest and a fact
+    * key is hot; for ad-hoc skew prefer AQE's runtime skew-join split,
+    * and for huge dim sides salt only the measured-hot keys instead of
+    * replicating everything.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltBuckets: Int = 8): DataFrame = {
+    val salts = dim.sparkSession.range(saltBuckets)
+      .select(col("id").cast("int").as("_salt"))
+    val dimR = dim.crossJoin(salts)
+    val factS = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(saltBuckets)).cast("int"))
+    factS.join(dimR, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Two-phase salted aggregation for skewed grouping keys: spread each
     * hot key over `saltBuckets` partial groups (salt derived
     * deterministically from the row content), aggregate partially, then

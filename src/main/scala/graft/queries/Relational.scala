@@ -555,6 +555,30 @@ object Relational extends QueryPack {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand""")),
 
+    // Salted fact-dim join — the hand-applied skew remedy, proven
+    // semantics-preserving under the value gate: lineitem joins part on a
+    // composite (key, salt) with part replicated once per salt, and the
+    // per-brand rollup must equal DuckDB's PLAIN join byte-for-byte (the
+    // salt may never change the multiset). See Scale.saltedJoin for when
+    // this beats AQE's runtime skew split.
+    "join_salted_skew" -> QueryDef(
+      (s, d) => {
+        graft.engine.ops.Scale
+          .saltedJoin(Tables.lineitem(s, d),
+            Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey"),
+            "l_partkey")
+          .groupBy(col("p_brand"))
+          .agg(sum(expr(Q.scaledLong("l_extendedprice", 2))).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""
+        SELECT p_brand,
+               CAST(sum(${Q.scaledLong("l_extendedprice", 2)}) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
     "join_left_customer_orders" -> QueryDef(
       (s, d) => {
         val ord = Tables.orders(s, d)
