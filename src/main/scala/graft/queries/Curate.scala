@@ -40,6 +40,11 @@ object Curate extends QueryPack {
         // split) — a long and a 5-char tag — instead of full document
         // text. At 100 TB that is the difference between shuffling the
         // corpus and shuffling an id list.
+        // qual feeds two consumers (the 2_quality count and the
+        // anti-join), dd feeds two more (the 3_dedup count and the split
+        // rollup); both are persisted (doc_id, split) id-lists — a few
+        // bytes per row — so the full-text scan + rolling hash runs ONCE,
+        // not once per downstream count
         val qual = docs
           .selectExpr("doc_id", "text", s"${sparkWords("lower(text)")} AS ws")
           .where(s"size(ws) >= 20 AND size(ws) <= 90 AND ${TextOps.sparkScore(TextOps.stopwords)} > 0")
@@ -47,11 +52,13 @@ object Curate extends QueryPack {
             s"""CASE WHEN ${sparkStrHash("text")} % 10 < 8 THEN 'train'
                      WHEN ${sparkStrHash("text")} % 10 < 9 THEN 'val'
                      ELSE 'test' END AS split""")
+          .persist()
         val labels = Dedup.defs("dedup_clusters").build(s, d)
         val drops = labels.where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"))
         val dd = qual.join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("split"))
+          .persist()
         val splits = dd
           .groupBy(col("split")).agg(count(lit(1)).as("n"))
           .select(concat(lit("4_split_"), col("split")).as("stage"), col("n"))
