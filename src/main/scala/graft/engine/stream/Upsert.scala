@@ -51,6 +51,15 @@ object Upsert {
   def current(spark: SparkSession, dir: String): Option[DataFrame] =
     currentVersion(dir).map(v => spark.read.parquet(s"$dir/v$v"))
 
+  /** Time travel: read a specific RETAINED version — the committed one or
+    * the single kept back-version (older versions are pruned; a table
+    * format would retain a configurable history at this seam). The
+    * version directory is immutable once _LATEST has moved past it, so
+    * this read is a consistent snapshot of the table as of that batch.
+    */
+  def at(spark: SparkSession, dir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$dir/v$version")
+
   /** Merge one batch into the table as version `version`: read the
     * committed version, merge, write `v<version>` NEXT TO it, then
     * atomically repoint `_LATEST`. A crash anywhere leaves the previous

@@ -95,6 +95,38 @@ object Curate extends QueryPack {
           SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM dd
           UNION ALL
           SELECT '4_split_' || split, CAST(count(*) AS BIGINT) FROM sp GROUP BY split
-        ) u ORDER BY stage"""))
+        ) u ORDER BY stage""")),
+
+    // Temperature-based source mixing — the sampling-weight table a
+    // multi-source training run derives before drawing examples
+    // (upweight small sources, τ = 0.5 ⇒ weight ∝ √n). sqrt is an IEEE
+    // correctly-rounded op (identical across engines, unlike pow/log),
+    // and the one cross-row double — the Σ√n denominator — is folded
+    // over the SORTED per-source list on both engines, so the fold order
+    // is pinned and the shares exit bit-identical as scaled BIGINTs.
+    // Scale shape: one tiny aggregate per source plus a broadcast of the
+    // 1-row denominator.
+    "curate_source_mix" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("sq", sqrt(col("n")))
+        val total = counts.agg(
+          expr("aggregate(array_sort(collect_list(sq)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            .as("tot"))
+        counts.crossJoin(broadcast(total))
+          .selectExpr("source", "n", s"${Q.scaledLong("sq / tot", 6)} AS share_e6")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n, sqrt(count(*)) AS sq
+          FROM documents GROUP BY source),
+        t AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(sq))),
+                             (acc, v) -> acc + v) AS tot
+          FROM c)
+        SELECT source, n, ${Q.scaledLong("sq / tot", 6)} AS share_e6
+        FROM c CROSS JOIN t ORDER BY source"""))
   )
 }

@@ -802,6 +802,52 @@ object Ingest extends QueryPack {
                CAST(max(seq) AS BIGINT) AS seq
         FROM ev GROUP BY user_id ORDER BY user_id""")),
 
+    // Time travel over the upsert table's retained versions: the same CDC
+    // stream, then BOTH snapshots read back — v0 (state after batch 1)
+    // and v1 (final state) — tagged with their version. Proves each
+    // version directory is an immutable consistent snapshot (v0 must
+    // still show user 1 as 'active' and no user 3, even after v1
+    // superseded it). DuckDB re-derives every version's last-write-wins
+    // state by filtering the change log to seq-at-version.
+    "stream_timetravel_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(Long, String, Long)]
+        val src = in.toDF().toDF("user_id", "status", "seq")
+        val root = java.nio.file.Files.createTempDirectory("graft_ttravel_")
+        graft.engine.util.Fs.deleteOnExit(root)
+        val dir = s"$root/table"
+        withStreamingPartitions(s) {
+          val q = graft.engine.stream.Upsert.stream(
+            src, dir, Seq("user_id"), "seq", s"$root/chk")
+          try {
+            upsertBatches.foreach { b =>
+              in.addData(b)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        val v1 = graft.engine.stream.Upsert.currentVersion(dir).get
+        val v0 = v1 - 1
+        graft.engine.stream.Upsert.at(s, dir, v0).withColumn("version", lit(v0))
+          .unionByName(
+            graft.engine.stream.Upsert.at(s, dir, v1).withColumn("version", lit(v1)))
+          .orderBy(col("version"), col("user_id"))
+      },
+      Some(s"""
+        WITH ev(user_id, status, seq, b) AS (VALUES ${upsertBatches.zipWithIndex
+          .flatMap { case (batch, bi) => batch.map { case (u, st, sq) =>
+            s"(CAST($u AS BIGINT), '$st', CAST($sq AS BIGINT), $bi)" } }
+          .mkString(", ")})
+        SELECT CAST(v AS BIGINT) AS version, user_id,
+               arg_max(status, seq) AS status, CAST(max(seq) AS BIGINT) AS seq
+        FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS v) vs
+        WHERE b <= v
+        GROUP BY 1, user_id ORDER BY version, user_id""")),
+
     // Custom keyed state (flatMapGroupsWithState): per-user running event
     // counter emitting one row per (user, micro-batch). The batch split
     // is part of the declared input, so the oracle derives the same rows
