@@ -133,6 +133,61 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
 
+    // k-NN majority-vote classification — the weak-labeling op a curation
+    // pipeline uses to propagate labels from a seeded set: held-out
+    // queries (vec_id < 20) take the majority label of their 3 nearest
+    // labeled neighbors by cosine. Every step is deterministic: neighbor
+    // ranking tie-breaks on vid, the vote tie-breaks on (votes DESC,
+    // label ASC), and the cosine arithmetic is the same graft_dot /
+    // duckDot fold the other similarity queries hash-match on. Scale
+    // shape: brute-force scoring broadcasts the small query set (swap in
+    // the LSH/IVF candidate stage for corpus-scale query sets).
+    "sim_knn_classify" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("true_label"),
+            col("embedding").as("qv"))
+        val n = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("vid"), col("label").as("nlabel"),
+            col("embedding").as("nv"))
+        val scored = cosine(broadcast(q).crossJoin(n), "qv", "nv")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        val votes = scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .groupBy(col("qid"), col("true_label"), col("nlabel"))
+          .agg(count(lit(1)).as("votes"))
+        val wv = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("nlabel"))
+        votes.withColumn("vr", row_number().over(wv)).where(col("vr") === 1)
+          .select(col("qid"), col("true_label"),
+            col("nlabel").as("pred_label"), col("votes"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, label AS true_label, embedding AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        n AS (SELECT vec_id AS vid, label AS nlabel, embedding AS nv
+              FROM embeddings WHERE vec_id >= 20),
+        sc AS (
+          SELECT qid, true_label, vid, nlabel, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q CROSS JOIN n),
+        ranked AS (
+          SELECT qid, true_label, nlabel,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS rn
+          FROM sc),
+        votes AS (
+          SELECT qid, true_label, nlabel, CAST(count(*) AS BIGINT) AS votes
+          FROM ranked WHERE rn <= 3 GROUP BY 1, 2, 3),
+        sel AS (
+          SELECT qid, true_label, nlabel AS pred_label, votes,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY votes DESC, nlabel) AS vr
+          FROM votes)
+        SELECT qid, true_label, pred_label, votes
+        FROM sel WHERE vr = 1 ORDER BY qid""")),
+
     "sim_lsh_ann" -> QueryDef(
       (s, d) => {
         val e = bucketed(s, d)

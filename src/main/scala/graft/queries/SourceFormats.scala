@@ -95,6 +95,44 @@ object SourceFormats extends QueryPack {
       },
       Some(chargeOracle)),
 
+    // Bucketed catalog tables + co-located join, value-checked end to
+    // end: both sides land bucketed on the join key (8 buckets), the
+    // join reads bucket-aligned splits with NO shuffle of either side
+    // (ScaleOpsSpec asserts the no-Exchange plan; here the VALUES must
+    // also survive the bucketed write→catalog→join→agg path). This is
+    // the pre-partitioning strategy for repeatedly joined 100 TB fact
+    // tables — pay the layout once, skip the shuffle every query after.
+    "source_bucketed_roundtrip" -> QueryDef(
+      (s, d) => {
+        // unique table names per invocation: the managed-table LOCATION
+        // under the warehouse dir outlives the JVM while the in-memory
+        // catalog entry does not, so a fixed name collides with its own
+        // orphaned directory on the next session. The orphans are
+        // registered for cleanup at JVM exit.
+        val suffix = java.lang.Long.toHexString(System.nanoTime())
+        val (tOrders, tCust) = (s"src_bk_orders_$suffix", s"src_bk_customer_$suffix")
+        val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        for (t <- Seq(tOrders, tCust))
+          graft.engine.util.Fs.deleteOnExit(java.nio.file.Paths.get(warehouse, t))
+        graft.engine.ops.Scale.writeBucketed(
+          Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+          tOrders, "o_custkey", 8)
+        graft.engine.ops.Scale.writeBucketed(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          tCust, "c_custkey", 8)
+        s.table(tOrders)
+          .join(s.table(tCust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr(Q.scaledLong("o_totalprice", 2))).as("price_cents"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${Q.scaledLong("o_totalprice", 2)}) AS BIGINT) AS price_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Hive-partitioned write + partition-pruned read, value-checked end
     // to end: orders lands partitioned by o_orderstatus, the read-back
     // filters one status — which must resolve to directory pruning (the
