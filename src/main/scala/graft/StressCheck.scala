@@ -65,6 +65,17 @@ object StressCheck {
       println(s"[stress] members=$members clusters=${sizes.getLong(0)} max_cluster=${sizes.getLong(1)}")
       sizes.getLong(0)
     }
+    // centrality at stress scale: 3-round integer PageRank over the
+    // 22.9k-pair graph — bounded-iteration like CC, one shuffle per
+    // round, plan-truncated; proves the iterative op family holds on the
+    // dup-heavy 25x graph, not just the 500-pair bench graph
+    t("graph_pagerank (stress graph)") {
+      val pr = graft.engine.ops.PageRank.run(
+        SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+          .select(col("doc_a"), col("doc_b")), iters = 3)
+      println(s"[stress] pagerank vertices=${pr.count()}")
+    }
+    spark.catalog.clearCache()
     // exactness audit: the unrestricted all-pairs Jaccard baseline (too
     // expensive to DECLARE — quadratic in co-shingled pairs — but the
     // ground truth the candidate-restricted production path must match).

@@ -555,6 +555,42 @@ object Relational extends QueryPack {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand""")),
 
+    // TPC-H Q15 shape: an aggregate view probed by a scalar-subquery max
+    // ("the supplier(s) with the highest quarterly revenue"). The revenue
+    // view computes ONCE into the plan and its max arrives as a 1-row
+    // broadcast joined back — no window over the full view, no
+    // re-aggregation (the decorrelated form of WHERE total = (SELECT
+    // max ...)). Revenue is an exact integer (per-row scaled cents
+    // before the sum), so the equality probe is tie-safe and portable —
+    // comparing derived doubles for EQUALITY would be build-dependent.
+    "q15_top_supplier" -> QueryDef(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1997-04-01 00:00:00"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)))
+            .as("total_rev_e4"))
+          .persist() // feeds both the max probe and the equality join
+        val top = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
+        rev.join(broadcast(top), col("total_rev_e4") === col("max_rev_e4"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}) AS BIGINT) AS total_rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_e4
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        ORDER BY s_suppkey""")),
+
     // Salted fact-dim join — the hand-applied skew remedy, proven
     // semantics-preserving under the value gate: lineitem joins part on a
     // composite (key, salt) with part replicated once per salt, and the

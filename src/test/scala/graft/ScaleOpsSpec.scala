@@ -104,6 +104,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.collect().toSet == want.collect().toSet)
   }
 
+  test("salted join actually spreads a hot key across many salt groups") {
+    // a pathological fixture: ONE join key carries every fact row. The
+    // oracle gate already proves saltedJoin is semantics-preserving; this
+    // asserts the mechanism — the hot key's rows must occupy well over
+    // half of the 8 salt buckets, so no single task inherits the whole
+    // key at scale
+    val fact = spark.range(10000).selectExpr("CAST(1 AS BIGINT) AS k", "id AS payload")
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(8)).cast("int"))
+    val used = salted.select(col("_salt")).distinct().count()
+    assert(used >= 6, s"hot key must spread over most salt buckets, used=$used")
+    // and the join through Scale.saltedJoin still matches the plain join
+    val dim = spark.range(1).selectExpr("CAST(1 AS BIGINT) AS k", "'d' AS tag")
+    val got = Scale.saltedJoin(fact, dim, "k", 8).count()
+    assert(got == 10000L, s"salted join must preserve the multiset, got=$got")
+  }
+
   // At 100 TB the difference between scanning one day and scanning the
   // table is the whole game: a filter on the partition column must become
   // a PartitionFilter (directory-level pruning, no file even opened), not
