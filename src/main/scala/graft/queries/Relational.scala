@@ -731,6 +731,37 @@ object Relational extends QueryPack {
         FROM g GROUP BY o_custkey HAVING count(*) >= 2
         ORDER BY o_custkey""")),
 
+    // Typed Dataset.joinWith — the pair-preserving typed join (each
+    // result row is the ((customer), (order)) tuple, not a flattened
+    // Row), then a typed map back to the fields the rollup needs. The
+    // joinWith/Encoder machinery is the surface under test; the price is
+    // already integer cents BEFORE the typed boundary, so the lambda
+    // only routes exact values. The relational twin of this rollup is
+    // what the other join queries cover — this one proves the typed API
+    // reaches the same values.
+    "typed_joinwith" -> QueryDef(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val cust = Tables.customer(s, d)
+          .selectExpr("c_custkey", "c_mktsegment").as[(Long, String)]
+        val ord = Tables.orders(s, d).where(col("o_totalprice") > 400000.0)
+          .selectExpr("o_custkey", s"${Q.scaledLong("o_totalprice", 2)} AS cents")
+          .as[(Long, Long)]
+        cust.joinWith(ord, cust("c_custkey") === ord("o_custkey"))
+          .map { case ((_, seg), (_, cents)) => (seg, cents) }
+          .toDF("c_mktsegment", "cents")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_big_orders"), sum(col("cents")).as("cents_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_big_orders,
+               CAST(sum(${Q.scaledLong("o_totalprice", 2)}) AS BIGINT) AS cents_sum
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_totalprice > 400000.0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // DataFrameNaFunctions surface (na.fill) over join-produced NULLs:
     // customers without a qualifying order get (0.0, 'none') defaults
     // before re-aggregation — the standard post-outer-join cleanup step.

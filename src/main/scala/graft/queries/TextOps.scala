@@ -362,6 +362,33 @@ object TextOps extends QueryPack {
                ${duckStrHash("norm")} AS fp
         FROM n ORDER BY doc_id""")),
 
+    // The array higher-order-function surface (§2.3) declared explicitly:
+    // filter / exists / forall / transform+array_max / sequence-indexed
+    // adjacent comparison, each reduced to an integer so the whole HOF
+    // family sits under the exact gate. Row-local over the scan — the
+    // HOFs run inside the row, nothing shuffles but the output sort.
+    "array_hof_words" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        .selectExpr("doc_id",
+          "CAST(size(ws) AS BIGINT) AS n_words",
+          "CAST(size(filter(ws, w -> length(w) > 4)) AS BIGINT) AS n_long",
+          "CAST(CASE WHEN exists(ws, w -> w = 'the') THEN 1 ELSE 0 END AS BIGINT) AS has_the",
+          "CAST(CASE WHEN forall(ws, w -> length(w) <= 12) THEN 1 ELSE 0 END AS BIGINT) AS all_short",
+          "CAST(array_max(transform(ws, w -> length(w))) AS BIGINT) AS max_len",
+          "CAST(size(filter(sequence(1, size(ws) - 1), i -> element_at(ws, i) = element_at(ws, i + 1))) AS BIGINT) AS n_adj_dup")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_filter(ws, w -> length(w) > 4)) AS BIGINT) AS n_long,
+               CAST(CASE WHEN len(list_filter(ws, w -> w = 'the')) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_the,
+               CAST(CASE WHEN len(list_filter(ws, w -> length(w) > 12)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS all_short,
+               CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_len,
+               CAST(len(list_filter(range(1, len(ws)), i -> ws[i] = ws[i + 1])) AS BIGINT) AS n_adj_dup
+        FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents) t
+        ORDER BY doc_id""")),
+
     // Count-Min sketch — the streaming-friendly frequency summary (d=3
     // hash rows x w=16 counters) built over the token stream, then probed
     // for every vocabulary term against its true count. Every cell is an
