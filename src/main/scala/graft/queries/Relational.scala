@@ -1140,6 +1140,80 @@ object Relational extends QueryPack {
         GROUP BY c_nationkey ORDER BY c_nationkey"""
       }),
 
+    // Correlated LATERAL subquery with LIMIT — per-region top-2 nations
+    // by customer count, SQL-authored (the "top-N per group as a lateral
+    // join" idiom). Spark decorrelates the lateral into a join +
+    // per-group limit; the inner ORDER BY carries a full tie-break so
+    // the 2 survivors are unique. DuckDB runs the identical lateral.
+    "sql_lateral_topn" -> QueryDef(
+      (s, d) => {
+        Tables.region(s, d).createOrReplaceTempView("graft_region")
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer2")
+        s.sql("""
+          SELECT r_name, n_name, n_cust
+          FROM graft_region, LATERAL (
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
+            FROM graft_nation JOIN graft_customer2 ON c_nationkey = n_nationkey
+            WHERE n_regionkey = r_regionkey
+            GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2)
+          ORDER BY r_name, n_cust DESC, n_name""")
+      },
+      Some("""
+        SELECT r_name, n_name, n_cust
+        FROM region, LATERAL (
+          SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
+          FROM nation JOIN customer ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r_regionkey
+          GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2) t
+        ORDER BY r_name, n_cust DESC, n_name""")),
+
+    // Exact distinct counting via bitmap aggregates — the mergeable
+    // EXACT alternative to HLL (agg_approx_distinct): keys bucket into
+    // fixed 32k-bit bitmaps, per-bucket bitmaps OR together, distinct =
+    // Σ popcount. Unlike a sketch this is value-exact, so it sits under
+    // the oracle gate against count(DISTINCT) — and unlike
+    // count(DISTINCT) it needs no full shuffle of the key space at
+    // scale, just bitmap merges (the same merge-tree HLL uses, with
+    // exactness instead of error bounds).
+    "agg_bitmap_distinct" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .selectExpr("l_returnflag", "l_partkey",
+            "bitmap_bucket_number(l_partkey) AS bkt",
+            "bitmap_bit_position(l_partkey) AS pos")
+          .groupBy(col("l_returnflag"), col("bkt"))
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("sum(bitmap_count(bm))").as("n_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // VARIANT (semi-structured) ingestion — Spark 4's open JSON type:
+    // props parses ONCE into a variant value, fields extract with
+    // variant_get path+type. The relational twin via get_json_object is
+    // json_props_events; this declares the typed-variant surface and
+    // gates its extracted values exactly.
+    "variant_props_events" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d)
+          .selectExpr("event_type",
+            "variant_get(parse_json(props), '$.k', 'bigint') AS k")
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Explicit cross join — the one declared join shape left: both sides
     // are genuinely bounded dimensions (region 5 x nation 25), the only
     // case a deliberate cartesian is legitimate at scale (it plans as a
