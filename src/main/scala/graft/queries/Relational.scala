@@ -1140,6 +1140,54 @@ object Relational extends QueryPack {
         GROUP BY c_nationkey ORDER BY c_nationkey"""
       }),
 
+    // Recursive CTE (Spark 4.1 WITH RECURSIVE) — the calendar-spine
+    // densification idiom: recursion generates every month in the data's
+    // range, the left join zero-fills months with no orders (a plain
+    // GROUP BY would silently skip them — exactly the rows a time-series
+    // consumer needs present). Both engines run the same recursive SQL.
+    "sql_recursive_spine" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_sp")
+        s.sql("""
+          WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL SELECT CAST(m + INTERVAL '1' MONTH AS DATE)
+            FROM months WHERE m < DATE '2001-12-01')
+          SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+          FROM months LEFT JOIN graft_orders_sp
+            ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+          GROUP BY m ORDER BY m""")
+      },
+      Some("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+          FROM months WHERE m < DATE '2001-12-01')
+        SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m ORDER BY m""")),
+
+    // Parameterized SQL (named-parameter binding, not string splicing) —
+    // the injection-safe API a service embedding this engine uses. The
+    // parameters bind typed values into the plan; the oracle is the same
+    // statement with literals.
+    "sql_parameterized" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_pm")
+        s.sql(
+          """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+             FROM graft_orders_pm
+             WHERE o_totalprice > :threshold AND o_orderpriority = :prio
+             GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+          Map("threshold" -> 250000.0, "prio" -> "1-URGENT"))
+      },
+      Some("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_totalprice > 250000.0 AND o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Correlated LATERAL subquery with LIMIT — per-region top-2 nations
     // by customer count, SQL-authored (the "top-N per group as a lateral
     // join" idiom). Spark decorrelates the lateral into a join +
