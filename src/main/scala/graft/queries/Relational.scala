@@ -1140,6 +1140,55 @@ object Relational extends QueryPack {
         GROUP BY c_nationkey ORDER BY c_nationkey"""
       }),
 
+    // Declarative data-quality constraint report (the deequ pattern):
+    // five constraints — completeness, key uniqueness, value compliance,
+    // domain membership, positivity — compiled into ONE aggregation pass
+    // over orders (N constraints = one scan, the metrics fold in the
+    // same partial aggregate), then unpivoted into a (constraint,
+    // metric_ppm, pass) report. Metrics are floor-scaled ppm integers so
+    // the report is bit-portable; DuckDB re-derives each metric
+    // independently.
+    "quality_constraint_report" -> QueryDef(
+      (s, d) => {
+        import graft.engine.ops.Checks
+        Checks.run(Tables.orders(s, d), Seq(
+          Checks.Constraint("custkey_complete",
+            Checks.completeness(col("o_custkey")), 1000000L),
+          Checks.Constraint("orderkey_unique",
+            Checks.uniqueness(col("o_orderkey")), 1000000L),
+          Checks.Constraint("price_positive",
+            Checks.compliance(col("o_totalprice") > 0.0), 1000000L),
+          Checks.Constraint("status_in_domain",
+            Checks.compliance(col("o_orderstatus").isin("F", "O", "P")), 1000000L),
+          Checks.Constraint("priority_urgent_share",
+            Checks.compliance(col("o_orderpriority") === "1-URGENT"), 300000L)))
+          .orderBy(col("constraint_name"))
+      },
+      Some("""
+        SELECT constraint_name, metric_ppm,
+               CAST(CASE WHEN metric_ppm >= min_ppm THEN 1 ELSE 0 END AS BIGINT) AS pass
+        FROM (
+          SELECT 'custkey_complete' AS constraint_name, 1000000 AS min_ppm,
+                 CAST(floor(count(o_custkey) * 1000000.0 / count(*)) AS BIGINT) AS metric_ppm
+          FROM orders
+          UNION ALL
+          SELECT 'orderkey_unique', 1000000,
+                 CAST(floor(count(DISTINCT o_orderkey) * 1000000.0 / count(*)) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'price_positive', 1000000,
+                 CAST(floor(count(CASE WHEN o_totalprice > 0.0 THEN 1 END) * 1000000.0 / count(*)) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'status_in_domain', 1000000,
+                 CAST(floor(count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) * 1000000.0 / count(*)) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'priority_urgent_share', 300000,
+                 CAST(floor(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) * 1000000.0 / count(*)) AS BIGINT)
+          FROM orders)
+        ORDER BY constraint_name""")),
+
     // Recursive CTE (Spark 4.1 WITH RECURSIVE) — the calendar-spine
     // densification idiom: recursion generates every month in the data's
     // range, the left join zero-fills months with no orders (a plain
