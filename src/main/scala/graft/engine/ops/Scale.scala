@@ -34,13 +34,18 @@ object Scale {
     * oracle-checked Portable.sparkZ integer form (low 16 bits per key).
     */
   def writeZOrdered(df: DataFrame, keyA: String, keyB: String, path: String,
-      files: Int = 8): Unit =
+      files: Int = 8): Unit = {
+    // native codegen Morton key (bit-identical to Portable.sparkZ; the
+    // z-key is computed for every row laid out, so the generated loop
+    // beats the 16-term expression tree)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("_z",
-        expr(graft.queries.Portable.sparkZ(s"($keyA & 65535)", s"($keyB & 65535)")))
+        expr(s"graft_morton(CAST($keyA AS BIGINT) & 65535, CAST($keyB AS BIGINT) & 65535)"))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Deterministic content-sharded export: every row's shard is a pure
     * function of its content key (hash mod shards), so shard membership

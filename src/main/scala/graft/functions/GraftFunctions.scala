@@ -30,6 +30,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingles", es => ShingleHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashSig(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_morton", es => MortonInterleave(es.head, es(1)), "built-in")
   }
 
   /** Shared scalar fold (the strhash semantics) for reuse in eval paths. */
@@ -331,5 +332,57 @@ case class FloatDot(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDot =
+    copy(left = l, right = r)
+}
+
+/** Morton (Z-order) interleave of the low 16 bits of two longs — codegen
+  * twin of Portable.sparkZ (the 16-term shiftleft/shiftright sum). One
+  * generated loop replaces 96 expression nodes in the layout path, which
+  * matters because the z-key is computed for EVERY row being laid out.
+  */
+case class MortonInterleave(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_morton"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_morton expects (BIGINT, BIGINT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Long]
+    val b = r.asInstanceOf[Long]
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = 0L;
+         |for (int $i = 0; $i < 16; $i++) {
+         |  $z |= (($a >> $i) & 1L) << (2 * $i);
+         |  $z |= (($b >> $i) & 1L) << (2 * $i + 1);
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MortonInterleave =
     copy(left = l, right = r)
 }

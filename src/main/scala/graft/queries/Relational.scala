@@ -461,11 +461,16 @@ object Relational extends QueryPack {
     // arithmetic, identical in both engines — so the clustering key that
     // drives multi-dimensional file pruning is itself under the gate.
     "layout_zorder" -> QueryDef(
-      (s, d) => Tables.events(s, d)
-        .where(col("event_id") < 500)
-        .selectExpr("event_id", "user_id",
-          s"${Portable.sparkZ("(user_id & 65535)", "(event_id & 65535)")} AS z")
-        .orderBy(col("z"), col("event_id")),
+      (s, d) => {
+        // native codegen Morton key (bit-identical twin of the 16-term
+        // Portable.sparkZ expression — FunctionsSpec pins the equality)
+        graft.functions.GraftFunctions.register(s)
+        Tables.events(s, d)
+          .where(col("event_id") < 500)
+          .selectExpr("event_id", "user_id",
+            "graft_morton(user_id & 65535, event_id & 65535) AS z")
+          .orderBy(col("z"), col("event_id"))
+      },
       Some(s"""
         SELECT event_id, user_id,
                ${Portable.duckZ("(user_id & 65535)", "(event_id & 65535)")} AS z

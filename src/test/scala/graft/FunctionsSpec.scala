@@ -82,12 +82,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaDf(s"graft_dot($a, $a)") == viaDf(hof))
   }
 
+  test("graft_morton matches the 16-term portable Z expression and known vectors") {
+    // interleave(0b11, 0b01) = a bits at even positions, b at odd:
+    // a=3 -> 0b0101, b=1 -> 0b0010 => 0b0111 = 7
+    assert(viaDf("graft_morton(CAST(3 AS BIGINT), CAST(1 AS BIGINT))") == 7L)
+    assert(viaDf("graft_morton(CAST(0 AS BIGINT), CAST(0 AS BIGINT))") == 0L)
+    // low-16-bit mask is the caller's job; the expression reads 16 bits
+    assert(viaDf("graft_morton(CAST(65535 AS BIGINT), CAST(0 AS BIGINT))") == 0x55555555L)
+    for ((a, b) <- Seq((12345L, 54321L), (65535L, 65535L), (1L, 32768L))) {
+      val twin = graft.queries.Portable.sparkZ(s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)")
+      assert(viaDf(s"graft_morton(CAST($a AS BIGINT), CAST($b AS BIGINT))") == viaDf(twin),
+        s"graft_morton($a, $b) must equal the portable expression")
+    }
+  }
+
   test("expressions survive with codegen disabled (interpreted path)") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
       assert(viaDf("graft_strhash('hello')") == 99162322L)
       assert(viaDf("size(graft_shingles(array('a','b','c','d')))") == 2)
       assert(viaDf("graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))") == 3.0)
+      assert(viaDf("graft_morton(CAST(3 AS BIGINT), CAST(1 AS BIGINT))") == 7L)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 }
