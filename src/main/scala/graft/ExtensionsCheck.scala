@@ -23,13 +23,16 @@ object ExtensionsCheck {
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
         "size(graft_shingles(array('a','b','c','d'))) AS sh, " +
         "size(graft_minhash(array(CAST(5 AS BIGINT)))) AS mh, " +
-        "graft_simhash(array(CAST(5 AS BIGINT))) AS sim").collect().head
+        "graft_simhash(array(CAST(5 AS BIGINT))) AS sim, " +
+        "graft_morton(CAST(3 AS BIGINT), CAST(1 AS BIGINT)) AS z").collect().head
     val ok = r.getAs[Long]("h") == 99162322L && r.getAs[Double]("d") == 11.0 &&
       r.getAs[Int]("sh") == 2 && r.getAs[Int]("mh") == 16 &&
-      r.getAs[Long]("sim") == 5L // single element: its bits ARE the signature
+      r.getAs[Long]("sim") == 5L && // single element: its bits ARE the signature
+      r.getAs[Long]("z") == 7L
     println(s"[extensions-check] graft_strhash('hello')=${r.getAs[Long]("h")} " +
       s"graft_dot=${r.getAs[Double]("d")} shingles=${r.getAs[Int]("sh")} " +
       s"minhash_k=${r.getAs[Int]("mh")} simhash=${r.getAs[Long]("sim")} " +
+      s"morton=${r.getAs[Long]("z")} " +
       s"=> ${if (ok) "OK" else "MISMATCH"}")
     spark.stop()
     if (!ok) sys.exit(1)

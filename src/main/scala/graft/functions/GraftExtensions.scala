@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => SimHashSig(es.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "graft_morton"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => MortonInterleave(es.head, es(1))))
   }
 }

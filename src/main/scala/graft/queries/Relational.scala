@@ -596,6 +596,36 @@ object Relational extends QueryPack {
         WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
         ORDER BY s_suppkey""")),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other instead of vanishing, the semantics a dimension
+    // with an explicit "unknown" bucket needs. Both sides derive a
+    // deterministic nullable key (nullif of a digit), so the NULL=NULL
+    // group's contribution is a real, value-checked part of the result —
+    // a plain equi-join would silently drop it. Spark still plans <=>
+    // as a hash-joinable equi-key (null-safe comparisons are join keys,
+    // not residuals).
+    "join_null_safe" -> QueryDef(
+      (s, d) => {
+        val a = Tables.orders(s, d)
+          .selectExpr("nullif(o_custkey % 10, 0) AS k", "o_orderkey")
+        val b = Tables.customer(s, d)
+          .selectExpr("nullif(c_custkey % 10, 0) AS k2", "c_custkey")
+          .groupBy(col("k2")).agg(count(lit(1)).as("n_cust"))
+        a.join(b, col("k") <=> col("k2"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_orders"), max(col("n_cust")).as("n_cust"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""
+        WITH a AS (SELECT nullif(o_custkey % 10, 0) AS k, o_orderkey FROM orders),
+        b AS (SELECT nullif(c_custkey % 10, 0) AS k2,
+                     CAST(count(*) AS BIGINT) AS n_cust
+              FROM customer GROUP BY 1)
+        SELECT k, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(n_cust) AS BIGINT) AS n_cust
+        FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+        GROUP BY k ORDER BY k NULLS FIRST""")),
+
     // Salted fact-dim join — the hand-applied skew remedy, proven
     // semantics-preserving under the value gate: lineitem joins part on a
     // composite (key, salt) with part replicated once per salt, and the
