@@ -69,14 +69,27 @@ object Upsert {
     * Superseded versions older than the one just replaced are pruned.
     */
   def applyBatch(batch: DataFrame, dir: String, keys: Seq[String], ord: String,
-      version: Long): Unit = {
+      version: Long): Unit =
+    applyBatchWith(batch, dir, version) { (cur, b) =>
+      cur match {
+        case Some(c) => merge(c, b, keys, ord)
+        case None    => merge(b.limit(0), b, keys, ord) // in-batch LWW dedup
+      }
+    }
+
+  /** The generic exactly-once version commit: merge the batch into the
+    * current table with `mergeFn`, write the next version directory,
+    * atomically repoint _LATEST, prune superseded versions (keeping one
+    * back-version for in-flight readers). Replay of an already-committed
+    * version is a no-op. LWW upsert and additive aggregate maintenance
+    * are both instances of this with different mergeFn.
+    */
+  def applyBatchWith(batch: DataFrame, dir: String, version: Long)(
+      mergeFn: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val prev = currentVersion(dir)
     if (prev.contains(version)) return // checkpoint replay of a committed batch
     val spark = batch.sparkSession
-    val merged = current(spark, dir) match {
-      case Some(cur) => merge(cur, batch, keys, ord)
-      case None      => merge(batch.limit(0), batch, keys, ord) // in-batch LWW dedup
-    }
+    val merged = mergeFn(current(spark, dir), batch)
     merged.write.mode("overwrite").parquet(s"$dir/v$version")
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s"_LATEST.tmp$version")
@@ -94,6 +107,37 @@ object Upsert {
       }
     }
   }
+
+  /** Incremental materialized aggregate: each micro-batch's per-key
+    * partial sums/counts FOLD INTO the maintained table (base ∪ partial,
+    * re-aggregated on the key) — the materialized-view-maintenance
+    * pattern for additive aggregates. Each batch costs one partial
+    * aggregation of the batch plus a merge proportional to the DISTINCT
+    * KEYS, never a rescan of history; sums and counts re-aggregate
+    * losslessly, so the table always equals the aggregate over every row
+    * ever delivered (exactly-once via the version replay no-op).
+    */
+  def streamAggregate(updates: DataFrame, dir: String, keys: Seq[String],
+      sumCols: Seq[String], checkpoint: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatchWith(b.toDF(), dir, id) { (cur, batch) =>
+          val partial = batch.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+          cur match {
+            case None => partial
+            case Some(c) =>
+              c.unionByName(partial)
+                .groupBy(keys.map(col): _*)
+                .agg(sum(col("n_rows")).as("n_rows"),
+                  sumCols.map(c2 => sum(col(s"sum_$c2")).as(s"sum_$c2")): _*)
+          }
+        }
+      }
+      .start()
 
   /** Continuous upsert: every micro-batch merges into the table, with the
     * micro-batch id as the version (exactly-once via the replay no-op).

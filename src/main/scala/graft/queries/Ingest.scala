@@ -802,6 +802,44 @@ object Ingest extends QueryPack {
                CAST(max(seq) AS BIGINT) AS seq
         FROM ev GROUP BY user_id ORDER BY user_id""")),
 
+    // Incremental materialized aggregate through the real runtime: each
+    // micro-batch's per-user partials fold into the maintained parquet
+    // view (Upsert.streamAggregate — merge cost scales with distinct
+    // keys, never a history rescan). After both batches the table must
+    // equal the aggregate over every delivered row, which is exactly
+    // what the oracle computes from the full VALUES list.
+    "stream_incr_agg_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(Long, String, Long)]
+        val src = in.toDF().toDF("user_id", "status", "seq")
+        val root = java.nio.file.Files.createTempDirectory("graft_incragg_")
+        graft.engine.util.Fs.deleteOnExit(root)
+        val dir = s"$root/table"
+        withStreamingPartitions(s) {
+          val q = graft.engine.stream.Upsert.streamAggregate(
+            src, dir, Seq("user_id"), Seq("seq"), s"$root/chk")
+          try {
+            upsertBatches.foreach { b =>
+              in.addData(b)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        graft.engine.stream.Upsert.current(s, dir).get
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH ev(user_id, status, seq) AS (VALUES ${upsertBatches.flatten
+          .map { case (u, st, sq) => s"(CAST($u AS BIGINT), '$st', CAST($sq AS BIGINT))" }
+          .mkString(", ")})
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(seq) AS BIGINT) AS sum_seq
+        FROM ev GROUP BY user_id ORDER BY user_id""")),
+
     // Time travel over the upsert table's retained versions: the same CDC
     // stream, then BOTH snapshots read back — v0 (state after batch 1)
     // and v1 (final state) — tagged with their version. Proves each
