@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
 
 /** The composed corpus-curation funnel UNDER THE ORACLE GATE — the same
@@ -96,6 +97,47 @@ object Curate extends QueryPack {
           UNION ALL
           SELECT '4_split_' || split, CAST(count(*) AS BIGINT) FROM sp GROUP BY split
         ) u ORDER BY stage""")),
+
+    // Exact quota apportionment (largest-remainder / Hamilton method):
+    // allocate exactly 1000 sample slots across sources proportional to
+    // their document counts — floor quotas first, then the leftover
+    // slots go to the largest remainders (source name breaks ties).
+    // Every step is integer arithmetic + one rank window, so the
+    // allocation is exact, sums to precisely 1000, and hash-matches the
+    // oracle. This is how a sampler turns fractional shares into whole
+    // examples without drift.
+    "curate_quota_alloc" -> QueryDef(
+      (s, d) => {
+        val S = 1000L
+        val counts = Tables.documents(s, d)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("total"))
+        val base = counts.crossJoin(broadcast(tot))
+          .selectExpr("source", "n",
+            s"CAST(n * $S AS BIGINT) div total AS base",
+            s"CAST(n * $S AS BIGINT) % total AS rem")
+        val leftover = base.agg((lit(S) - sum(col("base"))).as("extra"))
+        val w = Window.orderBy(col("rem").desc, col("source"))
+        base.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(w))
+          .selectExpr("source", "n",
+            "CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota")
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source),
+        t AS (SELECT sum(n) AS total FROM c),
+        b AS (SELECT source, n, (n * 1000) // total AS base,
+                     (n * 1000) % total AS rem
+              FROM c CROSS JOIN t),
+        l AS (SELECT 1000 - sum(base) AS extra FROM b),
+        r AS (SELECT source, n, base, rem,
+                     row_number() OVER (ORDER BY rem DESC, source) AS rk
+              FROM b)
+        SELECT source, n,
+               CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM r CROSS JOIN l ORDER BY source""")),
 
     // Temperature-based source mixing — the sampling-weight table a
     // multi-source training run derives before drawing examples

@@ -198,6 +198,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"self-joins must not fall back to nested-loop:\n$p")
   }
 
+  test("the constraint report evaluates all five checks in ONE scan of orders") {
+    // the whole point of Checks.run: N constraints fold in one
+    // aggregation pass — N scans would defeat it at 100 TB
+    val p = plan("quality_constraint_report")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one orders scan, found $scans:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingles, never shuffles the corpus side") {
     // the benchmark set is tiny relative to the corpus (the whole point of
     // the op); its distinct-shingle set must reach the corpus as a
