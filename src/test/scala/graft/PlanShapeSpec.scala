@@ -198,6 +198,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"self-joins must not fall back to nested-loop:\n$p")
   }
 
+  test("kNN classification broadcasts the query side of its scoring join") {
+    val p = plan("sim_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildLeft"),
+      s"the 20-row query set must be the broadcast build side:\n$p")
+  }
+
+  test("salted join keeps the fact side on an equi-join, cartesian only for the 8-row salt fanout") {
+    // dim x salts is a deliberate 8-row broadcast fanout; the FACT side
+    // must still meet the replicated dim via a hash equi-join on
+    // (key, salt) — that join going nested-loop would be quadratic
+    val p = plan("join_salted_skew")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"fact-to-dim must be an equi join:\n$p")
+  }
+
   test("the constraint report evaluates all five checks in ONE scan of orders") {
     // the whole point of Checks.run: N constraints fold in one
     // aggregation pass — N scans would defeat it at 100 TB
