@@ -1442,6 +1442,63 @@ object Relational extends QueryPack {
                min(tus) AS start_us, max(tus) AS end_us
         FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
+    // The BUILT-IN batch session_window (complementing the manual
+    // lag/run-sum sessionization above): same 6-hour gap, but Spark's
+    // native operator — whose boundary rule differs by one epsilon from
+    // the manual one (an event exactly gap after its predecessor starts
+    // a NEW session here, `>=` in the oracle, vs `>` in the manual
+    // derivation), and whose session end extends gap past the last
+    // event. The oracle mirrors both rules exactly.
+    "time_session_builtin" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts").cast("timestamp"), "6 hours"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            epochUs(col("session_window.start")).as("start_us"),
+            epochUs(col("session_window.end")).as("end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""
+        WITH x AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, tus,
+                 CASE WHEN prev IS NULL OR tus - prev >= ${GapUs} THEN 1 ELSE 0 END AS new_sess
+          FROM x),
+        z AS (
+          SELECT user_id, tus,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+          FROM y)
+        SELECT user_id, min(tus) AS start_us,
+               CAST(max(tus) + ${GapUs} AS BIGINT) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""")),
+
+    // Spark 4 collation: a case-insensitive comparison declared on the
+    // COLUMN COMPARISON (COLLATE UTF8_LCASE), not by rewriting the data
+    // through lower() — the engine-level path for locale-aware
+    // semantics. The oracle gets the same result via explicit lower().
+    "filter_collated" -> QueryDef(
+      (s, d) => {
+        Tables.part(s, d)
+          .where(expr("p_type COLLATE UTF8_LCASE = 'promo'"))
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("p_type"))
+      },
+      Some("""
+        SELECT p_type, CAST(count(*) AS BIGINT) AS n
+        FROM part WHERE lower(p_type) = 'promo'
+        GROUP BY p_type ORDER BY p_type""")),
+
     "asof_purchase_signup" -> QueryDef(
       (s, d) => {
         // Scalable as-of alignment: union the two event streams, order by

@@ -29,6 +29,20 @@ object SourceFormats extends QueryPack {
 
   private val charges = Seq("l_orderkey", "l_quantity", "l_returnflag")
 
+  /** Literal CSV lines for the malformed-row round-trip, one per Spark
+    * PERMISSIVE rule (verified empirically): clean parse; cast failure
+    * (field null, line quarantined); missing trailing column (parsed
+    * prefix kept, line quarantined); extra column (fields kept, line
+    * quarantined); empty first token (null field, NOT corrupt).
+    */
+  private val corruptCsvLines = Seq(
+    "1,a",
+    "2,b",
+    "x,c",
+    "3",
+    "4,d,extra",
+    ",e")
+
   /** Literal JSONL lines for the corrupt-record round-trip: 4 valid, 2
     * structurally broken (truncated object, non-JSON text). Both engines
     * classify by JSON parseability, so the split must agree exactly.
@@ -208,6 +222,55 @@ object SourceFormats extends QueryPack {
                CAST(count(CASE WHEN j IS NULL THEN 1 END) AS BIGINT) AS n_corrupt,
                CAST(sum(CAST(json_extract_string(j, '$$.id') AS BIGINT)) AS BIGINT) AS sum_ids
         FROM p""")),
+
+    // CSV PERMISSIVE malformed-row accounting — the CSV twin of
+    // source_jsonl_corrupt, but with Spark's CSV-specific rules (cast
+    // failure, column-count mismatch, empty-token-as-null) each
+    // exercised by one literal line; the DuckDB mirror re-derives the
+    // same classification from string_split + TRY_CAST.
+    "source_csv_corrupt" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_csv_bad_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        val spark = s
+        import spark.implicits._
+        corruptCsvLines.toDS().write.mode("overwrite").text(out.toString)
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("v", StringType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(out.toString)
+          // count(v) keeps EVERY schema field required: under column
+          // pruning the CSV parser validates only the pruned subset, so
+          // a missing trailing column would silently stop counting as
+          // malformed if v were dropped from the plan
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("id")).as("n_ids"),
+            count(col("v")).as("n_vs"),
+            count(col("_corrupt_record")).as("n_corrupt"),
+            sum(col("id")).as("sum_ids"))
+      },
+      Some(s"""
+        WITH raw(line) AS (VALUES ${corruptCsvLines
+          .map(l => "('" + l.replace("'", "''") + "')").mkString(", ")}),
+        p AS (
+          SELECT line, string_split(line, ',') AS tok FROM raw),
+        c AS (
+          SELECT TRY_CAST(nullif(tok[1], '') AS BIGINT) AS id,
+                 CASE WHEN len(tok) >= 2 THEN tok[2] END AS v,
+                 CASE WHEN len(tok) <> 2
+                        OR (tok[1] <> '' AND TRY_CAST(tok[1] AS BIGINT) IS NULL)
+                      THEN line END AS corrupt
+          FROM p)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(id) AS BIGINT) AS n_ids,
+               CAST(count(v) AS BIGINT) AS n_vs,
+               CAST(count(corrupt) AS BIGINT) AS n_corrupt,
+               CAST(sum(id) AS BIGINT) AS sum_ids
+        FROM c""")),
 
     "agg_hll_shards" -> QueryDef(
       (s, d) => {
