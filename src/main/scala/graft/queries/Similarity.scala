@@ -412,6 +412,100 @@ object Similarity extends QueryPack {
         FROM sc WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         ORDER BY vid_a, vid_b""")),
 
+    // The composed embedding-side funnel (the vector twin of
+    // curate_funnel): corpus size → IVF cell occupancy (cells used + the
+    // max-cell skew dial the shuffle key inherits) → banded-LSH verified
+    // near-dup pair count — each stage reusing the oracle-checked
+    // primitive's exact arithmetic, composed under ONE gate so the
+    // end-to-end vector pipeline (assign → balance-check → dedup) is
+    // value-checked as a whole. Cell stats come from one aggregation
+    // pass over the assignment; the pair stage is the candidate-
+    // restricted band join, never all-pairs.
+    "embed_funnel" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < NList)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("d2",
+            expr(s"${sparkDot("embedding", "embedding")} - 2 * ${sparkDot("embedding", "cv")} + ${sparkDot("cv", "cv")}"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id"))
+        val cellStats = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"))
+          .persist() // feeds the 2_cells and 3_max_cell stage rows
+        val bandRows = bucketed(s, d).selectExpr("vec_id",
+          "explode(array(named_struct('band', 0, 'key', bucket % 16), " +
+            "named_struct('band', 1, 'key', bucket div 16))) AS bk")
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bandRows.toDF("vid_a", "band", "key")
+          .join(bandRows.toDF("vid_b", "band2", "key2"),
+            col("band") === col("band2") && col("key") === col("key2") &&
+              col("vid_a") < col("vid_b"))
+          .select(col("vid_a"), col("vid_b")).distinct()
+        val dupPairs = cosine(
+          cand
+            .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
+            .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
+          "ea", "eb")
+          .where("cos >= 0.4")
+        e.agg(count(lit(1)).as("n"))
+          .select(lit("1_total").as("stage"), col("n"))
+          .unionByName(cellStats
+            .select(lit("2_cells").as("stage"), col("n_cells").as("n")))
+          .unionByName(cellStats
+            .select(lit("3_max_cell").as("stage"), col("max_cell").as("n")))
+          .unionByName(dupPairs.agg(count(lit(1)).as("n"))
+            .select(lit("4_dup_pairs").as("stage"), col("n")))
+          .orderBy(col("stage"))
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NList),
+        dists AS (
+          SELECT e.vec_id, c.cent_id,
+                 ${duckDot("e.embedding", "e.embedding")} - 2 * ${duckDot("e.embedding", "c.cv")}
+                   + ${duckDot("c.cv", "c.cv")} AS d2
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM dists) t WHERE rn = 1),
+        cellsz AS (SELECT cent_id, count(*) AS sz FROM assigned GROUP BY cent_id),
+        eb AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM eb
+          UNION ALL
+          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM eb),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        prs AS (
+          SELECT c.vid_a, c.vid_b, ea.embedding AS ea, eb2.embedding AS eb
+          FROM cand c JOIN embeddings ea ON ea.vec_id = c.vid_a
+                      JOIN embeddings eb2 ON eb2.vec_id = c.vid_b),
+        sc AS (
+          SELECT vid_a, vid_b, ${duckDot("ea", "eb")} AS dot,
+                 ${duckDot("ea", "ea")} AS na, ${duckDot("eb", "eb")} AS nb
+          FROM prs)
+        SELECT stage, n FROM (
+          SELECT '1_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM embeddings
+          UNION ALL
+          SELECT '2_cells', CAST(count(*) AS BIGINT) FROM cellsz
+          UNION ALL
+          SELECT '3_max_cell', CAST(max(sz) AS BIGINT) FROM cellsz
+          UNION ALL
+          SELECT '4_dup_pairs', CAST(count(*) AS BIGINT) FROM sc
+          WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        ) u ORDER BY stage""")),
+
     "embed_quantize_error" -> QueryDef(
       (s, d) => {
         // int8 scalar quantization: per-vector max-abs scale, round to
