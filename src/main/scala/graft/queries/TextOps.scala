@@ -362,6 +362,26 @@ object TextOps extends QueryPack {
                ${duckStrHash("norm")} AS fp
         FROM n ORDER BY doc_id""")),
 
+    // inline() generator over an array of structs built by an
+    // index-aware transform lambda — the third generator shape
+    // (explode, posexplode, inline) and the idiomatic way to fan a
+    // struct column straight into rows without a nested select. A
+    // deterministic 1/100 doc stratum keeps the row count bounded.
+    "gen_inline_terms" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .where(col("doc_id") % 100 === 0)
+        .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        .selectExpr("doc_id",
+          "inline(transform(ws, (w, i) -> struct(i AS pos, w AS term)))")
+        .orderBy(col("doc_id"), col("pos")),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS pos1, unnest(ws) AS term
+          FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws
+                FROM documents WHERE doc_id % 100 = 0) t)
+        SELECT doc_id, CAST(pos1 - 1 AS INT) AS pos, term
+        FROM w ORDER BY doc_id, pos""")),
+
     // The array higher-order-function surface (§2.3) declared explicitly:
     // filter / exists / forall / transform+array_max / sequence-indexed
     // adjacent comparison, each reduced to an integer so the whole HOF
