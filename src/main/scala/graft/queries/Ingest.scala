@@ -461,6 +461,47 @@ object Ingest extends QueryPack {
          AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
         ORDER BY i.ad_id, imp_us, click_us""")),
 
+    // Trigger.AvailableNow through the real runtime — the backfill
+    // trigger: process EVERYTHING pending in bounded micro-batches, then
+    // stop on its own (no processAllAvailable choreography; the query's
+    // own termination is the completion signal). The batch-equivalent
+    // result is exactly what the oracle computes over the same rows —
+    // the drain mode must lose and duplicate nothing.
+    "stream_availablenow_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(String, String)]
+        in.addData(streamEvents) // all pending BEFORE start: drain in one go
+        val src = in.toDF().toDF("ts_s", "event_type")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val agg = src
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        val qn = s"avnow_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = agg.writeStream.format("memory").queryName(qn)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination(60000) finally q.stop()
+        }
+        s.table(qn)
+          .select(Q.epochUs(col("window_start")).as("ws_us"),
+            col("event_type"), col("n").cast("long").as("n"))
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      Some(s"""
+        WITH ev(ts, event_type) AS (VALUES ${streamEvents
+          .map { case (t, ty) => s"(TIMESTAMP '$t', '$ty')" }.mkString(", ")})
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // UPDATE output mode through the real runtime: only the groups a
     // micro-batch touched re-emit, with their new running counts — the
     // third output mode (tumbling covers append, sliding covers

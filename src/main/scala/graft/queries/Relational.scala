@@ -1528,6 +1528,36 @@ object Relational extends QueryPack {
         FROM events p WHERE p.event_type = 'purchase'
         ORDER BY p.event_id""")),
 
+    // FORWARD as-of (the mirror direction): for each error event, the
+    // NEXT click by the same user at-or-after it — the "time to next
+    // action" alignment. Same one-shuffle running-extremum shape as the
+    // backward as-of above, but scanning time descending with a running
+    // MIN carried backward; clicks win ties so an error and click at the
+    // same instant align (mirroring the backward query's tie rule).
+    "asof_next_click" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("error", "click"))
+          .withColumn("tus", epochUs(col("ts")))
+          .withColumn("is_click", (col("event_type") === "click").cast("int"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").desc, col("is_click").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("next_click_us",
+            min(when(col("is_click") === 1, col("tus"))).over(w))
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            col("tus").as("error_us"), col("next_click_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS error_us,
+               (SELECT min(epoch_us(c.ts)) FROM events c
+                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                   AND epoch_us(c.ts) >= epoch_us(e.ts)) AS next_click_us
+        FROM events e WHERE e.event_type = 'error'
+        ORDER BY e.event_id""")),
+
     // ---- pivot / semi-structured ---------------------------------------
     "pivot_user_events" -> QueryDef(
       (s, d) => {
