@@ -668,6 +668,28 @@ object Relational extends QueryPack {
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey ORDER BY c_custkey""")),
 
+    // RIGHT outer — the one outer direction not yet declared (left/full
+    // above): big orders RIGHT JOIN customer keeps every customer row,
+    // null-filling order columns for customers with no big order. Spark
+    // plans it as the mirrored LeftOuter; declared so the full
+    // inner/left/right/full family is value-checked.
+    "join_right_orders_customer" -> QueryDef(
+      (s, d) => {
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        big.join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"), "right")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_big_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(o_orderkey) AS BIGINT) AS n_big_orders
+        FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+             RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     "join_semi_active_customers" -> QueryDef(
       (s, d) => {
         val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
