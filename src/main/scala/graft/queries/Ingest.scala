@@ -69,6 +69,16 @@ object Ingest extends QueryPack {
     Seq((1L, 1L), (1L, 2L), (2L, 3L)),
     Seq((1L, 4L), (3L, 5L)))
 
+  /** (user_id, value) rows per micro-batch for the transformWithState
+    * roundtrip: user 1 appears in all three batches (ValueState and
+    * ListState must both carry across), user 2 in two, user 3 in one.
+    * Values chosen so sum/max evolve differently per batch.
+    */
+  private val twsBatches: Seq[Seq[(Long, Long)]] = Seq(
+    Seq((1L, 10L), (1L, 5L), (2L, 7L)),
+    Seq((1L, 20L), (3L, 1L), (2L, 2L)),
+    Seq((1L, 3L)))
+
   /** Literal (ts, event_type) rows for the streaming tumbling-window
     * roundtrip — spanning 4 hourly windows, two event types, delivered in
     * two micro-batches (first 4, then the rest — the second batch adds to
@@ -181,6 +191,23 @@ object Ingest extends QueryPack {
     val prev = s.conf.get(key)
     s.conf.set(key, "1")
     try f finally s.conf.set(key, prev)
+  }
+
+  /** Run `f` with the RocksDB state store provider (required by
+    * `transformWithState` — the typed-state API only ships on RocksDB),
+    * restored after. The provider is captured at query START, so scoping
+    * the conf to the query is enough; other streaming queries keep the
+    * default HDFS-backed store.
+    */
+  private def withRocksDbState[A](s: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -931,6 +958,60 @@ object Ingest extends QueryPack {
     // counter emitting one row per (user, micro-batch). The batch split
     // is part of the declared input, so the oracle derives the same rows
     // with a per-batch cumulative sum.
+    // Arbitrary typed keyed state through the Spark 4 transformWithState
+    // API (StatefulProfiles.RunningProfileProcessor): two ValueStates and
+    // a ListState per user in the RocksDB state store, three micro-batches
+    // so both scalar carry-over and list append-across-batches are
+    // exercised. The memory sink captures every update-mode emission;
+    // DuckDB re-derives the same per-batch running profile with window
+    // functions over the batch index.
+    "stream_tws_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.engine.stream.StatefulProfiles
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[StatefulProfiles.UserValue]
+        val profiles = StatefulProfiles.runningProfiles(in.toDS())
+        val qn = s"tws_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          withRocksDbState(s) {
+            val q = profiles.toDF().writeStream.format("memory").queryName(qn)
+              .outputMode("update").start()
+            try {
+              twsBatches.foreach { b =>
+                in.addData(b.map { case (u, v) => StatefulProfiles.UserValue(u, v) })
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+        }
+        s.table(qn)
+          .select(col("user_id"), col("n_batches"), col("n_events"),
+            col("sum_value"), col("max_value"))
+          .orderBy(col("user_id"), col("n_batches"))
+      },
+      Some(s"""
+        WITH ev(user_id, v, batch) AS (VALUES ${twsBatches.zipWithIndex
+          .flatMap { case (b, i) =>
+            b.map { case (u, v) => s"(CAST($u AS BIGINT), CAST($v AS BIGINT), $i)" } }
+          .mkString(", ")}),
+        per AS (
+          SELECT user_id, batch, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(v) AS BIGINT) AS sm, CAST(max(v) AS BIGINT) AS mx
+          FROM ev GROUP BY user_id, batch),
+        cum AS (
+          SELECT user_id,
+                 CAST(row_number() OVER w AS BIGINT) AS n_batches,
+                 CAST(sum(c) OVER w AS BIGINT) AS n_events,
+                 CAST(sum(sm) OVER w AS BIGINT) AS sum_value,
+                 CAST(max(mx) OVER w AS BIGINT) AS max_value
+          FROM per
+          WINDOW w AS (PARTITION BY user_id ORDER BY batch))
+        SELECT user_id, n_batches, n_events, sum_value, max_value
+        FROM cum ORDER BY user_id, n_batches""")),
+
     "stream_state_counts_roundtrip" -> QueryDef(
       (s, _) => {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

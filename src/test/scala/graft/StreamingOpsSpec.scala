@@ -138,6 +138,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState carries ValueState and ListState across batches") {
+    import graft.engine.stream.StatefulProfiles
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulProfiles.UserValue]
+      val q = StatefulProfiles.runningProfiles(in.toDS())
+        .toDF().writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      try {
+        in.addData(StatefulProfiles.UserValue(1, 10), StatefulProfiles.UserValue(2, 7))
+        q.processAllAvailable()
+        in.addData(StatefulProfiles.UserValue(1, 4))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("sum_value"), r.getAs[Long]("max_value")))
+        .toSet
+      // batch 1 emissions, then user 1's state carried into batch 2:
+      // n_batches counts ListState entries, sum/max from ValueStates
+      assert(rows == Set((1L, 1L, 1L, 10L, 10L), (2L, 1L, 1L, 7L, 7L),
+        (1L, 2L, 2L, 14L, 10L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("CentroidAggregator matches built-in per-dimension averages") {
     import spark.implicits._
     val e = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
