@@ -386,6 +386,40 @@ object Dedup extends QueryPack {
         SELECT v AS doc_id, r AS rank FROM r3 ORDER BY doc_id"""
       }),
 
+    // Triangle enumeration over the verified dup-pair graph: mutual
+    // near-dup triples are the strongest duplication signal (a clique of
+    // three pairwise-similar documents is almost never coincidental,
+    // unlike a chain a-b-c that transitive clustering also merges).
+    // Because dup pairs are emitted id-ordered (doc_a < doc_b), the edge
+    // set is already ORIENTED — each triangle a<b<c is found exactly once
+    // by the two equi-joins, with no permutation dedup and no direction
+    // blow-up. That orientation trick is what keeps distributed triangle
+    // counting tractable at scale; the dup-pair graph itself is tiny
+    // relative to the corpus (it's the near-dup survivors), so both
+    // joins broadcast in practice while the plan still degrades to
+    // shuffle equi-joins if a pathological corpus inflates it.
+    "graph_triangles_dups" -> QueryDef(
+      (s, d) => {
+        val e = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).persist()
+        e.toDF("a", "b")
+          .join(e.toDF("b2", "c"), col("b") === col("b2"))
+          .join(e.toDF("a2", "c2"),
+            col("a") === col("a2") && col("c") === col("c2"))
+          .select(col("a"), col("b"), col("c"))
+          .orderBy(col("a"), col("b"), col("c"))
+      },
+      Some(s"""
+        WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
+        dup AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jacc >= $JaccThreshold)
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM dup e1 JOIN dup e2 ON e1.doc_b = e2.doc_a
+                    JOIN dup e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ORDER BY a, b, c""")),
+
     // Exact n-gram Jaccard with a BOUNDED worst case: the declared result
     // is the LSH-candidate-verified pairs UNION an exact all-pairs pass
     // over a deterministic 1/16 document stratum. The stratum is the

@@ -1738,6 +1738,97 @@ object Relational extends QueryPack {
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year""")),
 
+    // TPC-H Q8 shape: national market share — the deepest join tree in
+    // the suite (lineitem x part x orders x customer x nation x region x
+    // supplier x nation, 8 relations). Bounded dims (nation, region) are
+    // broadcast; SF-proportional relations (part, customer, supplier)
+    // carry no forced hints — AQE decides from runtime sizes. Exits as
+    // the two exact scaled-integer sufficient statistics per year
+    // (numerator = NATION_3-supplied volume, denominator = all volume)
+    // per the scaled-BIGINT policy; the share itself is one client-side
+    // division.
+    "q8_market_share" -> QueryDef(
+      (s, d) => {
+        val volE4 = expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4))
+        val custNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+        val suppNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("c_nkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("s_nkey"))
+          .select(year(col("o_orderdate")).as("o_year"),
+            volE4.as("vol_e4"),
+            when(col("supp_nation") === "NATION_3", volE4)
+              .otherwise(lit(0L)).as("nat_e4"))
+          .groupBy(col("o_year"))
+          .agg(sum(col("nat_e4")).as("nation_e4"),
+            sum(col("vol_e4")).as("total_e4"))
+          .orderBy(col("o_year"))
+      },
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN ${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}
+                 ELSE 0 END) AS BIGINT) AS nation_e4,
+               CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}) AS BIGINT) AS total_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+                      JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                      JOIN region ON n1.n_regionkey = r_regionkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — who returned the
+    // most value in a quarter. Quarter filter prunes orders at the scan;
+    // the returnflag filter prunes lineitem; the group key includes the
+    // full customer projection (standard Q10), and the top-20 plans as
+    // TakeOrderedAndProject (no global sort). acctbal and revenue leave
+    // as scaled BIGINTs.
+    "q10_returned_items" -> QueryDef(
+      (s, d) => {
+        val volE4 = expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4))
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1996-04-01 00:00:00")),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"),
+            expr(Q.scaledLong("c_acctbal", 2)).as("acctbal_c"), col("n_name"))
+          .agg(sum(volE4).as("rev_e4"))
+          .select(col("c_custkey"), col("c_name"), col("rev_e4"),
+            col("acctbal_c"), col("n_name"))
+          .orderBy(col("rev_e4").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name,
+               CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}) AS BIGINT) AS rev_e4,
+               ${Q.scaledLong("c_acctbal", 2)} AS acctbal_c,
+               n_name
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, acctbal_c, n_name
+        ORDER BY rev_e4 DESC, c_custkey
+        LIMIT 20""")),
+
     // TPC-H Q13 shape: group-on-an-aggregate. Inner level is the
     // customer-orders left join counted per customer (the join predicate
     // carries an extra non-key filter, expressed by pre-filtering the

@@ -282,6 +282,93 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 3 ORDER BY qid, rn""")),
 
+    // One full Lloyd's k-means round (assign -> recompute centroids ->
+    // reassign) over the embeddings, ENTIRELY in scaled-integer
+    // arithmetic so the oracle matches value-for-value: elements scale to
+    // 1e-6 units with a +2e6 offset (offsets cancel inside squared
+    // distances but keep every per-dimension sum positive, so Spark's
+    // `div` and DuckDB's `//` — which differ on negative operands —
+    // agree), centroid means are exact integer divisions, and argmin
+    // tie-breaks on centroid id. Output is the per-cell population before
+    // and after the update plus how many vectors switched cells — the
+    // convergence observables a clustering pipeline monitors.
+    //
+    // Scale shape: assignment is a broadcast nested loop against k
+    // centroids (k rows — never a shuffle on the corpus side); the
+    // centroid update is one groupBy(cell, dim) shuffle of k*64 partial
+    // sums with map-side combine. That is exactly the distributed
+    // k-means iteration shape; more rounds repeat the same two stages.
+    "cluster_kmeans_iterate" -> QueryDef(
+      (s, d) => {
+        val xi = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
+        def d2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        def assign(v: DataFrame, cents: DataFrame, outCol: String) =
+          v.crossJoin(broadcast(cents))
+            .withColumn("_d2", expr(d2("xi", "cv")))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(col("_d2"), col("cent_id"))))
+            .where(col("_rn") === 1)
+            .drop("_d2", "_rn", "cent_id", "cv")
+            .withColumnRenamed("_cell", outCol)
+        val e = Tables.embeddings(s, d).selectExpr("vec_id", s"$xi AS xi").persist()
+        val c1 = e.filter(col("vec_id") < NList)
+          .select(col("vec_id").as("cent_id"), col("xi").as("cv"))
+        val a1 = assign(
+          e, c1.withColumn("_cell", col("cent_id")), "cell1").persist()
+        val c2 = a1.select(col("cell1"), posexplode(col("xi")).as(Seq("pos", "v")))
+          .groupBy(col("cell1"), col("pos"))
+          .agg(expr("sum(v) div count(1)").as("m"))
+          .groupBy(col("cell1"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
+          .select(col("cell1").as("cent_id"), col("cv"))
+        val a2 = assign(
+          a1, c2.withColumn("_cell", col("cent_id")), "cell2")
+        val n1 = a1.groupBy(col("cell1").as("cell")).agg(count(lit(1)).as("n_iter1"))
+        val n2 = a2.groupBy(col("cell2").as("cell"))
+          .agg(count(lit(1)).as("n_iter2"),
+            sum(when(col("cell1") =!= col("cell2"), 1L).otherwise(0L)).as("moved_in"))
+        n1.join(n2, Seq("cell"), "full_outer")
+          .select(col("cell"), coalesce(col("n_iter1"), lit(0L)).as("n_iter1"),
+            coalesce(col("n_iter2"), lit(0L)).as("n_iter2"),
+            coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        val xi = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
+        def d2(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, ${Dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+        s"""
+        WITH x AS (SELECT vec_id, $xi AS xi FROM embeddings),
+        c1 AS (SELECT vec_id AS cent_id, xi AS cv FROM x WHERE vec_id < $NList),
+        d1 AS (SELECT x.vec_id, x.xi, c.cent_id, ${d2("x.xi", "c.cv")} AS d2
+               FROM x CROSS JOIN c1 c),
+        a1 AS (SELECT vec_id, xi, cent_id AS cell1 FROM (
+                 SELECT vec_id, xi, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+                 FROM d1) t WHERE rn = 1),
+        dims AS (SELECT cell1, generate_subscripts(xi, 1) AS pos, unnest(xi) AS v FROM a1),
+        mom AS (SELECT cell1, pos, CAST(sum(v) // count(*) AS BIGINT) AS m
+                FROM dims GROUP BY cell1, pos),
+        c2 AS (SELECT cell1 AS cent_id, list(m ORDER BY pos) AS cv FROM mom GROUP BY cell1),
+        dd2 AS (SELECT a.vec_id, a.cell1, c.cent_id, ${d2("a.xi", "c.cv")} AS d2
+                FROM a1 a CROSS JOIN c2 c),
+        a2 AS (SELECT vec_id, cell1, cent_id AS cell2 FROM (
+                 SELECT vec_id, cell1, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+                 FROM dd2) t WHERE rn = 1),
+        n1 AS (SELECT cell1 AS cell, CAST(count(*) AS BIGINT) AS n_iter1 FROM a1 GROUP BY 1),
+        n2 AS (SELECT cell2 AS cell, CAST(count(*) AS BIGINT) AS n_iter2,
+                      CAST(sum(CASE WHEN cell1 <> cell2 THEN 1 ELSE 0 END) AS BIGINT) AS moved_in
+               FROM a2 GROUP BY 1)
+        SELECT COALESCE(n1.cell, n2.cell) AS cell,
+               COALESCE(n_iter1, 0) AS n_iter1,
+               COALESCE(n_iter2, 0) AS n_iter2,
+               COALESCE(moved_in, 0) AS moved_in
+        FROM n1 FULL JOIN n2 ON n1.cell = n2.cell
+        ORDER BY cell"""
+      }),
+
     // Recall@k of the LSH path against brute-force ground truth, per
     // query id, as exact integers (hits of k) — quantifies the bucketing
     // trade-off the ANN variants make. Both rankings use the shared
