@@ -386,6 +386,59 @@ object Dedup extends QueryPack {
         SELECT v AS doc_id, r AS rank FROM r3 ORDER BY doc_id"""
       }),
 
+    // Containment similarity over the LSH candidates: |A∩B| / min(|A|,|B|)
+    // instead of Jaccard's |A∩B| / |A∪B|. Containment is what catches a
+    // short document EMBEDDED in a longer one (boilerplate wrapping,
+    // quote-and-extend, page-within-crawl) — the asymmetric duplication
+    // Jaccard structurally under-scores: a 100-shingle doc fully
+    // contained in a 1000-shingle doc has containment 1.0 but Jaccard
+    // 0.1. Candidates come from the same banded-minhash equi-join and
+    // verification is candidate-restricted, so the scale shape is
+    // identical to dedup_minhash_pairs; the two thresholds differ
+    // (containment >= 0.8 vs jacc >= 0.5) because containment dominates
+    // Jaccard pointwise. Emitting both scores per surviving pair makes
+    // the asymmetry visible in the gated output.
+    "dedup_containment_pairs" -> QueryDef(
+      (s, d) => {
+        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
+        val bands = minHashBandsFrom(minHashSig(s, d)).persist()
+        val cand = bands.toDF("doc_a", "band", "key")
+          .join(bands.toDF("doc_b", "band2", "key2"),
+            col("band") === col("band2") && col("key") === col("key2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        cand
+          .join(shd.toDF("doc_a", "sh"), "doc_a")
+          .join(shd.toDF("doc_b2", "sh2"),
+            col("doc_b") === col("doc_b2") && col("sh") === col("sh2"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+          .join(sizes.toDF("doc_a", "na"), "doc_a")
+          .join(sizes.toDF("doc_b", "nb"), "doc_b")
+          .withColumn("cont", expr("CAST(inter AS DOUBLE) / least(na, nb)"))
+          .where("cont >= 0.8")
+          .selectExpr("doc_a", "doc_b", "round(cont, 4) AS cont",
+            "round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jacc")
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $duckBase, $duckSig, $duckBands, $duckCand,
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c JOIN shd a ON a.doc_id = c.doc_a
+                      JOIN shd b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2),
+        sc AS (
+          SELECT i.doc_a, i.doc_b,
+                 CAST(i.inter AS DOUBLE) / least(sa.n, sb.n) AS cont,
+                 CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jacc
+          FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                       JOIN sizes sb ON sb.doc_id = i.doc_b)
+        SELECT doc_a, doc_b, round(cont, 4) AS cont, round(jacc, 4) AS jacc
+        FROM sc WHERE cont >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     // Triangle enumeration over the verified dup-pair graph: mutual
     // near-dup triples are the strongest duplication signal (a clique of
     // three pairwise-similar documents is almost never coincidental,

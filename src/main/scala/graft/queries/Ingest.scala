@@ -833,6 +833,65 @@ object Ingest extends QueryPack {
          AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
         ORDER BY ad_id, imp_us NULLS FIRST, click_us NULLS FIRST""")),
 
+    // RIGHT OUTER stream-stream join: the mirror of the left-outer shape
+    // — clicks with no in-window impression (the no-impression ad 9 and
+    // the outside-window ad 2) emit with a null impression side once the
+    // watermark passes their horizon; unmatched impressions do NOT emit.
+    // Same flush choreography; DuckDB mirrors with RIGHT JOIN.
+    "stream_right_join_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val imps = MemoryStream[(String, Long)]
+        val clicks = MemoryStream[(String, Long)]
+        def src(m: MemoryStream[(String, Long)]) = m.toDF().toDF("ts_s", "ad_id")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+        val i = src(imps).withWatermark("ts", "2 hours")
+          .select(col("ad_id").as("imp_ad_id"), col("ts").as("imp_ts"))
+        val c = src(clicks).withWatermark("ts", "2 hours")
+          .select(col("ad_id").as("click_ad_id"), col("ts").as("click_ts"))
+        val joined = i.join(c,
+          expr("""imp_ad_id = click_ad_id AND
+                  click_ts >= imp_ts AND
+                  click_ts <= imp_ts + INTERVAL 1 HOUR"""), "right_outer")
+        val qn = s"rjoin_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          val q = joined.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try {
+            imps.addData(impEvents)
+            clicks.addData(clickEvents.take(3))
+            q.processAllAvailable()
+            clicks.addData(clickEvents.drop(3))
+            imps.addData(Seq(("2024-01-05 00:00:00", -1L)))
+            clicks.addData(Seq(("2024-01-05 00:00:00", -2L)))
+            q.processAllAvailable()
+            imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
+            clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(qn)
+          .where(col("click_ad_id") >= 0)
+          .select(col("click_ad_id").as("ad_id"),
+            Q.epochUs(col("imp_ts")).as("imp_us"),
+            Q.epochUs(col("click_ts")).as("click_us"))
+          .orderBy(col("ad_id"), col("imp_us"), col("click_us"))
+      },
+      Some(s"""
+        WITH imp(ts, ad_id) AS (VALUES ${impEvents
+          .map { case (t, a) => s"(TIMESTAMP '$t', CAST($a AS BIGINT))" }.mkString(", ")}),
+        clk(ts, ad_id) AS (VALUES ${clickEvents
+          .map { case (t, a) => s"(TIMESTAMP '$t', CAST($a AS BIGINT))" }.mkString(", ")})
+        SELECT c.ad_id AS ad_id,
+               epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+        FROM imp i RIGHT JOIN clk c
+          ON i.ad_id = c.ad_id
+         AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
+        ORDER BY ad_id, imp_us NULLS FIRST, click_us""")),
+
     // Streaming keyed upsert (CDC last-write-wins): foreachBatch merges
     // each micro-batch into a versioned parquet table; after both batches
     // the table holds exactly the highest-seq row per user — cross-batch

@@ -73,6 +73,44 @@ object SourceFormats extends QueryPack {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   def defs: Map[String, QueryDef] = Map(
+    // Raw-bytes ingestion through the binaryFile source — the entry
+    // point for multimodal corpora (images/audio/video land as opaque
+    // files; Spark reads them as (path, length, content BINARY) rows and
+    // the decode stage takes over, see engine/multimodal). A
+    // deterministic document subset is materialized as one UTF-8 file
+    // per doc (fixture setup, driver-side, bounded by the modulus — the
+    // measured path is the distributed binaryFile scan), read back, and
+    // each file's byte length and content hash are checked value-exact
+    // against the documents table: name mapping, byte fidelity, and the
+    // binary->string decode all gated. pathGlobFilter prunes non-matching
+    // files AT THE LISTING, the same way a 100 TB image crawl filters
+    // extensions without opening files.
+    "source_binaryfile_roundtrip" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val out = Files.createTempDirectory("graft_bin_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        Tables.documents(s, d).where("doc_id % 50 = 0")
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            Files.write(out.resolve(s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .load(out.toString)
+          .select(
+            expr("CAST(regexp_extract(path, 'doc_([0-9]+)\\\\.txt$', 1) AS BIGINT)").as("doc_id"),
+            col("length"),
+            expr(s"${Portable.sparkStrHash("decode(content, 'UTF-8')")}").as("h"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS length,
+               ${Portable.duckStrHash("text")} AS h
+        FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""")),
+
     "source_csv_roundtrip" -> QueryDef(
       (s, d) => {
         val out = Files.createTempDirectory("graft_csv_")
