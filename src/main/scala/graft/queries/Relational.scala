@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
@@ -1428,6 +1429,116 @@ object Relational extends QueryPack {
                round(sum(value), 2) AS sum_value
         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Ordered conversion funnel (signup -> view -> click -> purchase):
+    // each stage's timestamp must follow the PREVIOUS stage's for that
+    // user — sequential mins, not independent conditional aggregates.
+    // Expressed as a cascade of filter->groupBy(user) steps; every join
+    // and aggregation keys on user_id, so after the first shuffle the
+    // whole cascade is co-partitioned (Catalyst reuses the exchange) —
+    // at 100 TB the funnel costs one shuffle of the events table, not
+    // four. All time arithmetic in epoch-us BIGINTs; emits users
+    // reaching each stage plus the exact summed signup->stage lag.
+    "funnel_user_stages" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), epochUs(col("ts")).as("tus"))
+          .persist()
+        val s0 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+        def stage(prev: DataFrame, prevT: String, ty: String, outT: String) =
+          ev.filter(col("event_type") === ty)
+            .join(prev, "user_id")
+            .filter(col("tus") >= col(prevT))
+            .groupBy(col("user_id"))
+            .agg(min(col("tus")).as(outT), min(col("t0")).as("t0"))
+        val v = stage(s0, "t0", "view", "t1")
+        val c = stage(v, "t1", "click", "t2")
+        val p = stage(c, "t2", "purchase", "t3")
+        def summarize(df: DataFrame, tcol: String, label: String) =
+          df.agg(count(lit(1)).as("n_users"),
+            coalesce(sum(col(tcol) - col("t0")), lit(0L)).as("sum_lag_us"))
+            .select(lit(label).as("stage"), col("n_users"), col("sum_lag_us"))
+        summarize(s0, "t0", "1_signup")
+          .unionByName(summarize(v, "t1", "2_view"))
+          .unionByName(summarize(c, "t2", "3_click"))
+          .unionByName(summarize(p, "t3", "4_purchase"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        s0 AS (SELECT user_id, min(tus) AS t0 FROM ev
+               WHERE event_type = 'signup' GROUP BY user_id),
+        v AS (SELECT e.user_id, min(e.tus) AS t1, min(p.t0) AS t0
+              FROM ev e JOIN s0 p ON e.user_id = p.user_id
+              WHERE e.event_type = 'view' AND e.tus >= p.t0 GROUP BY e.user_id),
+        c AS (SELECT e.user_id, min(e.tus) AS t2, min(p.t0) AS t0
+              FROM ev e JOIN v p ON e.user_id = p.user_id
+              WHERE e.event_type = 'click' AND e.tus >= p.t1 GROUP BY e.user_id),
+        pu AS (SELECT e.user_id, min(e.tus) AS t3, min(p.t0) AS t0
+               FROM ev e JOIN c p ON e.user_id = p.user_id
+               WHERE e.event_type = 'purchase' AND e.tus >= p.t2 GROUP BY e.user_id)
+        SELECT stage, n_users, sum_lag_us FROM (
+          SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(0 AS BIGINT) AS sum_lag_us FROM s0
+          UNION ALL
+          SELECT '2_view', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(t1 - t0), 0) AS BIGINT) FROM v
+          UNION ALL
+          SELECT '3_click', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(t2 - t0), 0) AS BIGINT) FROM c
+          UNION ALL
+          SELECT '4_purchase', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(t3 - t0), 0) AS BIGINT) FROM pu)
+        ORDER BY stage""")),
+
+    // Sigma-band outlier detection in EXACT integer arithmetic: the
+    // z-score test |x - mean| > 1.5*sigma is algebraically cross-multiplied
+    // into 4*(n*x - sum_x)^2 > 9*(n*sum_xx - sum_x^2) — no division, no
+    // sqrt, no floating point anywhere, so the outlier boundary is
+    // bit-exact in both engines (a double-sqrt z-score can flip a
+    // borderline row between builds). Wide intermediates ride DECIMAL(38)
+    // / HUGEINT (the squares exceed BIGINT). Per-segment stats broadcast
+    // back onto the rows: one shuffle for the stats, one broadcast join,
+    // map-side flagging — the streaming-friendly anomaly shape.
+    // (1.5 sigma, not 2: o_totalprice is uniform, whose support ends at
+    // 1.73 sigma — a 2-sigma band can never flag anything on it.)
+    "quality_outliers_sigma" -> QueryDef(
+      (s, d) => {
+        val xD = s"CAST(${Q.scaledLong("o_totalprice", 0)} AS DECIMAL(38,0))"
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), expr(xD).as("x"))
+          .persist()
+        val st = o.groupBy(col("c_mktsegment"))
+          .agg(expr("CAST(count(1) AS DECIMAL(38,0))").as("n"),
+            expr("sum(x)").as("sx"), expr("sum(x * x)").as("sxx"))
+        o.join(broadcast(st), Seq("c_mktsegment"))
+          .withColumn("isout",
+            expr("4 * (n * x - sx) * (n * x - sx) > 9 * (n * sxx - sx * sx)"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("isout"), 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(col("isout"), col("x")).otherwise(lit(0L))).cast("long").as("out_dollars"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT c_mktsegment, CAST(${Q.scaledLong("o_totalprice", 0)} AS HUGEINT) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        st AS (
+          SELECT c_mktsegment, CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(x * x) AS sxx
+          FROM o GROUP BY c_mktsegment),
+        fl AS (
+          SELECT o.c_mktsegment, o.x,
+                 4 * (st.n * o.x - st.sx) * (st.n * o.x - st.sx)
+                   > 9 * (st.n * st.sxx - st.sx * st.sx) AS isout
+          FROM o JOIN st ON o.c_mktsegment = st.c_mktsegment)
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN isout THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
+        FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     "sessionize_events" -> QueryDef(
       (s, d) => {
