@@ -89,4 +89,73 @@ object StatefulProfiles {
       .transformWithState(
         new RunningProfileProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  final case class TimedEvent(user_id: Long, event_time_ms: Long)
+
+  /** Emitted when a user's idle timer fires: the session is closed with
+    * the count of events it accumulated.
+    */
+  final case class ClosedSession(user_id: Long, n_events: Long, closed_at_ms: Long)
+
+  /** Event-time TIMERS through transformWithState: each input row extends
+    * the user's idle deadline by `gapMs` past its event time (re-arming —
+    * the previous timer is deleted); when the WATERMARK passes the
+    * deadline, `handleExpiredTimer` fires, emits the closed session, and
+    * clears the state. This is the timer-driven flush pattern
+    * (mapGroupsWithState's GroupStateTimeout generalized to explicit,
+    * multiple, per-key timers) — the API surface the session-window
+    * operator builds on, exposed for custom expiry logic.
+    */
+  final class IdleSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+
+    @transient private var count: ValueState[Long] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      var c = if (count.exists()) count.get() else 0L
+      var maxT = Long.MinValue
+      rows.foreach { r =>
+        c += 1
+        if (r.event_time_ms > maxT) maxT = r.event_time_ms
+      }
+      count.update(c)
+      val newDeadline = maxT + gapMs
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      getHandle.registerTimer(newDeadline)
+      deadline.update(newDeadline)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val c = if (count.exists()) count.get() else 0L
+      count.clear()
+      deadline.clear()
+      Iterator(ClosedSession(key, c, expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  /** Timer-closed idle sessions over a watermarked event-time stream. */
+  def idleSessions(events: Dataset[TimedEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .withColumn("event_ts", timestamp_millis(col("event_time_ms")))
+      .withWatermark("event_ts", "0 seconds")
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new IdleSessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
 }

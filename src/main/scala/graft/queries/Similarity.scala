@@ -369,6 +369,70 @@ object Similarity extends QueryPack {
         ORDER BY cell"""
       }),
 
+    // Multi-probe IVF: each query searches its TWO nearest coarse cells
+    // instead of one — the standard recall knob (nprobe) that trades a
+    // bounded extra read amplification (nprobe/nlist of the corpus) for
+    // recovering neighbors that fell just across a Voronoi boundary.
+    // The corpus side stays single-cell (rn=1: each vector lives in
+    // exactly one inverted list, so probes can never double-count); only
+    // the tiny query side fans out, and the candidate join remains the
+    // same cell-id equi-join as sim_ivf_topk.
+    "sim_ivf_nprobe" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < NList)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+        val dists = e.crossJoin(broadcast(cents))
+          .withColumn("d2",
+            expr(s"${sparkDot("embedding", "embedding")} - 2 * ${sparkDot("embedding", "cv")} + ${sparkDot("cv", "cv")}"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
+        val corpus = dists.where(col("rn") === 1)
+          .select(col("vec_id").as("vid"), col("embedding").as("nv"),
+            col("cent_id").as("cent_n"))
+        val probes = dists.where(col("vec_id") < 20 && col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cent_id"))
+        val scored = cosine(
+          broadcast(probes).join(corpus,
+            col("cent_id") === col("cent_n") && col("qid") =!= col("vid")),
+          "qv", "nv")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .selectExpr("qid", "rk", "vid", "round(cos, 6) AS cos")
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NList),
+        dists AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 ${duckDot("e.embedding", "e.embedding")} - 2 * ${duckDot("e.embedding", "c.cv")}
+                   + ${duckDot("c.cv", "c.cv")} AS d2
+          FROM embeddings e CROSS JOIN cents c),
+        ranked AS (
+          SELECT vec_id, embedding, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+          FROM dists),
+        corpus AS (
+          SELECT vec_id AS vid, embedding AS nv, cent_id AS cent_n
+          FROM ranked WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS qid, embedding AS qv, cent_id
+          FROM ranked WHERE vec_id < 20 AND rn <= 2),
+        sc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM probes JOIN corpus ON cent_id = cent_n AND qid <> vid),
+        rk AS (
+          SELECT qid, vid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rk
+          FROM sc)
+        SELECT qid, rk, vid, round(cos, 6) AS cos
+        FROM rk WHERE rk <= 3 ORDER BY qid, rk""")),
+
     // Recall@k of the LSH path against brute-force ground truth, per
     // query id, as exact integers (hits of k) — quantifies the bucketing
     // trade-off the ANN variants make. Both rankings use the shared

@@ -73,6 +73,45 @@ object SourceFormats extends QueryPack {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   def defs: Map[String, QueryDef] = Map(
+    // Schema evolution ON READ: two parquet file generations with
+    // different column sets (an old writer without `lang`, a new writer
+    // without `n_chars`) land in one table directory; mergeSchema=true
+    // reconciles them into the union schema, null-filling each file's
+    // missing columns. This is the read-side half of the EvolvingTableSink
+    // story (SURVEY §2.1 S6) — a 100 TB table accretes schema versions
+    // over years and every query must read across all of them. The
+    // aggregate counts per-column presence, so a silent column drop or
+    // misalignment flips the gated values.
+    "source_mergeschema_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_ms_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        val docs = Tables.documents(s, d)
+        docs.where("doc_id % 2 = 0").select(col("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(out.resolve("gen=old").toString)
+        docs.where("doc_id % 2 = 1").select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(out.resolve("gen=new").toString)
+        s.read.option("mergeSchema", "true").parquet(out.toString)
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("n"),
+            count(col("n_chars")).as("n_with_chars"),
+            count(col("lang")).as("n_with_lang"),
+            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+          .orderBy(col("gen"))
+      },
+      Some("""
+        SELECT gen, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+               CAST(count(lang) AS BIGINT) AS n_with_lang,
+               CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+        FROM (
+          SELECT 'old' AS gen, n_chars, NULL AS lang
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'new' AS gen, NULL AS n_chars, lang
+          FROM documents WHERE doc_id % 2 = 1)
+        GROUP BY gen ORDER BY gen""")),
+
     // Raw-bytes ingestion through the binaryFile source — the entry
     // point for multimodal corpora (images/audio/video land as opaque
     // files; Spark reads them as (path, length, content BINARY) rows and

@@ -222,6 +222,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly one orders scan, found $scans:\n$p")
   }
 
+  test("kmeans assignment broadcasts the centroids; the corpus is never shuffled for it") {
+    // Lloyd's assignment is corpus x k-centroids: the centroid side must
+    // reach every corpus partition as a broadcast (a shuffle of the
+    // corpus for an 8-row build side would be the classic scale killer).
+    // The only exchanges allowed are the per-(cell,dim) centroid update
+    // aggregation and the tiny final per-cell summary.
+    val p = plan("cluster_kmeans_iterate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast to the corpus:\n$p")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"the embeddings table must be scanned once (persisted), found $scans scans")
+  }
+
+  test("triangle enumeration stays on broadcast/equi joins of the oriented edge set") {
+    val p = plan("graph_triangles_dups")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle joins must be equi-joins on the oriented edges:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingles, never shuffles the corpus side") {
     // the benchmark set is tiny relative to the corpus (the whole point of
     // the op); its distinct-shingle set must reach the corpus as a

@@ -172,6 +172,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState event-time timers close idle sessions at the watermark") {
+    import graft.engine.stream.StatefulProfiles
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulProfiles.TimedEvent]
+      val q = StatefulProfiles.idleSessions(in.toDS(), gapMs = 5000L)
+        .toDF().writeStream.format("memory").queryName("tws_timers")
+        .outputMode("append").start()
+      try {
+        // u1 deadline 2000+5000, u2 deadline 1500+5000
+        in.addData(StatefulProfiles.TimedEvent(1, 1000),
+          StatefulProfiles.TimedEvent(1, 2000), StatefulProfiles.TimedEvent(2, 1500))
+        q.processAllAvailable()
+        // raises max event time to 50000; watermark DURING this batch is
+        // still 2000 (previous batch's max), so no timer fires yet
+        in.addData(StatefulProfiles.TimedEvent(3, 50000))
+        q.processAllAvailable()
+        // this batch runs under watermark 50000: both idle timers fire
+        in.addData(StatefulProfiles.TimedEvent(3, 100000))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_timers").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("closed_at_ms"))).toSet
+      assert(rows == Set((1L, 2L, 7000L), (2L, 1L, 6500L)),
+        s"expected both idle sessions closed by their timers; got $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("CentroidAggregator matches built-in per-dimension averages") {
     import spark.implicits._
     val e = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
