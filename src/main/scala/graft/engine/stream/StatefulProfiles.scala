@@ -90,6 +90,48 @@ object StatefulProfiles {
         new RunningProfileProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts in a `MapState` — the keyed
+    * sub-map state shape (user -> {type -> count}) that a ValueState
+    * would have to serialize wholesale on every update; MapState updates
+    * touch only the changed entry. After each micro-batch that touches a
+    * user, the user's FULL map is re-emitted (update semantics), sorted
+    * by type key so the emission order is deterministic.
+    */
+  final class TypeCountsProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { r =>
+        val cur = if (counts.containsKey(r.event_type)) counts.getValue(r.event_type) else 0L
+        counts.updateValue(r.event_type, cur + 1L)
+      }
+      counts.iterator().toSeq.sortBy(_._1)
+        .iterator.map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** Running per-(user, event_type) counts via MapState. */
+  def typeCounts(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TimedEvent(user_id: Long, event_time_ms: Long)
 
   /** Emitted when a user's idle timer fires: the session is closed with

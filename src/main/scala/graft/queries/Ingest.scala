@@ -79,6 +79,15 @@ object Ingest extends QueryPack {
     Seq((1L, 20L), (3L, 1L), (2L, 2L)),
     Seq((1L, 3L)))
 
+  /** (user_id, event_type) rows per micro-batch for the MapState
+    * roundtrip: user 1 accumulates two types across batches (the full
+    * map re-emits, including the type NOT touched this batch), user 2
+    * one type twice.
+    */
+  private val twsMapBatches: Seq[Seq[(Long, String)]] = Seq(
+    Seq((1L, "click"), (1L, "view"), (2L, "click")),
+    Seq((1L, "click"), (2L, "click")))
+
   /** Literal (ts, event_type) rows for the streaming tumbling-window
     * roundtrip — spanning 4 hourly windows, two event types, delivered in
     * two micro-batches (first 4, then the rest — the second batch adds to
@@ -1070,6 +1079,54 @@ object Ingest extends QueryPack {
           WINDOW w AS (PARTITION BY user_id ORDER BY batch))
         SELECT user_id, n_batches, n_events, sum_value, max_value
         FROM cum ORDER BY user_id, n_batches""")),
+
+    // MapState through transformWithState — the third typed-state shape
+    // (user -> {event_type -> count}): updates touch only the changed
+    // map entry, and each micro-batch re-emits the user's FULL sorted
+    // map (so an entry untouched this batch re-appears unchanged — the
+    // oracle reproduces exactly that update-mode signature, duplicate
+    // rows included).
+    "stream_tws_map_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.engine.stream.StatefulProfiles
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[StatefulProfiles.TypedEvent]
+        val countsDs = StatefulProfiles.typeCounts(in.toDS())
+        val qn = s"tws_map_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          withRocksDbState(s) {
+            val q = countsDs.toDF().writeStream.format("memory").queryName(qn)
+              .outputMode("update").start()
+            try {
+              twsMapBatches.foreach { b =>
+                in.addData(b.map { case (u, t) => StatefulProfiles.TypedEvent(u, t) })
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+        }
+        s.table(qn)
+          .select(col("user_id"), col("event_type"), col("n"))
+          .orderBy(col("user_id"), col("event_type"), col("n"))
+      },
+      Some(s"""
+        WITH ev(user_id, event_type, batch) AS (VALUES ${twsMapBatches.zipWithIndex
+          .flatMap { case (b, i) =>
+            b.map { case (u, t) => s"(CAST($u AS BIGINT), '$t', $i)" } }
+          .mkString(", ")}),
+        touched AS (SELECT DISTINCT user_id, batch FROM ev),
+        per AS (SELECT user_id, event_type, batch, CAST(count(*) AS BIGINT) AS c
+                FROM ev GROUP BY user_id, event_type, batch),
+        cum AS (
+          SELECT t.user_id, p.event_type, t.batch, CAST(sum(p.c) AS BIGINT) AS n
+          FROM touched t JOIN per p
+            ON p.user_id = t.user_id AND p.batch <= t.batch
+          GROUP BY t.user_id, p.event_type, t.batch)
+        SELECT user_id, event_type, n FROM cum
+        ORDER BY user_id, event_type, n""")),
 
     "stream_state_counts_roundtrip" -> QueryDef(
       (s, _) => {
