@@ -1433,12 +1433,14 @@ object Relational extends QueryPack {
     // Ordered conversion funnel (signup -> view -> click -> purchase):
     // each stage's timestamp must follow the PREVIOUS stage's for that
     // user — sequential mins, not independent conditional aggregates.
-    // Expressed as a cascade of filter->groupBy(user) steps; every join
-    // and aggregation keys on user_id, so after the first shuffle the
-    // whole cascade is co-partitioned (Catalyst reuses the exchange) —
-    // at 100 TB the funnel costs one shuffle of the events table, not
-    // four. All time arithmetic in epoch-us BIGINTs; emits users
-    // reaching each stage plus the exact summed signup->stage lag.
+    // Expressed as a cascade of filter->join->groupBy(user) steps; each
+    // stage shuffles only ITS event-type slice (the filter lands before
+    // the exchange), so the four stages together move about one pass of
+    // the table, and the per-user stage frames are tiny (one row per
+    // surviving user) — at test scale they all broadcast; at 100 TB AQE
+    // swaps the joins to co-partitioned shuffles on user_id. All time
+    // arithmetic in epoch-us BIGINTs; emits users reaching each stage
+    // plus the exact summed signup->stage lag.
     "funnel_user_stages" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -1452,9 +1454,11 @@ object Relational extends QueryPack {
             .filter(col("tus") >= col(prevT))
             .groupBy(col("user_id"))
             .agg(min(col("tus")).as(outT), min(col("t0")).as("t0"))
-        val v = stage(s0, "t0", "view", "t1")
-        val c = stage(v, "t1", "click", "t2")
-        val p = stage(c, "t2", "purchase", "t3")
+        // each stage frame feeds BOTH its own summary and the next stage:
+        // persist the tiny per-user frames so no aggregation re-runs
+        val v = stage(s0.persist(), "t0", "view", "t1")
+        val c = stage(v.persist(), "t1", "click", "t2")
+        val p = stage(c.persist(), "t2", "purchase", "t3")
         def summarize(df: DataFrame, tcol: String, label: String) =
           df.agg(count(lit(1)).as("n_users"),
             coalesce(sum(col(tcol) - col("t0")), lit(0L)).as("sum_lag_us"))
@@ -1539,6 +1543,147 @@ object Relational extends QueryPack {
                CAST(sum(CASE WHEN isout THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
         FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ANSI-safe arithmetic surface (try_divide / try_mod / try_cast):
+    // under Spark 4's ANSI mode, raw division by zero or a bad cast
+    // THROWS — the try_* family yields NULL instead, which is exactly
+    // DuckDB's native semantics for x/0 and try_cast, so the NULL
+    // patterns gate one-to-one. Every third order key manufactures a
+    // zero divisor, every fifth a malformed cast input; the aggregate
+    // counts the quarantined rows and sums the survivors.
+    "func_try_arith" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .withColumn("cents", expr(Q.scaledLong("o_totalprice", 2)))
+          .withColumn("dvs", col("o_orderkey") % 3)
+          .selectExpr("o_orderpriority", "cents", "dvs",
+            "floor(try_divide(cents, dvs)) AS q",
+            "try_mod(cents, dvs) AS m",
+            "try_cast(CASE WHEN o_orderkey % 5 = 0 THEN 'oops' " +
+              "ELSE CAST(o_orderkey AS STRING) END AS BIGINT) AS k")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            (count(lit(1)) - count(col("q"))).as("n_div0"),
+            sum(col("q")).cast("long").as("sum_q"),
+            sum(col("m")).as("sum_m"),
+            (count(lit(1)) - count(col("k"))).as("n_badcast"),
+            sum(col("k")).as("sum_k"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderpriority,
+                 ${Q.scaledLong("o_totalprice", 2)} AS cents,
+                 o_orderkey % 3 AS dvs,
+                 o_orderkey
+          FROM orders),
+        t AS (
+          SELECT o_orderpriority,
+                 floor(cents / dvs) AS q,
+                 cents % dvs AS m,
+                 try_cast(CASE WHEN o_orderkey % 5 = 0 THEN 'oops'
+                   ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS k
+          FROM o)
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count(q) AS BIGINT) AS n_div0,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(sum(m) AS BIGINT) AS sum_m,
+               CAST(count(*) - count(k) AS BIGINT) AS n_badcast,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // nth_value + IGNORE NULLS window surface: per customer order
+    // timeline, the 2nd order's price (nth_value over the running
+    // frame), the most recent big-order price so far (last_value IGNORE
+    // NULLS — skips the NULLs the CASE injects for small orders), and
+    // the NEXT big order's price (lead IGNORE NULLS). Explicit ROWS
+    // frames + a tie-free (date, orderkey) order keep frame semantics
+    // identical across engines. Deterministic customer sample keeps the
+    // row-level gate bounded.
+    "window_nth_ignore" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 100 === 0)
+          .withColumn("cents", expr(Q.scaledLong("o_totalprice", 2)))
+          .withColumn("big_cents",
+            when(col("o_totalprice") > 300000, col("cents")))
+          .select(col("o_custkey"), col("o_orderkey"),
+            Q.epochUs(col("o_orderdate")).as("od_us"), col("cents"),
+            nth_value(col("cents"), 2).over(run).as("second_cents"),
+            last(col("big_cents"), ignoreNulls = true).over(run).as("last_big_cents"),
+            lead(col("big_cents"), 1, null, ignoreNulls = true).over(w).as("next_big_cents"))
+          .orderBy(col("o_custkey"), col("od_us"), col("o_orderkey"))
+      },
+      Some(s"""
+        SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+               ${Q.scaledLong("o_totalprice", 2)} AS cents,
+               nth_value(${Q.scaledLong("o_totalprice", 2)}, 2) OVER w_run AS second_cents,
+               last_value(CASE WHEN o_totalprice > 300000
+                 THEN ${Q.scaledLong("o_totalprice", 2)} END IGNORE NULLS) OVER w_run AS last_big_cents,
+               lead(CASE WHEN o_totalprice > 300000
+                 THEN ${Q.scaledLong("o_totalprice", 2)} END, 1 IGNORE NULLS) OVER w_ord AS next_big_cents
+        FROM orders WHERE o_custkey % 100 = 0
+        WINDOW
+          w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, od_us, o_orderkey""")),
+
+    // Chi-square independence test (market segment x order priority) in
+    // EXACT integer arithmetic: each cell's (O - E)^2 / E is
+    // cross-multiplied into (n*O - R*C)^2 / (n*R*C) and emitted as a
+    // floor-scaled 1e-6 contribution — no floating point, so the
+    // statistic is bit-exact in both engines (DECIMAL(38) / HUGEINT
+    // carry the 1e24 intermediates). Shape: one groupBy for the cells,
+    // two trivial margin aggregates broadcast back, a 1-row total
+    // cross-joined — the contingency table itself is bounded (|seg| x
+    // |prio|), so everything after the first aggregation is
+    // constant-size regardless of SF.
+    "stats_chisq_independence" -> QueryDef(
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderpriority"))
+        val cells = base.groupBy(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("o")).persist()
+        val rm = cells.groupBy(col("c_mktsegment")).agg(sum(col("o")).as("r"))
+        val cm = cells.groupBy(col("o_orderpriority")).agg(sum(col("o")).as("c"))
+        val tot = cells.agg(sum(col("o")).as("n"))
+        cells
+          .join(broadcast(rm), Seq("c_mktsegment"))
+          .join(broadcast(cm), Seq("o_orderpriority"))
+          .crossJoin(broadcast(tot))
+          .select(col("c_mktsegment"), col("o_orderpriority"), col("o"),
+            expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+                      * (CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))
+                         - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                      * (CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))
+                         - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))))
+                    div (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))
+                         * CAST(c AS DECIMAL(38,0))) AS BIGINT)""").as("chi2_e6"))
+          .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_mktsegment, o_orderpriority
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        cells AS (
+          SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS HUGEINT) AS o
+          FROM base GROUP BY 1, 2),
+        rm AS (SELECT c_mktsegment, sum(o) AS r FROM cells GROUP BY 1),
+        cm AS (SELECT o_orderpriority, sum(o) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT sum(o) AS n FROM cells)
+        SELECT cells.c_mktsegment, cells.o_orderpriority,
+               CAST(cells.o AS BIGINT) AS o,
+               CAST((1000000 * (n * o - r * c) * (n * o - r * c))
+                    // (n * r * c) AS BIGINT) AS chi2_e6
+        FROM cells JOIN rm USING (c_mktsegment)
+                   JOIN cm USING (o_orderpriority)
+                   CROSS JOIN tot
+        ORDER BY c_mktsegment, o_orderpriority""")),
 
     "sessionize_events" -> QueryDef(
       (s, d) => {
