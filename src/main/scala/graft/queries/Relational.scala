@@ -1544,6 +1544,51 @@ object Relational extends QueryPack {
                CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
         FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // The SAME streaming aggregation code run as a batch query — Spark's
+    // unified-engine contract, exercised explicitly: the
+    // WindowedAggs.tumblingCounts pipeline (watermark + window + agg)
+    // that stream_tumbling_roundtrip drives through micro-batches here
+    // consumes the full events table in one batch pass (withWatermark is
+    // a no-op on batch input; window() degrades to date_trunc
+    // bucketing). Write the transformation once, run it on both
+    // runtimes, gate both against the same oracle shape. Values ride as
+    // pre-scaled integer cents (exact in any fold order).
+    "batch_via_stream_ops" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("ts"), col("event_type"),
+            expr(Q.scaledLong("value", 2)).cast("double").as("value"))
+        graft.engine.stream.WindowedAggs.tumblingCounts(ev)
+          .select(Q.epochUs(col("window_start")).as("ws_us"), col("event_type"),
+            col("n"), col("sum_value").cast("long").as("sum_cents"))
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      Some(s"""
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${Q.scaledLong("value", 2)}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Boolean aggregate surface: count_if / bool_and / bool_or per
+    // segment — the predicate-aggregation trio a data-quality dashboard
+    // leans on, gated with raw BOOLEAN output columns.
+    "agg_boolean_flags" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            expr("count_if(c_acctbal < 0)").as("n_neg"),
+            expr("bool_and(c_acctbal > -1000)").as("all_above_floor"),
+            expr("bool_or(c_acctbal > 9000)").as("any_high"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_neg,
+               bool_and(c_acctbal > -1000) AS all_above_floor,
+               bool_or(c_acctbal > 9000) AS any_high
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ANSI-safe arithmetic surface (try_divide / try_mod / try_cast):
     // under Spark 4's ANSI mode, raw division by zero or a bad cast
     // THROWS — the try_* family yields NULL instead, which is exactly
