@@ -2261,6 +2261,165 @@ object Relational extends QueryPack {
                             AND l3.l_shipdate > l1.l_shipdate)
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // TPC-H Q9 shape: multi-dimension profit rollup — a name-pattern part
+    // filter fans a 5-relation join (lineitem x part x supplier x nation x
+    // orders) into a (nation, year) rollup. The testdata has no partsupp
+    // table, so profit is the discounted revenue (no ps_supplycost term);
+    // the join tree, pushed LIKE filter, and rollup shape are Q9's. Exits
+    // as an exact per-row-scaled integer sum (Q.scaledLong policy). The
+    // part filter is pushed to the scan; nation broadcasts (bounded);
+    // part/supplier carry no hint (SF-proportional — AQE decides).
+    "q9_nation_profit" -> QueryDef(
+      (s, d) => {
+        val amtE4 = expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4))
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).filter(col("p_name").like("%gear%"))
+            .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"), amtE4.as("amt_e4"))
+          .groupBy(col("nation"), col("o_year"))
+          .agg(sum(col("amt_e4")).as("profit_e4"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}) AS profit_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC""")),
+
+    // TPC-H Q11 shape: grouped value share gated by HAVING against a
+    // SCALAR SUBQUERY over the same fact — the one aggregate-vs-global-
+    // total shape in the suite. Per-nation shipped value must exceed 1/20
+    // of the global total. Both sides stay in exact integer arithmetic
+    // (per-row scaled BIGINT sums; the share test is the cross-multiplied
+    // integer inequality value*20 > total), so the HAVING boundary can
+    // never flip on float association order. The global total is a 1-row
+    // broadcast onto the 25-row aggregate (not a second fact shuffle).
+    "q11_important_value" -> QueryDef(
+      (s, d) => {
+        val valE2 = expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2))
+        val byNation = Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), valE2.as("v_e2"))
+          .groupBy(col("nation"))
+          .agg(sum(col("v_e2")).as("value_e2"))
+        val total = byNation.agg(sum(col("value_e2")).as("total_e2"))
+        byNation.crossJoin(broadcast(total))
+          .filter(col("value_e2") * lit(20L) > col("total_e2"))
+          .select(col("nation"), col("value_e2"))
+          .orderBy(col("value_e2").desc, col("nation"))
+      },
+      Some(s"""
+        SELECT nation, value_e2 FROM (
+          SELECT n_name AS nation,
+                 sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)}) AS value_e2
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1)
+        WHERE value_e2 * 20 > (
+          SELECT sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)})
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+        ORDER BY value_e2 DESC, nation""")),
+
+    // TPC-H Q2 shape: correlated per-group minimum — for each qualifying
+    // part, the single best supplier among those that actually shipped it
+    // from the target region. No partsupp table exists, so the
+    // part-supplier relation is the DISTINCT (l_partkey, l_suppkey) pairs
+    // from lineitem and "best" is max s_acctbal (Q2's output ordering
+    // criterion) with a full deterministic tie-break; the correlated-min
+    // subquery becomes a row_number window over the candidate pairs —
+    // the standard decorrelation Spark and DuckDB both plan as one
+    // window, no re-join of the fact.
+    "q2_min_cost_supplier" -> QueryDef(
+      (s, d) => {
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val europe = broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+        val supp = Tables.supplier(s, d)
+          .join(europe, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("sk"), col("s_name"),
+            col("s_acctbal"), col("n_name").as("nation"))
+        val parts = Tables.part(s, d)
+          .filter(col("p_type") === "STANDARD" && col("p_size") === 7)
+          .select(col("p_partkey"))
+        val w = Window.partitionBy(col("p_partkey"))
+          .orderBy(col("s_acctbal").desc, col("sk"))
+        pairs
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .join(supp, col("l_suppkey") === col("sk"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("s_acctbal"), col("s_name"), col("nation"),
+            col("p_partkey"))
+          .orderBy(col("s_acctbal").desc, col("p_partkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT s_acctbal, s_name, nation, p_partkey FROM (
+          SELECT s_acctbal, s_name, n_name AS nation, p_partkey,
+                 ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+               JOIN part ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size = 7)
+        WHERE rn = 1
+        ORDER BY s_acctbal DESC, p_partkey
+        LIMIT 20""")),
+
+    // TPC-H Q16 shape: supplier-relationship count — COUNT(DISTINCT
+    // supplier) per part attribute triple, with an exclusion list applied
+    // as a NOT IN (here: broadcast anti-join on the tiny excluded-supplier
+    // set, the scale-safe plan for NOT IN against a small subquery). The
+    // part-supplier relation is again the DISTINCT lineitem pair set.
+    "q16_supplier_cnt" -> QueryDef(
+      (s, d) => {
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excluded = Tables.supplier(s, d)
+          .filter(col("s_name").like("%7%")).select(col("s_suppkey"))
+        val parts = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "ECONOMY")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        pairs
+          .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+          .limit(20)
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type <> 'ECONOMY'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_name LIKE '%7%')
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 20"""))
   )
 }
