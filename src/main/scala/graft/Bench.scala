@@ -11,6 +11,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    graft.engine.Sessions.preferShmScratch()
     val spark = graft.engine.Sessions.local(cpus, "graft-bench")
     // Warmup iteration: run EVERY query once at the smallest SF before
     // timing at the bench SF. First execution of a plan shape pays

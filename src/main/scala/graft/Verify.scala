@@ -13,6 +13,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // the engine's shipped session defaults (AQE on, UTC, shuffle
     // partitions = cores) — verify the configuration users actually get
+    graft.engine.Sessions.preferShmScratch()
     val spark = graft.engine.Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

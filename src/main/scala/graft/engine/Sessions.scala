@@ -20,6 +20,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** Point JVM-local scratch (shuffle/spill files, streaming checkpoint
+    * base) at the RAM disk when one is mounted and the caller hasn't
+    * chosen otherwise. Local-mode ergonomics for the bench/verify mains:
+    * micro-batch commits fsync per state store per batch, and on a
+    * disk-backed /tmp that fixed cost lands on every streaming
+    * roundtrip. A cluster deployment sets spark.local.dir to NVMe
+    * explicitly and always passes real checkpoint locations. Must run
+    * BEFORE the SparkContext starts (spark.local.dir is read once).
+    */
+  def preferShmScratch(): Unit = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      if (System.getProperty("spark.local.dir") == null)
+        System.setProperty("spark.local.dir", "/dev/shm/graft-local")
+      if (System.getProperty("spark.sql.streaming.checkpointLocation") == null)
+        System.setProperty(
+          "spark.sql.streaming.checkpointLocation", "/dev/shm/graft-ckpt")
+    }
+  }
+
   /** Build a local session with graft defaults. `cpus` drives both the
     * master thread count and the shuffle partition count — on local
     * mode there is no benefit to more shuffle partitions than cores.

@@ -377,9 +377,11 @@ object Ingest extends QueryPack {
           try {
             in.addData(sessionEvents.take(3))
             q.processAllAvailable()
-            in.addData(sessionEvents.drop(3))
-            q.processAllAvailable()
-            in.addData(Seq(("2024-01-05 00:00:00", -1L))) // watermark flush
+            // batch 2 extends batch-1 sessions (the cross-micro-batch
+            // state merge this roundtrip exists to prove) and carries the
+            // watermark-flush row; the trailing no-data batch under the
+            // advanced watermark finalizes every real session
+            in.addData(sessionEvents.drop(3) :+ (("2024-01-05 00:00:00", -1L)))
             q.processAllAvailable()
           } finally q.stop()
         }
@@ -697,9 +699,9 @@ object Ingest extends QueryPack {
             // sub-windows under batch 1's watermark) + the first flush
             // raising max event time; batch 3 then runs under the
             // advanced watermark and finalizes BOTH state levels
-            in.addData(streamEvents.drop(4) :+ (("2024-01-05 00:00:00", "zz_flush")))
-            q.processAllAvailable()
-            in.addData(Seq(("2024-01-05 02:00:00", "zz_flush")))
+            // one flush stage: the trailing no-data batch under the
+            // advanced watermark finalizes every real window
+            in.addData(streamEvents.drop(4) :+ (("2024-01-05 02:00:00", "zz_flush")))
             q.processAllAvailable()
           } finally q.stop()
         }
@@ -752,13 +754,14 @@ object Ingest extends QueryPack {
             q.processAllAvailable()
             // batch 2: the cross-batch click (matched under batch 1's
             // watermark, so ad 4's impression state is still live) PLUS
-            // the first flush rows raising both streams' max event time
+            // the flush rows raising both streams' max event time past
+            // every real impression's horizon. The no-data batch that
+            // processAllAvailable runs after it executes under the
+            // advanced watermark: unmatched impressions evict and emit
+            // their null-click rows there — the final output depends
+            // only on the FINAL watermark, so one flush stage suffices
+            // (micro-batches cost ~0.7s fixed each in this runtime).
             clicks.addData(clickEvents.drop(3))
-            imps.addData(Seq(("2024-01-05 00:00:00", -1L)))
-            clicks.addData(Seq(("2024-01-05 00:00:00", -2L)))
-            q.processAllAvailable()
-            // batch 3 runs under the advanced watermark: unmatched
-            // impressions evict and emit their null-click rows
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
             q.processAllAvailable()
@@ -812,10 +815,10 @@ object Ingest extends QueryPack {
             imps.addData(impEvents)
             clicks.addData(clickEvents.take(3))
             q.processAllAvailable()
+            // single flush stage: the trailing no-data batch runs under
+            // the final watermark and emits every unmatched row (see the
+            // left-outer roundtrip's choreography note)
             clicks.addData(clickEvents.drop(3))
-            imps.addData(Seq(("2024-01-05 00:00:00", -1L)))
-            clicks.addData(Seq(("2024-01-05 00:00:00", -2L)))
-            q.processAllAvailable()
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
             q.processAllAvailable()
@@ -873,10 +876,10 @@ object Ingest extends QueryPack {
             imps.addData(impEvents)
             clicks.addData(clickEvents.take(3))
             q.processAllAvailable()
+            // single flush stage: the trailing no-data batch runs under
+            // the final watermark and emits every unmatched row (see the
+            // left-outer roundtrip's choreography note)
             clicks.addData(clickEvents.drop(3))
-            imps.addData(Seq(("2024-01-05 00:00:00", -1L)))
-            clicks.addData(Seq(("2024-01-05 00:00:00", -2L)))
-            q.processAllAvailable()
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
             q.processAllAvailable()
