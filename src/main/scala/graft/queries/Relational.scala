@@ -2420,6 +2420,109 @@ object Relational extends QueryPack {
                                 WHERE s_name LIKE '%7%')
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // SCD2 (type-2 slowly-changing dimension) history build — the
+    // warehouse op that turns an event log into versioned dimension rows
+    // (valid_from / valid_to / is_current): consecutive same-type events
+    // per user collapse into one regime (gaps-and-islands via lag +
+    // running change-count), each regime closes at the NEXT regime's
+    // start. Two windows and one aggregate, all partitioned by user_id —
+    // state per partition is one user's history, so the build
+    // distributes over any key cardinality.
+    "scd2_user_state" -> QueryDef(
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val regimes = Tables.events(s, d)
+          .select(col("user_id"), epochUs(col("ts")).as("tus"),
+            col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("rid", sum(col("chg")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("rid"), col("event_type"))
+          .agg(min(col("tus")).as("valid_from_us"),
+            count(lit(1)).as("n_events"))
+        val wNext = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from_us"))
+        regimes
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wNext))
+          .select(col("user_id"), col("event_type"), col("valid_from_us"),
+            col("valid_to_us"), col("n_events"),
+            col("valid_to_us").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("valid_from_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        x AS (
+          SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id) AS prev FROM e),
+        y AS (
+          SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                         THEN 1 ELSE 0 END AS chg FROM x),
+        z AS (
+          SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS rid FROM y),
+        regimes AS (
+          SELECT user_id, rid, event_type, min(tus) AS valid_from_us,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM z GROUP BY user_id, rid, event_type)
+        SELECT user_id, event_type, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id
+                   ORDER BY valid_from_us) AS valid_to_us,
+               n_events,
+               (lead(valid_from_us) OVER (PARTITION BY user_id
+                   ORDER BY valid_from_us)) IS NULL AS is_current
+        FROM regimes ORDER BY user_id, valid_from_us""")),
+
+    // NOT IN with a nullable probe — the null-aware anti join. Three-
+    // valued logic makes NOT IN differ from a plain anti join: a NULL
+    // probe value can never satisfy `NOT IN`, so size-7 parts (nulled by
+    // the nullif) drop out ALONG WITH the sizes the subquery lists.
+    // Spark plans this as a broadcast null-aware anti join (single
+    // broadcast of the small subquery, no shuffle); expressed through
+    // the SQL surface because the DataFrame API has no NOT IN form.
+    "join_not_in_nulls" -> QueryDef(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("graft_part_nn")
+        s.sql("""
+          SELECT p_partkey, p_size FROM graft_part_nn
+          WHERE nullif(p_size, 7) NOT IN
+            (SELECT p_size FROM graft_part_nn
+             WHERE p_type = 'ECONOMY' AND p_size <= 5)
+          ORDER BY p_partkey""")
+      },
+      Some("""
+        SELECT p_partkey, p_size FROM part
+        WHERE nullif(p_size, 7) NOT IN
+          (SELECT p_size FROM part WHERE p_type = 'ECONOMY' AND p_size <= 5)
+        ORDER BY p_partkey""")),
+
+    // Fixed-bin histogram: one scan, one aggregate — the profile shape
+    // for a numeric column at any scale (bin arithmetic is row-local;
+    // the shuffle carries nbins rows). floor() on a constant divisor is
+    // the same correctly-rounded IEEE op in both engines, so bucket
+    // boundaries can't drift between Spark and the oracle.
+    "hist_order_totals" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(least(floor(col("o_totalprice") / lit(50000.0)), lit(9.0))
+            .cast("int").as("bucket"), col("o_totalprice"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("o_totalprice")), 2).as("lo"),
+            round(max(col("o_totalprice")), 2).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders GROUP BY 1 ORDER BY bucket"""))
   )
 }
