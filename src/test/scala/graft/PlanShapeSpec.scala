@@ -252,4 +252,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"benchmark shingle set must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("NOT IN with a nullable probe plans as a null-aware anti join") {
+    // three-valued NOT IN must not fall back to a per-row nested loop
+    // over the full probe side: the subquery is small, so Spark's
+    // null-aware anti join broadcasts it once
+    val p = plan("join_not_in_nulls")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q9 pushes the part name pattern into the scan; no SF-proportional hints") {
+    val p = plan("q9_nation_profit")
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"the LIKE '%gear%' filter must reach the parquet scan:\n$p")
+    val analyzed = SparkEntry.queries("q9_nation_profit")(spark, d)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints == 1,
+      s"only the bounded nation dim may carry a forced hint, found $hints")
+  }
+
+  test("q2's correlated minimum decorrelates to one window over the candidates") {
+    // one row_number window over the joined candidate pairs — the plan
+    // must not re-join the fact to itself per part
+    val p = plan("q2_min_cost_supplier")
+    assert("Window".r.findAllIn(p).size >= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scd2 build shuffles on user_id once; both windows reuse the partitioning") {
+    // lag/run-sum window, per-regime aggregate, and lead window all key
+    // by user_id — one exchange (+ the output sort) is the whole plan
+    val p = plan("scd2_user_state")
+    // count node detail headers — formatted explain prints each node in
+    // both the tree and the details section
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"one user_id exchange + the output range sort, found $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
