@@ -621,6 +621,35 @@ object TextOps extends QueryPack {
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS digest
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Context-window chunking — the op that turns documents into
+    // training samples: overlapping fixed-size windows (120 chars every
+    // 100, i.e. 20 overlap so no boundary token loses context), one
+    // output row per chunk. Row-local generate+explode over the scan
+    // (no shuffle until the output sort); at corpus scale the chunker
+    // runs as a narrow map whatever the document-length distribution,
+    // because the generator fans out WITHIN each task. Empty docs still
+    // emit their single (empty) chunk so downstream accounting sees
+    // every input id.
+    "chunk_documents" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("k",
+          greatest(ceil(length(col("text")) / lit(100.0)), lit(1.0))
+            .cast("long"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("k") - 1)).as("chunk_idx"))
+        .selectExpr("doc_id", "chunk_idx",
+          "substring(text, CAST(chunk_idx * 100 + 1 AS INT), 120) AS chunk")
+        .selectExpr("doc_id", "chunk_idx",
+          "CAST(length(chunk) AS BIGINT) AS chunk_len", "chunk")
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        SELECT doc_id, i AS chunk_idx,
+               CAST(length(substr(text, CAST(i*100+1 AS INT), 120)) AS BIGINT) AS chunk_len,
+               substr(text, CAST(i*100+1 AS INT), 120) AS chunk
+        FROM documents, LATERAL unnest(range(0,
+             CAST(greatest(ceil(length(text)/100.0), 1) AS BIGINT))) AS t(i)
+        ORDER BY doc_id, chunk_idx"""))
   )
 }
