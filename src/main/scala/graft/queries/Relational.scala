@@ -2523,6 +2523,54 @@ object Relational extends QueryPack {
                CAST(count(*) AS BIGINT) AS n,
                round(min(o_totalprice), 2) AS lo,
                round(max(o_totalprice), 2) AS hi
-        FROM orders GROUP BY 1 ORDER BY bucket"""))
+        FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // SQL:2016 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ordered
+    // string aggregation added to the engine surface in Spark 4. The
+    // WITHIN GROUP ordering makes the concatenation deterministic
+    // (collect_list order is partition-arrival-dependent; listagg's
+    // mandated sort is not). DuckDB's equivalent is string_agg with an
+    // ORDER BY in the aggregate.
+    "agg_listagg_names" -> QueryDef(
+      (s, d) => {
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .filter(col("s_suppkey") % 10 === 0)
+          .groupBy(col("n_name").as("nation"))
+          .agg(expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)")
+            .as("names"))
+          .orderBy(col("nation"))
+      },
+      Some("""
+        SELECT n_name AS nation,
+               string_agg(s_name, ',' ORDER BY s_name) AS names
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey % 10 = 0
+        GROUP BY 1 ORDER BY nation""")),
+
+    // Join strategy HINT surface: the same orders x customer equi-join
+    // forced through a shuffled hash join. The hint API is the
+    // per-query escape hatch when a sort-merge default is wrong (build
+    // side known small per partition but above the broadcast threshold
+    // — at 100 TB the difference is a full sort of both sides vs a hash
+    // build of one). PlanShapeSpec asserts the physical operator;
+    // results are identical to the unhinted join, which is what the
+    // oracle checks.
+    "join_shuffle_hash_hint" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d).hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -281,6 +281,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("the shuffle_hash hint forces a ShuffledHashJoin, not sort-merge") {
+    val p = plan("join_shuffle_hash_hint")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the hint must select the hash strategy:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("scd2 build shuffles on user_id once; both windows reuse the partitioning") {
     // lag/run-sum window, per-regime aggregate, and lead window all key
     // by user_id — one exchange (+ the output sort) is the whole plan
