@@ -26,6 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the codegen class cache defaults to 100 entries — a 174-query
+  // bench/verify JVM thrashes it and re-pays multi-second Janino
+  // compiles of the biggest generated stages on every timed run
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
+  // likewise the JIT code cache: hundreds of distinct generated stages
+  // overflow the 240m default and disable the compiler mid-run
+  "-XX:ReservedCodeCacheSize=512m",
   // 24g default: the bench/verify mains run 160+ query plans in one JVM
   // (thousands of codegen classes + per-query state); 8g drove the GC
   // hard enough late in a bench run to inflate the tail-query timings
