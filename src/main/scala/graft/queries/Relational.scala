@@ -2571,6 +2571,33 @@ object Relational extends QueryPack {
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(o_totalprice), 2) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // from_xml (Spark 4's XML function surface) proven by round-trip
+    // identity: XML is RENDERED from order rows row-locally, parsed
+    // back by from_xml with an explicit schema, and the parsed fields
+    // are emitted — so the oracle needs no XML support at all, it just
+    // reads the original columns. Any parser deviation (type coercion,
+    // whitespace, element order) surfaces as a value mismatch. Values
+    // are ints/enum strings, so no XML-escaping ambiguity exists.
+    "func_from_xml" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 500 === 0)
+          .withColumn("xml", concat(
+            lit("<o><k>"), col("o_orderkey"), lit("</k><p>"),
+            col("o_orderpriority"), lit("</p><st>"),
+            col("o_orderstatus"), lit("</st></o>")))
+          .select(expr(
+            "from_xml(xml, 'k BIGINT, p STRING, st STRING')").as("o"))
+          .select(col("o.k").as("o_orderkey"),
+            col("o.p").as("o_orderpriority"),
+            col("o.st").as("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_orderstatus
+        FROM orders WHERE o_orderkey % 500 = 0
+        ORDER BY o_orderkey"""))
   )
 }

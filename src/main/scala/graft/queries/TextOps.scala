@@ -650,6 +650,44 @@ object TextOps extends QueryPack {
                substr(text, CAST(i*100+1 AS INT), 120) AS chunk
         FROM documents, LATERAL unnest(range(0,
              CAST(greatest(ceil(length(text)/100.0), 1) AS BIGINT))) AS t(i)
-        ORDER BY doc_id, chunk_idx"""))
+        ORDER BY doc_id, chunk_idx""")),
+
+    // Boilerplate-line detection (the C4 pipeline's within-corpus line
+    // dedup): lines appearing verbatim in many documents are template/
+    // boilerplate, removed before training. The synthetic corpus has no
+    // sentence punctuation, so the "line" unit is a 10-word tumbling
+    // window over the word array (row-local generate+slice, the same
+    // idiom as chunk_documents). One shuffle keyed by line text; at
+    // corpus scale the line would hash to a 64-bit key first (the
+    // text_fingerprint trick) so the exchange carries fixed-width keys,
+    // not strings.
+    "dedup_paragraphs" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        .withColumn("k",
+          greatest(ceil(size(col("ws")) / lit(10.0)), lit(1.0)).cast("int"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("k") - 1)).as("i"))
+        .selectExpr("doc_id",
+          "array_join(slice(ws, i * 10 + 1, 10), ' ') AS line")
+        .where(length(col("line")) > 20)
+        .groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("line"))
+        .limit(20),
+      Some(s"""
+        SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+          SELECT doc_id,
+                 array_to_string(ws[i*10+1 : i*10+10], ' ') AS line
+          FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws
+                FROM documents),
+               LATERAL unnest(range(0,
+                 CAST(greatest(ceil(len(ws)/10.0), 1) AS BIGINT))) AS t(i))
+        WHERE length(line) > 20
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+        ORDER BY n_docs DESC, line
+        LIMIT 20"""))
   )
 }
