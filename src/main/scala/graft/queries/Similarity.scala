@@ -66,6 +66,29 @@ object Similarity extends QueryPack {
       .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
   }
 
+  /** Banded-LSH candidate pairs (2 bands x 4 hyperplanes, collide on
+    * EITHER half-signature) with the exact cosine scored on candidates
+    * only — the shared front half of dedup_embed_lsh and the threshold
+    * operating curve.
+    */
+  private def bandCandidatesScored(s: SparkSession, d: String): DataFrame = {
+    val bandRows = bucketed(s, d).selectExpr("vec_id",
+      "explode(array(named_struct('band', 0, 'key', bucket % 16), " +
+        "named_struct('band', 1, 'key', bucket div 16))) AS bk")
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandRows.toDF("vid_a", "band", "key")
+      .join(bandRows.toDF("vid_b", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b")).distinct()
+    val e = Tables.embeddings(s, d)
+    cosine(
+      cand
+        .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
+        .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
+      "ea", "eb")
+  }
+
   /** (vec_id, embedding, bucket): corpus with the 8-plane LSH bucket. */
   private def bucketed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -519,21 +542,7 @@ object Similarity extends QueryPack {
     // high-recall.
     "dedup_embed_lsh" -> QueryDef(
       (s, d) => {
-        val bandRows = bucketed(s, d).selectExpr("vec_id",
-          "explode(array(named_struct('band', 0, 'key', bucket % 16), " +
-            "named_struct('band', 1, 'key', bucket div 16))) AS bk")
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = bandRows.toDF("vid_a", "band", "key")
-          .join(bandRows.toDF("vid_b", "band2", "key2"),
-            col("band") === col("band2") && col("key") === col("key2") &&
-              col("vid_a") < col("vid_b"))
-          .select(col("vid_a"), col("vid_b")).distinct()
-        val e = Tables.embeddings(s, d)
-        val scored = cosine(
-          cand
-            .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
-            .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
-          "ea", "eb")
+        val scored = bandCandidatesScored(s, d)
         scored.where("cos >= 0.4")
           .selectExpr("vid_a", "vid_b", s"${Q.scaledLong("cos", 4)} AS cos_e4")
           .orderBy(col("vid_a"), col("vid_b"))
@@ -562,6 +571,59 @@ object Similarity extends QueryPack {
                ${Q.scaledLong("dot / (sqrt(na) * sqrt(nb))", 4)} AS cos_e4
         FROM sc WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         ORDER BY vid_a, vid_b""")),
+
+    // Threshold operating curve for embedding near-dup: how many
+    // candidate pairs survive each cosine cutoff (0.05-wide buckets +
+    // the descending cumulative count). This is the artifact you
+    // actually look at to SET the dedup threshold on a new corpus —
+    // computed from the band candidates, never all-pairs, so the curve
+    // costs the same as one dedup run. Bucketing happens on the
+    // already-rounded scaled integer (floor over an exact small-int
+    // division), so the bucket boundary can never flip on float noise;
+    // the cumulative window runs over <= 40 bucket rows (single tiny
+    // partition by construction, not a data-sized window).
+    "dedup_threshold_curve" -> QueryDef(
+      (s, d) => {
+        val perBucket = bandCandidatesScored(s, d)
+          .selectExpr(s"CAST(floor(${Q.scaledLong("cos", 4)} / 500.0) AS BIGINT) AS bucket")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val w = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perBucket
+          .withColumn("n_cum", sum(col("n_pairs")).over(w))
+          .selectExpr("bucket", "CAST(bucket * 500 AS BIGINT) AS thr_e4",
+            "n_pairs", "n_cum")
+          .orderBy(col("bucket"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM e
+          UNION ALL
+          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM e),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT c.vid_a, c.vid_b, ea.embedding AS ea, eb.embedding AS eb
+          FROM cand c JOIN embeddings ea ON ea.vec_id = c.vid_a
+                      JOIN embeddings eb ON eb.vec_id = c.vid_b),
+        sc AS (
+          SELECT vid_a, vid_b, ${duckDot("ea", "eb")} AS dot,
+                 ${duckDot("ea", "ea")} AS na, ${duckDot("eb", "eb")} AS nb
+          FROM pairs),
+        g AS (
+          SELECT CAST(floor(${Q.scaledLong("dot / (sqrt(na) * sqrt(nb))", 4)} / 500.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM sc GROUP BY 1)
+        SELECT bucket, CAST(bucket * 500 AS BIGINT) AS thr_e4, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+        FROM g ORDER BY bucket""")),
 
     // The composed embedding-side funnel (the vector twin of
     // curate_funnel): corpus size → IVF cell occupancy (cells used + the
