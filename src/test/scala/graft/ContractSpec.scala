@@ -43,4 +43,29 @@ class ContractSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("chunking is lossless: stride-100 prefixes reconstruct every document") {
+    // the training-sample contract behind chunk_documents: chunks overlap
+    // by 20, so concatenating each chunk's first 100 chars in chunk_idx
+    // order must reproduce the original text EXACTLY for every doc (the
+    // final chunk contributes its full remainder), and the chunk count
+    // must match the declared ceil(len/100) arithmetic
+    val d = "/root/testdata/sf0.001"
+    val rebuilt = SparkEntry.queries("chunk_documents")(spark, d)
+      .selectExpr("doc_id", "chunk_idx", "substring(chunk, 1, 100) AS piece")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "concat_ws('', sort_array(collect_list(struct(chunk_idx, piece))).piece) AS rebuilt"),
+        org.apache.spark.sql.functions.expr("count(*) AS n_chunks"))
+    val joined = graft.engine.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .join(rebuilt, "doc_id")
+    val bad = joined.where(
+      "rebuilt <> text OR n_chunks <> greatest(CAST(ceil(length(text) / 100.0) AS BIGINT), 1)")
+      .count()
+    assert(bad == 0, s"$bad documents fail chunk reconstruction")
+    assert(joined.count() == graft.engine.Tables.documents(spark, d).count(),
+      "every document (including empty ones) must produce chunks")
+  }
 }
