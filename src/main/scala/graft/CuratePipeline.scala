@@ -18,7 +18,11 @@ import graft.engine.ops.Scale
   *   3. deterministic split (content-hash train/val/test — stable under
   *      reprocessing and under the dedup that just ran);
   *   4. sharded export  (content-hash shard per split: reproducible
-  *      shard membership for downstream loaders).
+  *      shard membership for downstream loaders);
+  *   5. context-window chunking of the train split (chunk_documents'
+  *      overlapping 120/100 windows — the documents->training-samples
+  *      step, applied AFTER dedup/split so no eval chunk shares a
+  *      source doc with train).
   *
   * Every stage is the same code the oracle-gated queries run; this main
   * just composes them and prints the funnel. At 100 TB the exact same
@@ -72,9 +76,24 @@ object CuratePipeline {
       spark.read.parquet(s"$out/val").count() +
       spark.read.parquet(s"$out/test").count()
 
+    // 5. chunk the train split into training samples (chunk_documents'
+    //    window arithmetic: ceil(len/100) overlapping 120-char chunks)
+    val trainChunks = spark.read.parquet(s"$out/train")
+      .withColumn("k",
+        greatest(ceil(length(col("text")) / lit(100.0)), lit(1.0)).cast("long"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("k") - 1)).as("chunk_idx"))
+      .selectExpr("doc_id", "chunk_idx",
+        "substring(text, CAST(chunk_idx * 100 + 1 AS INT), 120) AS chunk")
+    trainChunks.write.mode("overwrite").parquet(s"$out/train_chunks")
+    val nChunks = spark.read.parquet(s"$out/train_chunks").count()
+    val nTrainDocs = spark.read.parquet(s"$out/train").count()
+
     println(s"[curate] total=$total quality_kept=$nKept after_dedup=$nDeduped " +
-      s"splits=${splitCounts.toSeq.sorted.mkString(",")} exported=$exported -> $out")
-    println(s"[curate] ${if (exported == nDeduped && nDeduped <= nKept && nKept <= total) "OK"
+      s"splits=${splitCounts.toSeq.sorted.mkString(",")} exported=$exported " +
+      s"train_chunks=$nChunks -> $out")
+    println(s"[curate] ${if (exported == nDeduped && nDeduped <= nKept &&
+        nKept <= total && nChunks >= nTrainDocs) "OK"
       else "UNEXPECTED"}")
     spark.stop()
   }
