@@ -2598,6 +2598,79 @@ object Relational extends QueryPack {
       Some("""
         SELECT o_orderkey, o_orderpriority, o_orderstatus
         FROM orders WHERE o_orderkey % 500 = 0
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // TPC-H Q12 shape: two-bucket conditional aggregation of order
+    // priority over a date-window fact filter. The testdata lineitem
+    // has no shipmode/commitdate, so the category is l_linestatus and
+    // "late" is shipped > 90 days after the order date — the join +
+    // CASE-IN + GROUP BY structure is Q12's. The date filter pushes to
+    // the lineitem scan; the join shuffles on orderkey only for rows
+    // that survive it.
+    "q12_late_lines" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // TPC-H Q20 shape: the nested-aggregate semi-join chain — suppliers
+    // qualified by comparing their own aggregate against a fraction of
+    // a correlated aggregate. No partsupp/availqty exists, so the
+    // predicate is "shipped at least twice a part's mean per-supplier
+    // quantity" (an outsized supplier — 2/n_suppliers as the fraction
+    // keeps the test non-degenerate on this uniform synthetic corpus,
+    // where no supplier ever reaches Q20's 50%); the structure — inner
+    // per-(part, supplier) aggregate, correlated per-part total,
+    // fraction comparison, semi join up to the supplier relation — is
+    // Q20's. The per-part total and supplier count reuse the per-pair
+    // aggregate (one shuffle, window over parts) instead of re-scanning
+    // the fact.
+    "q20_dominant_supplier" -> QueryDef(
+      (s, d) => {
+        val perPair = Tables.lineitem(s, d)
+          .join(Tables.part(s, d).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+        val w = Window.partitionBy(col("l_partkey"))
+        val dominant = perPair
+          .withColumn("total", sum(col("qty")).over(w))
+          .withColumn("n_s", count(lit(1)).over(w))
+          .where(col("qty") * col("n_s") >= col("total") * 2)
+          .select(col("l_suppkey")).distinct()
+        Tables.supplier(s, d)
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_suppkey"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_name, s_suppkey FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty,
+                   sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS total,
+                   count(*) OVER (PARTITION BY l_partkey) AS n_s
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+            GROUP BY l_partkey, l_suppkey)
+          WHERE qty * n_s >= total * 2)
+        ORDER BY s_suppkey"""))
   )
 }
