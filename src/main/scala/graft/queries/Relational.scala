@@ -2671,6 +2671,50 @@ object Relational extends QueryPack {
             WHERE p_type = 'PROMO'
             GROUP BY l_partkey, l_suppkey)
           WHERE qty * n_s >= total * 2)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // Cohort retention — the product-analytics staple: users grouped by
+    // their ACTIVATION week (first high-value purchase; anchoring on
+    // plain first activity is degenerate on this corpus, where every
+    // user appears in week 1), then distinct active users counted at
+    // each week offset since activation. Two aggregates and one join,
+    // all keyed by user_id, so the whole triangle costs one fact
+    // shuffle; ISO Monday week truncation and day arithmetic are
+    // identical in both engines. The output is the retention triangle
+    // (cohort week x weeks-since x active users) dashboards plot
+    // directly.
+    "cohort_retention" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"),
+            to_date(col("ts").cast("timestamp")).as("day"))
+        val firsts = ev
+          .where(col("event_type") === "purchase" && col("value") > 90)
+          .groupBy(col("user_id"))
+          .agg(min(col("day")).as("first_day"))
+        ev.select(col("user_id"), col("day")).distinct()
+          .join(firsts, "user_id")
+          .where(col("day") >= col("first_day"))
+          .select(
+            date_trunc("week", col("first_day")).cast("date").as("cohort_week"),
+            expr("CAST(datediff(day, first_day) div 7 AS BIGINT)").as("w"),
+            col("user_id"))
+          .groupBy(col("cohort_week"), col("w"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("w"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        firsts AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+          WHERE event_type = 'purchase' AND value > 90
+          GROUP BY user_id)
+        SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+               CAST(date_diff('day', first_day, day) // 7 AS BIGINT) AS w,
+               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        FROM ev JOIN firsts ON ev.user_id = firsts.user_id
+        WHERE day >= first_day
+        GROUP BY 1, 2 ORDER BY cohort_week, w"""))
   )
 }
