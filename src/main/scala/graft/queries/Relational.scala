@@ -2715,6 +2715,71 @@ object Relational extends QueryPack {
                CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
         FROM ev JOIN firsts ON ev.user_id = firsts.user_id
         WHERE day >= first_day
-        GROUP BY 1, 2 ORDER BY cohort_week, w"""))
+        GROUP BY 1, 2 ORDER BY cohort_week, w""")),
+
+    // Bounded ROWS window frame (the moving aggregate): each order's
+    // total summed with its two predecessors within the customer — the
+    // one frame shape (N PRECEDING) the window family still lacked
+    // (running = unbounded, range = value-bounded). Emitted as the
+    // scaled-integer sum of the frame per the derived-double policy.
+    "window_moving_sum" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 100 === 0)
+          .withColumn("mv", sum(col("o_totalprice")).over(w))
+          .selectExpr("o_custkey", "o_orderkey",
+            s"${Q.scaledLong("mv", 2)} AS moving_e2")
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some(s"""
+        SELECT o_custkey, o_orderkey,
+               ${Q.scaledLong(
+          """sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""", 2)} AS moving_e2
+        FROM orders WHERE o_custkey % 100 = 0
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Ratio-to-report: each nation's share of its REGION's revenue via
+    // a partition-total window over the aggregated (25-row) frame — the
+    // BI percent-of-total shape. Both the numerator and denominator are
+    // exact per-row-scaled integer sums before the one share division,
+    // so the only double arithmetic is the final ratio of two identical
+    // integers in both engines.
+    "window_ratio_to_report" -> QueryDef(
+      (s, d) => {
+        val valE2 = expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2))
+        val byNation = Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), valE2.as("v_e2"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("v_e2")).as("value_e2"))
+        val w = Window.partitionBy(col("r_name"))
+        byNation
+          .withColumn("region_e2", sum(col("value_e2")).over(w))
+          .selectExpr("r_name", "n_name", "value_e2",
+            s"${Q.scaledLong("CAST(value_e2 AS DOUBLE) / region_e2", 4)} AS share_e4")
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT r_name, n_name,
+                 sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)}) AS value_e2
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation ON s_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, value_e2,
+               ${Q.scaledLong(
+          "CAST(value_e2 AS DOUBLE) / (sum(value_e2) OVER (PARTITION BY r_name))",
+          4)} AS share_e4
+        FROM g ORDER BY r_name, n_name"""))
   )
 }
