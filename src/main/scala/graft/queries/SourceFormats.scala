@@ -172,6 +172,31 @@ object SourceFormats extends QueryPack {
       },
       Some(chargeOracle)),
 
+    // Plain text round-trip (spark.read/write.text — the rawest source
+    // format, one line per document): file readers guarantee no row
+    // order, so the checked aggregate is order-insensitive (doc count,
+    // total chars, distinct lines) and the oracle derives it from the
+    // ORIGINAL documents table. Valid because this corpus's texts are
+    // single-line (the writer would split embedded newlines into extra
+    // lines — a real text-format caveat, which is the point of gating
+    // the format).
+    "source_text_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_text_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        Tables.documents(s, d).select(col("text"))
+          .write.mode("overwrite").text(out.toString)
+        s.read.text(out.toString)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(length(col("value"))).as("n_chars"),
+            countDistinct(col("value")).as("n_distinct"))
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        FROM documents""")),
+
     // ORC round-trip: the second columnar format Spark ships natively.
     // DuckDB cannot read ORC, but the oracle never needs to — it derives
     // the aggregate from the ORIGINAL parquet, so a value-exact match

@@ -281,6 +281,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("runtime Bloom-filter injection prunes the fact side of a selective join") {
+    // the 100 TB shuffle-reduction lever Spark ships for exactly this
+    // shape: a selective dimension filter (orders with one priority)
+    // joined to a big fact (lineitem) — with runtime filtering enabled
+    // the optimizer injects a bloom_filter_agg on the dim side and a
+    // might_contain probe into the fact scan, so most fact rows drop
+    // BEFORE the join shuffle. Assert the injection happens so a config
+    // regression can't silently lose it. (Off by default in OSS Spark;
+    // a 100 TB deployment turns it on — this documents and pins that.)
+    val prev = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // at test SF the dim broadcasts, and a broadcast join never receives
+    // a bloom filter (nothing to prune before a broadcast); disable
+    // auto-broadcast so the plan takes the shuffle-join shape it would
+    // at the 100 TB design point, which is the shape the filter targets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dim = graft.engine.Tables.orders(spark, d)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val fact = graft.engine.Tables.lineitem(spark, d)
+      val p = fact.join(dim,
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        s"runtime bloom filter must be injected on the fact side:\n$p")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None => spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
+      prevBc match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("the shuffle_hash hint forces a ShuffledHashJoin, not sort-merge") {
     val p = plan("join_shuffle_hash_hint")
     assert(p.contains("ShuffledHashJoin"),
