@@ -69,12 +69,26 @@ object StressCheck {
     // 22.9k-pair graph — bounded-iteration like CC, one shuffle per
     // round, plan-truncated; proves the iterative op family holds on the
     // dup-heavy 25x graph, not just the 500-pair bench graph
-    t("graph_pagerank (stress graph)") {
-      val pr = graft.engine.ops.PageRank.run(
-        SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
-          .select(col("doc_a"), col("doc_b")), iters = 3)
+    val edges = t("materialize stress edge list") {
+      val e = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+        .select(col("doc_a"), col("doc_b")).persist()
+      e.count()
+      e
+    }
+    t("graph_pagerank (stress graph, 3 rounds)") {
+      val pr = graft.engine.ops.PageRank.run(edges, iters = 3)
       println(s"[stress] pagerank vertices=${pr.count()}")
     }
+    edges.unpersist()
+    spark.catalog.clearCache()
+    // training-sample fanout at stress scale: the generate+explode
+    // chunker over the 125k-doc corpus (~10x the longest replica texts
+    // thanks to the marker tokens) — proves the row-local fanout stays
+    // a narrow map with no memory blow-up at 25x corpus size
+    val chunks = t("chunk_documents (125k docs)") {
+      SparkEntry.queries("chunk_documents")(spark, dir).count()
+    }
+    println(s"[stress] chunks=$chunks")
     spark.catalog.clearCache()
     // exactness audit: the unrestricted all-pairs Jaccard baseline (too
     // expensive to DECLARE — quadratic in co-shingled pairs — but the
@@ -92,7 +106,8 @@ object StressCheck {
       m
     }
     println(s"[stress] pairs=$pairs clusters=$clusters missed=$missed => " +
-      (if (pairs >= 6000 && clusters >= 1900 && missed == 0) "OK" else "UNEXPECTED"))
+      (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs)
+        "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
   }
