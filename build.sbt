@@ -33,8 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // likewise the JIT code cache: hundreds of distinct generated stages
   // overflow the 240m default and disable the compiler mid-run
   "-XX:ReservedCodeCacheSize=512m",
-  // 24g default: the bench/verify mains run 160+ query plans in one JVM
+  // 24g default: the bench/verify mains run 180+ query plans in one JVM
   // (thousands of codegen classes + per-query state); 8g drove the GC
-  // hard enough late in a bench run to inflate the tail-query timings
+  // hard enough late in a bench run to inflate the tail-query timings.
+  // Sized for this 128 GiB contract box — on a smaller machine set
+  // SPARK_DRIVER_MEM (the heap ceiling is allocated lazily, but a
+  // 24g-deep GC cycle plus tmpfs bench scratch wants real headroom)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

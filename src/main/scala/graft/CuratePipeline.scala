@@ -72,22 +72,19 @@ object CuratePipeline {
     for (sp <- Seq("train", "val", "test"))
       Scale.writeContentSharded(
         split.where(col("split") === sp).drop("split"), s"$out/$sp", 4, "text")
-    val exported = spark.read.parquet(s"$out/train").count() +
+    val train = spark.read.parquet(s"$out/train").persist()
+    val nTrainDocs = train.count()
+    val exported = nTrainDocs +
       spark.read.parquet(s"$out/val").count() +
       spark.read.parquet(s"$out/test").count()
 
-    // 5. chunk the train split into training samples (chunk_documents'
-    //    window arithmetic: ceil(len/100) overlapping 120-char chunks)
-    val trainChunks = spark.read.parquet(s"$out/train")
-      .withColumn("k",
-        greatest(ceil(length(col("text")) / lit(100.0)), lit(1.0)).cast("long"))
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), col("k") - 1)).as("chunk_idx"))
-      .selectExpr("doc_id", "chunk_idx",
-        "substring(text, CAST(chunk_idx * 100 + 1 AS INT), 120) AS chunk")
-    trainChunks.write.mode("overwrite").parquet(s"$out/train_chunks")
+    // 5. chunk the train split into training samples — the SAME chunker
+    //    the oracle-gated chunk_documents query runs (one code path, so
+    //    the gated window arithmetic is what trainers receive)
+    graft.engine.ops.Chunk.chunks(train)
+      .write.mode("overwrite").parquet(s"$out/train_chunks")
+    train.unpersist()
     val nChunks = spark.read.parquet(s"$out/train_chunks").count()
-    val nTrainDocs = spark.read.parquet(s"$out/train").count()
 
     println(s"[curate] total=$total quality_kept=$nKept after_dedup=$nDeduped " +
       s"splits=${splitCounts.toSeq.sorted.mkString(",")} exported=$exported " +

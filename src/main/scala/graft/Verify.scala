@@ -12,8 +12,10 @@ object Verify {
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // the engine's shipped session defaults (AQE on, UTC, shuffle
-    // partitions = cores) — verify the configuration users actually get
-    graft.engine.Sessions.preferShmScratch()
+    // partitions = cores) — verify the configuration users actually get,
+    // including default temp-checkpoint handling (no scratch override
+    // here: correctness runs are untimed, and the RAM-disk shortcut is
+    // a bench-only ergonomic — see Bench.main)
     val spark = graft.engine.Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

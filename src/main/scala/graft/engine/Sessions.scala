@@ -32,11 +32,24 @@ object Sessions {
   def preferShmScratch(): Unit = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
+      // per-process dirs, removed by a shutdown hook: a conf-based
+      // checkpoint location is treated as PERMANENT by Spark (unlike
+      // the default temp checkpoint, which is deleted on query stop),
+      // so without cleanup every bench run would leak RAM-backed
+      // checkpoint trees into the tmpfs until the box is rebooted.
+      // Per-PID paths also keep concurrent JVMs (driver verify + a dev
+      // bench) from clobbering each other's live scratch.
+      val pid = ProcessHandle.current().pid()
+      val local = s"/dev/shm/graft-local-$pid"
+      val ckpt = s"/dev/shm/graft-ckpt-$pid"
       if (System.getProperty("spark.local.dir") == null)
-        System.setProperty("spark.local.dir", "/dev/shm/graft-local")
+        System.setProperty("spark.local.dir", local)
       if (System.getProperty("spark.sql.streaming.checkpointLocation") == null)
-        System.setProperty(
-          "spark.sql.streaming.checkpointLocation", "/dev/shm/graft-ckpt")
+        System.setProperty("spark.sql.streaming.checkpointLocation", ckpt)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Seq(local, ckpt).foreach { p =>
+          graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(p))
+        }))
     }
   }
 

@@ -2331,7 +2331,8 @@ object Relational extends QueryPack {
           GROUP BY 1)
         WHERE value_e2 * 20 > (
           SELECT sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)})
-          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation ON s_nationkey = n_nationkey)
         ORDER BY value_e2 DESC, nation""")),
 
     // TPC-H Q2 shape: correlated per-group minimum — for each qualifying

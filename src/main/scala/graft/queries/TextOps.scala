@@ -626,21 +626,12 @@ object TextOps extends QueryPack {
     // Context-window chunking — the op that turns documents into
     // training samples: overlapping fixed-size windows (120 chars every
     // 100, i.e. 20 overlap so no boundary token loses context), one
-    // output row per chunk. Row-local generate+explode over the scan
-    // (no shuffle until the output sort); at corpus scale the chunker
-    // runs as a narrow map whatever the document-length distribution,
-    // because the generator fans out WITHIN each task. Empty docs still
-    // emit their single (empty) chunk so downstream accounting sees
-    // every input id.
+    // output row per chunk. The chunker itself (engine/ops/Chunk.scala)
+    // is row-local generate+explode over the scan — no shuffle until
+    // the output sort — and is the same code path CuratePipeline feeds
+    // trainers from, so the gated arithmetic IS the production one.
     "chunk_documents" -> QueryDef(
-      (s, d) => Tables.documents(s, d)
-        .withColumn("k",
-          greatest(ceil(length(col("text")) / lit(100.0)), lit(1.0))
-            .cast("long"))
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0L), col("k") - 1)).as("chunk_idx"))
-        .selectExpr("doc_id", "chunk_idx",
-          "substring(text, CAST(chunk_idx * 100 + 1 AS INT), 120) AS chunk")
+      (s, d) => graft.engine.ops.Chunk.chunks(Tables.documents(s, d))
         .selectExpr("doc_id", "chunk_idx",
           "CAST(length(chunk) AS BIGINT) AS chunk_len", "chunk")
         .orderBy(col("doc_id"), col("chunk_idx")),

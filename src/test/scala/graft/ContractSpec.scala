@@ -51,8 +51,9 @@ class ContractSpec extends AnyFunSuite {
     // final chunk contributes its full remainder), and the chunk count
     // must match the declared ceil(len/100) arithmetic
     val d = "/root/testdata/sf0.001"
+    val stride = graft.engine.ops.Chunk.StrideChars
     val rebuilt = SparkEntry.queries("chunk_documents")(spark, d)
-      .selectExpr("doc_id", "chunk_idx", "substring(chunk, 1, 100) AS piece")
+      .selectExpr("doc_id", "chunk_idx", s"substring(chunk, 1, $stride) AS piece")
       .groupBy("doc_id")
       .agg(org.apache.spark.sql.functions.expr(
         "concat_ws('', sort_array(collect_list(struct(chunk_idx, piece))).piece) AS rebuilt"),
@@ -62,7 +63,7 @@ class ContractSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("text"))
       .join(rebuilt, "doc_id")
     val bad = joined.where(
-      "rebuilt <> text OR n_chunks <> greatest(CAST(ceil(length(text) / 100.0) AS BIGINT), 1)")
+      s"rebuilt <> text OR n_chunks <> greatest(CAST(ceil(length(text) / $stride.0) AS BIGINT), 1)")
       .count()
     assert(bad == 0, s"$bad documents fail chunk reconstruction")
     assert(joined.count() == graft.engine.Tables.documents(spark, d).count(),
