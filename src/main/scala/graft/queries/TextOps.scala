@@ -679,6 +679,33 @@ object TextOps extends QueryPack {
         WHERE length(line) > 20
         GROUP BY line HAVING count(DISTINCT doc_id) >= 3
         ORDER BY n_docs DESC, line
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // Word-concentration (the Simpson/Rényi-2 numerator Σ c_w² over the
+    // per-doc word counts): measures how skewed a document's word
+    // distribution is — the type-token signal quality filters use that
+    // distinct-count ratios miss (a doc repeating one word 50 times and
+    // a doc cycling 10 words 5x each have the same distinct ratio but
+    // very different concentration). Entirely row-local integer HOF
+    // arithmetic (exact — the entropy variant would need cross-engine
+    // transcendental log parity, which no engine pair guarantees);
+    // -log2(conc_num/n²) IS the Rényi-2 entropy, derivable downstream.
+    "text_word_concentration" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        .selectExpr("doc_id",
+          "CAST(size(ws) AS BIGINT) AS n_words",
+          """CAST(aggregate(
+               transform(array_distinct(ws),
+                 w -> CAST(size(filter(ws, x -> x = w)) AS BIGINT)),
+               0L, (a, c) -> a + c * c) AS BIGINT) AS conc_num""")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(list_distinct(ws),
+                 w -> len(list_filter(ws, x -> x = w)) ** 2)), 0) AS BIGINT) AS conc_num
+        FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents) t
+        ORDER BY doc_id"""))
   )
 }
