@@ -2781,6 +2781,50 @@ object Relational extends QueryPack {
                ${Q.scaledLong(
           "CAST(value_e2 AS DOUBLE) / (sum(value_e2) OVER (PARTITION BY r_name))",
           4)} AS share_e4
-        FROM g ORDER BY r_name, n_name"""))
+        FROM g ORDER BY r_name, n_name""")),
+
+    // Time-series densification (gap filling): a generated calendar
+    // spine cross-joined with the dimension domain, left-joined to the
+    // sparse daily aggregate, missing days emitted as explicit zeros —
+    // the BI prerequisite for correct moving averages and charts over
+    // sparse activity. The spine is sequence()-generated (bounded:
+    // days x priorities, never data-sized), the fact aggregates BEFORE
+    // the join, and the spine side broadcasts — at any corpus scale the
+    // dense grid costs one fact aggregation plus a broadcast join.
+    "time_gap_fill" -> QueryDef(
+      (s, d) => {
+        val spine = s.range(1)
+          .select(explode(expr(
+            "sequence(DATE'2024-01-01', DATE'2024-01-31', INTERVAL 1 DAY)"))
+            .as("day"))
+          .crossJoin(Tables.events(s, d)
+            .select(col("event_type")).distinct())
+        val daily = Tables.events(s, d)
+          .where(col("value") > 480) // rare high-value events: real gaps
+          .groupBy(to_date(col("ts").cast("timestamp")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        broadcast(spine)
+          .join(daily, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""
+        WITH spine AS (
+          SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                        INTERVAL 1 DAY))::DATE AS day),
+        grid AS (
+          SELECT day, event_type FROM spine
+          CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE value > 480
+          GROUP BY 1, 2)
+        SELECT g.day, g.event_type, coalesce(d.n, 0) AS n
+        FROM grid g LEFT JOIN daily d
+          ON g.day = d.day AND g.event_type = d.event_type
+        ORDER BY g.day, g.event_type"""))
   )
 }
