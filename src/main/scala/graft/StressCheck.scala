@@ -90,6 +90,43 @@ object StressCheck {
     }
     println(s"[stress] chunks=$chunks")
     spark.catalog.clearCache()
+    // vector ops at 25x: a 50k-vector corpus (25 deterministically
+    // perturbed replicas of the 2k sf0.1 embeddings — replica r shifts
+    // dimension r%dim by r*1e-3, keeping replicas of one vector true
+    // near-dups and replicas of different vectors apart), then the
+    // WIDE-BAND variant of the near-dup query (the corpus-size dial)
+    // and the unchanged IVF top-k query run over it. Proves the
+    // candidate-restricted band join and the cell-keyed IVF shuffle
+    // hold at 25x the bench vector corpus — no all-pairs blow-up, no
+    // skewed cell.
+    val nVecs = t("synthesize 25x embeddings") {
+      graft.engine.Tables.embeddings(spark, src)
+        .crossJoin(spark.range(25).toDF("rep"))
+        .selectExpr(
+          "vec_id * 100 + rep AS vec_id",
+          """transform(embedding,
+               (v, i) -> CAST(v + CASE WHEN i = rep % size(embedding)
+                 THEN rep * 0.001 ELSE 0.0 END AS FLOAT)) AS embedding""",
+          "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      spark.read.parquet(s"$dir/embeddings.parquet").count()
+    }
+    // The 4-bit bands the 2k-vector declared query uses degrade
+    // quadratically at 50k (16 keys/band -> ~3.1k vectors/bucket ->
+    // ~156M candidates; measured 1073s) — which is exactly the dial the
+    // query documents. The scale config widens the bands: 16 planes x 2
+    // bands = 65k keys/band, so candidates collapse to the true
+    // near-dup replicas and the same plan verifies them in seconds.
+    val annPairs = t("banded near-dup, 16-plane bands (50k vectors)") {
+      graft.queries.Similarity.bandedNearDupPairs(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        planesPerBand = 16, bands = 2, threshold = 0.9).count()
+    }
+    val ivfRows = t("sim_ivf_topk (50k vectors)") {
+      SparkEntry.queries("sim_ivf_topk")(spark, dir).count()
+    }
+    println(s"[stress] vectors=$nVecs ann_pairs=$annPairs ivf_rows=$ivfRows")
+    spark.catalog.clearCache()
     // exactness audit: the unrestricted all-pairs Jaccard baseline (too
     // expensive to DECLARE — quadratic in co-shingled pairs — but the
     // ground truth the candidate-restricted production path must match).
@@ -106,7 +143,8 @@ object StressCheck {
       m
     }
     println(s"[stress] pairs=$pairs clusters=$clusters missed=$missed => " +
-      (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs)
+      (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs &&
+        nVecs == 50000 && annPairs > 0 && ivfRows > 0)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

@@ -89,6 +89,47 @@ object Similarity extends QueryPack {
       "ea", "eb")
   }
 
+  /** Banded hyperplane-LSH near-dup pairs with a CONFIGURABLE band
+    * width — the corpus-size dial the declared `dedup_embed_lsh`
+    * documents: candidate count per band grows as N²/2^planesPerBand,
+    * so the 4-bit bands tuned for the 2k bench corpus degrade
+    * quadratically on bigger corpora and a deployment raises
+    * planesPerBand instead (same plan — sign folds are row-local, the
+    * candidate join stays an equi-join on (band, key), verification
+    * stays candidate-restricted). StressCheck runs this at 16 planes x
+    * 2 bands over 50k vectors; the declared 8-plane query keeps its
+    * DuckDB oracle, this variant is engine-side (plane indexes beyond
+    * the oracle's 8 use the same deterministic sign formula).
+    */
+  private[graft] def bandedNearDupPairs(
+      e: DataFrame, planesPerBand: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val keyExprs = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { p =>
+        val j = b * planesPerBand + p
+        s"(CASE WHEN ${sparkPlaneFold("embedding", j)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
+      s"(${bits.mkString(" + ")}) AS key_$b"
+    }
+    val withKeys = e.selectExpr(Seq("vec_id", "embedding") ++ keyExprs: _*)
+    val bandRows = withKeys.selectExpr("vec_id",
+      s"explode(array(${(0 until bands)
+        .map(b => s"named_struct('band', $b, 'key', key_$b)").mkString(", ")})) AS bk")
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandRows.toDF("vid_a", "band", "key")
+      .join(bandRows.toDF("vid_b", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b")).distinct()
+    val scored = cosine(
+      cand
+        .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
+        .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
+      "ea", "eb")
+    scored.where(s"cos >= $threshold").select(col("vid_a"), col("vid_b"))
+  }
+
   /** (vec_id, embedding, bucket): corpus with the 8-plane LSH bucket. */
   private def bucketed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
