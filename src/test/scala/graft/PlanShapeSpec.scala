@@ -281,6 +281,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("wide-band LSH near-dup agrees with brute force and stays equi-joined") {
+    // the corpus-size dial StressCheck drives at 50k vectors: verify on
+    // a small deterministic frame that (a) the candidate join is an
+    // equi-join (no cartesian escape at ANY band width) and (b) the
+    // wide-band variant finds exactly the brute-force >= threshold
+    // pairs when every true pair collides (identical vectors collide in
+    // every band by construction)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = (0 until 20).map { i =>
+      val base = (1 to graft.queries.Portable.Dim)
+        .map(k => ((i % 5) * 131 + k * 17) % 97 - 48).map(_.toFloat)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding") // 5 groups of 4 identical vectors
+    val wide = graft.queries.Similarity
+      .bandedNearDupPairs(e, planesPerBand = 16, bands = 2, threshold = 0.99)
+    assert(!wide.queryExecution.explainString(
+      ExplainMode.fromString("formatted")).contains("CartesianProduct"))
+    // brute force ground truth: 5 groups x C(4,2) identical pairs = 30
+    assert(wide.count() == 30, "every identical pair must collide and verify")
+  }
+
   test("runtime Bloom-filter injection prunes the fact side of a selective join") {
     // the 100 TB shuffle-reduction lever Spark ships for exactly this
     // shape: a selective dimension filter (orders with one priority)
