@@ -103,7 +103,12 @@ object StressCheck {
       graft.engine.Tables.embeddings(spark, src)
         .crossJoin(spark.range(25).toDF("rep"))
         .selectExpr(
-          "vec_id * 100 + rep AS vec_id",
+          // rep-0 originals keep ids 0..1999: sim_ivf_topk selects its
+          // centroids (vec_id < 8) and queries (vec_id < 20) by id, so
+          // the id encoding must leave the ORIGINAL distinct vectors
+          // there — vec_id*100+rep would hand it 8 near-identical
+          // replicas of vector 0 as the codebook (degenerate cells)
+          "rep * 2000 + vec_id AS vec_id",
           """transform(embedding,
                (v, i) -> CAST(v + CASE WHEN i = rep % size(embedding)
                  THEN rep * 0.001 ELSE 0.0 END AS FLOAT)) AS embedding""",
@@ -144,7 +149,7 @@ object StressCheck {
     }
     println(s"[stress] pairs=$pairs clusters=$clusters missed=$missed => " +
       (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs &&
-        nVecs == 50000 && annPairs > 0 && ivfRows > 0)
+        nVecs == 50000 && annPairs >= 500000 && ivfRows >= 50)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

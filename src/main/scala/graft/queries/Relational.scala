@@ -2788,9 +2788,12 @@ object Relational extends QueryPack {
     // sparse daily aggregate, missing days emitted as explicit zeros —
     // the BI prerequisite for correct moving averages and charts over
     // sparse activity. The spine is sequence()-generated (bounded:
-    // days x priorities, never data-sized), the fact aggregates BEFORE
-    // the join, and the spine side broadcasts — at any corpus scale the
-    // dense grid costs one fact aggregation plus a broadcast join.
+    // days x types, never data-sized) and the fact aggregates BEFORE
+    // the join; the aggregate side carries the broadcast hint because
+    // a LEFT OUTER join can only build (broadcast) its right side —
+    // the preserved spine side is not legally broadcastable, and the
+    // aggregate is grid-bounded too, so at any corpus scale the dense
+    // grid costs one fact aggregation plus a broadcast join.
     "time_gap_fill" -> QueryDef(
       (s, d) => {
         val spine = s.range(1)
@@ -2804,8 +2807,8 @@ object Relational extends QueryPack {
           .groupBy(to_date(col("ts").cast("timestamp")).as("day"),
             col("event_type"))
           .agg(count(lit(1)).as("n"))
-        broadcast(spine)
-          .join(daily, Seq("day", "event_type"), "left")
+        spine
+          .join(broadcast(daily), Seq("day", "event_type"), "left")
           .select(col("day"), col("event_type"),
             coalesce(col("n"), lit(0L)).as("n"))
           .orderBy(col("day"), col("event_type"))
@@ -2825,6 +2828,6 @@ object Relational extends QueryPack {
         SELECT g.day, g.event_type, coalesce(d.n, 0) AS n
         FROM grid g LEFT JOIN daily d
           ON g.day = d.day AND g.event_type = d.event_type
-        ORDER BY g.day, g.event_type"""))
+        ORDER BY g.day, g.event_type NULLS FIRST"""))
   )
 }

@@ -66,44 +66,20 @@ object Similarity extends QueryPack {
       .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
   }
 
-  /** Banded-LSH candidate pairs (2 bands x 4 hyperplanes, collide on
-    * EITHER half-signature) with the exact cosine scored on candidates
-    * only — the shared front half of dedup_embed_lsh and the threshold
-    * operating curve.
+  /** The ONE banded hyperplane-LSH candidate pipeline: per-band sign
+    * keys (row-local folds over the same deterministic plane formula
+    * the oracle mirrors), a self-equi-join on (band, key), and the
+    * exact cosine scored on candidates only. The band width is the
+    * corpus-size dial: candidate count per band grows as
+    * N²/2^planesPerBand, so the 4-bit bands tuned for the 2k bench
+    * corpus degrade quadratically on bigger corpora and a deployment
+    * raises planesPerBand instead — same plan, bigger key space.
+    * At (4, 2) the keys equal the declared queries' bucket%16 /
+    * bucket div 16 halves bit-for-bit, so the DuckDB oracles mirror
+    * this exactly.
     */
-  private def bandCandidatesScored(s: SparkSession, d: String): DataFrame = {
-    val bandRows = bucketed(s, d).selectExpr("vec_id",
-      "explode(array(named_struct('band', 0, 'key', bucket % 16), " +
-        "named_struct('band', 1, 'key', bucket div 16))) AS bk")
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bandRows.toDF("vid_a", "band", "key")
-      .join(bandRows.toDF("vid_b", "band2", "key2"),
-        col("band") === col("band2") && col("key") === col("key2") &&
-          col("vid_a") < col("vid_b"))
-      .select(col("vid_a"), col("vid_b")).distinct()
-    val e = Tables.embeddings(s, d)
-    cosine(
-      cand
-        .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
-        .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
-      "ea", "eb")
-  }
-
-  /** Banded hyperplane-LSH near-dup pairs with a CONFIGURABLE band
-    * width — the corpus-size dial the declared `dedup_embed_lsh`
-    * documents: candidate count per band grows as N²/2^planesPerBand,
-    * so the 4-bit bands tuned for the 2k bench corpus degrade
-    * quadratically on bigger corpora and a deployment raises
-    * planesPerBand instead (same plan — sign folds are row-local, the
-    * candidate join stays an equi-join on (band, key), verification
-    * stays candidate-restricted). StressCheck runs this at 16 planes x
-    * 2 bands over 50k vectors; the declared 8-plane query keeps its
-    * DuckDB oracle, this variant is engine-side (plane indexes beyond
-    * the oracle's 8 use the same deterministic sign formula).
-    */
-  private[graft] def bandedNearDupPairs(
-      e: DataFrame, planesPerBand: Int, bands: Int,
-      threshold: Double): DataFrame = {
+  private def bandScored(
+      e: DataFrame, planesPerBand: Int, bands: Int): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     val keyExprs = (0 until bands).map { b =>
       val bits = (0 until planesPerBand).map { p =>
@@ -122,13 +98,28 @@ object Similarity extends QueryPack {
         col("band") === col("band2") && col("key") === col("key2") &&
           col("vid_a") < col("vid_b"))
       .select(col("vid_a"), col("vid_b")).distinct()
-    val scored = cosine(
+    cosine(
       cand
         .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
         .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
       "ea", "eb")
-    scored.where(s"cos >= $threshold").select(col("vid_a"), col("vid_b"))
   }
+
+  /** Bench-width banded candidates (2 bands x 4 planes — the declared
+    * dedup_embed_lsh / dedup_threshold_curve front half).
+    */
+  private def bandCandidatesScored(s: SparkSession, d: String): DataFrame =
+    bandScored(Tables.embeddings(s, d), planesPerBand = 4, bands = 2)
+
+  /** Wide-band near-dup pairs — the scale configuration StressCheck
+    * drives at 16 planes x 2 bands over 50k vectors (engine-side: plane
+    * indexes beyond the oracle's 8 use the same deterministic formula).
+    */
+  private[graft] def bandedNearDupPairs(
+      e: DataFrame, planesPerBand: Int, bands: Int,
+      threshold: Double): DataFrame =
+    bandScored(e, planesPerBand, bands)
+      .where(s"cos >= $threshold").select(col("vid_a"), col("vid_b"))
 
   /** (vec_id, embedding, bucket): corpus with the 8-plane LSH bucket. */
   private def bucketed(s: SparkSession, d: String): DataFrame = {

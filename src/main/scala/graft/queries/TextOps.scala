@@ -703,8 +703,16 @@ object TextOps extends QueryPack {
       Some(s"""
         SELECT doc_id,
                CAST(len(ws) AS BIGINT) AS n_words,
-               CAST(coalesce(list_sum(list_transform(list_distinct(ws),
-                 w -> len(list_filter(ws, x -> x = w)) ** 2)), 0) AS BIGINT) AS conc_num
+               -- c*c via an integer transform, NOT ** (DuckDB pow is
+               -- DOUBLE — exactness would silently cap at 2^53); the
+               -- CASE mirrors Spark's null propagation exactly: NULL ws
+               -- -> NULL, empty ws -> 0 (list_sum([]) is NULL, Spark's
+               -- aggregate seed makes it 0)
+               CASE WHEN ws IS NULL THEN NULL
+                    ELSE CAST(coalesce(list_sum(list_transform(
+                      list_transform(list_distinct(ws),
+                        w -> len(list_filter(ws, x -> x = w))),
+                      c -> c * c)), 0) AS BIGINT) END AS conc_num
         FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents) t
         ORDER BY doc_id"""))
   )
