@@ -2829,5 +2829,40 @@ object Relational extends QueryPack {
         FROM grid g LEFT JOIN daily d
           ON g.day = d.day AND g.event_type = d.event_type
         ORDER BY g.day, g.event_type NULLS FIRST"""))
+  ) ++ Map(
+
+    // Exact per-group quartiles by rank selection — the generalization
+    // of agg_median_orders' portable-median trick to the p25/p50/p75
+    // band: the selected rank is ceil(n*q/100) computed in pure integer
+    // arithmetic ((n*q + 99) div 100), so the boundary element is the
+    // same row in both engines with no interpolation and no float
+    // percentile (the approx_percentile variant remains the declared
+    // 100 TB path; this is its exact audit). One window over the
+    // grouped fact, the quartile fanout is a 3-element generator.
+    "agg_quartile_bands" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("o_orderpriority"))))
+          .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
+          .where(col("rn") === expr("(n * q + 99) div 100"))
+          .select(col("o_orderpriority"), col("q"),
+            col("o_totalprice").as("value"))
+          .orderBy(col("o_orderpriority"), col("q"))
+      },
+      Some("""
+        SELECT o_orderpriority, q, o_totalprice AS value
+        FROM (
+          SELECT o_orderpriority, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders) r,
+          (SELECT unnest([CAST(25 AS BIGINT), 50, 75]) AS q)
+        WHERE rn = (n * q + 99) // 100
+        ORDER BY o_orderpriority, q"""))
   )
 }
