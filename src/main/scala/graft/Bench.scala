@@ -61,6 +61,18 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"timing":"min_of_2","sf":"$sfDir"}""")
+    // Second, SHORT summary line printed last: the driver archives only the
+    // tail of stdout, and the full per-query line above can exceed it —
+    // round 4's BENCH file lost the total and most timings. This line is
+    // bounded (~400 chars) so the tail always carries the headline numbers.
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val streamSec = results.collect {
+      case (k, v) if v >= 0 && (k.startsWith("stream_") || k.startsWith("ingest_e2e")) => v
+    }.sum
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"stream_sec":${r2(streamSec)},"slowest":$slowest,"timing":"min_of_2","sf":"$sfDir"}""")
     spark.stop()
   }
 }

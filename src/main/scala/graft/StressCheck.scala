@@ -90,6 +90,48 @@ object StressCheck {
     }
     println(s"[stress] chunks=$chunks")
     spark.catalog.clearCache()
+    // chunk -> pack as ONE composed pass (the trainer-feed shape): the
+    // 125k-doc corpus fans out through the row-local chunker and the
+    // chunks pack straight into 4096-char bins per shard — no
+    // materialization between the stages, one window shuffle on the
+    // shard key. Bin accounting (chunks in ≈ sum of bin membership)
+    // proves nothing quadratic appears between the generate and the
+    // running-sum.
+    val packedBins = t("chunk->pack composed (125k docs)") {
+      val ch = graft.engine.ops.Chunk
+        .chunks(spark.read.parquet(s"$dir/documents.parquet"))
+        .selectExpr("doc_id", "chunk_idx",
+          "CAST(length(chunk) AS BIGINT) AS n_chars",
+          "CAST(doc_id % 32 AS BIGINT) AS shard")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val bins = ch
+        .withColumn("before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .withColumn("bin", (col("before") / lit(4096L)).cast("long"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_chars")).as("bin_chars"))
+        .persist()
+      val nBins = bins.count()
+      val packedChunks = bins.agg(sum(col("n_chunks"))).collect().head.getLong(0)
+      println(s"[stress] packed_chunks=$packedChunks bins=$nBins")
+      bins.unpersist()
+      nBins
+    }
+    spark.catalog.clearCache()
+    // curation hygiene ops at 125k docs: decontamination (broadcast
+    // bench-shingle semi-join — candidates ARE the output rows) and
+    // containment pairs (same banded-minhash candidate restriction as
+    // the pair queries above) run UNCHANGED over the stress corpus.
+    val decontam = t("dedup_decontam (125k docs)") {
+      SparkEntry.queries("dedup_decontam")(spark, dir).count()
+    }
+    spark.catalog.clearCache()
+    val containment = t("dedup_containment_pairs (125k docs)") {
+      SparkEntry.queries("dedup_containment_pairs")(spark, dir).count()
+    }
+    println(s"[stress] decontam_docs=$decontam containment_pairs=$containment")
+    spark.catalog.clearCache()
     // vector ops at 25x: a 50k-vector corpus (25 deterministically
     // perturbed replicas of the 2k sf0.1 embeddings — replica r shifts
     // dimension r%dim by r*1e-3, keeping replicas of one vector true
@@ -99,6 +141,11 @@ object StressCheck {
     // candidate-restricted band join and the cell-keyed IVF shuffle
     // hold at 25x the bench vector corpus — no all-pairs blow-up, no
     // skewed cell.
+    // The 50k replica corpus lives in its OWN dir (not $dir): $dir is the
+    // shared 125k-document stress dataset, and writing embeddings into it
+    // would silently point any later doc+vector stage at the replica
+    // corpus — the vector stages below take vecDir explicitly instead.
+    val vecDir = s"$dir/vec50k"
     val nVecs = t("synthesize 25x embeddings") {
       graft.engine.Tables.embeddings(spark, src)
         .crossJoin(spark.range(25).toDF("rep"))
@@ -113,8 +160,8 @@ object StressCheck {
                (v, i) -> CAST(v + CASE WHEN i = rep % size(embedding)
                  THEN rep * 0.001 ELSE 0.0 END AS FLOAT)) AS embedding""",
           "label")
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      spark.read.parquet(s"$dir/embeddings.parquet").count()
+        .write.mode("overwrite").parquet(s"$vecDir/embeddings.parquet")
+      spark.read.parquet(s"$vecDir/embeddings.parquet").count()
     }
     // The 4-bit bands the 2k-vector declared query uses degrade
     // quadratically at 50k (16 keys/band -> ~3.1k vectors/bucket ->
@@ -124,13 +171,41 @@ object StressCheck {
     // near-dup replicas and the same plan verifies them in seconds.
     val annPairs = t("banded near-dup, 16-plane bands (50k vectors)") {
       graft.queries.Similarity.bandedNearDupPairs(
-        spark.read.parquet(s"$dir/embeddings.parquet"),
+        spark.read.parquet(s"$vecDir/embeddings.parquet"),
         planesPerBand = 16, bands = 2, threshold = 0.9).count()
     }
     val ivfRows = t("sim_ivf_topk (50k vectors)") {
-      SparkEntry.queries("sim_ivf_topk")(spark, dir).count()
+      SparkEntry.queries("sim_ivf_topk")(spark, vecDir).count()
     }
     println(s"[stress] vectors=$nVecs ann_pairs=$annPairs ivf_rows=$ivfRows")
+    spark.catalog.clearCache()
+    // trained-codebook IVF at 50k: recall@3 of the fixed-seed codebook vs
+    // the 2-round k-means-trained codebook, both against brute-force
+    // ground truth for the 20 declared queries. The trained quantizer
+    // must not LOSE recall — the point of wiring the training loop into
+    // the probe path.
+    val (recallFixed, recallTrained) = t("sim_ivf_trained recall audit (50k vectors)") {
+      import org.apache.spark.sql.expressions.Window
+      val e50 = spark.read.parquet(s"$vecDir/embeddings.parquet")
+      val q = e50.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val n = e50.select(col("vec_id").as("vid"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      val gt = broadcast(q).join(n, expr("qid <> vid"))
+        .withColumn("cos",
+          expr("graft_dot(qv, nv) / (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(nv, nv)))"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select(col("qid"), col("vid")).persist()
+      val gtN = gt.count()
+      def hits(name: String): Long =
+        gt.join(SparkEntry.queries(name)(spark, vecDir)
+          .select(col("qid"), col("vid")), Seq("qid", "vid")).count()
+      val hf = hits("sim_ivf_topk")
+      val ht = hits("sim_ivf_trained")
+      gt.unpersist()
+      println(s"[stress] ivf_recall@3: fixed=$hf/$gtN trained=$ht/$gtN")
+      (hf, ht)
+    }
     spark.catalog.clearCache()
     // exactness audit: the unrestricted all-pairs Jaccard baseline (too
     // expensive to DECLARE — quadratic in co-shingled pairs — but the
@@ -149,7 +224,9 @@ object StressCheck {
     }
     println(s"[stress] pairs=$pairs clusters=$clusters missed=$missed => " +
       (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs &&
-        nVecs == 50000 && annPairs >= 500000 && ivfRows >= 50)
+        nVecs == 50000 && annPairs >= 500000 && ivfRows >= 50 &&
+        packedBins >= 1 && decontam >= 1 && containment >= 1 &&
+        recallTrained >= recallFixed)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

@@ -31,7 +31,25 @@ object Sessions {
     */
   def preferShmScratch(): Unit = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
+    // Opt-out + capacity guard: tmpfs is typically capped at RAM/2 and is
+    // shared with the JVM heap under memory pressure; a spill-heavy run on
+    // a small /dev/shm would hit ENOSPC mid-query. SPARK_GRAFT_SHM=0
+    // forces disk scratch; otherwise require 16 GiB usable headroom.
+    if (sys.env.get("SPARK_GRAFT_SHM").contains("0")) return
+    if (shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace >= 16L * 1024 * 1024 * 1024) {
+      // Reap scratch left by dead JVMs first (a SIGKILL skips shutdown
+      // hooks, so orphaned per-PID trees would otherwise hold tmpfs RAM
+      // until reboot).
+      val stale = Option(shm.listFiles()).getOrElse(Array.empty).filter { f =>
+        val n = f.getName
+        (n.startsWith("graft-local-") || n.startsWith("graft-ckpt-")) &&
+          n.split("-").lastOption.flatMap(_.toLongOption).exists { pid =>
+            ProcessHandle.of(pid).isEmpty
+          }
+      }
+      stale.foreach(f =>
+        graft.engine.util.Fs.deleteRecursively(f.toPath))
       // per-process dirs, removed by a shutdown hook: a conf-based
       // checkpoint location is treated as PERMANENT by Spark (unlike
       // the default temp checkpoint, which is deleted on query stop),

@@ -23,9 +23,16 @@ object Chunk {
   /** Chunk start-to-start distance; WindowChars - StrideChars overlap. */
   val StrideChars = 100
 
-  /** (doc_id, chunk_idx, chunk) for a frame bearing doc_id + text. */
+  /** (doc_id, chunk_idx, chunk) for a frame bearing doc_id + text.
+    * NULL text is normalized to '' up front: without it Spark's greatest()
+    * ignores the NULL operand (emitting one NULL chunk) while DuckDB's
+    * range(NULL) emits zero rows — a cross-engine divergence latent until
+    * the first NULL document arrives. The '' normalization keeps the
+    * "every input id emits its chunk row" accounting contract instead.
+    */
   def chunks(docs: DataFrame): DataFrame =
     docs
+      .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("k",
         greatest(ceil(length(col("text")) / lit(StrideChars.toDouble)),
           lit(1.0)).cast("long"))

@@ -161,6 +161,20 @@ object Ingest extends QueryPack {
     Seq((1L, "new", 1L), (2L, "new", 2L), (1L, "active", 3L)),
     Seq((2L, "active", 4L), (3L, "new", 5L), (1L, "churned", 6L)))
 
+  /** Two generations of literal batches for the streaming
+    * schema-evolution roundtrip: generation 1 events have no product_id
+    * key at all (the pre-evolution 5-field producer), generation 2
+    * events carry it — the reference's evolution field, added to
+    * purchase events mid-stream
+    * (reference: src/producer/event_factory.py:120-132). All events are
+    * valid so the roundtrip isolates evolution, not routing.
+    */
+  private val evoBatchesV1: Seq[String] = Seq(
+    """[{"user_id":"u1","event_id":"v01","event_timestamp":"2024-01-01 00:00:00","event_type":"page_view","properties":{"url":"a"}},{"user_id":"u2","event_id":"v02","event_timestamp":"2024-01-01 01:00:00","event_type":"page_view","properties":{"url":"b"}}]""")
+
+  private val evoBatchesV2: Seq[String] = Seq(
+    """[{"user_id":"u3","event_id":"v03","event_timestamp":"2024-01-02 00:00:00","event_type":"purchase","product_id":"p7","properties":{"amount":"5"}},{"user_id":"u1","event_id":"v04","event_timestamp":"2024-01-02 01:00:00","event_type":"purchase","product_id":"p9","properties":{"url":"c"}}]""")
+
   /** DuckDB reimplementation of parse+route classification. */
   private val duckClassified: String = s"""
     raw(value) AS (VALUES $duckValues),
@@ -311,6 +325,69 @@ object Ingest extends QueryPack {
                CAST(count(*) AS BIGINT) AS v
         FROM cls WHERE reason <> 'valid' GROUP BY reason
         ORDER BY kind, k""")),
+
+    // Schema evolution THROUGH the streaming path, end-to-end under the
+    // oracle gate (S6 was spec-level until round 5): generation-1 batches
+    // stream through a 5-field parser (no product_id) into the bronze
+    // sink; more files then land in the SAME source dir and the stream
+    // RESTARTS on the same checkpoint with the evolved 6-field schema —
+    // the sink's evolve() adds product_id as a nullable column (Iceberg
+    // ADD COLUMN semantics), a second restart proves replay stays a
+    // no-op under the widened schema, and the final read reconciles
+    // generations: gen-1 parquet files lack the column entirely and
+    // null-fill through the evolved read schema.
+    "ingest_evolution_roundtrip" -> QueryDef(
+      (s, _) => {
+        import java.nio.charset.StandardCharsets
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types.StructType
+        import graft.engine.sinks.{EvolvingTableSink, ParquetAppendSink}
+        import graft.engine.stream.StreamProcessor
+        val root = Files.createTempDirectory("graft_evo_")
+        graft.engine.util.Fs.deleteOnExit(root)
+        val in = Files.createDirectories(root.resolve("in"))
+        val sink = new EvolvingTableSink(root.resolve("bronze").toString)
+        val dl = new ParquetAppendSink(root.resolve("dead").toString)
+        val chk = root.resolve("chk").toString
+        val v1Schema = StructType(
+          EventSchema.schema.fields.filterNot(_.name == "product_id"))
+        def run(schema: StructType): Unit = {
+          val sp = new StreamProcessor(sink, dl, schema,
+            checkpointLocation = chk, trigger = Trigger.AvailableNow())
+          val q = sp.start(s.readStream.text(in.toString))
+          q.awaitTermination(120000L)
+          if (q.isActive) q.stop()
+        }
+        def land(tag: String, bs: Seq[String]): Unit =
+          bs.zipWithIndex.foreach { case (b, i) =>
+            Files.write(in.resolve(f"batch_${tag}_$i%03d.json"),
+              b.getBytes(StandardCharsets.UTF_8))
+          }
+        land("v1", evoBatchesV1)
+        run(v1Schema)        // generation 1: table created WITHOUT product_id
+        land("v2", evoBatchesV2)
+        run(EventSchema.schema) // generation 2: evolve adds product_id
+        run(EventSchema.schema) // restart: replay must be a no-op
+        sink.read(s)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            coalesce(col("product_id"), lit("-")).as("product_id"),
+            Q.epochUs(col("event_timestamp")).as("ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some {
+        val vals = (evoBatchesV1 ++ evoBatchesV2)
+          .map(b => s"('${b}')").mkString(", ")
+        s"""
+        WITH raw(value) AS (VALUES $vals),
+        recs AS (SELECT unnest(TRY_CAST(value AS JSON[])) AS rec FROM raw)
+        SELECT json_extract_string(rec, '$$.user_id') AS user_id,
+               json_extract_string(rec, '$$.event_id') AS event_id,
+               json_extract_string(rec, '$$.event_type') AS event_type,
+               coalesce(json_extract_string(rec, '$$.product_id'), '-') AS product_id,
+               epoch_us(TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP)) AS ts_us
+        FROM recs ORDER BY event_id"""
+      }),
 
     // Event-time tumbling windows through the REAL streaming runtime
     // (MemoryStream -> watermark -> window agg -> memory sink), delivered

@@ -1178,7 +1178,7 @@ object Relational extends QueryPack {
                  CAST(sum($cents) AS BIGINT) AS bal_cents
           FROM graft_customer c
           WHERE $cents * (SELECT count(*) FROM graft_customer WHERE c_acctbal > 0.0)
-                > (SELECT sum($cents) FROM graft_customer WHERE c_acctbal > 0.0)
+                > (SELECT CAST(sum($cents) AS BIGINT) FROM graft_customer WHERE c_acctbal > 0.0)
             AND NOT EXISTS (SELECT 1 FROM graft_orders o
                             WHERE o.o_custkey = c.c_custkey
                               AND o.o_totalprice > 300000.0)
@@ -1191,7 +1191,7 @@ object Relational extends QueryPack {
                CAST(sum($cents) AS BIGINT) AS bal_cents
         FROM customer c
         WHERE $cents * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
-              > (SELECT sum($cents) FROM customer WHERE c_acctbal > 0.0)
+              > (SELECT CAST(sum($cents) AS BIGINT) FROM customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 300000.0)
@@ -2289,7 +2289,7 @@ object Relational extends QueryPack {
       },
       Some(s"""
         SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-               sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}) AS profit_e4
+               CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)}) AS BIGINT) AS profit_e4
         FROM lineitem JOIN part ON l_partkey = p_partkey
                       JOIN supplier ON l_suppkey = s_suppkey
                       JOIN nation ON s_nationkey = n_nationkey
@@ -2325,7 +2325,7 @@ object Relational extends QueryPack {
       Some(s"""
         SELECT nation, value_e2 FROM (
           SELECT n_name AS nation,
-                 sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)}) AS value_e2
+                 CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)}) AS BIGINT) AS value_e2
           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                         JOIN nation ON s_nationkey = n_nationkey
           GROUP BY 1)
@@ -2772,7 +2772,7 @@ object Relational extends QueryPack {
       Some(s"""
         WITH g AS (
           SELECT r_name, n_name,
-                 sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)}) AS value_e2
+                 CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)}) AS BIGINT) AS value_e2
           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                         JOIN nation ON s_nationkey = n_nationkey
                         JOIN region ON n_regionkey = r_regionkey

@@ -488,6 +488,109 @@ object Similarity extends QueryPack {
         SELECT qid, rk, vid, round(cos, 6) AS cos
         FROM rk WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // IVF over a TRAINED codebook: the k-means training loop
+    // (cluster_kmeans_iterate's integer-exact Lloyd's round, run twice)
+    // composed with the IVF probe — the production shape, where the
+    // coarse quantizer is fit to the data instead of seeded from the
+    // first NLIST vectors. Training stays entirely in scaled-integer
+    // space (exact in both engines); the probe scores candidates with
+    // the shared bit-identical cosine folds on the ORIGINAL float
+    // vectors. Scale shape is unchanged from sim_ivf_topk: each
+    // training round is one broadcast-k assignment plus one
+    // groupBy(cell, dim) shuffle of k*Dim partial sums, and the probe
+    // is the cell-id equi-join — rounds add linearly, nothing
+    // quadratic appears.
+    "sim_ivf_trained" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val xi = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
+        def d2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        def assign(v: DataFrame, cents: DataFrame): DataFrame =
+          v.crossJoin(broadcast(cents))
+            .withColumn("_d2", expr(d2("xi", "cv")))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(col("_d2"), col("cent_id"))))
+            .where(col("_rn") === 1)
+            .select(v.columns.map(col) :+ col("cent_id").as("cell"): _*)
+        def means(a: DataFrame): DataFrame =
+          a.select(col("cell"), posexplode(col("xi")).as(Seq("pos", "v")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(expr("sum(v) div count(1)").as("m"))
+            .groupBy(col("cell"))
+            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
+            .select(col("cell").as("cent_id"), col("cv"))
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding", s"$xi AS xi").persist()
+        val c0 = e.filter(col("vec_id") < NList)
+          .select(col("vec_id").as("cent_id"), col("xi").as("cv"))
+        val a1 = assign(e, c0).persist()           // round 1: assign
+        val c1 = means(a1)                         // round 1: update
+        val a2 = assign(a1.drop("cell"), c1).persist() // round 2: assign
+        val c2 = means(a2)                         // round 2: update (codebook)
+        val af = assign(a2.drop("cell"), c2)       // final inverted lists
+        val q = af.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+        val n = af.select(col("vec_id").as("vid"), col("embedding").as("nv"),
+          col("cell").as("cell_n"))
+        val scored = cosine(
+          broadcast(q).join(n,
+            col("cell") === col("cell_n") && col("qid") =!= col("vid")),
+          "qv", "nv")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .selectExpr("qid", "rn", "vid", "round(cos, 6) AS cos")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val xi = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
+        def d2(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, ${Dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+        s"""
+        WITH x AS (SELECT vec_id, embedding, $xi AS xi FROM embeddings),
+        c0 AS (SELECT vec_id AS cent_id, xi AS cv FROM x WHERE vec_id < $NList),
+        d1 AS (SELECT x.vec_id, x.embedding, x.xi, c.cent_id, ${d2("x.xi", "c.cv")} AS d2
+               FROM x CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, embedding, xi, cent_id AS cell FROM (
+                 SELECT vec_id, embedding, xi, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+                 FROM d1) t WHERE rn = 1),
+        m1 AS (SELECT cell, pos, CAST(sum(v) // count(*) AS BIGINT) AS m FROM (
+                 SELECT cell, generate_subscripts(xi, 1) AS pos, unnest(xi) AS v FROM a1)
+               GROUP BY cell, pos),
+        c1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell),
+        e1 AS (SELECT a.vec_id, a.embedding, a.xi, c.cent_id, ${d2("a.xi", "c.cv")} AS d2
+               FROM a1 a CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, embedding, xi, cent_id AS cell FROM (
+                 SELECT vec_id, embedding, xi, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+                 FROM e1) t WHERE rn = 1),
+        m2 AS (SELECT cell, pos, CAST(sum(v) // count(*) AS BIGINT) AS m FROM (
+                 SELECT cell, generate_subscripts(xi, 1) AS pos, unnest(xi) AS v FROM a2)
+               GROUP BY cell, pos),
+        c2 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM m2 GROUP BY cell),
+        e2 AS (SELECT a.vec_id, a.embedding, a.xi, c.cent_id, ${d2("a.xi", "c.cv")} AS d2
+               FROM a2 a CROSS JOIN c2 c),
+        af AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+                 SELECT vec_id, embedding, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+                 FROM e2) t WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM af WHERE vec_id < 20),
+        n AS (SELECT vec_id AS vid, embedding AS nv, cell AS cell_n FROM af),
+        sc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON cell = cell_n AND qid <> vid),
+        ranked AS (
+          SELECT qid, vid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rn
+          FROM sc)
+        SELECT qid, rn, vid, round(cos, 6) AS cos
+        FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
+      }),
+
     // Recall@k of the LSH path against brute-force ground truth, per
     // query id, as exact integers (hits of k) — quantifies the bucketing
     // trade-off the ANN variants make. Both rankings use the shared

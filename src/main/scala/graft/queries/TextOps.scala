@@ -637,10 +637,11 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx")),
       Some("""
         SELECT doc_id, i AS chunk_idx,
-               CAST(length(substr(text, CAST(i*100+1 AS INT), 120)) AS BIGINT) AS chunk_len,
-               substr(text, CAST(i*100+1 AS INT), 120) AS chunk
-        FROM documents, LATERAL unnest(range(0,
-             CAST(greatest(ceil(length(text)/100.0), 1) AS BIGINT))) AS t(i)
+               CAST(length(substr(t0.txt, CAST(i*100+1 AS INT), 120)) AS BIGINT) AS chunk_len,
+               substr(t0.txt, CAST(i*100+1 AS INT), 120) AS chunk
+        FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents) t0,
+             LATERAL unnest(range(0,
+             CAST(greatest(ceil(length(t0.txt)/100.0), 1) AS BIGINT))) AS t(i)
         ORDER BY doc_id, chunk_idx""")),
 
     // Boilerplate-line detection (the C4 pipeline's within-corpus line

@@ -7,13 +7,42 @@ Verify.scala, sorts columns by name and rows by all columns, and compares
 values exactly.
 
 Usage: python3 tools/check.py <sfdir> <verify_outdir> [query ...]
+       python3 tools/check.py --lint <sfdir> <verify_outdir> [query ...]
+
+--lint checks only the declared DuckDB output types of every oracle
+(no engine dump needed beyond oracle_sql.json) — the fast audit for the
+HUGEINT/DECIMAL class. NOTE: this venv runs duckdb 1.0.0 while the
+reference stack pins 1.4.0 (no egress to upgrade here); the declared-type
+lint is version-independent, which is why it, and not a pandas-dtype
+check alone, is the gate.
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Driver-safe DuckDB output types: anything else (HUGEINT from sum(BIGINT),
+# DECIMAL from sum(DECIMAL), UHUGEINT, ...) hashes differently driver-side
+# than Spark's corresponding type even when every value matches — the
+# round-4 failure class. The lint runs on the oracle's DECLARED relation
+# types, not pandas dtypes: duckdb<=1.0's pandas conversion coerces
+# HUGEINT to float64, which is exactly what masked the drift locally.
+SAFE_TYPES = re.compile(
+    r"^(BOOLEAN|TINYINT|SMALLINT|INTEGER|BIGINT|FLOAT|DOUBLE|VARCHAR|DATE"
+    r"|TIMESTAMP(_NS| WITH TIME ZONE)?|INTERVAL|BLOB"
+    r"|(VARCHAR|BIGINT|INTEGER|DOUBLE|FLOAT|BOOLEAN|DATE)\[\])$")
+SAFE_DTYPES = {"int8", "int16", "int32", "int64", "float32", "float64",
+               "bool", "object", "datetime64[ns]", "datetime64[us]"}
+
+
+def lint_types(con, name, sql):
+    """Return a list of 'column TYPE' strings whose DuckDB output type is
+    driver-unsafe for hashing."""
+    rel = con.sql(sql)
+    return [f"{c} {t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if not SAFE_TYPES.match(str(t))]
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -25,8 +54,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    lint_only = argv and argv[0] == "--lint"
+    if lint_only:
+        argv = argv[1:]
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -37,15 +70,43 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        if lint_only:
+            try:
+                bad = lint_types(con, name, sql)
+            except Exception as e:
+                print(f"FAIL {name}: oracle error: {e}")
+                n_fail += 1
+                continue
+            if bad:
+                print(f"FAIL {name}: driver-unsafe output type(s): "
+                      + ", ".join(bad))
+                n_fail += 1
+            else:
+                n_pass += 1
+            continue
         pq = f"{outdir}/{name}"
         if not glob.glob(f"{pq}/*.parquet"):
             print(f"FAIL {name}: engine produced no parquet")
             n_fail += 1
             continue
         try:
+            bad = lint_types(con, name, sql)
+            if bad:
+                print(f"FAIL {name}: driver-unsafe oracle output type(s): "
+                      + ", ".join(bad)
+                      + " (wrap in CAST(... AS BIGINT/DOUBLE/...))")
+                n_fail += 1
+                continue
             want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        bad_dt = [f"{c}:{want[c].dtype}" for c in want.columns
+                  if str(want[c].dtype) not in SAFE_DTYPES]
+        if bad_dt:
+            print(f"FAIL {name}: driver-unsafe pandas dtype(s): "
+                  + ", ".join(bad_dt))
             n_fail += 1
             continue
         got = duckdb.connect().execute(
