@@ -51,7 +51,13 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) elapsed else -1.0
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev ergonomics: SPARK_GRAFT_ONLY=prefix1,prefix2 times only matching
+    // queries (the driver never sets it, so driver runs time everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
+      .map { case (name, fn) =>
       val a = timedRun(fn)
       val b = timedRun(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -70,7 +76,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val streamSec = results.collect {
-      case (k, v) if v >= 0 && (k.startsWith("stream_") || k.startsWith("ingest_e2e")) => v
+      case (k, v) if v >= 0 && (k.startsWith("stream_") || k.startsWith("ingest_e")) => v
     }.sum
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"stream_sec":${r2(streamSec)},"slowest":$slowest,"timing":"min_of_2","sf":"$sfDir"}""")
     spark.stop()

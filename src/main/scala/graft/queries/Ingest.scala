@@ -211,9 +211,23 @@ object Ingest extends QueryPack {
     */
   private def withStreamingPartitions[A](s: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, "1")
-    try f finally s.conf.set(key, prev)
+    // Every micro-batch costs ~0.5s of fixed orchestration in this runtime
+    // (incremental re-plan + state commit + WAL), so each processAllAvailable
+    // call's trailing no-data batch roughly doubles a roundtrip's cost while
+    // computing nothing. Disable them for the roundtrips; queries whose
+    // APPEND output only materializes when the watermark advances (session /
+    // two-level windows, outer joins) carry an explicit third flush DATA
+    // batch instead — the flush batch executes under the watermark the
+    // previous batch advanced, which is exactly what the no-data batch did.
+    s.conf.set(ndKey, "false")
+    try f finally {
+      s.conf.set(key, prev)
+      s.conf.set(ndKey, prevNd)
+    }
   }
 
   /** Run `f` with the RocksDB state store provider (required by
@@ -456,9 +470,12 @@ object Ingest extends QueryPack {
             q.processAllAvailable()
             // batch 2 extends batch-1 sessions (the cross-micro-batch
             // state merge this roundtrip exists to prove) and carries the
-            // watermark-flush row; the trailing no-data batch under the
-            // advanced watermark finalizes every real session
+            // watermark-flush row; batch 3 (one more filtered flush row)
+            // executes under the watermark batch 2 advanced and finalizes
+            // every real session — no-data batches are disabled
             in.addData(sessionEvents.drop(3) :+ (("2024-01-05 00:00:00", -1L)))
+            q.processAllAvailable()
+            in.addData(Seq(("2024-01-05 01:00:00", -1L)))
             q.processAllAvailable()
           } finally q.stop()
         }
@@ -550,11 +567,14 @@ object Ingest extends QueryPack {
           .adAttribution(src(imps), src(clicks))
         val qn = s"join_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
+          // initial blocks land BEFORE start so batch 0 is deterministically
+          // ONE micro-batch (added after start, the trigger thread races the
+          // adds and can split them into separate ~0.5s batches)
+          imps.addData(impEvents)        // all impressions up front
+          clicks.addData(clickEvents.take(3))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
-            imps.addData(impEvents)        // all impressions up front
-            clicks.addData(clickEvents.take(3))
             q.processAllAvailable()
             clicks.addData(clickEvents.drop(3)) // ad 4's click, next batch
             q.processAllAvailable()
@@ -774,11 +794,12 @@ object Ingest extends QueryPack {
             q.processAllAvailable()
             // batch 2: the remaining real events (merging into open
             // sub-windows under batch 1's watermark) + the first flush
-            // raising max event time; batch 3 then runs under the
-            // advanced watermark and finalizes BOTH state levels
-            // one flush stage: the trailing no-data batch under the
-            // advanced watermark finalizes every real window
+            // raising max event time; batch 3 (a second filtered flush
+            // row) then runs under the advanced watermark and finalizes
+            // BOTH state levels — no-data batches are disabled
             in.addData(streamEvents.drop(4) :+ (("2024-01-05 02:00:00", "zz_flush")))
+            q.processAllAvailable()
+            in.addData(Seq(("2024-01-05 03:00:00", "zz_flush")))
             q.processAllAvailable()
           } finally q.stop()
         }
@@ -823,24 +844,29 @@ object Ingest extends QueryPack {
           .adAttributionOuter(src(imps), src(clicks))
         val qn = s"ljoin_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
+          // pre-start adds: one deterministic batch 0 (see inner join note)
+          imps.addData(impEvents)
+          clicks.addData(clickEvents.take(3))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
-            imps.addData(impEvents)
-            clicks.addData(clickEvents.take(3))
             q.processAllAvailable()
             // batch 2: the cross-batch click (matched under batch 1's
             // watermark, so ad 4's impression state is still live) PLUS
             // the flush rows raising both streams' max event time past
-            // every real impression's horizon. The no-data batch that
-            // processAllAvailable runs after it executes under the
-            // advanced watermark: unmatched impressions evict and emit
-            // their null-click rows there — the final output depends
-            // only on the FINAL watermark, so one flush stage suffices
-            // (micro-batches cost ~0.7s fixed each in this runtime).
+            // every real impression's horizon — the final output depends
+            // only on the FINAL watermark, so one watermark-raising stage
+            // suffices (micro-batches cost ~0.5s fixed each in this
+            // runtime, which is also why no-data batches are disabled).
             clicks.addData(clickEvents.drop(3))
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
+            q.processAllAvailable()
+            // batch 3: one more filtered flush row, executing under the
+            // watermark batch 2 advanced — evicts and emits the unmatched
+            // rows (no-data batches are disabled; this data batch is what
+            // the trailing no-data batch used to be)
+            clicks.addData(Seq(("2024-01-05 03:00:00", -2L)))
             q.processAllAvailable()
           } finally q.stop()
         }
@@ -886,11 +912,12 @@ object Ingest extends QueryPack {
                   click_ts <= imp_ts + INTERVAL 1 HOUR"""), "full_outer")
         val qn = s"fjoin_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
+          // pre-start adds: one deterministic batch 0 (see inner join note)
+          imps.addData(impEvents)
+          clicks.addData(clickEvents.take(3))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
-            imps.addData(impEvents)
-            clicks.addData(clickEvents.take(3))
             q.processAllAvailable()
             // single flush stage: the trailing no-data batch runs under
             // the final watermark and emits every unmatched row (see the
@@ -898,6 +925,12 @@ object Ingest extends QueryPack {
             clicks.addData(clickEvents.drop(3))
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
+            q.processAllAvailable()
+            // batch 3: one more filtered flush row, executing under the
+            // watermark batch 2 advanced — evicts and emits the unmatched
+            // rows (no-data batches are disabled; this data batch is what
+            // the trailing no-data batch used to be)
+            clicks.addData(Seq(("2024-01-05 03:00:00", -2L)))
             q.processAllAvailable()
           } finally q.stop()
         }
@@ -947,11 +980,12 @@ object Ingest extends QueryPack {
                   click_ts <= imp_ts + INTERVAL 1 HOUR"""), "right_outer")
         val qn = s"rjoin_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
+          // pre-start adds: one deterministic batch 0 (see inner join note)
+          imps.addData(impEvents)
+          clicks.addData(clickEvents.take(3))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
-            imps.addData(impEvents)
-            clicks.addData(clickEvents.take(3))
             q.processAllAvailable()
             // single flush stage: the trailing no-data batch runs under
             // the final watermark and emits every unmatched row (see the
@@ -959,6 +993,12 @@ object Ingest extends QueryPack {
             clicks.addData(clickEvents.drop(3))
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
+            q.processAllAvailable()
+            // batch 3: one more filtered flush row, executing under the
+            // watermark batch 2 advanced — evicts and emits the unmatched
+            // rows (no-data batches are disabled; this data batch is what
+            // the trailing no-data batch used to be)
+            clicks.addData(Seq(("2024-01-05 03:00:00", -2L)))
             q.processAllAvailable()
           } finally q.stop()
         }
