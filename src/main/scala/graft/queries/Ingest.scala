@@ -919,9 +919,8 @@ object Ingest extends QueryPack {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            // single flush stage: the trailing no-data batch runs under
-            // the final watermark and emits every unmatched row (see the
-            // left-outer roundtrip's choreography note)
+            // watermark-raising flush batch (see the left-outer
+            // roundtrip's choreography note)
             clicks.addData(clickEvents.drop(3))
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
@@ -987,9 +986,8 @@ object Ingest extends QueryPack {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            // single flush stage: the trailing no-data batch runs under
-            // the final watermark and emits every unmatched row (see the
-            // left-outer roundtrip's choreography note)
+            // watermark-raising flush batch (see the left-outer
+            // roundtrip's choreography note)
             clicks.addData(clickEvents.drop(3))
             imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
             clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
