@@ -307,6 +307,58 @@ object Dedup extends QueryPack {
         SELECT min(doc_id) AS kept_doc, CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY text ORDER BY kept_doc""")),
 
+    // Exact duplicate SPANS below document granularity (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better": their
+    // suffix-array pass removes repeated substrings that whole-doc and
+    // shingle-set dedup both miss — boilerplate riding inside otherwise
+    // distinct documents). The distributed approximation: every 50-char
+    // window at stride 25 (any duplicated run >= 75 chars must contain a
+    // shared aligned-enough window), keyed by the PORTABLE rolling hash
+    // of the window so the shuffle carries 8-byte keys, never text —
+    // grouping by span hash is exactly how this runs at 100 TB, and
+    // because both engines compute the SAME hash the oracle checks it
+    // verbatim. Candidates are hash groups, ≈ output; nothing quadratic.
+    // Top-50 by multiplicity with full tie-breaks keeps the output
+    // deterministic and bounded.
+    "dedup_substring_spans" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
+        Tables.documents(s, d)
+          .where(length(col("text")) >= 50)
+          .selectExpr("doc_id", "lower(text) AS t")
+          .selectExpr("doc_id", "t",
+            "explode(sequence(0, CAST((length(t) - 50) / 25 AS INT))) AS p")
+          .selectExpr("doc_id", s"${sparkStrHash("substring(t, p * 25 + 1, 50)")} AS h")
+          .groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+          .where(col("n_docs") >= 2)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 50)
+          .selectExpr("CAST(rn AS BIGINT) AS rn", "h",
+            "CAST(n_docs AS BIGINT) AS n_docs", "CAST(n_occ AS BIGINT) AS n_occ")
+          .orderBy(col("rn"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 50),
+        sp AS (
+          SELECT doc_id,
+                 ${duckStrHash("substr(t, CAST(p * 25 + 1 AS INT), 50)")} AS h
+          FROM d, LATERAL unnest(range(0,
+               (CAST(length(t) AS BIGINT) - 50) // 25 + 1)) AS u(p)),
+        g AS (
+          SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_occ
+          FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        r AS (
+          SELECT h, n_docs, n_occ,
+                 row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, h) AS rn
+          FROM g)
+        SELECT CAST(rn AS BIGINT) AS rn, h, n_docs, n_occ
+        FROM r WHERE rn <= 50 ORDER BY rn""")),
+
     "dedup_minhash_sig" -> QueryDef(
       (s, d) => minHashSig(s, d).orderBy(col("doc_id")),
       Some(s"""

@@ -262,6 +262,43 @@ object TextOps extends QueryPack {
         SELECT doc_id, rnk, term, CAST(score_e6 AS BIGINT) AS score_e6
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
 
+    // Corpus-LM quality score in the CCNet style (Wenzek et al. 2020:
+    // filter/bucket web text by language-model perplexity): a unigram LM
+    // is fit on the corpus itself and each document is scored by its mean
+    // token log-probability (= negative cross-entropy per token; exp(-x)
+    // is the familiar perplexity). Templated/repetitive docs score high,
+    // rare-token docs low — the standard cheap quality dial before an
+    // expensive model-based filter. Scale: one groupBy(term) shuffle
+    // builds the vocabulary-bounded LM, which then BROADCASTS to score
+    // the corpus scan in place (plan mirrors text_tfidf_terms); per-doc
+    // agg is the only other shuffle. Floats appear only in the final
+    // ln()/avg — round(6) absorbs sub-ULP libm drift, the precedent the
+    // cosine queries set.
+    "text_unigram_logprob" -> QueryDef(
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .selectExpr("doc_id", s"explode(${sparkWords("lower(text)")}) AS term")
+        val lm = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val tot = terms.agg(count(lit(1)).as("n"))
+        terms.join(broadcast(lm), "term").crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            avg(expr("ln(c * 1.0 / n)")).as("lp"))
+          .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "round(lp, 6) AS avg_logprob")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT doc_id, unnest(${duckWords("lower(text)")}) AS term
+          FROM documents),
+        lm AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+        tot AS (SELECT count(*) AS n FROM terms)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(c * 1.0 / n)), 6) AS avg_logprob
+        FROM terms JOIN lm USING (term) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Composite document filter in the Gopher/C4 style: precedence chain
     // of cheap quality rules producing a keep/drop REASON per doc (the
     // same routing shape the ingest Router applies to events, here for

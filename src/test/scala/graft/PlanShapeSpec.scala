@@ -356,6 +356,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("unigram LM scoring broadcasts the vocabulary-bounded model to the corpus scan") {
+    // the term-frequency LM is vocabulary-sized, never corpus-sized: it must
+    // reach the scoring join as a broadcast, and the only exchanges are the
+    // LM groupBy(term), the per-doc agg, and the output sort — a shuffle of
+    // the corpus BY TERM for the join would be the 100 TB scale-killer
+    val p = plan("text_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the LM side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("substring-span dedup shuffles 8-byte span hashes, never window text") {
+    // the exploded windows hash row-locally (native graft_strhash) and only
+    // the BIGINT hash reaches the groupBy exchange; no join appears at all
+    val p = plan("dedup_substring_spans")
+    assert(p.contains("graft_strhash") || p.contains("graftstrhash"),
+      s"span hashing must be the native expression:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), s"no join belongs in this plan:\n$p")
+  }
+
   test("scd2 build shuffles on user_id once; both windows reuse the partitioning") {
     // lag/run-sum window, per-regime aggregate, and lead window all key
     // by user_id — one exchange (+ the output sort) is the whole plan
