@@ -132,6 +132,56 @@ object StatefulProfiles {
         new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class BandDoc(band: Long, key: Long, doc_id: Long)
+  final case class BandHit(doc_id: Long, band: Long, owner: Long)
+
+  /** First-owner registry per MinHash/LSH band key — the streaming
+    * primitive of corpus dedup over an UNBOUNDED document stream: the
+    * batch LSH pipeline buckets all documents at once, but a live
+    * ingestion pipeline must answer "has any band of this document been
+    * seen before?" incrementally. State is one Long (the first doc_id to
+    * exhibit the band key) per live band key; each input row re-emits its
+    * document with the band's owner, so a downstream per-document
+    * aggregation can flag duplicates (any owner < doc_id). In-batch
+    * collisions resolve deterministically (min doc_id in the batch owns
+    * the key).
+    *
+    * Scale notes: band keys shuffle once per micro-batch (the groupByKey)
+    * and state is a point lookup per key in RocksDB — cardinality is
+    * bounded by live band keys (Bands x corpus), the same state a batch
+    * LSH bucket join would materialize, amortized over the stream. At
+    * 100 TB the keys would carry a TTL (TTLConfig) tied to the dedup
+    * horizon; the test corpus keeps state unbounded.
+    */
+  final class BandOwnerProcessor
+      extends StatefulProcessor[(Long, Long), BandDoc, BandHit] {
+
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: (Long, Long),
+        rows: Iterator[BandDoc],
+        timerValues: TimerValues): Iterator[BandHit] = {
+      val docs = rows.map(_.doc_id).toSeq.distinct.sorted
+      val own = math.min(if (owner.exists()) owner.get() else Long.MaxValue, docs.head)
+      owner.update(own)
+      docs.iterator.map(d => BandHit(d, key._1, own))
+    }
+  }
+
+  /** Declarative entry: group band rows by (band, key), emit owners. */
+  def bandOwners(bands: Dataset[BandDoc]): Dataset[BandHit] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(r => (r.band, r.key))
+      .transformWithState(
+        new BandOwnerProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TimedEvent(user_id: Long, event_time_ms: Long)
 
   /** Emitted when a user's idle timer fires: the session is closed with

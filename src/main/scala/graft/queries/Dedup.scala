@@ -85,7 +85,7 @@ object Dedup extends QueryPack {
     cols.foldLeft(s"CAST(0 AS BIGINT)")((acc, c) => s"(($acc) * 31 + $c) % $P")
 
   /** (doc_id, band, key) — MinHash signature folded per LSH band. */
-  private def minHashBandsFrom(sig: DataFrame): DataFrame = {
+  private[queries] def minHashBandsFrom(sig: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}")
       struct(lit(b).as("band"), expr(bandKeyExpr(cols)).as("key"))
@@ -212,10 +212,14 @@ object Dedup extends QueryPack {
 
   // ---- DuckDB oracle shared CTEs ---------------------------------------
 
-  private[queries] val duckBase: String = s"""
+  /** words/wh/sh shingle-hash chain over any (doc_id, text) source — the
+    * same fragment serves the documents table and the literal VALUES
+    * corpus of the streaming dedup roundtrip.
+    */
+  private[queries] def duckShingleChain(src: String): String = s"""
     words AS (
       SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
-      FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents) t
+      FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM $src) t
       WHERE len(ws) >= 3),
     wh AS (SELECT doc_id, pos, ${duckStrHash("w")} AS wh FROM words),
     sh AS (
@@ -223,7 +227,9 @@ object Dedup extends QueryPack {
              ((wh * 37 + lead(wh, 1) OVER (PARTITION BY doc_id ORDER BY pos)) % $P * 37
                + lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos)) % $P AS sh
       FROM wh
-      QUALIFY lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+      QUALIFY lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL)"""
+
+  private[queries] val duckBase: String = s"""${duckShingleChain("documents")},
     shd_raw AS (SELECT DISTINCT doc_id, sh FROM sh),
     shd AS (
       SELECT doc_id, sh FROM (

@@ -62,6 +62,21 @@ object Ingest extends QueryPack {
     ("2024-01-01 00:05:00", 102L),
     ("2024-01-01 00:20:00", 104L))
 
+  /** Literal corpus for the streaming MinHash dedup roundtrip, ascending
+    * doc_id across batches (so owner-at-arrival == global min owner and
+    * the oracle can re-derive the stream's verdicts batch-free). Doc 5 is
+    * a verbatim cross-batch copy of doc 2; docs 6 and 7 are a verbatim
+    * IN-batch pair; all texts carry >= 3 words so every doc shingles.
+    */
+  private val minhashDocs: Seq[(Long, String)] = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "how vexingly quick daft zebras jump today"),
+    (4L, "sphinx of black quartz judge my vow"),
+    (5L, "pack my box with five dozen liquor jugs"),
+    (6L, "bright vixens jump for the lazy dog"),
+    (7L, "bright vixens jump for the lazy dog"))
+
   /** (user_id, event_id) rows per micro-batch for the custom-state
     * roundtrip: user 1 appears in both batches (state carries over).
     */
@@ -545,6 +560,72 @@ object Ingest extends QueryPack {
           .map { case (t, id) => s"(TIMESTAMP '$t', CAST($id AS BIGINT))" }.mkString(", ")})
         SELECT DISTINCT event_id, epoch_us(ts) AS ts_us
         FROM ev ORDER BY event_id""")),
+
+    // MinHash/LSH NEAR-dup detection through the real streaming runtime —
+    // the batch dedup pipeline's banding (Dedup.minHashBandsFrom, same
+    // codegen signatures, same Portable constants) feeding a
+    // transformWithState band-key registry (StatefulProfiles.bandOwners):
+    // each band key remembers the first document that exhibited it, so a
+    // later document colliding on ANY band flags as a duplicate — exact
+    // dedup (stream_dedup_roundtrip) only catches identical ids, this
+    // catches content-level copies arriving batches apart. Batches ascend
+    // in doc_id, so the stream's owner-at-arrival equals the oracle's
+    // global min owner per band and the whole construction is
+    // batch-derivable: the oracle recomputes sig -> bands -> first owner
+    // from the same literal corpus.
+    "stream_dedup_minhash_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.engine.stream.StatefulProfiles
+        graft.functions.GraftFunctions.register(s)
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[(Long, String)]
+        val sig = in.toDF().toDF("doc_id", "text")
+          .selectExpr("doc_id", s"${Portable.sparkWords("lower(text)")} AS ws")
+          .where("size(ws) >= 3")
+          .selectExpr("doc_id", "graft_minhash(graft_shingles(ws)) AS sig")
+          .selectExpr("doc_id" +:
+            (0 until Portable.MinHashK).map(i => s"element_at(sig, ${i + 1}) AS s$i"): _*)
+        val hits = StatefulProfiles.bandOwners(
+          Dedup.minHashBandsFrom(sig).as[StatefulProfiles.BandDoc])
+        val qn = s"mh_dedup_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          withRocksDbState(s) {
+            in.addData(minhashDocs.take(4)) // pre-start: one batch 0
+            val q = hits.toDF().writeStream.format("memory").queryName(qn)
+              .outputMode("update").start()
+            try {
+              q.processAllAvailable()
+              in.addData(minhashDocs.drop(4)) // cross-batch copy + in-batch pair
+              q.processAllAvailable()
+            } finally q.stop()
+          }
+        }
+        s.table(qn)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bands"), min(col("owner")).as("first_owner"))
+          .selectExpr("doc_id", "CAST(n_bands AS BIGINT) AS n_bands",
+            "first_owner",
+            "CAST(CASE WHEN first_owner < doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH docs(doc_id, text) AS (VALUES ${minhashDocs
+          .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")}),
+        ${Dedup.duckShingleChain("docs")},
+        ${Dedup.duckSig},
+        ${Dedup.duckBands},
+        owners AS (
+          SELECT band, key, min(doc_id) AS owner FROM bands GROUP BY band, key),
+        hits AS (
+          SELECT b.doc_id, b.band, o.owner
+          FROM bands b JOIN owners o ON b.band = o.band AND b.key = o.key)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bands,
+               CAST(min(owner) AS BIGINT) AS first_owner,
+               CAST(CASE WHEN min(owner) < doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM hits GROUP BY doc_id ORDER BY doc_id""")),
 
     // Stream-stream inner join through the real streaming runtime (the
     // one Structured Streaming join family the surface lacked): two

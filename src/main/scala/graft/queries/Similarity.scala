@@ -591,6 +591,109 @@ object Similarity extends QueryPack {
         FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
       }),
 
+    // Product quantization with asymmetric-distance search (Jégou et al.
+    // 2011, the PQ in IVF-PQ — what FAISS runs at billion scale): the
+    // 64-dim vector splits into 4 subspaces of 16 dims, each quantized by
+    // its own 8-code codebook (seeded from the first 8 vectors, refined
+    // by one integer-exact Lloyd's round), so a vector compresses to 4
+    // small codes. Search never decodes: the query precomputes its
+    // distance to every codebook entry (a 4x8 table) and a candidate's
+    // approximate distance is just 4 table lookups summed — the ADC
+    // trick. Everything stays in the scaled-integer space, so distances
+    // are exact BIGINTs and the oracle needs no float tolerance.
+    // Scale shape: codebook fit shuffles (sub, code, pos) partial sums
+    // once per round; encoding is a broadcast-codebook equi-join on sub;
+    // the search joins corpus CODES to the broadcast per-query distance
+    // table on (sub, code) and sums — the corpus side ships 4 BIGINT
+    // codes per vector, never raw vectors, which is the entire point of
+    // PQ at 100 TB.
+    "sim_pq_adc" -> QueryDef(
+      (s, d) => {
+        val xi = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
+        def d2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        // per-vector subvectors: (vec_id, sub 0..3, v: 16 ints)
+        val sub = Tables.embeddings(s, d)
+          .selectExpr("vec_id", s"$xi AS xi")
+          .select(col("vec_id"), explode(expr(
+            "transform(sequence(0, 3), s -> struct(s AS sub, slice(xi, s * 16 + 1, 16) AS v))")).as("t"))
+          .select(col("vec_id"), col("t.sub").as("sub"), col("t.v").as("v"))
+          .persist()
+        def assign(cb: DataFrame): DataFrame =
+          sub.join(broadcast(cb), "sub")
+            .withColumn("_d2", expr(d2("v", "cv")))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("vec_id"), col("sub"))
+                .orderBy(col("_d2"), col("code"))))
+            .where(col("_rn") === 1)
+            .select(col("vec_id"), col("sub"), col("v"), col("code"), col("_d2"))
+        val seeds = sub.where(col("vec_id") < 8)
+          .select(col("sub"), col("vec_id").as("code"), col("v").as("cv"))
+        val cb1 = assign(seeds)                       // Lloyd's round: assign
+          .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg(expr("sum(x) div count(1)").as("m"))   // update (integer-exact)
+          .groupBy(col("sub"), col("code"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
+        val codes = assign(cb1)                       // corpus -> 4 codes each
+          .select(col("vec_id").as("vid"), col("sub"), col("code"))
+        val dist = sub.where(col("vec_id") < 10)      // query ADC tables (4x8)
+          .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+          .join(broadcast(cb1), "sub")
+          .select(col("qid"), col("sub"), col("code"), expr(d2("qv", "cv")).as("pd2"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vid"))
+        codes.join(broadcast(dist), Seq("sub", "code"))
+          .where(col("qid") =!= col("vid"))
+          .groupBy(col("qid"), col("vid"))
+          .agg(sum(col("pd2")).as("adc_d2"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .selectExpr("qid", "CAST(rn AS BIGINT) AS rn", "vid", "adc_d2")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val xi = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
+        def d2(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+        s"""
+        WITH x AS (SELECT vec_id, $xi AS xi FROM embeddings),
+        sub AS (
+          SELECT vec_id, s AS sub,
+                 list_transform(range(1, 17), i -> xi[s * 16 + i]) AS v
+          FROM x, LATERAL unnest(range(0, 4)) AS u(s)),
+        seeds AS (SELECT sub, vec_id AS code, v AS cv FROM sub WHERE vec_id < 8),
+        a1 AS (SELECT vec_id, sub, v, code FROM (
+                 SELECT s.vec_id, s.sub, s.v, c.code,
+                        row_number() OVER (PARTITION BY s.vec_id, s.sub
+                            ORDER BY ${d2("s.v", "c.cv")}, c.code) AS rn
+                 FROM sub s JOIN seeds c USING (sub)) t WHERE rn = 1),
+        m1 AS (SELECT sub, code, pos, CAST(sum(xv) // count(*) AS BIGINT) AS m FROM (
+                 SELECT sub, code, generate_subscripts(v, 1) AS pos, unnest(v) AS xv
+                 FROM a1)
+               GROUP BY sub, code, pos),
+        cb AS (SELECT sub, code, list(m ORDER BY pos) AS cv FROM m1 GROUP BY sub, code),
+        codes AS (SELECT vec_id AS vid, sub, code FROM (
+                    SELECT s.vec_id, s.sub, c.code,
+                           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                               ORDER BY ${d2("s.v", "c.cv")}, c.code) AS rn
+                    FROM sub s JOIN cb c USING (sub)) t WHERE rn = 1),
+        dist AS (
+          SELECT s.vec_id AS qid, s.sub, c.code, ${d2("s.v", "c.cv")} AS pd2
+          FROM sub s JOIN cb c USING (sub) WHERE s.vec_id < 10),
+        adc AS (
+          SELECT d.qid, k.vid, CAST(sum(d.pd2) AS BIGINT) AS adc_d2
+          FROM codes k JOIN dist d USING (sub, code)
+          WHERE d.qid <> k.vid
+          GROUP BY d.qid, k.vid),
+        ranked AS (
+          SELECT qid, vid, adc_d2,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY adc_d2, vid) AS BIGINT) AS rn
+          FROM adc)
+        SELECT qid, rn, vid, adc_d2 FROM ranked WHERE rn <= 3
+        ORDER BY qid, rn"""
+      }),
+
     // Recall@k of the LSH path against brute-force ground truth, per
     // query id, as exact integers (hits of k) — quantifies the bucketing
     // trade-off the ANN variants make. Both rankings use the shared
