@@ -207,6 +207,15 @@ object StressCheck {
       (hf, ht)
     }
     spark.catalog.clearCache()
+    // PQ at 50k vectors: the compressed-search path must run at 25x the
+    // bench corpus with the same plan (broadcast codebooks + broadcast
+    // ADC tables, codes-only shuffle) and return a full top-3 per query
+    // — the quantizer is fit on the replica corpus, searched in place.
+    val pqRows = t("sim_pq_adc (50k vectors)") {
+      SparkEntry.queries("sim_pq_adc")(spark, vecDir).count()
+    }
+    println(s"[stress] pq_rows=$pqRows")
+    spark.catalog.clearCache()
     // exactness audit: the unrestricted all-pairs Jaccard baseline (too
     // expensive to DECLARE — quadratic in co-shingled pairs — but the
     // ground truth the candidate-restricted production path must match).
@@ -226,7 +235,7 @@ object StressCheck {
       (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs &&
         nVecs == 50000 && annPairs >= 500000 && ivfRows >= 50 &&
         packedBins >= 1 && decontam >= 1 && containment >= 1 &&
-        recallTrained >= recallFixed)
+        recallTrained >= recallFixed && pqRows == 30)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

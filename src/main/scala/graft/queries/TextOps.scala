@@ -372,6 +372,83 @@ object TextOps extends QueryPack {
         FROM documents WHERE ${duckStrHash("text")} % 100 < 10
         GROUP BY lang ORDER BY lang""")),
 
+    // Weighted sampling WITHOUT replacement, Efraimidis-Spirakis A-ES
+    // (the algorithm behind weighted data mixing when sources can't just
+    // be concatenated): each doc draws u in (0,1) and ranks by
+    // ln(u)/weight — the top-k by that key is a weighted sample, one
+    // scan + one top-k, no per-source passes. The draw is the PORTABLE
+    // hash of the doc text (content-addressed, so the sample survives
+    // reprocessing exactly like split_train_eval's assignment), weight
+    // is doc length in chars. Ranking uses the raw double key with a
+    // doc_id tie-break; the reported key rounds to 6 places like every
+    // float surface here.
+    "sample_weighted" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("k").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "n_chars",
+            s"(${sparkStrHash("text")} % 999983 + 1) / 999984.0 AS u")
+          .withColumn("k", expr("ln(u) / n_chars"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 20)
+          .selectExpr("CAST(rnk AS BIGINT) AS rnk", "doc_id",
+            "CAST(n_chars AS BIGINT) AS n_chars", "round(k, 6) AS key")
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 ln((${duckStrHash("text")} % 999983 + 1) / 999984.0)
+                   / n_chars AS k
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, n_chars, k,
+                 row_number() OVER (ORDER BY k DESC, doc_id) AS rnk
+          FROM keyed)
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars, round(k, 6) AS key
+        FROM ranked WHERE rnk <= 20 ORDER BY rnk""")),
+
+    // One BPE merge-candidate round — the counting step of tokenizer
+    // TRAINING (Sennrich et al. 2016) as corpus dataflow: every adjacent
+    // character pair inside every word occurrence is counted corpus-wide
+    // and the top candidates are the pairs BPE would merge next. The
+    // expensive part of BPE at corpus scale is exactly this pair count;
+    // it runs as one explode + one hash aggregation with map-side
+    // partials, no joins. Top-10 by count with a pair tie-break keeps
+    // the output deterministic.
+    "text_bpe_pairs" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("pair"))
+        Tables.documents(s, d)
+          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS wd")
+          .where(length(col("wd")) >= 2)
+          .selectExpr(
+            "explode(transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))) AS pair")
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 10)
+          .selectExpr("CAST(rnk AS BIGINT) AS rnk", "pair", "CAST(n AS BIGINT) AS n")
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH wd AS (
+          SELECT unnest(${duckWords("lower(text)")}) AS wd FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(wd)),
+                 i -> substr(wd, CAST(i AS INT), 2))) AS pair
+          FROM wd WHERE length(wd) >= 2),
+        counts AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+                   FROM pairs GROUP BY pair),
+        ranked AS (
+          SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+          FROM counts)
+        SELECT CAST(rnk AS BIGINT) AS rnk, pair, n
+        FROM ranked WHERE rnk <= 10 ORDER BY rnk""")),
+
     // Hash-based train/val/test assignment: membership is a pure function
     // of content, so the split survives reprocessing and dedup.
     // Text normalization — the first pass of every curation pipeline:

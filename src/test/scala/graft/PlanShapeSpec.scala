@@ -377,6 +377,17 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), s"no join belongs in this plan:\n$p")
   }
 
+  test("PQ search joins codes to broadcast distance tables; raw vectors never shuffle") {
+    // every join in the PQ plan (codebook to subvectors for encoding, the
+    // per-query ADC table to corpus codes for search) must be broadcast —
+    // a sort-merge join would mean vector or code data shuffled by key,
+    // which defeats the compress-then-search point of PQ at scale
+    val p = plan("sim_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), s"PQ joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join belongs in the PQ plan:\n$p")
+  }
+
   test("scd2 build shuffles on user_id once; both windows reuse the partitioning") {
     // lag/run-sum window, per-regime aggregate, and lead window all key
     // by user_id — one exchange (+ the output sort) is the whole plan
