@@ -444,6 +444,60 @@ object Dedup extends QueryPack {
         SELECT v AS doc_id, r AS rank FROM r3 ORDER BY doc_id"""
       }),
 
+    // k-core decomposition (k=2, two peeling rounds) over the verified
+    // dup-pair graph — the graph-density lens on duplication that web
+    // curation pipelines use to separate DENSE duplication (template
+    // farms, mirror clusters: every member near-dups many others) from
+    // incidental pairs: a vertex survives the 2-core only if at least two
+    // of its neighbors also survive, so chains and isolated pairs peel
+    // away while cliques remain. Like the PageRank and k-means queries,
+    // the declared op is a FIXED number of rounds (the fixpoint loop
+    // peels until stable at corpus scale; two rounds already
+    // distinguishes chains from cliques and keeps the oracle loop-free).
+    // Scale shape per round: one degree aggregation plus two semi-joins
+    // against the shrinking survivor set — never a cross join, and the
+    // edge list only shrinks.
+    "graph_kcore_dups" -> QueryDef(
+      (s, d) => {
+        val dup = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).persist()
+        def degrees(e: DataFrame): DataFrame =
+          e.select(col("doc_a").as("v"))
+            .union(e.select(col("doc_b").as("v")))
+            .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        def peel(e: DataFrame): DataFrame = {
+          val keep = degrees(e).where(col("n") >= 2).select(col("v"))
+          e.join(keep, e("doc_a") === keep("v"), "left_semi")
+            .join(keep, e("doc_b") === keep("v"), "left_semi")
+        }
+        val core = peel(peel(dup))
+        degrees(core)
+          .selectExpr("CAST(v AS BIGINT) AS doc_id", "CAST(n AS BIGINT) AS degree")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
+        dup AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jacc >= $JaccThreshold),
+        d1 AS (SELECT v, count(*) AS n FROM (
+                 SELECT doc_a AS v FROM dup UNION ALL SELECT doc_b FROM dup)
+               GROUP BY v),
+        k1 AS (SELECT v FROM d1 WHERE n >= 2),
+        e1 AS (SELECT doc_a, doc_b FROM dup
+               WHERE doc_a IN (SELECT v FROM k1) AND doc_b IN (SELECT v FROM k1)),
+        d2 AS (SELECT v, count(*) AS n FROM (
+                 SELECT doc_a AS v FROM e1 UNION ALL SELECT doc_b FROM e1)
+               GROUP BY v),
+        k2 AS (SELECT v FROM d2 WHERE n >= 2),
+        e2 AS (SELECT doc_a, doc_b FROM e1
+               WHERE doc_a IN (SELECT v FROM k2) AND doc_b IN (SELECT v FROM k2)),
+        dfin AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+                   SELECT doc_a AS v FROM e2 UNION ALL SELECT doc_b FROM e2)
+                 GROUP BY v)
+        SELECT CAST(v AS BIGINT) AS doc_id, degree FROM dfin ORDER BY doc_id""")),
+
     // Containment similarity over the LSH candidates: |A∩B| / min(|A|,|B|)
     // instead of Jaccard's |A∩B| / |A∪B|. Containment is what catches a
     // short document EMBEDDED in a longer one (boilerplate wrapping,

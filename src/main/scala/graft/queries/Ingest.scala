@@ -77,6 +77,19 @@ object Ingest extends QueryPack {
     (6L, "bright vixens jump for the lazy dog"),
     (7L, "bright vixens jump for the lazy dog"))
 
+  /** Literal corpus for the streaming curation roundtrip — every verdict
+    * class represented in both micro-batches (too_short, stopword_heavy,
+    * long_words, keep).
+    */
+  private val curateDocs: Seq[(Long, String)] = Seq(
+    (1L, "tiny doc here"),
+    (2L, "the a the and or the a and"),
+    (3L, "quality documents carry diverse vocabulary and structure"),
+    (4L, "extraordinarily incomprehensible antidisestablishmentarianism pseudopseudohypoparathyroidism floccinaucinihilipilification"),
+    (5L, "the data is good and the work is done here now"),
+    (6L, "or and or and the a or"),
+    (7L, "four short words only"))
+
   /** (user_id, event_id) rows per micro-batch for the custom-state
     * roundtrip: user 1 appears in both batches (state carries over).
     */
@@ -626,6 +639,71 @@ object Ingest extends QueryPack {
                CAST(min(owner) AS BIGINT) AS first_owner,
                CAST(CASE WHEN min(owner) < doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup
         FROM hits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Quality curation THROUGH the streaming runtime: documents stream in
+    // micro-batches through the Gopher/C4-style precedence verdict chain
+    // (too_short -> stopword_heavy -> long_words -> keep, first rule
+    // wins) and a foreachBatch dual-sink router appends keepers to the
+    // curated table and everything else — reason first, like the
+    // dead-letter projection — to the rejects table: the reference's
+    // event-routing pattern (S9) applied to corpus curation, live
+    // instead of as a batch pass. The final read reconciles BOTH sinks;
+    // the oracle re-derives every verdict from the literal corpus.
+    "stream_curate_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.engine.sinks.ParquetAppendSink
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val root = java.nio.file.Files.createTempDirectory("graft_curate_rt_")
+        graft.engine.util.Fs.deleteOnExit(root)
+        val curated = new ParquetAppendSink(s"$root/curated")
+        val rejects = new ParquetAppendSink(s"$root/rejects")
+        val verdict = s"""CASE
+          WHEN size(ws) < 5 THEN 'too_short'
+          WHEN ${TextOps.sparkScore(TextOps.stopwords)} * 1000 div size(ws) >= 400
+            THEN 'stopword_heavy'
+          WHEN length(text) div size(ws) > 8 THEN 'long_words'
+          ELSE 'keep' END"""
+        val in = MemoryStream[(Long, String)]
+        withStreamingPartitions(s) {
+          in.addData(curateDocs.take(4))
+          val q = in.toDF().toDF("doc_id", "text").writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              val v = df
+                .selectExpr("doc_id", "text",
+                  s"${Portable.sparkWords("lower(text)")} AS ws")
+                .selectExpr("doc_id", "text", s"$verdict AS verdict")
+              curated.write(v.where(col("verdict") === "keep")
+                .select(col("doc_id"), col("text")))
+              rejects.write(v.where(col("verdict") =!= "keep")
+                .select(col("verdict"), col("doc_id")))
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            in.addData(curateDocs.drop(4))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.read.parquet(s"$root/curated")
+          .selectExpr("doc_id", "'keep' AS verdict")
+          .unionByName(s.read.parquet(s"$root/rejects")
+            .selectExpr("doc_id", "verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH docs(doc_id, text) AS (VALUES ${curateDocs
+          .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")}),
+        w AS (SELECT doc_id, text, ${Portable.duckWords("lower(text)")} AS ws FROM docs)
+        SELECT doc_id, CASE
+          WHEN len(ws) < 5 THEN 'too_short'
+          WHEN ${TextOps.duckScore(TextOps.stopwords)} * 1000 // len(ws) >= 400
+            THEN 'stopword_heavy'
+          WHEN length(text) // len(ws) > 8 THEN 'long_words'
+          ELSE 'keep' END AS verdict
+        FROM w ORDER BY doc_id""")),
 
     // Stream-stream inner join through the real streaming runtime (the
     // one Structured Streaming join family the surface lacked): two
