@@ -188,6 +188,102 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
 
+    // Matryoshka truncation (Kusupati et al. 2022: embeddings trained so
+    // PREFIXES are usable representations — the inference trick behind
+    // cheap first-stage retrieval): rank by cosine over only the first 16
+    // of 64 dimensions and flag which of the truncated top-3 survive in
+    // the full-dimension top-3. The flag column IS the recall audit,
+    // oracle-checked per row. Scale: truncation cuts the scored bytes 4x
+    // on the same broadcast nested-loop plan — at corpus scale the
+    // truncated pass prunes candidates for the full-dim rerank, which is
+    // exactly the two-stage shape this query demonstrates.
+    "sim_matryoshka" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        def dotK(a: String, b: String) = s"graft_dot(slice($a, 1, 16), slice($b, 1, 16))"
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"))
+        val base = broadcast(q).join(n, col("qid") =!= col("vid"))
+          .withColumn("cos_t", expr(
+            s"${dotK("qv", "nv")} / (sqrt(${dotK("qv", "qv")}) * sqrt(${dotK("nv", "nv")}))"))
+          .withColumn("cos_f", expr(
+            s"${sparkDot("qv", "nv")} / (sqrt(${sparkDot("qv", "qv")}) * sqrt(${sparkDot("nv", "nv")}))"))
+        val wT = Window.partitionBy(col("qid")).orderBy(col("cos_t").desc, col("vid"))
+        val wF = Window.partitionBy(col("qid")).orderBy(col("cos_f").desc, col("vid"))
+        val ranked = base
+          .withColumn("rn", row_number().over(wT))
+          .withColumn("rn_full", row_number().over(wF))
+        ranked.where(col("rn") <= 3)
+          .selectExpr("qid", "CAST(rn AS BIGINT) AS rn", "vid",
+            "round(cos_t, 6) AS cos_trunc",
+            "CAST(CASE WHEN rn_full <= 3 THEN 1 ELSE 0 END AS BIGINT) AS in_full_top3")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        def dotK(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 17), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+        s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        n AS (SELECT vec_id AS vid, embedding AS nv FROM embeddings),
+        sc AS (
+          SELECT qid, vid,
+                 ${dotK("qv", "nv")} / (sqrt(${dotK("qv", "qv")}) * sqrt(${dotK("nv", "nv")})) AS cos_t,
+                 ${duckDot("qv", "nv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("nv", "nv")})) AS cos_f
+          FROM q JOIN n ON qid <> vid),
+        ranked AS (
+          SELECT qid, vid, cos_t,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos_t DESC, vid) AS rn,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos_f DESC, vid) AS rn_full
+          FROM sc)
+        SELECT qid, CAST(rn AS BIGINT) AS rn, vid,
+               round(cos_t, 6) AS cos_trunc,
+               CAST(CASE WHEN rn_full <= 3 THEN 1 ELSE 0 END AS BIGINT) AS in_full_top3
+        FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
+      }),
+
+    // Hard-negative mining — the contrastive-training data op (pick, for
+    // each anchor, the most similar example with a DIFFERENT label; those
+    // near-miss negatives are what make embedding training converge):
+    // top-1 cosine among cross-label candidates per anchor. Same
+    // broadcast-anchors scan shape as sim_topk_cosine with the label
+    // inequality fused into the join predicate, so the corpus is scanned
+    // once and never shuffled.
+    "sim_hard_negatives" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"),
+          col("label").as("vlabel"))
+        val scored = cosine(
+          broadcast(q).join(n,
+            col("qid") =!= col("vid") && col("qlabel") =!= col("vlabel")),
+          "qv", "nv")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .selectExpr("qid", "qlabel", "vid", "vlabel", "round(cos, 6) AS cos")
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                   FROM embeddings WHERE vec_id < 20),
+        n AS (SELECT vec_id AS vid, embedding AS nv, label AS vlabel FROM embeddings),
+        sc AS (
+          SELECT qid, qlabel, vid, vlabel, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON qid <> vid AND qlabel <> vlabel),
+        ranked AS (
+          SELECT qid, qlabel, vid, vlabel, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS rn
+          FROM sc)
+        SELECT qid, qlabel, vid, vlabel, round(cos, 6) AS cos
+        FROM ranked WHERE rn = 1 ORDER BY qid""")),
+
     // k-NN majority-vote classification — the weak-labeling op a curation
     // pipeline uses to propagate labels from a seeded set: held-out
     // queries (vec_id < 20) take the majority label of their 3 nearest
