@@ -382,6 +382,79 @@ object Dedup extends QueryPack {
         WHERE j.jacc >= $JaccThreshold
         ORDER BY 1, 2""")),
 
+    // INCREMENTAL dedup — the continuous-crawl shape: a small incoming
+    // batch (deterministic 20% stratum, doc_id % 10 >= 8) is checked
+    // against the EXISTING corpus only. Candidates come from joining the
+    // incoming band table against the corpus band table — never
+    // incoming x incoming, never corpus x corpus — so per-batch work is
+    // O(batch x collisions) regardless of corpus size; at 100 TB the
+    // corpus band table is the persisted LSH index every arriving crawl
+    // shard probes. Verification is candidate-restricted exact Jaccard
+    // (same arithmetic as dedup_minhash_pairs), and every incoming doc
+    // gets a verdict: 'dup' with its best corpus match (max jacc, min id
+    // tie-break) or 'new'. Docs too short to shingle are 'new' by
+    // construction in both engines.
+    "dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
+        val bands = minHashBandsFrom(minHashSig(s, d)).persist()
+        val cand = bands.where("doc_id % 10 >= 8").toDF("doc_in", "band", "key")
+          .join(bands.where("doc_id % 10 < 8").toDF("doc_ex", "band2", "key2"),
+            col("band") === col("band2") && col("key") === col("key2"))
+          .select(col("doc_in"), col("doc_ex")).distinct()
+        val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val jacc = cand
+          .join(shd.toDF("doc_in", "sh"), "doc_in")
+          .join(shd.toDF("doc_ex2", "sh2"),
+            col("doc_ex") === col("doc_ex2") && col("sh") === col("sh2"))
+          .groupBy(col("doc_in"), col("doc_ex")).agg(count(lit(1)).as("inter"))
+          .join(sizes.toDF("doc_in", "na"), "doc_in")
+          .join(sizes.toDF("doc_ex", "nb"), "doc_ex")
+          .withColumn("jacc", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+          .where(s"jacc >= $JaccThreshold")
+        val best = jacc
+          .withColumn("rn", row_number().over(Window.partitionBy(col("doc_in"))
+            .orderBy(col("jacc").desc, col("doc_ex"))))
+          .where("rn = 1")
+          .select(col("doc_in").as("doc_id"), col("doc_ex"), col("jacc"))
+        Tables.documents(s, d).where("doc_id % 10 >= 8").select(col("doc_id"))
+          .join(best, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_ex IS NULL THEN 'new' ELSE 'dup' END AS verdict",
+            "CAST(doc_ex AS BIGINT) AS best_match",
+            s"${Q.scaledLong("jacc", 4)} AS jacc_bp")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $duckBase, $duckSig, $duckBands,
+        cand_inc AS (
+          SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_ex
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+        inter_inc AS (
+          SELECT c.doc_in, c.doc_ex, CAST(count(*) AS BIGINT) AS inter
+          FROM cand_inc c JOIN shd x ON x.doc_id = c.doc_in
+                          JOIN shd y ON y.doc_id = c.doc_ex AND y.sh = x.sh
+          GROUP BY 1, 2),
+        jacc_inc AS (
+          SELECT i.doc_in, i.doc_ex,
+                 CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jacc
+          FROM inter_inc i JOIN sizes sa ON sa.doc_id = i.doc_in
+                           JOIN sizes sb ON sb.doc_id = i.doc_ex),
+        best AS (
+          SELECT doc_in, doc_ex, jacc,
+                 row_number() OVER (PARTITION BY doc_in
+                                    ORDER BY jacc DESC, doc_ex) AS rn
+          FROM jacc_inc WHERE jacc >= $JaccThreshold)
+        SELECT d.doc_id,
+               CASE WHEN b.doc_ex IS NULL THEN 'new' ELSE 'dup' END AS verdict,
+               CAST(b.doc_ex AS BIGINT) AS best_match,
+               ${Q.scaledLong("b.jacc", 4)} AS jacc_bp
+        FROM documents d LEFT JOIN best b ON b.doc_in = d.doc_id AND b.rn = 1
+        WHERE d.doc_id % 10 >= 8
+        ORDER BY d.doc_id""")),
+
     // Duplicate GROUPS from duplicate pairs: connected components over
     // the verified MinHash pairs (min-label propagation, one shuffle per
     // round, 2-3 rounds on near-clique dup clusters — see

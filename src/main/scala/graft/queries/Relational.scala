@@ -1247,6 +1247,81 @@ object Relational extends QueryPack {
           FROM orders)
         ORDER BY constraint_name""")),
 
+    // ONE-PASS column profiler — the "profile before you write
+    // constraints" companion to quality_constraint_report: per-column
+    // null count and exact distinct count over orders, computed in a
+    // SINGLE aggregate (Catalyst compiles the multi-distinct aggregate
+    // to one Expand + partial-agg pass; profiling N columns never
+    // becomes N table scans — the difference between a profiler that
+    // runs nightly at 100 TB and one that can't), then stack()-unpivoted
+    // into the long (column_name, n_rows, n_nulls, n_distinct) report.
+    // DuckDB re-derives each column independently; integer outputs only.
+    "quality_profile_columns" -> QueryDef(
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        val aggs =
+          count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c")))
+        val stackArgs = cols
+          .map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+        Tables.orders(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
+          .selectExpr("column_name", "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(n_nulls AS BIGINT) AS n_nulls",
+            "CAST(n_distinct AS BIGINT) AS n_distinct")
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        val selects = cols.map { c =>
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+          FROM orders"""
+        }
+        s"""${selects.mkString(" UNION ALL ")} ORDER BY column_name"""
+      }),
+
+    // Heavy-hitter key diagnostic — the skew probe run BEFORE choosing a
+    // join/agg strategy at scale: top-10 l_partkey values of lineitem by
+    // row count with each key's exact ppm share of the table. One
+    // map-side-partial aggregation over the scan, one small top-k — the
+    // output is what decides broadcast vs salt vs AQE-skew-join for every
+    // downstream part-key join (join_salted_skew is the treatment; this
+    // is the diagnosis). Integer ppm via BIGINT division, exact in both
+    // engines; full tie-breaks keep top-10 deterministic.
+    "diag_key_skew" -> QueryDef(
+      (s, d) => {
+        val w = Window.orderBy(col("cnt").desc, col("l_partkey"))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 10)
+          .selectExpr("CAST(rn AS BIGINT) AS rn", "l_partkey",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST(cnt * 1000000 DIV total AS BIGINT) AS share_ppm")
+          .orderBy(col("rn"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+          GROUP BY l_partkey),
+        r AS (
+          SELECT l_partkey, cnt,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS total,
+                 row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rn
+          FROM g)
+        SELECT CAST(rn AS BIGINT) AS rn, l_partkey, cnt,
+               CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+        FROM r WHERE rn <= 10 ORDER BY rn""")),
+
     // Recursive CTE (Spark 4.1 WITH RECURSIVE) — the calendar-spine
     // densification idiom: recursion generates every month in the data's
     // range, the left join zero-fills months with no orders (a plain

@@ -188,6 +188,111 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
 
+    // MMR diversified re-rank (Carbonell & Goldstein 1998) — the
+    // retrieval-stage answer to "the top-k are all near-duplicates":
+    // greedy selection maximizing 0.7*relevance - 0.3*max-sim-to-selected
+    // over each query's top-8 cosine candidates, 3 selection steps. The
+    // greedy loop is a FIXED number of rounds (like the PageRank /
+    // k-means queries), so the oracle unrolls it as three argmax CTEs.
+    // Step 1 scores pure relevance (empty selected set); later steps
+    // score the λ-tradeoff, and the running max-sim folds via greatest()
+    // — every double on both sides comes from the same bit-identical
+    // dot folds, so argmax decisions never need a tolerance. Scale
+    // shape: candidate generation is the broadcast top-k scan; the
+    // greedy phase touches only k*|queries| rows (candidate-pair sims
+    // are 8x8 per query, computed once and reused each round) — the
+    // rerank cost is independent of corpus size.
+    "sim_mmr_rerank" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"))
+        val scored = cosine(broadcast(q).join(n, col("qid") =!= col("vid")), "qv", "nv")
+        val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+        val cand = scored.withColumn("rn", row_number().over(wq))
+          .where(col("rn") <= 8)
+          .select(col("qid"), col("vid"), col("cos").as("rel"), col("nv"))
+          .persist()
+        val pairs = cosine(
+          cand.select(col("qid"), col("vid").as("va"), col("nv").as("ea"))
+            .join(cand.select(col("qid").as("qid2"), col("vid").as("vb"), col("nv").as("eb")),
+              col("qid") === col("qid2") && col("va") =!= col("vb")),
+          "ea", "eb")
+          .select(col("qid"), col("va"), col("vb"), col("cos").as("sim"))
+          .persist()
+        def argmax(df: DataFrame, scoreCol: String): DataFrame =
+          df.withColumn("_r", row_number().over(
+              Window.partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("vid"))))
+            .where("_r = 1")
+        def simTo(sel: DataFrame): DataFrame =
+          pairs.join(sel.select(col("qid"), col("vid").as("selv")), Seq("qid"))
+            .where(col("vb") === col("selv"))
+            .select(col("qid"), col("va").as("vid"), col("sim"))
+        val s1 = argmax(cand, "rel").select(col("qid"), col("vid"), col("rel").as("score"))
+        val r1 = cand.select(col("qid"), col("vid"), col("rel"))
+          .join(simTo(s1).withColumnRenamed("sim", "ms"), Seq("qid", "vid"))
+          .withColumn("mmr", expr("0.7 * rel - 0.3 * ms"))
+        val s2 = argmax(r1, "mmr").select(col("qid"), col("vid"), col("mmr").as("score"))
+        val r2 = r1.drop("mmr")
+          .join(s2.select(col("qid"), col("vid").as("sel2")), Seq("qid"))
+          .where(col("vid") =!= col("sel2"))
+          .join(simTo(s2).withColumnRenamed("sim", "ms2"), Seq("qid", "vid"))
+          .withColumn("ms", greatest(col("ms"), col("ms2")))
+          .withColumn("mmr", expr("0.7 * rel - 0.3 * ms"))
+        val s3 = argmax(r2, "mmr").select(col("qid"), col("vid"), col("mmr").as("score"))
+        s1.withColumn("step", lit(1L))
+          .unionByName(s2.withColumn("step", lit(2L)))
+          .unionByName(s3.withColumn("step", lit(3L)))
+          .selectExpr("qid", "CAST(step AS BIGINT) AS step", "vid",
+            "round(score, 6) AS score")
+          .orderBy(col("qid"), col("step"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        n AS (SELECT vec_id AS vid, embedding AS nv FROM embeddings),
+        sc AS (
+          SELECT qid, vid, nv, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON qid <> vid),
+        cand AS (
+          SELECT qid, vid, nv, cos AS rel FROM (
+            SELECT qid, vid, nv, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS rn
+            FROM sc) t WHERE rn <= 8),
+        cp AS (
+          SELECT a.qid, a.vid AS va, b.vid AS vb,
+                 ${duckDot("a.nv", "b.nv")} /
+                   (sqrt(${duckDot("a.nv", "a.nv")}) * sqrt(${duckDot("b.nv", "b.nv")})) AS sim
+          FROM cand a JOIN cand b ON a.qid = b.qid AND a.vid <> b.vid),
+        s1 AS (SELECT qid, vid, rel AS score FROM (
+            SELECT qid, vid, rel,
+                   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vid) AS r
+            FROM cand) t WHERE r = 1),
+        r1 AS (
+          SELECT c.qid, c.vid, c.rel, p.sim AS ms,
+                 0.7 * c.rel - 0.3 * p.sim AS mmr
+          FROM cand c JOIN s1 ON s1.qid = c.qid
+                      JOIN cp p ON p.qid = c.qid AND p.va = c.vid AND p.vb = s1.vid),
+        s2 AS (SELECT qid, vid, mmr AS score FROM (
+            SELECT qid, vid, mmr,
+                   row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vid) AS r
+            FROM r1) t WHERE r = 1),
+        r2 AS (
+          SELECT c.qid, c.vid, c.rel, greatest(c.ms, p.sim) AS ms,
+                 0.7 * c.rel - 0.3 * greatest(c.ms, p.sim) AS mmr
+          FROM r1 c JOIN s2 ON s2.qid = c.qid AND c.vid <> s2.vid
+                    JOIN cp p ON p.qid = c.qid AND p.va = c.vid AND p.vb = s2.vid),
+        s3 AS (SELECT qid, vid, mmr AS score FROM (
+            SELECT qid, vid, mmr,
+                   row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vid) AS r
+            FROM r2) t WHERE r = 1)
+        SELECT qid, CAST(1 AS BIGINT) AS step, vid, round(score, 6) AS score FROM s1
+        UNION ALL SELECT qid, CAST(2 AS BIGINT), vid, round(score, 6) FROM s2
+        UNION ALL SELECT qid, CAST(3 AS BIGINT), vid, round(score, 6) FROM s3
+        ORDER BY qid, step""")),
+
     // Matryoshka truncation (Kusupati et al. 2022: embeddings trained so
     // PREFIXES are usable representations — the inference trick behind
     // cheap first-stage retrieval): rank by cosine over only the first 16
