@@ -399,4 +399,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one user_id exchange + the output range sort, found $exchanges:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("incremental dedup joins incoming bands to corpus bands on equality only") {
+    // the per-batch cost contract is O(batch x collisions): the candidate
+    // join must be an equi-join on (band, key) — a cartesian or nested
+    // loop would make every crawl shard rescan the whole corpus index
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incoming x corpus candidates must equi-join on the band key:\n$p")
+  }
+
+  test("the column profiler reads orders ONCE for all per-column metrics") {
+    // N profiled columns must not become N scans — the multi-distinct
+    // aggregate compiles to one Expand + partial-agg pass over one scan
+    val p = plan("quality_profile_columns")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one orders scan, found $scans:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-distinct profiling must plan as a single Expand pass:\n$p")
+  }
+
+  test("the skew diagnostic prunes the lineitem scan to the key column") {
+    // the probe reads one column of the fact table; dragging the other 10
+    // through the scan would make the diagnostic cost what it diagnoses
+    val p = plan("diag_key_skew")
+    assert(p.contains("ReadSchema: struct<l_partkey"),
+      s"scan must be pruned to l_partkey:\n$p")
+    assert(!p.contains("l_extendedprice"),
+      "unreferenced lineitem columns must not reach the scan")
+  }
+
+  test("MMR rerank broadcasts queries for candidates; the greedy phase never crosses") {
+    // candidate generation is the broadcast top-k scan (corpus side never
+    // shuffles); the greedy selection rounds touch only k-per-query rows
+    // via equi-joins on (qid, vid)
+    val p = plan("sim_mmr_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildLeft"),
+      s"the query set must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"greedy rounds must stay on equi-joins:\n$p")
+  }
 }
