@@ -132,6 +132,23 @@ object StressCheck {
     }
     println(s"[stress] decontam_docs=$decontam containment_pairs=$containment")
     spark.catalog.clearCache()
+    // incremental dedup at 25x: the 5,000 rep-0 verbatim docs play the
+    // incoming crawl batch (doc_id % 100 = rep), probing the 120k-doc
+    // remainder as the existing-corpus LSH index. Every incoming doc has
+    // two verbatim copies (reps 1, 2) in the index, so the expected
+    // outcome is exact: 5,000 'dup' verdicts at jacc 1.0 — and the
+    // candidate join stays incoming x collisions (never incoming x
+    // incoming), which is the contract the declared query documents.
+    val incDups = t("dedup_incremental (5k incoming vs 120k index)") {
+      val v = graft.queries.Dedup.incrementalVerdicts(spark, dir,
+        "doc_id % 100 = 0", "doc_id % 100 <> 0").persist()
+      val n = v.count()
+      val dups = v.where("verdict = 'dup'").count()
+      println(s"[stress] incremental: incoming=$n dups=$dups")
+      v.unpersist()
+      dups
+    }
+    spark.catalog.clearCache()
     // vector ops at 25x: a 50k-vector corpus (25 deterministically
     // perturbed replicas of the 2k sf0.1 embeddings — replica r shifts
     // dimension r%dim by r*1e-3, keeping replicas of one vector true
@@ -235,7 +252,7 @@ object StressCheck {
       (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs &&
         nVecs == 50000 && annPairs >= 500000 && ivfRows >= 50 &&
         packedBins >= 1 && decontam >= 1 && containment >= 1 &&
-        recallTrained >= recallFixed && pqRows == 30)
+        recallTrained >= recallFixed && pqRows == 30 && incDups == 5000)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

@@ -210,6 +210,46 @@ object Dedup extends QueryPack {
       .where(s"jacc >= $JaccThreshold")
   }
 
+  /** Incremental-dedup verdicts over an arbitrary incoming/existing
+    * split (predicates over doc_id): the declared dedup_incremental
+    * instantiates the deterministic 20% stratum; StressCheck probes 5k
+    * verbatim-duplicate incoming docs against a 120k-doc index. The
+    * candidate join is always incoming-bands x existing-bands on (band,
+    * key) — per-batch cost O(batch x collisions), independent of corpus
+    * size.
+    */
+  private[graft] def incrementalVerdicts(
+      s: SparkSession, d: String, inPred: String, exPred: String): DataFrame = {
+    val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
+    val bands = minHashBandsFrom(minHashSig(s, d)).persist()
+    val cand = bands.where(inPred).toDF("doc_in", "band", "key")
+      .join(bands.where(exPred).toDF("doc_ex", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2"))
+      .select(col("doc_in"), col("doc_ex")).distinct()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jacc = cand
+      .join(shd.toDF("doc_in", "sh"), "doc_in")
+      .join(shd.toDF("doc_ex2", "sh2"),
+        col("doc_ex") === col("doc_ex2") && col("sh") === col("sh2"))
+      .groupBy(col("doc_in"), col("doc_ex")).agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_in", "na"), "doc_in")
+      .join(sizes.toDF("doc_ex", "nb"), "doc_ex")
+      .withColumn("jacc", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+      .where(s"jacc >= $JaccThreshold")
+    val best = jacc
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_in"))
+        .orderBy(col("jacc").desc, col("doc_ex"))))
+      .where("rn = 1")
+      .select(col("doc_in").as("doc_id"), col("doc_ex"), col("jacc"))
+    Tables.documents(s, d).where(inPred).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_ex IS NULL THEN 'new' ELSE 'dup' END AS verdict",
+        "CAST(doc_ex AS BIGINT) AS best_match",
+        s"${Q.scaledLong("jacc", 4)} AS jacc_bp")
+      .orderBy(col("doc_id"))
+  }
+
   // ---- DuckDB oracle shared CTEs ---------------------------------------
 
   /** words/wh/sh shingle-hash chain over any (doc_id, text) source — the
@@ -395,36 +435,7 @@ object Dedup extends QueryPack {
     // tie-break) or 'new'. Docs too short to shingle are 'new' by
     // construction in both engines.
     "dedup_incremental" -> QueryDef(
-      (s, d) => {
-        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
-        val bands = minHashBandsFrom(minHashSig(s, d)).persist()
-        val cand = bands.where("doc_id % 10 >= 8").toDF("doc_in", "band", "key")
-          .join(bands.where("doc_id % 10 < 8").toDF("doc_ex", "band2", "key2"),
-            col("band") === col("band2") && col("key") === col("key2"))
-          .select(col("doc_in"), col("doc_ex")).distinct()
-        val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val jacc = cand
-          .join(shd.toDF("doc_in", "sh"), "doc_in")
-          .join(shd.toDF("doc_ex2", "sh2"),
-            col("doc_ex") === col("doc_ex2") && col("sh") === col("sh2"))
-          .groupBy(col("doc_in"), col("doc_ex")).agg(count(lit(1)).as("inter"))
-          .join(sizes.toDF("doc_in", "na"), "doc_in")
-          .join(sizes.toDF("doc_ex", "nb"), "doc_ex")
-          .withColumn("jacc", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
-          .where(s"jacc >= $JaccThreshold")
-        val best = jacc
-          .withColumn("rn", row_number().over(Window.partitionBy(col("doc_in"))
-            .orderBy(col("jacc").desc, col("doc_ex"))))
-          .where("rn = 1")
-          .select(col("doc_in").as("doc_id"), col("doc_ex"), col("jacc"))
-        Tables.documents(s, d).where("doc_id % 10 >= 8").select(col("doc_id"))
-          .join(best, Seq("doc_id"), "left")
-          .selectExpr("doc_id",
-            "CASE WHEN doc_ex IS NULL THEN 'new' ELSE 'dup' END AS verdict",
-            "CAST(doc_ex AS BIGINT) AS best_match",
-            s"${Q.scaledLong("jacc", 4)} AS jacc_bp")
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => incrementalVerdicts(s, d, "doc_id % 10 >= 8", "doc_id % 10 < 8"),
       Some(s"""
         WITH $duckBase, $duckSig, $duckBands,
         cand_inc AS (
@@ -475,6 +486,40 @@ object Dedup extends QueryPack {
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(cluster_id AS BIGINT) AS cluster_id
         FROM labels ORDER BY doc_id""")),
+
+    // Per-SOURCE duplication report — the curation dashboard number that
+    // decides which ingest feeds get down-weighted or cut: for each
+    // document source, how many docs sit in a verified near-dup cluster
+    // and the exact ppm rate. The dup-doc set (connected-component
+    // vertices) is tiny relative to the corpus — the near-dup survivors
+    // — so it broadcasts to the documents scan; the only shuffle on the
+    // corpus side is the small per-source aggregate. The oracle
+    // re-derives cluster membership through the same recursive
+    // transitive closure dedup_clusters checks.
+    "dedup_rate_by_source" -> QueryDef(
+      (s, d) => {
+        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val dupDocs = graft.engine.ops.ConnectedComponents.run(pairs)
+          .selectExpr("CAST(v AS BIGINT) AS doc_id")
+          .withColumn("isdup", lit(1L))
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(broadcast(dupDocs), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+          .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_dup AS BIGINT) AS n_dup",
+            "CAST(n_dup * 1000000 DIV n_docs AS BIGINT) AS dup_ppm")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand, $duckClusterLabels
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(l.doc_id) AS BIGINT) AS n_dup,
+               CAST(count(l.doc_id) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        FROM documents d LEFT JOIN (SELECT DISTINCT doc_id FROM labels) l
+          ON l.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source""")),
 
     // Canonical-document centrality: fixed-iteration integer PageRank
     // over the same verified dup-pair graph dedup_clusters labels. The
@@ -532,8 +577,15 @@ object Dedup extends QueryPack {
     // edge list only shrinks.
     "graph_kcore_dups" -> QueryDef(
       (s, d) => {
+        // truncate lineage at the edge list (the PageRank/CC discipline):
+        // the dup-pair graph is the tiny near-dup survivor set, but its
+        // LSH pipeline plan is deep — without truncation every peel
+        // round re-plans (and partially re-executes) the whole pipeline
+        // per reference, measured 5.8s warm at sf0.1 vs ~1.5s for the
+        // pair query itself. localCheckpoint materializes the edges once;
+        // the peels then run over a leaf relation.
         val dup = minHashDupPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).persist()
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
         def degrees(e: DataFrame): DataFrame =
           e.select(col("doc_a").as("v"))
             .union(e.select(col("doc_b").as("v")))
@@ -543,7 +595,8 @@ object Dedup extends QueryPack {
           e.join(keep, e("doc_a") === keep("v"), "left_semi")
             .join(keep, e("doc_b") === keep("v"), "left_semi")
         }
-        val core = peel(peel(dup))
+        val e1 = peel(dup).localCheckpoint()
+        val core = peel(e1).localCheckpoint()
         degrees(core)
           .selectExpr("CAST(v AS BIGINT) AS doc_id", "CAST(n AS BIGINT) AS degree")
           .orderBy(col("doc_id"))

@@ -299,6 +299,62 @@ object TextOps extends QueryPack {
         FROM terms JOIN lm USING (term) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Interpolated BIGRAM LM scoring (Jelinek-Mercer smoothing, the
+    // fixed-weight case of Chen & Goodman 1999): per-document mean log
+    // probability under p(w2|w1) = 0.75*c(w1 w2)/c(w1) + 0.25*c(w2)/N.
+    // The perplexity-style fluency signal curation pipelines threshold
+    // on — repeated boilerplate scores high, shuffled-word noise scores
+    // low, and unlike the unigram score it is word-ORDER sensitive.
+    // Bigram extraction is row-local (an index transform over the word
+    // array, no self-join on position); both count tables are
+    // vocabulary-bounded and broadcast to the scoring scan, so the
+    // corpus never shuffles by term — the same 100 TB shape as
+    // text_unigram_logprob with one more broadcast.
+    "text_bigram_logprob" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+          .where("size(ws) >= 2")
+        val bigrams = docs.selectExpr("doc_id",
+          "explode(transform(sequence(1, size(ws) - 1), i -> " +
+            "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))) AS bg")
+          .selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
+        val uni = docs.selectExpr("explode(ws) AS w")
+          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val tot = docs.selectExpr("explode(ws) AS w").agg(count(lit(1)).as("n"))
+        bigrams
+          .join(broadcast(bg), Seq("w1", "w2"))
+          .join(broadcast(uni.toDF("w1", "cprefix")), Seq("w1"))
+          .join(broadcast(uni.toDF("w2", "cw2")), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            avg(expr("ln(0.75 * cb / cprefix + 0.25 * cw2 / n)")).as("lp"))
+          .selectExpr("doc_id", "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "round(lp, 6) AS avg_logprob")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        d2 AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+        bgr AS (
+          SELECT doc_id, ws[CAST(p AS INT)] AS w1, ws[CAST(p AS INT) + 1] AS w2
+          FROM d2, LATERAL unnest(range(1, len(ws))) AS u(p)),
+        uni AS (
+          SELECT w, count(*) AS cu
+          FROM (SELECT unnest(ws) AS w FROM d2) GROUP BY w),
+        bgc AS (SELECT w1, w2, count(*) AS cb FROM bgr GROUP BY 1, 2),
+        tot AS (SELECT count(*) AS n FROM (SELECT unnest(ws) AS w FROM d2))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(0.75 * cb / u1.cu + 0.25 * u2.cu / n)), 6) AS avg_logprob
+        FROM bgr JOIN bgc USING (w1, w2)
+                 JOIN uni u1 ON u1.w = bgr.w1
+                 JOIN uni u2 ON u2.w = bgr.w2
+                 CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Composite document filter in the Gopher/C4 style: precedence chain
     // of cheap quality rules producing a keep/drop REASON per doc (the
     // same routing shape the ingest Router applies to events, here for
