@@ -188,6 +188,82 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
 
+    // Distributed PCA power iteration, two rounds, INTEGER-exact — the
+    // primitive behind embedding whitening / dominant-direction removal
+    // in curation pipelines (e.g. dropping the "common language
+    // direction" before similarity search). Embeddings quantize to
+    // milli-unit BIGINTs, v0 is a fixed alternating ±1 vector, and each
+    // round is one corpus scan computing s = <x, v> per row plus one
+    // 64-group aggregate for v' = Σ x·s — the textbook mat-vec shape
+    // whose only shuffle carries 64 rows. The inter-round rescale
+    // (floor(v1/1e6), exact in doubles below 2^53) keeps round 2 inside
+    // BIGINT range; the constant scales with corpus size. Every output
+    // is a BIGINT, so the oracle hash-matches bit-for-bit — no
+    // float-eigenvector tolerance anywhere.
+    "embed_pca_power" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val xq = e.selectExpr("vec_id",
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq")
+          .persist()
+        val s1 = xq.selectExpr("vec_id", "xq",
+          s"""aggregate(
+                transform(sequence(1, $Dim), i ->
+                  CASE WHEN (i - 1) % 2 = 0 THEN element_at(xq, i)
+                       ELSE -element_at(xq, i) END),
+                CAST(0 AS BIGINT), (a, x) -> a + x) AS sc""")
+        val v1 = s1.select(col("sc"), posexplode(col("xq")).as(Seq("pos", "x")))
+          .groupBy(col("pos")).agg(sum(expr("x * sc")).as("v1"))
+          .selectExpr("CAST(pos + 1 AS BIGINT) AS dim", "v1")
+        val v1arr = v1
+          .agg(sort_array(collect_list(struct(col("dim"), col("v1")))).as("ps"))
+          .selectExpr(
+            "transform(ps, p -> CAST(floor(p.v1 / 1000000.0) AS BIGINT)) AS v1arr")
+        val s2 = xq.crossJoin(broadcast(v1arr))
+          .selectExpr("xq",
+            s"""aggregate(
+                  transform(sequence(1, $Dim), i ->
+                    element_at(xq, i) * element_at(v1arr, i)),
+                  CAST(0 AS BIGINT), (a, x) -> a + x) AS sc""")
+        val v2 = s2.select(col("sc"), posexplode(col("xq")).as(Seq("pos", "x")))
+          .groupBy(col("pos")).agg(sum(expr("x * sc")).as("v2"))
+          .selectExpr("CAST(pos + 1 AS BIGINT) AS dim", "v2")
+        v1.join(v2, "dim").orderBy(col("dim"))
+      },
+      Some(s"""
+        WITH xq AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings),
+        s1 AS (
+          SELECT vec_id, xq,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, ${Dim + 1}), i ->
+                     CASE WHEN (i - 1) % 2 = 0 THEN xq[CAST(i AS INT)]
+                          ELSE -xq[CAST(i AS INT)] END)),
+                   (a, x) -> a + x) AS sc
+          FROM xq),
+        r1 AS (
+          SELECT sc, CAST(p AS BIGINT) AS dim, xq[CAST(p AS INT)] AS x
+          FROM s1, LATERAL unnest(range(1, ${Dim + 1})) AS u(p)),
+        v1 AS (SELECT dim, CAST(sum(x * sc) AS BIGINT) AS v1 FROM r1 GROUP BY dim),
+        v1a AS (
+          SELECT list(CAST(floor(v1 / 1000000.0) AS BIGINT) ORDER BY dim) AS v1arr
+          FROM v1),
+        s2 AS (
+          SELECT xq,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, ${Dim + 1}), i ->
+                     xq[CAST(i AS INT)] * v1arr[CAST(i AS INT)])),
+                   (a, x) -> a + x) AS sc
+          FROM xq, v1a),
+        r2 AS (
+          SELECT sc, CAST(p AS BIGINT) AS dim, xq[CAST(p AS INT)] AS x
+          FROM s2, LATERAL unnest(range(1, ${Dim + 1})) AS u(p)),
+        v2 AS (SELECT dim, CAST(sum(x * sc) AS BIGINT) AS v2 FROM r2 GROUP BY dim)
+        SELECT dim, v1, v2 FROM v1 JOIN v2 USING (dim) ORDER BY dim""")),
+
     // MMR diversified re-rank (Carbonell & Goldstein 1998) — the
     // retrieval-stage answer to "the top-k are all near-duplicates":
     // greedy selection maximizing 0.7*relevance - 0.3*max-sim-to-selected
