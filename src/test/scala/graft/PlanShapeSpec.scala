@@ -429,6 +429,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "unreferenced lineitem columns must not reach the scan")
   }
 
+  test("bigram LM broadcasts both count tables; the corpus never shuffles by term") {
+    // bigram counts and unigram counts are vocabulary-bounded; the scoring
+    // joins must broadcast them to the bigram scan — same contract as the
+    // unigram query, with one extra broadcast for the prefix counts
+    val p = plan("text_bigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"LM tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("per-source dup rates broadcast the dup-doc set to the documents scan") {
+    // the cluster-member set is the near-dup survivors — tiny next to the
+    // corpus; a shuffle of documents by doc_id for this join would be the
+    // scale killer the broadcast avoids
+    val p = plan("dedup_rate_by_source")
+    assert(p.contains("BroadcastHashJoin"), s"dup-doc set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PCA power iteration: per-round mat-vec is scan + 64-group aggregate") {
+    // each round reads the quantized corpus once (persisted) and shuffles
+    // only the 64 per-dimension partial sums; the inter-round vector
+    // reaches round two as a 1-row broadcast, never a shuffle key
+    val p = plan("embed_pca_power")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row vector must broadcast (BroadcastNestedLoopJoin), not cross:\n$p")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"embeddings must be scanned via the persisted frame, found $scans:\n$p")
+  }
+
   test("MMR rerank broadcasts queries for candidates; the greedy phase never crosses") {
     // candidate generation is the broadcast top-k scan (corpus side never
     // shuffles); the greedy selection rounds touch only k-per-query rows
