@@ -1322,6 +1322,45 @@ object Relational extends QueryPack {
                CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
         FROM r WHERE rn <= 10 ORDER BY rn""")),
 
+    // Windowed DISTINCT count via the dense_rank idiom: neither engine
+    // allows COUNT(DISTINCT) OVER a plain partition portably, and the
+    // naive rewrite (collect_set per row) materializes per-row state.
+    // The portable plan: dense_rank over (status ORDER BY custkey), then
+    // max(rank) over (status) = the distinct customer count, attached to
+    // every row before the per-(status, priority) rollup. Both windows
+    // and the final aggregate key on o_orderstatus first, so the whole
+    // query is ONE exchange on the status key reused end-to-end — the
+    // same single-shuffle discipline scd2 pins.
+    "window_distinct_customers" -> QueryDef(
+      (s, d) => {
+        val byStatus = Window.partitionBy(col("o_orderstatus"))
+        Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"))
+          .withColumn("dr", dense_rank().over(byStatus.orderBy(col("o_custkey"))))
+          .withColumn("nd", max(col("dr")).over(byStatus))
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), max(col("nd")).as("distinct_custs"))
+          .selectExpr("o_orderstatus", "o_orderpriority",
+            "CAST(n_orders AS BIGINT) AS n_orders",
+            "CAST(distinct_custs AS BIGINT) AS distinct_custs")
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 dense_rank() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_custkey) AS dr
+          FROM orders),
+        m AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 max(dr) OVER (PARTITION BY o_orderstatus) AS nd
+          FROM r)
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(nd) AS BIGINT) AS distinct_custs
+        FROM m GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
     // Recursive CTE (Spark 4.1 WITH RECURSIVE) — the calendar-spine
     // densification idiom: recursion generates every month in the data's
     // range, the left join zero-fills months with no orders (a plain

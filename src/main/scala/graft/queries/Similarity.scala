@@ -128,6 +128,58 @@ object Similarity extends QueryPack {
       .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding")} AS bucket")
   }
 
+  /** Round 1 of the integer-exact PCA power iteration (see
+    * embed_pca_power): quantized corpus (persisted — both consumers scan
+    * it twice), the per-dimension v1 sums, and v1 rescaled into a 1-row
+    * array frame for broadcasting into the next mat-vec. Shared by
+    * embed_pca_power (round 2) and embed_pca_project (alignment top-k).
+    */
+  private def pcaRound1(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val xq = Tables.embeddings(s, d).selectExpr("vec_id",
+      "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq")
+      .persist()
+    val s1 = xq.selectExpr("vec_id", "xq",
+      s"""aggregate(
+            transform(sequence(1, $Dim), i ->
+              CASE WHEN (i - 1) % 2 = 0 THEN element_at(xq, i)
+                   ELSE -element_at(xq, i) END),
+            CAST(0 AS BIGINT), (a, x) -> a + x) AS sc""")
+    val v1 = s1.select(col("sc"), posexplode(col("xq")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(expr("x * sc")).as("v1"))
+      .selectExpr("CAST(pos + 1 AS BIGINT) AS dim", "v1")
+    val v1arr = v1
+      .agg(sort_array(collect_list(struct(col("dim"), col("v1")))).as("ps"))
+      .selectExpr(
+        "transform(ps, p -> CAST(floor(p.v1 / 1000000.0) AS BIGINT)) AS v1arr")
+    (xq, v1, v1arr)
+  }
+
+  /** The shared DuckDB CTE chain mirroring pcaRound1: exposes xq(vec_id,
+    * xq), v1(dim, v1) and v1a(v1arr).
+    */
+  private val duckPcaRound1: String = s"""
+    xq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings),
+    s1 AS (
+      SELECT vec_id, xq,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, ${Dim + 1}), i ->
+                 CASE WHEN (i - 1) % 2 = 0 THEN xq[CAST(i AS INT)]
+                      ELSE -xq[CAST(i AS INT)] END)),
+               (a, x) -> a + x) AS sc
+      FROM xq),
+    r1 AS (
+      SELECT sc, CAST(p AS BIGINT) AS dim, xq[CAST(p AS INT)] AS x
+      FROM s1, LATERAL unnest(range(1, ${Dim + 1})) AS u(p)),
+    v1 AS (SELECT dim, CAST(sum(x * sc) AS BIGINT) AS v1 FROM r1 GROUP BY dim),
+    v1a AS (
+      SELECT list(CAST(floor(v1 / 1000000.0) AS BIGINT) ORDER BY dim) AS v1arr
+      FROM v1)"""
+
   def defs: Map[String, QueryDef] = Map(
     // Exactness baseline: label-blocked all-pairs (quadratic per label) —
     // kept exact because the 0.4-threshold pairs in this corpus are
@@ -202,23 +254,7 @@ object Similarity extends QueryPack {
     // float-eigenvector tolerance anywhere.
     "embed_pca_power" -> QueryDef(
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val xq = e.selectExpr("vec_id",
-          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq")
-          .persist()
-        val s1 = xq.selectExpr("vec_id", "xq",
-          s"""aggregate(
-                transform(sequence(1, $Dim), i ->
-                  CASE WHEN (i - 1) % 2 = 0 THEN element_at(xq, i)
-                       ELSE -element_at(xq, i) END),
-                CAST(0 AS BIGINT), (a, x) -> a + x) AS sc""")
-        val v1 = s1.select(col("sc"), posexplode(col("xq")).as(Seq("pos", "x")))
-          .groupBy(col("pos")).agg(sum(expr("x * sc")).as("v1"))
-          .selectExpr("CAST(pos + 1 AS BIGINT) AS dim", "v1")
-        val v1arr = v1
-          .agg(sort_array(collect_list(struct(col("dim"), col("v1")))).as("ps"))
-          .selectExpr(
-            "transform(ps, p -> CAST(floor(p.v1 / 1000000.0) AS BIGINT)) AS v1arr")
+        val (xq, v1, v1arr) = pcaRound1(s, d)
         val s2 = xq.crossJoin(broadcast(v1arr))
           .selectExpr("xq",
             s"""aggregate(
@@ -231,26 +267,7 @@ object Similarity extends QueryPack {
         v1.join(v2, "dim").orderBy(col("dim"))
       },
       Some(s"""
-        WITH xq AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq
-          FROM embeddings),
-        s1 AS (
-          SELECT vec_id, xq,
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, ${Dim + 1}), i ->
-                     CASE WHEN (i - 1) % 2 = 0 THEN xq[CAST(i AS INT)]
-                          ELSE -xq[CAST(i AS INT)] END)),
-                   (a, x) -> a + x) AS sc
-          FROM xq),
-        r1 AS (
-          SELECT sc, CAST(p AS BIGINT) AS dim, xq[CAST(p AS INT)] AS x
-          FROM s1, LATERAL unnest(range(1, ${Dim + 1})) AS u(p)),
-        v1 AS (SELECT dim, CAST(sum(x * sc) AS BIGINT) AS v1 FROM r1 GROUP BY dim),
-        v1a AS (
-          SELECT list(CAST(floor(v1 / 1000000.0) AS BIGINT) ORDER BY dim) AS v1arr
-          FROM v1),
+        WITH $duckPcaRound1,
         s2 AS (
           SELECT xq,
                  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -263,6 +280,45 @@ object Similarity extends QueryPack {
           FROM s2, LATERAL unnest(range(1, ${Dim + 1})) AS u(p)),
         v2 AS (SELECT dim, CAST(sum(x * sc) AS BIGINT) AS v2 FROM r2 GROUP BY dim)
         SELECT dim, v1, v2 FROM v1 JOIN v2 USING (dim) ORDER BY dim""")),
+
+    // The APPLICATION of the PCA direction: per-vector alignment with the
+    // dominant direction (the integer mat-vec <x, v1>), surfacing the
+    // top-10 most-aligned vectors by |alignment| — the candidates a
+    // whitening pass would de-bias first, and the audit view for "is one
+    // direction dominating my embedding space". Same shape as a scoring
+    // round of embed_pca_power: corpus scan + 1-row broadcast of the
+    // direction; the top-10 is a TakeOrdered, so nothing corpus-sized
+    // shuffles. All-BIGINT output.
+    "embed_pca_project" -> QueryDef(
+      (s, d) => {
+        val (xq, _, v1arr) = pcaRound1(s, d)
+        xq.crossJoin(broadcast(v1arr))
+          .selectExpr("vec_id",
+            s"""aggregate(
+                  transform(sequence(1, $Dim), i ->
+                    element_at(xq, i) * element_at(v1arr, i)),
+                  CAST(0 AS BIGINT), (a, x) -> a + x) AS alignment""")
+          .withColumn("rn", row_number().over(
+            Window.orderBy(abs(col("alignment")).desc, col("vec_id"))))
+          .where(col("rn") <= 10)
+          .selectExpr("CAST(rn AS BIGINT) AS rn", "vec_id", "alignment")
+          .orderBy(col("rn"))
+      },
+      Some(s"""
+        WITH $duckPcaRound1,
+        al AS (
+          SELECT vec_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, ${Dim + 1}), i ->
+                     xq[CAST(i AS INT)] * v1arr[CAST(i AS INT)])),
+                   (a, x) -> a + x) AS alignment
+          FROM xq, v1a),
+        rk AS (
+          SELECT vec_id, alignment,
+                 row_number() OVER (ORDER BY abs(alignment) DESC, vec_id) AS rn
+          FROM al)
+        SELECT CAST(rn AS BIGINT) AS rn, vec_id, alignment
+        FROM rk WHERE rn <= 10 ORDER BY rn""")),
 
     // MMR diversified re-rank (Carbonell & Goldstein 1998) — the
     // retrieval-stage answer to "the top-k are all near-duplicates":
