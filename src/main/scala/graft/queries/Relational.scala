@@ -2942,7 +2942,92 @@ object Relational extends QueryPack {
         SELECT g.day, g.event_type, coalesce(d.n, 0) AS n
         FROM grid g LEFT JOIN daily d
           ON g.day = d.day AND g.event_type = d.event_type
-        ORDER BY g.day, g.event_type NULLS FIRST"""))
+        ORDER BY g.day, g.event_type NULLS FIRST""")),
+
+    // LINEAR interpolation over the same calendar grid — the time-series
+    // consumer that can't accept time_gap_fill's zeros (sensor/metric
+    // semantics: a missing day means unobserved, not zero). Nearest
+    // observation on each side via last/first IGNORE NULLS over the
+    // grid; interior gaps interpolate with the floor-of-double formula
+    // (identical IEEE op sequence both engines), edges carry the nearest
+    // value. Scale shape: the fact table contributes one aggregation;
+    // every window runs over the GRID (days x types, bounded), never the
+    // fact rows — at any corpus scale the interpolation itself is
+    // constant-cost.
+    "time_interpolate_gaps" -> QueryDef(
+      (s, d) => {
+        val spine = s.range(1)
+          .select(explode(expr(
+            "sequence(DATE'2024-01-01', DATE'2024-01-31', INTERVAL 1 DAY)"))
+            .as("day"))
+          .crossJoin(Tables.events(s, d)
+            .select(col("event_type")).distinct())
+        val daily = Tables.events(s, d)
+          .where(col("value") > 300) // sparse but multi-point: interior gaps interpolate
+          .groupBy(to_date(col("ts").cast("timestamp")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val grid = spine
+          .join(broadcast(daily), Seq("day", "event_type"), "left")
+          .withColumn("t", expr("datediff(day, DATE'2024-01-01')"))
+        val wPrev = Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(0, Window.unboundedFollowing)
+        grid
+          .withColumn("pv", last(col("n"), ignoreNulls = true).over(wPrev))
+          .withColumn("tp",
+            last(when(col("n").isNotNull, col("t")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("n"), ignoreNulls = true).over(wNext))
+          .withColumn("tn",
+            first(when(col("n").isNotNull, col("t")), ignoreNulls = true).over(wNext))
+          .selectExpr("day", "event_type",
+            """CAST(CASE WHEN n IS NOT NULL THEN n
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE CAST(floor(pv + (nv - pv) * 1.0 * (t - tp) / (tn - tp)) AS BIGINT)
+               END AS BIGINT) AS filled""",
+            "CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interpolated")
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""
+        WITH spine AS (
+          SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                        INTERVAL 1 DAY))::DATE AS day),
+        grid AS (
+          SELECT day, event_type FROM spine
+          CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE value > 300
+          GROUP BY 1, 2),
+        g AS (
+          SELECT gr.day, gr.event_type, d.n,
+                 datediff('day', DATE '2024-01-01', gr.day) AS t
+          FROM grid gr LEFT JOIN daily d
+            ON gr.day = d.day AND gr.event_type = d.event_type),
+        w AS (
+          SELECT day, event_type, n, t,
+                 last_value(n IGNORE NULLS) OVER pw AS pv,
+                 last_value(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER pw AS tp,
+                 first_value(n IGNORE NULLS) OVER nw AS nv,
+                 first_value(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER nw AS tn
+          FROM g
+          WINDOW pw AS (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 nw AS (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT day, event_type,
+               CAST(CASE WHEN n IS NOT NULL THEN n
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE CAST(floor(pv + (nv - pv) * 1.0 * (t - tp) / (tn - tp)) AS BIGINT)
+               END AS BIGINT) AS filled,
+               CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interpolated
+        FROM w ORDER BY day, event_type"""))
   ) ++ Map(
 
     // Exact per-group quartiles by rank selection — the generalization
