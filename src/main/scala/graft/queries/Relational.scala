@@ -996,6 +996,51 @@ object Relational extends QueryPack {
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         ORDER BY doc_a""")),
 
+    // Interval-overlap self-join, key-blocked — the distributed interval
+    // join: each order carries a 7-day activity window and the query
+    // finds same-customer pairs whose windows overlap. The join key is
+    // the BLOCK (o_custkey), so the quadratic term is bounded per key by
+    // orders-per-customer, never corpus-global; the overlap predicate
+    // filters inside each block. This is how interval joins survive
+    // 100 TB: a cross join with an overlap filter is quadratic in the
+    // table, the blocked equi-join is quadratic only within natural keys
+    // (time-bucket blocking is the same plan when no natural key exists).
+    // Top-20 customers by overlap count, deterministic tie-breaks.
+    "join_interval_overlap" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d).selectExpr("o_custkey", "o_orderkey",
+          "CAST(o_orderdate AS DATE) AS d0",
+          "CAST(o_orderdate AS DATE) + INTERVAL 7 DAYS AS d1")
+        val pairs = o.toDF("c", "k_a", "a0", "a1")
+          .join(o.toDF("c2", "k_b", "b0", "b1"),
+            col("c") === col("c2") && col("k_a") < col("k_b") &&
+              col("a0") <= col("b1") && col("b0") <= col("a1"))
+        val w = Window.orderBy(col("n_overlaps").desc, col("c"))
+        pairs.groupBy(col("c")).agg(count(lit(1)).as("n_overlaps"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 20)
+          .selectExpr("CAST(rn AS BIGINT) AS rn", "c AS o_custkey",
+            "CAST(n_overlaps AS BIGINT) AS n_overlaps")
+          .orderBy(col("rn"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS c, o_orderkey AS k,
+                 CAST(o_orderdate AS DATE) AS d0,
+                 CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS d1
+          FROM orders),
+        p AS (
+          SELECT a.c, CAST(count(*) AS BIGINT) AS n_overlaps
+          FROM o a JOIN o b
+            ON a.c = b.c AND a.k < b.k AND a.d0 <= b.d1 AND b.d0 <= a.d1
+          GROUP BY a.c),
+        r AS (
+          SELECT c, n_overlaps,
+                 row_number() OVER (ORDER BY n_overlaps DESC, c) AS rn
+          FROM p)
+        SELECT CAST(rn AS BIGINT) AS rn, c AS o_custkey, n_overlaps
+        FROM r WHERE rn <= 20 ORDER BY rn""")),
+
     "join_range_bands" -> QueryDef(
       (s, d) => {
         // range (non-equi) join: classify event values into broadcast
