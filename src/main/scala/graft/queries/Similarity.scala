@@ -211,6 +211,84 @@ object Similarity extends QueryPack {
         FROM sc WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         ORDER BY vid_a, vid_b""")),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic pruning:
+    // cluster the embeddings with the deterministic coarse codebook, then
+    // drop, WITHIN each cluster, every vector that has a lower-id
+    // neighbor above the cosine threshold — the published recipe for
+    // embedding-level dedup of web-scale corpora (cluster first so the
+    // pairwise step never crosses cluster boundaries). Keep-lowest-id is
+    // the deterministic representative policy, expressible as one
+    // within-cell semi-join. Output is the per-cell curation ledger
+    // (population, dropped, kept).
+    //
+    // Scale shape: assignment is the same broadcast nested loop against
+    // k centroid rows as sim_ivf_topk (no corpus shuffle); the pair step
+    // is an equi-join on the cell id, so candidates are sum_c C(n_c, 2)
+    // — never all-pairs — and k is the explicit dial: SemDeDup at 100 TB
+    // raises k so cells stay bounded (cost ~ N * avg_cell / 2), same
+    // plan, bigger key space. Cosines are the shared left-to-right
+    // folds, so the 0.3 threshold can never flip between engines.
+    "semdedup_prune" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < NList)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("d2",
+            expr(s"${sparkDot("embedding", "embedding")} - 2 * ${sparkDot("embedding", "cv")} + ${sparkDot("cv", "cv")}"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+          .persist()
+        val a = assigned.select(col("cell"), col("vec_id").as("vid_a"),
+          col("embedding").as("ea"))
+        val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vid_b"),
+          col("embedding").as("eb"))
+        val dropped = cosine(
+          a.join(b, col("cell") === col("cell_b") && col("vid_a") < col("vid_b")),
+          "ea", "eb")
+          .where(col("cos") >= 0.3)
+          .select(col("cell"), col("vid_b")).distinct()
+        val perCell = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        val dropCell = dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+        perCell.join(dropCell, Seq("cell"), "left")
+          .select(col("cell"), col("n_vectors"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NList),
+        dists AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 ${duckDot("e.embedding", "e.embedding")} - 2 * ${duckDot("e.embedding", "c.cv")}
+                   + ${duckDot("c.cv", "c.cv")} AS d2
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT vec_id, embedding, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM dists) t WHERE rn = 1),
+        sc AS (
+          SELECT a.cell, b.vec_id AS vid_b,
+                 ${duckDot("a.embedding", "b.embedding")} AS dot,
+                 ${duckDot("a.embedding", "a.embedding")} AS na,
+                 ${duckDot("b.embedding", "b.embedding")} AS nb
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        drops AS (
+          SELECT DISTINCT cell, vid_b FROM sc
+          WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.3),
+        n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM assigned GROUP BY 1),
+        dr AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped FROM drops GROUP BY 1)
+        SELECT n.cell, n_vectors,
+               COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+               n_vectors - COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_kept
+        FROM n LEFT JOIN dr ON n.cell = dr.cell ORDER BY n.cell""")),
+
     "sim_topk_cosine" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)

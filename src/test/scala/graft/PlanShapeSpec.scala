@@ -458,6 +458,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 2, s"embeddings must be scanned via the persisted frame, found $scans:\n$p")
   }
 
+  test("semdedup broadcasts the centroids; within-cell pairs equi-join on the cell id") {
+    // SemDeDup's scale contract: assignment is corpus x k-centroids via
+    // broadcast (k rows), and the pairwise prune joins on cell equality —
+    // candidates are sum_c C(n_c, 2), never the corpus cross product
+    val p = plan("semdedup_prune")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the k centroid rows must broadcast to the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair step must equi-join on the cell id, never cross:\n$p")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2,
+      s"embeddings must be read via the persisted assignment, found $scans scans:\n$p")
+  }
+
   test("MMR rerank broadcasts queries for candidates; the greedy phase never crosses") {
     // candidate generation is the broadcast top-k scan (corpus side never
     // shuffles); the greedy selection rounds touch only k-per-query rows
