@@ -727,6 +727,39 @@ object TextOps extends QueryPack {
                CAST(count(*) AS BIGINT) AS n
         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Deterministic global corpus shuffle into trainer shards: every doc
+    // gets a pseudo-random but SEEDED rank (an affine mod-prime hash of
+    // its id — change the multiplier to reshuffle), the shard is the
+    // rank's residue, and the position is the rank order within the
+    // shard. This is the reproducible "shuffle the corpus before
+    // training" step: independent of input file layout, restartable from
+    // any (shard, pos) offset, and identical on every rerun — properties
+    // a random() shuffle cannot give.
+    //
+    // Scale shape: the hash is row-local; at cluster scale the query IS
+    // repartition-by-shard + sortWithinPartitions(h) — exactly one
+    // shuffle keyed by the 8-way shard id (the per-shard window below
+    // expresses the same semantics), which is the canonical tera-sort
+    // trainer-shuffle cost and the floor for any global permutation.
+    "shuffle_shards" -> QueryDef(
+      (s, d) => {
+        val h = s"(doc_id * 1103515245 + 12345) % ${P}"
+        Tables.documents(s, d)
+          .selectExpr("doc_id", s"$h AS h")
+          .withColumn("shard", col("h") % lit(8L))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""
+        WITH x AS (
+          SELECT doc_id, (doc_id * 1103515245 + 12345) % ${P} AS h
+          FROM documents)
+        SELECT doc_id, h % 8 AS shard,
+               CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER) AS pos
+        FROM x ORDER BY shard, pos""")),
+
     // Quarter-mean byte features as scaled BIGINTs. The oracle sums bytes
     // with list_aggregate('sum') — an order-free INTEGER sum, exact in any
     // build — then does the single double division the decoder does; the
