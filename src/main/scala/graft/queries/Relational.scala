@@ -137,6 +137,89 @@ object Relational extends QueryPack {
               FROM lineitem) t
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Pairwise Pearson correlation MATRIX over the lineitem numerics in
+    // ONE aggregation pass: all ten sufficient statistics (counts, sums,
+    // squares, cross-moments) fold in a single map-side-combinable
+    // aggregate over one scan — never one pass per pair — and the 1-row
+    // result pivots row-locally into the three (x, y) pairs. Inputs are
+    // small scaled integers (quantity units, discount/tax in 1e-2 units),
+    // so every statistic is BIGINT-exact and the final correlation is a
+    // single division of exact integers (< 2^53, so the DOUBLE conversion
+    // is lossless and sqrt/div are correctly rounded IEEE ops in both
+    // engines), emitted per the scaled-BIGINT exit policy.
+    //
+    // Scale shape: one scan + one partial/final agg of a 10-number state
+    // — the same cost as a count(*), at any corpus size; the pair count
+    // grows the state quadratically in #variables, never the data cost.
+    "stats_corr_matrix" -> QueryDef(
+      (s, d) => {
+        def corrE6(n: String, sx: String, sy: String,
+                   sxx: String, syy: String, sxy: String) = Q.scaledLong(
+          s"CAST($n * $sxy - $sx * $sy AS DOUBLE) / " +
+            s"(sqrt(CAST($n * $sxx - $sx * $sx AS DOUBLE)) * " +
+            s"sqrt(CAST($n * $syy - $sy * $sy AS DOUBLE)))", 6)
+        Tables.lineitem(s, d)
+          .select(col("l_quantity").cast("long").as("q"),
+            expr(Q.scaledLong("l_discount", 2)).as("dd"),
+            expr(Q.scaledLong("l_tax", 2)).as("tt"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("q")).as("sq"), sum(col("dd")).as("sd"), sum(col("tt")).as("st"),
+            sum(col("q") * col("q")).as("sqq"),
+            sum(col("dd") * col("dd")).as("sdd"),
+            sum(col("tt") * col("tt")).as("stt"),
+            sum(col("q") * col("dd")).as("sqd"),
+            sum(col("q") * col("tt")).as("sqt"),
+            sum(col("dd") * col("tt")).as("sdt"))
+          .select(explode(array(
+            struct(lit("quantity_discount").as("pair"), col("n"),
+              col("sq").as("sx"), col("sd").as("sy"), col("sqq").as("sxx"),
+              col("sdd").as("syy"), col("sqd").as("sxy")),
+            struct(lit("quantity_tax").as("pair"), col("n"),
+              col("sq").as("sx"), col("st").as("sy"), col("sqq").as("sxx"),
+              col("stt").as("syy"), col("sqt").as("sxy")),
+            struct(lit("discount_tax").as("pair"), col("n"),
+              col("sd").as("sx"), col("st").as("sy"), col("sdd").as("sxx"),
+              col("stt").as("syy"), col("sdt").as("sxy")))).as("t"))
+          .select(col("t.pair").as("pair"), col("t.n").as("n"),
+            col("t.sx").as("sx"), col("t.sy").as("sy"),
+            col("t.sxx").as("sxx"), col("t.syy").as("syy"), col("t.sxy").as("sxy"))
+          .withColumn("corr_e6",
+            expr(corrE6("n", "sx", "sy", "sxx", "syy", "sxy")))
+          .orderBy(col("pair"))
+      },
+      Some {
+        def corrE6(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+          Q.scaledLong(
+            s"CAST(n * $sxy - $sx * $sy AS DOUBLE) / " +
+              s"(sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE)) * " +
+              s"sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE)))", 6)
+        s"""
+        WITH w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS sq, CAST(sum(dd) AS BIGINT) AS sd,
+                 CAST(sum(tt) AS BIGINT) AS st,
+                 CAST(sum(q * q) AS BIGINT) AS sqq,
+                 CAST(sum(dd * dd) AS BIGINT) AS sdd,
+                 CAST(sum(tt * tt) AS BIGINT) AS stt,
+                 CAST(sum(q * dd) AS BIGINT) AS sqd,
+                 CAST(sum(q * tt) AS BIGINT) AS sqt,
+                 CAST(sum(dd * tt) AS BIGINT) AS sdt
+          FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+                       ${Q.scaledLong("l_discount", 2)} AS dd,
+                       ${Q.scaledLong("l_tax", 2)} AS tt
+                FROM lineitem) t)
+        SELECT pair, n, sx, sy, sxx, syy, sxy,
+               ${corrE6("sx", "sy", "sxx", "syy", "sxy")} AS corr_e6
+        FROM (
+          SELECT 'quantity_discount' AS pair, n, sq AS sx, sd AS sy,
+                 sqq AS sxx, sdd AS syy, sqd AS sxy FROM w
+          UNION ALL
+          SELECT 'quantity_tax', n, sq, st, sqq, stt, sqt FROM w
+          UNION ALL
+          SELECT 'discount_tax', n, sd, st, sdd, stt, sdt FROM w)
+        ORDER BY pair"""
+      }),
+
     "rollup_docs" -> QueryDef(
       (s, d) => {
         Tables.documents(s, d)

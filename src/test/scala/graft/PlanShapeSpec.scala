@@ -458,6 +458,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 2, s"embeddings must be scanned via the persisted frame, found $scans:\n$p")
   }
 
+  test("the correlation matrix folds all ten suffstats in ONE scan of lineitem") {
+    // three variable pairs must not become three passes — the whole
+    // matrix is one map-side-combinable aggregate over one scan, with
+    // the pair pivot applied row-locally to the 1-row result
+    val p = plan("stats_corr_matrix")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one lineitem scan, found $scans:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(r => !r.contains("l_orderkey")),
+      "unreferenced lineitem columns must be pruned from the scan")
+  }
+
   test("semdedup broadcasts the centroids; within-cell pairs equi-join on the cell id") {
     // SemDeDup's scale contract: assignment is corpus x k-centroids via
     // broadcast (k rows), and the pairwise prune joins on cell equality —
