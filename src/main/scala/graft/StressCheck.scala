@@ -233,6 +233,31 @@ object StressCheck {
     }
     println(s"[stress] pq_rows=$pqRows")
     spark.catalog.clearCache()
+    // SemDeDup at 50k vectors: the declared k=8 codebook would put ~6k
+    // vectors in every cell (~156M within-cell candidates — the same
+    // quadratic cliff the 4-bit LSH bands hit above). The published fix
+    // is the k dial: k=256 keeps cells ~200 wide, so candidates collapse
+    // ~30x while the plan — broadcast centroids, cell-keyed equi-join —
+    // is unchanged. Log the candidate accounting so a regression that
+    // silently fattens cells shows up in the stress transcript.
+    val semdedup = t("semdedup ledger, k=256 (50k vectors)") {
+      val ledger = graft.queries.Similarity.semdedupLedger(
+        spark.read.parquet(s"$vecDir/embeddings.parquet"), k = 256, tau = 0.3)
+        .persist()
+      val agg = ledger.selectExpr(
+        "count(1) AS cells",
+        "sum(n_vectors * (n_vectors - 1) div 2) AS candidates",
+        "max(n_vectors) AS max_cell",
+        "sum(n_dropped) AS dropped").collect().head
+      println(s"[stress] semdedup: cells=${agg.getLong(0)} " +
+        s"candidates=${agg.getLong(1)} max_cell=${agg.getLong(2)} " +
+        s"dropped=${agg.getLong(3)}")
+      val d = agg.getLong(3)
+      ledger.unpersist()
+      d
+    }
+    println(s"[stress] semdedup_dropped=$semdedup")
+    spark.catalog.clearCache()
     // exactness audit: the unrestricted all-pairs Jaccard baseline (too
     // expensive to DECLARE — quadratic in co-shingled pairs — but the
     // ground truth the candidate-restricted production path must match).

@@ -121,6 +121,46 @@ object Similarity extends QueryPack {
     bandScored(e, planesPerBand, bands)
       .where(s"cos >= $threshold").select(col("vid_a"), col("vid_b"))
 
+  /** SemDeDup per-cell curation ledger (see the semdedup_prune query for
+    * semantics and the oracle mirror): assign every vector to its nearest
+    * of the first-k deterministic centroids, drop each vector with a
+    * lower-id same-cell neighbor at cosine >= tau, report
+    * (cell, n_vectors, n_dropped, n_kept). k is the corpus-size dial —
+    * within-cell candidates are sum_c C(n_c, 2), so a deployment raises
+    * k with the corpus to keep cells bounded; StressCheck drives the
+    * k=256 configuration at 50k vectors against the declared k=8.
+    */
+  private[graft] def semdedupLedger(e0: DataFrame, k: Int, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(e0.sparkSession)
+    val e = e0
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr(s"${sparkDot("embedding", "embedding")} - 2 * ${sparkDot("embedding", "cv")} + ${sparkDot("cv", "cv")}"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("vid_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vid_b"),
+      col("embedding").as("eb"))
+    val dropped = cosine(
+      a.join(b, col("cell") === col("cell_b") && col("vid_a") < col("vid_b")),
+      "ea", "eb")
+      .where(col("cos") >= tau)
+      .select(col("cell"), col("vid_b")).distinct()
+    val perCell = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val dropCell = dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    perCell.join(dropCell, Seq("cell"), "left")
+      .select(col("cell"), col("n_vectors"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cell"))
+  }
+
   /** (vec_id, embedding, bucket): corpus with the 8-plane LSH bucket. */
   private def bucketed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -229,36 +269,9 @@ object Similarity extends QueryPack {
     // plan, bigger key space. Cosines are the shared left-to-right
     // folds, so the 0.3 threshold can never flip between engines.
     "semdedup_prune" -> QueryDef(
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d)
-        val cents = e.filter(col("vec_id") < NList)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("d2",
-            expr(s"${sparkDot("embedding", "embedding")} - 2 * ${sparkDot("embedding", "cv")} + ${sparkDot("cv", "cv")}"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-          .persist()
-        val a = assigned.select(col("cell"), col("vec_id").as("vid_a"),
-          col("embedding").as("ea"))
-        val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vid_b"),
-          col("embedding").as("eb"))
-        val dropped = cosine(
-          a.join(b, col("cell") === col("cell_b") && col("vid_a") < col("vid_b")),
-          "ea", "eb")
-          .where(col("cos") >= 0.3)
-          .select(col("cell"), col("vid_b")).distinct()
-        val perCell = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
-        val dropCell = dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
-        perCell.join(dropCell, Seq("cell"), "left")
-          .select(col("cell"), col("n_vectors"),
-            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-            (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
-          .orderBy(col("cell"))
-      },
+      (s, d) => semdedupLedger(
+        { graft.functions.GraftFunctions.register(s); Tables.embeddings(s, d) },
+        k = NList, tau = 0.3),
       Some(s"""
         WITH cents AS (
           SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NList),
