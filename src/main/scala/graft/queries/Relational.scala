@@ -1334,6 +1334,58 @@ object Relational extends QueryPack {
     // metric_ppm, pass) report. Metrics are floor-scaled ppm integers so
     // the report is bit-portable; DuckDB re-derives each metric
     // independently.
+    // Referential-integrity audit across the star schema: one row per FK
+    // edge with the child count and the orphan count (child keys with no
+    // parent). Complements quality_constraint_report (single-table) with
+    // the cross-table class of data-quality checks a warehouse gate runs
+    // before publishing a snapshot.
+    //
+    // Scale shape: each edge pre-aggregates the child side to DISTINCT
+    // key counts BEFORE joining — the join input is key-cardinality, not
+    // child-row cardinality — then left-joins the parent key set:
+    // bounded parents (nation, region) broadcast, unbounded ones
+    // (orders, customer) stay key-partitioned. A NULL parent key after
+    // the join marks the orphans; no edge ever shuffles raw child rows.
+    "quality_fk_orphans" -> QueryDef(
+      (s, d) => {
+        def edge(name: String, child: DataFrame, ck: String,
+                 parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+          val keyed = child.groupBy(col(ck)).agg(count(lit(1)).as("n"))
+          val p0 = parent.select(col(pk))
+          val p = if (bcast) broadcast(p0) else p0
+          keyed.join(p, col(ck) === col(pk), "left")
+            .agg(sum(col("n")).as("n_child"),
+              coalesce(sum(when(col(pk).isNull, col("n"))), lit(0L)).as("n_orphans"))
+            .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+        }
+        edge("customer_nation", Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey", bcast = true)
+          .unionAll(edge("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey", bcast = false))
+          .unionAll(edge("nation_region", Tables.nation(s, d), "n_regionkey",
+            Tables.region(s, d), "r_regionkey", bcast = true))
+          .unionAll(edge("orders_customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey", bcast = false))
+          .unionAll(edge("supplier_nation", Tables.supplier(s, d), "s_nationkey",
+            Tables.nation(s, d), "n_nationkey", bcast = true))
+          .orderBy(col("edge"))
+      },
+      Some {
+        def edge(name: String, child: String, ck: String,
+                 parent: String, pk: String) = s"""
+          SELECT '$name' AS edge, CAST(sum(n) AS BIGINT) AS n_child,
+                 CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN n END), 0) AS BIGINT) AS n_orphans
+          FROM (SELECT $ck, count(*) AS n FROM $child GROUP BY $ck) c
+          LEFT JOIN $parent p ON c.$ck = p.$pk"""
+        Seq(
+          edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+          edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+          edge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+          .mkString(" UNION ALL ") + " ORDER BY edge"
+      }),
+
     "quality_constraint_report" -> QueryDef(
       (s, d) => {
         import graft.engine.ops.Checks

@@ -162,6 +162,63 @@ object TextOps extends QueryPack {
         FROM (SELECT unnest(${duckWords("text")}) AS term FROM documents) t
         GROUP BY term ORDER BY n DESC, term LIMIT 20""")),
 
+    // Zipf-slope corpus diagnostic: the log-log regression of frequency
+    // against rank over the top-100 terms — natural text sits near -1,
+    // and drift is a standard corpus-health signal (boilerplate floods
+    // flatten the head; template spam steepens it). One vocabulary-
+    // bounded term count (the same shuffle text_top_terms pays), a
+    // TakeOrdered top-100, then the regression runs on 100 rows:
+    // ln(rank)/ln(count) are computed PER ROW and scaled to e6 BIGINTs,
+    // so the cross-row suffstat sums are exact integers (the QueryPack
+    // exit policy — no double ever crosses a partial-agg boundary) and
+    // the final slope/intercept are single divisions of exact integers,
+    // identical IEEE ops in both engines.
+    "text_zipf_slope" -> QueryDef(
+      (s, d) => {
+        val top = Tables.documents(s, d)
+          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS term")
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("term"))
+          .limit(100)
+        top
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("c").desc, col("term"))))
+          .selectExpr(s"${Q.scaledLong("ln(r)", 6)} AS x",
+            s"${Q.scaledLong("ln(c)", 6)} AS y")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .selectExpr("n",
+            Q.scaledLong("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)", 6) + " AS slope_e6",
+            // x/y are already e6-scaled, so (sy - slope*sx)/n IS the
+            // e6-scaled intercept: round-half-up without rescaling
+            Q.scaledLong(
+              "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)",
+              0) + " AS intercept_e6")
+      },
+      Some(s"""
+        WITH top AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(${duckWords("lower(text)")}) AS term FROM documents) t
+          GROUP BY term ORDER BY c DESC, term LIMIT 100),
+        xy AS (
+          SELECT ${Q.scaledLong("ln(CAST(row_number() OVER (ORDER BY c DESC, term) AS DOUBLE))", 6)} AS x,
+                 ${Q.scaledLong("ln(CAST(c AS DOUBLE))", 6)} AS y
+          FROM top),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM xy)
+        SELECT n,
+               ${Q.scaledLong("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)", 6)} AS slope_e6,
+               ${Q.scaledLong(
+          "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)",
+          0)} AS intercept_e6
+        FROM st""")),
+
     "text_top_bigrams" -> QueryDef(
       (s, d) => {
         // word bigram frequencies: arrays_zip of the word array against

@@ -458,6 +458,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 2, s"embeddings must be scanned via the persisted frame, found $scans:\n$p")
   }
 
+  test("interval-overlap self-join stays blocked on the customer key") {
+    // the overlap predicate must ride as a residual on a custkey
+    // equi-join — a cartesian with an overlap filter is quadratic in
+    // orders and is exactly what the blocking exists to prevent
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap pairs must equi-join on the block key:\n$p")
+  }
+
   test("the correlation matrix folds all ten suffstats in ONE scan of lineitem") {
     // three variable pairs must not become three passes — the whole
     // matrix is one map-side-combinable aggregate over one scan, with
