@@ -2820,6 +2820,64 @@ object Relational extends QueryPack {
                round(max(o_totalprice), 2) AS hi
         FROM orders GROUP BY 1 ORDER BY bucket""")),
 
+    // Quantiles from a MERGEABLE per-shard histogram — the no-global-sort
+    // path to P50/P90/P99 at corpus scale: every shard folds its rows
+    // into a fixed 32-bin histogram (the partial state is 32 integers,
+    // mergeable by addition — the same contract HLL/Count-Min exploit),
+    // the merged histogram cumulates once over its 32 bounded rows, and
+    // each quantile reads off the first bin whose cumulative count
+    // covers ceil(q*N/100). The answer is bin-resolution (bin id, lower
+    // bound, covering count) — the exact-integer, oracle-checkable
+    // counterpart of approx_percentile's sketch. The explicit shard
+    // level keeps the partial/final merge observable; at cluster scale
+    // shard = input partition and the merge is the only shuffle (32 rows
+    // per shard).
+    "sketch_histogram_quantiles" -> QueryDef(
+      (s, d) => {
+        val binned = Tables.orders(s, d)
+          .select(least(floor(col("o_totalprice") / lit(20000.0)), lit(31.0))
+            .cast("long").as("bin"), (col("o_orderkey") % 8).as("shard"))
+        val partial = binned.groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+        val merged = partial.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+        val cum = merged.withColumn("cum_n", sum(col("n")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = merged.agg(sum(col("n")).as("total"))
+        val qs = s.range(1).selectExpr("explode(array(50, 90, 99)) AS q")
+        val picked = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+          .filter(col("cum_n") * lit(100L) >= col("q") * col("total"))
+          .groupBy(col("q")).agg(min(col("bin")).as("bin"))
+        picked.join(cum.select(col("bin"), col("cum_n")), Seq("bin"))
+          .selectExpr("CAST(q AS BIGINT) AS q", "bin",
+            "CAST(bin * 20000 AS BIGINT) AS bin_lo", "cum_n")
+          .orderBy(col("q"))
+      },
+      Some("""
+        WITH binned AS (
+          SELECT CAST(least(floor(o_totalprice / 20000.0), 31.0) AS BIGINT) AS bin,
+                 o_orderkey % 8 AS shard
+          FROM orders),
+        partial AS (
+          SELECT shard, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+        merged AS (
+          SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM partial GROUP BY bin),
+        cum AS (
+          SELECT bin, sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                 (SELECT sum(n) FROM merged) AS total
+          FROM merged),
+        picked AS (
+          SELECT q, min(bin) AS bin
+          FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) qs
+          WHERE cum_n * 100 >= q * total
+          GROUP BY q)
+        SELECT CAST(p.q AS BIGINT) AS q, p.bin,
+               CAST(p.bin * 20000 AS BIGINT) AS bin_lo,
+               CAST(c.cum_n AS BIGINT) AS cum_n
+        FROM picked p JOIN cum c ON p.bin = c.bin
+        ORDER BY q""")),
+
     // SQL:2016 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ordered
     // string aggregation added to the engine surface in Spark 4. The
     // WITHIN GROUP ordering makes the concatenation deterministic
