@@ -521,6 +521,45 @@ object Dedup extends QueryPack {
           ON l.doc_id = d.doc_id
         GROUP BY d.source ORDER BY d.source""")),
 
+    // Quality-aware canonical selection: production dedup keeps the BEST
+    // member of each near-dup cluster, not the minimum id — here the
+    // longest document (n_chars, tie-break min id), the common
+    // keep-longest heuristic for crawl snapshots that truncate. One
+    // window + one aggregate over the cluster-label frame (dup docs
+    // only — tiny next to the corpus, so it broadcasts into the
+    // documents join exactly like dedup_rate_by_source); the oracle
+    // re-derives membership through the same recursive transitive
+    // closure and picks the same representative.
+    "dedup_keep_best" -> QueryDef(
+      (s, d) => {
+        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val labels = graft.engine.ops.ConnectedComponents.run(pairs)
+          .selectExpr("CAST(v AS BIGINT) AS doc_id",
+            "CAST(lbl AS BIGINT) AS cluster_id")
+        val scored = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+          .join(broadcast(labels), Seq("doc_id"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            min(when(col("rn") === 1, col("doc_id"))).as("keeper_doc"),
+            min(when(col("rn") === 1, col("n_chars"))).as("keeper_chars"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand, $duckClusterLabels,
+        m AS (
+          SELECT l.cluster_id, l.doc_id, d.n_chars,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY d.n_chars DESC, l.doc_id) AS rn
+          FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc,
+               CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keeper_chars
+        FROM m GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // Canonical-document centrality: fixed-iteration integer PageRank
     // over the same verified dup-pair graph dedup_clusters labels. The
     // centrality score replaces the arbitrary min-id canonical-doc rule
