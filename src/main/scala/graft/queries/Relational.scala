@@ -1838,6 +1838,76 @@ object Relational extends QueryPack {
                CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
         FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    // resistant counterpart of quality_outliers_sigma (a 3-sigma rule is
+    // itself dragged by the outliers it hunts; MAD is not). Entirely in
+    // exact integers: values scale to cents, each median exits as the
+    // SUM of the two middle elements (med2 = 2*median — no halving, no
+    // doubles), deviations are |2x - med2|, the MAD is the same
+    // two-middle sum over deviations (mad2 = 4*MAD), and the classic
+    // |x - med| > 3 * 1.4826 * MAD boundary cross-multiplies to
+    // 20000*dev > 44478*mad2 — bit-identical in both engines, no
+    // float ever computed.
+    //
+    // Scale shape: two key-partitioned rank passes (the exact-selection
+    // cost — each one shuffle on event_type) with the 5-row med/mad
+    // frames broadcast back between them; a deployment that can't
+    // afford exact ranks at the tail swaps in the mergeable-histogram
+    // sketch (sketch_histogram_quantiles) for the same boundary test.
+    "quality_outliers_mad" -> QueryDef(
+      (s, d) => {
+        val mid = "CASE WHEN rn IN (lo, hi) THEN v END"
+        def twoMiddleSum(in: DataFrame, key: String, v: String): DataFrame = {
+          val byKey = Window.partitionBy(col(key))
+          in.select(col(key), col(v).as("v"))
+            .withColumn("rn", row_number().over(byKey.orderBy(col("v"))))
+            .withColumn("n", count(lit(1)).over(byKey))
+            .selectExpr(key, "v", "rn", "(n + 1) div 2 AS lo", "(n + 2) div 2 AS hi")
+            .groupBy(col(key))
+            .agg(expr(s"min($mid) + max($mid)").as("m2"))
+        }
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr(Q.scaledLong("value", 2)).as("x"))
+        val med = twoMiddleSum(ev, "event_type", "x")
+          .withColumnRenamed("m2", "med2")
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(lit(2L) * col("x") - col("med2")))
+        val mad = twoMiddleSum(dev, "event_type", "dev")
+          .withColumnRenamed("m2", "mad2")
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(lit(20000L) * col("dev") > lit(44478L) * col("mad2"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            min(col("med2")).as("med2"), min(col("mad2")).as("mad2"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val mid = "CASE WHEN rn IN (lo, hi) THEN v END"
+        def twoMiddleSum(src: String, v: String) = s"""
+          SELECT event_type, min($mid) + max($mid) AS m2 FROM (
+            SELECT event_type, $v AS v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY $v) AS rn,
+                   (count(*) OVER (PARTITION BY event_type) + 1) // 2 AS lo,
+                   (count(*) OVER (PARTITION BY event_type) + 2) // 2 AS hi
+            FROM $src) t GROUP BY event_type"""
+        s"""
+        WITH ev AS (
+          SELECT event_type, ${Q.scaledLong("value", 2)} AS x FROM events),
+        med AS (${twoMiddleSum("ev", "x")}),
+        dev AS (
+          SELECT ev.event_type, ev.x, abs(2 * ev.x - med.m2) AS dev, med.m2 AS med2
+          FROM ev JOIN med USING (event_type)),
+        mad AS (${twoMiddleSum("dev", "dev")})
+        SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN 20000 * dev.dev > 44478 * mad.m2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(min(dev.med2) AS BIGINT) AS med2,
+               CAST(min(mad.m2) AS BIGINT) AS mad2
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type ORDER BY dev.event_type"""
+      }),
+
     // The SAME streaming aggregation code run as a batch query — Spark's
     // unified-engine contract, exercised explicitly: the
     // WindowedAggs.tumblingCounts pipeline (watermark + window + agg)
