@@ -1838,6 +1838,71 @@ object Relational extends QueryPack {
                CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
         FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Distribution drift via POPULATION STABILITY INDEX between two time
+    // windows — the standard "did this feed change under me" monitor a
+    // curation pipeline runs per source/feature before retraining:
+    // PSI = sum_bins (p - q) * ln(p / q) over the value histogram of the
+    // first half-month vs the second. Laplace-smoothed ((c+1)/(n+bins))
+    // so empty bins stay finite; per-bin contributions are computed from
+    // EXACT integer counts (one CAST division + one ln per bin — the
+    // same deterministic int64->double ops both engines perform) and
+    // exit as e6-scaled BIGINTs whose cross-bin sum is pure integer
+    // arithmetic. Observed-bin convention: bins with no rows in either
+    // window are skipped identically on both sides.
+    //
+    // Scale shape: ONE pass over the fact — groupBy(type, bin) with both
+    // half counts as conditional sums — then all arithmetic runs on the
+    // bins-x-types frame (bounded), with totals broadcast back. PSI at
+    // 100 TB costs exactly one histogram aggregation.
+    "quality_drift_psi" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            least(floor(col("value") / lit(50.0)), lit(9.0)).cast("long").as("bin"),
+            (col("ts").cast("timestamp") < ts("2024-01-16 00:00:00"))
+              .cast("long").as("ina"))
+        val binned = ev.groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+        val tots = binned.groupBy(col("event_type"))
+          .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        binned.join(broadcast(tots), Seq("event_type"))
+          .withColumn("contrib_e6", expr(Q.scaledLong(
+            "(CAST(ca + 1 AS DOUBLE) / (na + 10) - CAST(cb + 1 AS DOUBLE) / (nb + 10)) * " +
+              "ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))",
+            6)))
+          .groupBy(col("event_type"))
+          .agg(min(col("na")).as("n_first"), min(col("nb")).as("n_second"),
+            sum(col("contrib_e6")).as("psi_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS ina
+          FROM events),
+        binned AS (
+          SELECT event_type, bin,
+                 CAST(sum(ina) AS BIGINT) AS ca,
+                 CAST(sum(1 - ina) AS BIGINT) AS cb
+          FROM ev GROUP BY 1, 2),
+        tots AS (
+          SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM binned GROUP BY 1),
+        contrib AS (
+          SELECT b.event_type, t.na, t.nb,
+                 ${Q.scaledLong(
+          "(CAST(ca + 1 AS DOUBLE) / (na + 10) - CAST(cb + 1 AS DOUBLE) / (nb + 10)) * " +
+            "ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))",
+          6)} AS contrib_e6
+          FROM binned b JOIN tots t ON b.event_type = t.event_type)
+        SELECT event_type, CAST(min(na) AS BIGINT) AS n_first,
+               CAST(min(nb) AS BIGINT) AS n_second,
+               CAST(sum(contrib_e6) AS BIGINT) AS psi_e6
+        FROM contrib GROUP BY event_type ORDER BY event_type""")),
+
     // Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
     // resistant counterpart of quality_outliers_sigma (a 3-sigma rule is
     // itself dragged by the outliers it hunts; MAD is not). Entirely in
