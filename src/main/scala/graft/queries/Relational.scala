@@ -1838,6 +1838,62 @@ object Relational extends QueryPack {
                CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
         FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Volume-shift CHANGEPOINT detection (CUSUM / Kolmogorov-style): for
+    // each event type, the day that maximizes |n*S_i - i*S_n| over the
+    // cumulative daily-count sequence — the classic "when did this feed
+    // change rate" estimator a pipeline monitor pairs with the PSI
+    // distribution test below. Cross-multiplied into pure BIGINT
+    // arithmetic (no n-division), deterministic earliest-day tie-break.
+    //
+    // Scale shape: one fact aggregation to (type, day) counts, then every
+    // window/argmax runs on the bounded days-x-types grid — constant
+    // cost at any corpus size, same contract as time_gap_fill.
+    "quality_changepoint_cusum" -> QueryDef(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            to_date(col("ts").cast("timestamp")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val cum = daily
+          .withColumn("i", row_number().over(byType).cast("long"))
+          .withColumn("s_i", sum(col("c")).over(
+            byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n_days", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .withColumn("s_n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+          .withColumn("stat", abs(col("n_days") * col("s_i") - col("i") * col("s_n")))
+        cum.withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("stat").desc, col("day"))))
+          .where(col("rn") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            col("stat"), col("n_days").cast("long").as("n_days"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, day,
+                 CAST(row_number() OVER w AS BIGINT) AS i,
+                 sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS s_i,
+                 count(*) OVER (PARTITION BY event_type) AS n_days,
+                 sum(c) OVER (PARTITION BY event_type) AS s_n
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        st AS (
+          SELECT event_type, day,
+                 CAST(abs(n_days * s_i - i * s_n) AS BIGINT) AS stat, n_days,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(n_days * s_i - i * s_n) DESC, day) AS rn
+          FROM cum)
+        SELECT event_type, day AS cp_day, stat,
+               CAST(n_days AS BIGINT) AS n_days
+        FROM st WHERE rn = 1 ORDER BY event_type""")),
+
     // Distribution drift via POPULATION STABILITY INDEX between two time
     // windows — the standard "did this feed change under me" monitor a
     // curation pipeline runs per source/feature before retraining:
