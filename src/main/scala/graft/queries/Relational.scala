@@ -2965,6 +2965,78 @@ object Relational extends QueryPack {
                    ORDER BY valid_from_us)) IS NULL AS is_current
         FROM regimes ORDER BY user_id, valid_from_us""")),
 
+    // Point-in-time (AS OF) join against the SCD2 dimension — the
+    // consumer of the scd2_user_state build: each purchase event looks
+    // up the user state (last non-purchase activity regime) valid AT the
+    // purchase timestamp. The join is an equi-join on user_id with the
+    // validity range as a residual ([valid_from, valid_to) with an open
+    // current regime), which is the temporal-join shape warehouses run
+    // for every fact-to-dimension-history lookup; purchases before any
+    // regime report state 'none'. Blocked on the natural key, the range
+    // predicate never leaves its user partition — same scale contract as
+    // join_interval_overlap.
+    "join_scd2_point_in_time" -> QueryDef(
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val base = Tables.events(s, d)
+          .select(col("user_id"), epochUs(col("ts")).as("tus"),
+            col("event_id"), col("event_type"))
+        val dim = base.filter(col("event_type") =!= "purchase")
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("rid", sum(col("chg")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("rid"), col("event_type"))
+          .agg(min(col("tus")).as("valid_from_us"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))))
+          .select(col("user_id").as("d_user"), col("event_type").as("state"),
+            col("valid_from_us"), col("valid_to_us"))
+        val facts = base.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"))
+        facts.join(dim,
+            col("user_id") === col("d_user") &&
+              col("tus") >= col("valid_from_us") &&
+              (col("valid_to_us").isNull || col("tus") < col("valid_to_us")),
+            "left")
+          .groupBy(coalesce(col("state"), lit("none")).as("state"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("state"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        x AS (
+          SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id) AS prev
+          FROM e WHERE event_type <> 'purchase'),
+        y AS (
+          SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                         THEN 1 ELSE 0 END AS chg FROM x),
+        z AS (
+          SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS rid FROM y),
+        dim AS (
+          SELECT user_id AS d_user, event_type AS state,
+                 min(tus) AS valid_from_us,
+                 lead(min(tus)) OVER (PARTITION BY user_id
+                     ORDER BY min(tus)) AS valid_to_us
+          FROM z GROUP BY user_id, rid, event_type),
+        facts AS (
+          SELECT user_id, epoch_us(ts) AS tus FROM events
+          WHERE event_type = 'purchase')
+        SELECT coalesce(d.state, 'none') AS state,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+        FROM facts f LEFT JOIN dim d
+          ON f.user_id = d.d_user AND f.tus >= d.valid_from_us
+             AND (d.valid_to_us IS NULL OR f.tus < d.valid_to_us)
+        GROUP BY 1 ORDER BY state""")),
+
     // NOT IN with a nullable probe — the null-aware anti join. Three-
     // valued logic makes NOT IN differ from a plain anti join: a NULL
     // probe value can never satisfy `NOT IN`, so size-7 parts (nulled by

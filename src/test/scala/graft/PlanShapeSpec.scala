@@ -467,6 +467,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"overlap pairs must equi-join on the block key:\n$p")
   }
 
+  test("the SCD2 point-in-time join stays equi-keyed on user_id") {
+    // the validity-range predicate must ride as a residual on the
+    // user_id equi-join — a nested-loop fallback would rescan the
+    // dimension history per fact row
+    val p = plan("join_scd2_point_in_time")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the temporal lookup must equi-join on the natural key:\n$p")
+  }
+
   test("the correlation matrix folds all ten suffstats in ONE scan of lineitem") {
     // three variable pairs must not become three passes — the whole
     // matrix is one map-side-combinable aggregate over one scan, with
