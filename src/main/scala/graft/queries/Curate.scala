@@ -139,6 +139,74 @@ object Curate extends QueryPack {
                CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota
         FROM r CROSS JOIN l ORDER BY source""")),
 
+    // TOKEN-budget quota allocation — the same largest-remainder integer
+    // machinery as curate_quota_alloc, but on the unit that actually
+    // constrains an LLM training run: tokens, not documents. The global
+    // budget is half the corpus's tokens (self-scaling, so the query is
+    // meaningful at every SF); each source gets its exact-integer
+    // largest-remainder token quota, and the greedy fill-count (how many
+    // whole docs, in id order, fit the quota) comes from one per-source
+    // cumulative window — the manifest a trainer feed materializes.
+    // Scale shape: one corpus scan for per-doc token counts, one
+    // per-source aggregate, the bounded quota table broadcast back, and
+    // one per-source prefix window.
+    "curate_token_budget" -> QueryDef(
+      (s, d) => {
+        val dt = Tables.documents(s, d)
+          .selectExpr("source", "doc_id",
+            s"CAST(size(${sparkWords("text")}) AS BIGINT) AS ntok")
+        val counts = dt.groupBy(col("source")).agg(sum(col("ntok")).as("tok"))
+        val tot = counts.agg(sum(col("tok")).as("total"),
+          expr("sum(tok) div 2").as("budget"))
+        val base = counts.crossJoin(broadcast(tot))
+          .selectExpr("source", "tok",
+            "tok * budget div total AS base", "(tok * budget) % total AS rem",
+            "budget")
+        val leftover = base.agg((min(col("budget")) - sum(col("base"))).as("extra"))
+        val w = Window.orderBy(col("rem").desc, col("source"))
+        val quotas = base.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(w))
+          .selectExpr("source", "tok",
+            "CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota_tok")
+        val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dt.withColumn("cum", sum(col("ntok")).over(wCum))
+          .join(broadcast(quotas), Seq("source"))
+          .groupBy(col("source"))
+          .agg(min(col("tok")).as("tok"), min(col("quota_tok")).as("quota_tok"),
+            sum(when(col("cum") <= col("quota_tok"), 1L).otherwise(0L)).as("n_docs_fit"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH dt AS (
+          SELECT source, doc_id,
+                 CAST(len(${duckWords("text")}) AS BIGINT) AS ntok
+          FROM documents),
+        c AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tok FROM dt GROUP BY source),
+        t AS (SELECT CAST(sum(tok) AS BIGINT) AS total,
+                     CAST(sum(tok) // 2 AS BIGINT) AS budget FROM c),
+        b AS (SELECT source, tok, (tok * budget) // total AS base,
+                     (tok * budget) % total AS rem, budget
+              FROM c CROSS JOIN t),
+        l AS (SELECT CAST(min(budget) - sum(base) AS BIGINT) AS extra FROM b),
+        q AS (SELECT source, tok, base, rem,
+                     row_number() OVER (ORDER BY rem DESC, source) AS rk
+              FROM b),
+        quotas AS (
+          SELECT source, tok,
+                 CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota_tok
+          FROM q CROSS JOIN l),
+        cum AS (
+          SELECT dt.source, dt.ntok,
+                 sum(dt.ntok) OVER (PARTITION BY dt.source ORDER BY dt.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 qs.quota_tok, qs.tok
+          FROM dt JOIN quotas qs ON dt.source = qs.source)
+        SELECT source, CAST(min(tok) AS BIGINT) AS tok,
+               CAST(min(quota_tok) AS BIGINT) AS quota_tok,
+               CAST(sum(CASE WHEN cum <= quota_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit
+        FROM cum GROUP BY source ORDER BY source""")),
+
     // Temperature-based source mixing — the sampling-weight table a
     // multi-source training run derives before drawing examples
     // (upweight small sources, τ = 0.5 ⇒ weight ∝ √n). sqrt is an IEEE
