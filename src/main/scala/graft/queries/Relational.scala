@@ -2965,6 +2965,68 @@ object Relational extends QueryPack {
                    ORDER BY valid_from_us)) IS NULL AS is_current
         FROM regimes ORDER BY user_id, valid_from_us""")),
 
+    // Market-basket association mining: brand co-occurrence LIFT within
+    // orders — support counts for brand pairs bought together and
+    // lift = P(a,b) / (P(a)P(b)) as the independence ratio, the
+    // classic affinity signal behind recommenders and assortment
+    // analysis. The pair join is BLOCKED on the order key (baskets are
+    // small, so the within-order quadratic is bounded by basket size —
+    // the same contract as join_interval_overlap); the 25-row brand
+    // marginals broadcast back, and the lift cross-multiplies exact
+    // integer counts before one deterministic division, exiting as an
+    // e6-scaled BIGINT. Top-20 pairs by support, full tie-breaks.
+    "mine_brand_lift" -> QueryDef(
+      (s, d) => {
+        val items = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .distinct()
+        val nOrders = items.select(col("ok")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val singles = items.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+        val pairs = items.toDF("ok", "brand_a")
+          .join(items.toDF("ok2", "brand_b"),
+            col("ok") === col("ok2") && col("brand_a") < col("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("c_ab"))
+        pairs
+          .join(broadcast(singles.toDF("brand_a", "c_a")), Seq("brand_a"))
+          .join(broadcast(singles.toDF("brand_b", "c_b")), Seq("brand_b"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift_e6", expr(Q.scaledLong(
+            "CAST(c_ab * n_orders AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)", 6)))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c_ab").desc, col("brand_a"), col("brand_b"))))
+          .where(col("rn") <= 20)
+          .selectExpr("CAST(rn AS BIGINT) AS rn", "brand_a", "brand_b",
+            "c_ab", "lift_e6")
+          .orderBy(col("rn"))
+      },
+      Some(s"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        singles AS (
+          SELECT brand, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY brand),
+        pairs AS (
+          SELECT a.brand AS brand_a, b.brand AS brand_b,
+                 CAST(count(*) AS BIGINT) AS c_ab
+          FROM items a JOIN items b
+            ON a.ok = b.ok AND a.brand < b.brand
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT brand_a, brand_b, c_ab,
+                 ${Q.scaledLong(
+          "CAST(c_ab * n_orders AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE)", 6)} AS lift_e6,
+                 row_number() OVER (ORDER BY c_ab DESC, brand_a, brand_b) AS rn
+          FROM pairs JOIN singles sa ON pairs.brand_a = sa.brand
+                     JOIN singles sb ON pairs.brand_b = sb.brand
+                     CROSS JOIN n)
+        SELECT CAST(rn AS BIGINT) AS rn, brand_a, brand_b, c_ab, lift_e6
+        FROM scored WHERE rn <= 20 ORDER BY rn""")),
+
     // Point-in-time (AS OF) join against the SCD2 dimension — the
     // consumer of the scd2_user_state build: each purchase event looks
     // up the user state (last non-purchase activity regime) valid AT the
