@@ -1838,6 +1838,69 @@ object Relational extends QueryPack {
                CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
         FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // EXACT exponential smoothing (EMA, alpha = 1/2) of the daily count
+    // series per event type — the trend line a monitoring dashboard
+    // overlays on raw counts. The recursion S_t = (S_{t-1} + c_t)/2
+    // (S_0 = 0) closes to S_t = (sum_k c_k * 2^(k-1)) / 2^t: the
+    // numerator is an exact BIGINT prefix sum of shifted counts and the
+    // denominator is a power of two — and dividing by a power of two is
+    // EXACT in binary floating point — so the smoothed series is
+    // bit-identical across engines with no tolerance, something no
+    // general-alpha EMA can claim. Zeros on the calendar grid are real
+    // observations (a silent day decays the trend).
+    //
+    // Scale shape: one fact aggregation to the bounded days-x-types
+    // grid; the prefix windows run on the grid, never the fact — same
+    // contract as time_gap_fill/quality_changepoint_cusum.
+    "time_ema_counts" -> QueryDef(
+      (s, d) => {
+        val spine = s.range(1)
+          .select(explode(expr(
+            "sequence(DATE'2024-01-01', DATE'2024-01-31', INTERVAL 1 DAY)"))
+            .as("day"))
+          .crossJoin(Tables.events(s, d).select(col("event_type")).distinct())
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts").cast("timestamp")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine
+          .join(broadcast(daily), Seq("day", "event_type"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("k", expr("datediff(day, DATE'2024-01-01') + 1"))
+          .withColumn("num", sum(expr("c * shiftleft(CAST(1 AS BIGINT), k - 1)")).over(wCum))
+          .selectExpr("day", "event_type", "c",
+            s"${Q.scaledLong("CAST(num AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE)", 6)} AS ema_e6")
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some(s"""
+        WITH spine AS (
+          SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                        INTERVAL 1 DAY))::DATE AS day),
+        grid AS (
+          SELECT day, event_type FROM spine
+          CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT gr.day, gr.event_type, coalesce(d.c, 0) AS c,
+                 datediff('day', DATE '2024-01-01', gr.day) + 1 AS k
+          FROM grid gr LEFT JOIN daily d
+            ON gr.day = d.day AND gr.event_type = d.event_type),
+        cum AS (
+          SELECT day, event_type, c, k,
+                 sum(c * (CAST(1 AS BIGINT) << (k - 1))) OVER (
+                   PARTITION BY event_type ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num
+          FROM g)
+        SELECT day, event_type, CAST(c AS BIGINT) AS c,
+               ${Q.scaledLong(
+          "CAST(num AS DOUBLE) / CAST(CAST(1 AS BIGINT) << k AS DOUBLE)", 6)} AS ema_e6
+        FROM cum ORDER BY day, event_type""")),
+
     // Volume-shift CHANGEPOINT detection (CUSUM / Kolmogorov-style): for
     // each event type, the day that maximizes |n*S_i - i*S_n| over the
     // cumulative daily-count sequence — the classic "when did this feed
