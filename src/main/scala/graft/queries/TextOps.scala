@@ -846,6 +846,81 @@ object TextOps extends QueryPack {
         FROM documents ORDER BY doc_id"""
       }),
 
+    // Decode -> featurize -> nearest-neighbor, composed through the
+    // multimodal seam: the canonical multimodal training-data flow
+    // (decode each payload via the mapPartitions decoder, reduce to a
+    // fixed-dim feature vector, search neighbors in feature space). The
+    // features are the e4-scaled quarter-mean BIGINTs multimodal_features
+    // declares, so the 4-dim cosine runs on exact integers (dot and
+    // norms are BIGINT folds; one deterministic division at the end).
+    // Probe side is 5 docs broadcast against the corpus scan — the
+    // brute-force map-side shape sim_topk_cosine pins — with top-3 by
+    // cosine, deterministic tie-breaks.
+    "multimodal_similar_docs" -> QueryDef(
+      (s, d) => {
+        import graft.engine.multimodal.Multimodal
+        val feats = Multimodal
+          .extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))
+          .selectExpr(Seq("doc_id") ++
+            (1 to 4).map(i => s"${Q.scaledLong(s"element_at(features, $i)", 4)} AS f$i"): _*)
+        def dot(a: String, b: String) =
+          (1 to 4).map(i => s"${a}$i * ${b}$i").mkString(" + ")
+        val probes = feats.filter(col("doc_id") < 5)
+          .toDF(Seq("qid") ++ (1 to 4).map(i => s"q$i"): _*)
+        val scored = broadcast(probes)
+          .join(feats.toDF(Seq("did") ++ (1 to 4).map(i => s"g$i"): _*),
+            col("qid") =!= col("did"))
+          .withColumn("dp", expr(dot("q", "g")))
+          .withColumn("na", expr(dot("q", "q")))
+          .withColumn("nb", expr(dot("g", "g")))
+          .where(col("na") > 0 && col("nb") > 0)
+          .withColumn("cos_e6", expr(Q.scaledLong(
+            "CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))", 6)))
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("did"))))
+          .where(col("rn") <= 3)
+          .selectExpr("qid", "CAST(rn AS BIGINT) AS rn", "did", "cos_e6")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        def quarter(q: Int): String = {
+          val from = s"(($q * length(text)) // 4)"
+          val until = s"((${q + 1} * length(text)) // 4)"
+          val byteSum = s"CAST(coalesce(list_aggregate(" +
+            s"list_transform(range($from + 1, $until + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), " +
+            s"'sum'), 0) AS BIGINT)"
+          s"CASE WHEN $until > $from THEN " +
+            s"${Q.scaledLong(s"CAST($byteSum AS DOUBLE) / ($until - $from)", 4)} " +
+            s"ELSE CAST(0 AS BIGINT) END"
+        }
+        val dotQG = (1 to 4).map(i => s"q.f$i * g.f$i").mkString(" + ")
+        val dotQQ = (1 to 4).map(i => s"q.f$i * q.f$i").mkString(" + ")
+        val dotGG = (1 to 4).map(i => s"g.f$i * g.f$i").mkString(" + ")
+        s"""
+        WITH feats AS (
+          SELECT doc_id,
+                 ${(0 until 4).map(q => s"${quarter(q)} AS f${q + 1}").mkString(", ")}
+          FROM documents),
+        sc AS (
+          SELECT q.doc_id AS qid, g.doc_id AS did,
+                 CAST($dotQG AS BIGINT) AS dp,
+                 CAST($dotQQ AS BIGINT) AS na,
+                 CAST($dotGG AS BIGINT) AS nb
+          FROM feats q JOIN feats g ON q.doc_id < 5 AND q.doc_id <> g.doc_id),
+        scored AS (
+          SELECT qid, did,
+                 ${Q.scaledLong(
+          "CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))", 6)} AS cos_e6
+          FROM sc WHERE na > 0 AND nb > 0),
+        ranked AS (
+          SELECT qid, did, cos_e6,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_e6 DESC, did) AS rn
+          FROM scored)
+        SELECT qid, CAST(rn AS BIGINT) AS rn, did, cos_e6
+        FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
+      }),
+
     // Frame sampling through the multimodal seam: every 4th 16-byte
     // frame, integer byte-sum digest (order-free — exact in any build).
     // DuckDB mirrors the block arithmetic with range(start, stop, step)
