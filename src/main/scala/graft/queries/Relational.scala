@@ -3028,6 +3028,74 @@ object Relational extends QueryPack {
                    ORDER BY valid_from_us)) IS NULL AS is_current
         FROM regimes ORDER BY user_id, valid_from_us""")),
 
+    // Funnel LATENCY: time from first signup to first subsequent
+    // purchase — the conversion-delay distribution product analytics
+    // reports next to the conversion rate (funnel_user_stages). Exact
+    // portable statistics: the median exits as the two-middle-element
+    // SUM (med2 = 2*median, no halving) and the p90 as the exact rank
+    // selection, both over the CONVERTED-USER frame — bounded by user
+    // cardinality, not event volume, so the single global rank pass is
+    // a dimension-sized sort, never a fact sort (the per-user firsts
+    // are one user-keyed aggregation of the fact).
+    "funnel_time_to_convert" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), epochUs(col("ts")).as("tus"), col("event_type"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("s_us"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .join(su, Seq("user_id"))
+          .where(col("tus") >= col("s_us"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("p_us"))
+        val conv = su.join(pu, Seq("user_id"), "left")
+          .withColumn("delta", col("p_us") - col("s_us"))
+        val nSigned = conv.agg(count(lit(1)).as("n_signed"))
+        val mid = "CASE WHEN rn IN (lo, hi) THEN delta END"
+        val ranked = conv.where(col("delta").isNotNull)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("delta"), col("user_id"))))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+          .selectExpr("delta", "rn",
+            "(n + 1) div 2 AS lo", "(n + 2) div 2 AS hi",
+            "(9 * n + 9) div 10 AS r90")
+        ranked
+          .agg(count(lit(1)).as("n_converted"),
+            expr(s"min($mid) + max($mid)").as("med2_us"),
+            expr("max(CASE WHEN rn = r90 THEN delta END)").as("p90_us"))
+          .crossJoin(broadcast(nSigned))
+          .selectExpr("n_signed", "n_converted", "med2_us", "p90_us")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        su AS (
+          SELECT user_id, min(tus) AS s_us FROM ev
+          WHERE event_type = 'signup' GROUP BY user_id),
+        pu AS (
+          SELECT p.user_id, min(p.tus) AS p_us
+          FROM ev p JOIN su ON p.user_id = su.user_id
+          WHERE p.event_type = 'purchase' AND p.tus >= su.s_us
+          GROUP BY p.user_id),
+        conv AS (
+          SELECT su.user_id, pu.p_us - su.s_us AS delta
+          FROM su LEFT JOIN pu ON su.user_id = pu.user_id),
+        ranked AS (
+          SELECT delta,
+                 row_number() OVER (ORDER BY delta, user_id) AS rn,
+                 count(*) OVER () AS n
+          FROM conv WHERE delta IS NOT NULL),
+        p AS (
+          SELECT delta, rn, (n + 1) // 2 AS lo, (n + 2) // 2 AS hi,
+                 (9 * n + 9) // 10 AS r90
+          FROM ranked)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_signed,
+               CAST(count(*) AS BIGINT) AS n_converted,
+               CAST(min(CASE WHEN rn IN (lo, hi) THEN delta END)
+                    + max(CASE WHEN rn IN (lo, hi) THEN delta END) AS BIGINT) AS med2_us,
+               CAST(max(CASE WHEN rn = r90 THEN delta END) AS BIGINT) AS p90_us
+        FROM p""")),
+
     // Market-basket association mining: brand co-occurrence LIFT within
     // orders — support counts for brand pairs bought together and
     // lift = P(a,b) / (P(a)P(b)) as the independence ratio, the
