@@ -1838,6 +1838,65 @@ object Relational extends QueryPack {
                CAST(sum(CASE WHEN isout THEN x ELSE 0 END) AS BIGINT) AS out_dollars
         FROM fl GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // EXACT two-sample Kolmogorov-Smirnov distance between the value
+    // distributions of two event types — the distribution-equality test
+    // an experimentation pipeline runs on a metric, complementing PSI's
+    // binned drift score with the exact sup-distance over empirical
+    // CDFs. Entirely integer: values quantize to cents, the EDF
+    // difference cross-multiplies to |n2*F1 - n1*F2| * n1*n2 =
+    // |n2*c1 - n1*c2| (evaluated at every DISTINCT pooled value, where
+    // EDFs jump — ties handled exactly by construction), and the
+    // statistic exits as the integer numerator plus its e6-scaled ratio.
+    //
+    // Scale shape: one groupBy(value) of the filtered fact, then the
+    // cumulative window runs over DISTINCT values — bounded by the value
+    // domain (50k cents here), not the event count.
+    "stats_ks_two_sample" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(expr(Q.scaledLong("value", 2)).as("v"),
+            (col("event_type") === "click").cast("long").as("isa"))
+        val byV = ev.groupBy(col("v"))
+          .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
+        val wCum = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(lit(1))
+        byV
+          .withColumn("c1", sum(col("a")).over(wCum))
+          .withColumn("c2", sum(col("b")).over(wCum))
+          .withColumn("n1", sum(col("a")).over(wAll))
+          .withColumn("n2", sum(col("b")).over(wAll))
+          .withColumn("dnum", abs(col("n2") * col("c1") - col("n1") * col("c2")))
+          .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+            max(col("dnum")).as("ks_num"))
+          .selectExpr("n1", "n2", "ks_num",
+            s"${Q.scaledLong("CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)} AS ks_e6")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT ${Q.scaledLong("value", 2)} AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+          FROM events WHERE event_type IN ('click', 'view')),
+        byv AS (
+          SELECT v, CAST(sum(isa) AS BIGINT) AS a,
+                 CAST(sum(1 - isa) AS BIGINT) AS b
+          FROM ev GROUP BY v),
+        cum AS (
+          SELECT v, a, b,
+                 sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c1,
+                 sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c2,
+                 sum(a) OVER () AS n1, sum(b) OVER () AS n2
+          FROM byv)
+        SELECT CAST(min(n1) AS BIGINT) AS n1, CAST(min(n2) AS BIGINT) AS n2,
+               CAST(max(abs(n2 * c1 - n1 * c2)) AS BIGINT) AS ks_num,
+               ${Q.scaledLong(
+          "CAST(max(abs(n2 * c1 - n1 * c2)) AS DOUBLE) / (CAST(min(n1) AS DOUBLE) * CAST(min(n2) AS DOUBLE))",
+          6)} AS ks_e6
+        FROM cum""")),
+
     // EXACT exponential smoothing (EMA, alpha = 1/2) of the daily count
     // series per event type — the trend line a monitoring dashboard
     // overlays on raw counts. The recursion S_t = (S_{t-1} + c_t)/2
