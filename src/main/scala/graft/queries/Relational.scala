@@ -3087,6 +3087,48 @@ object Relational extends QueryPack {
                    ORDER BY valid_from_us)) IS NULL AS is_current
         FROM regimes ORDER BY user_id, valid_from_us""")),
 
+    // First-order MARKOV transition matrix over per-user event streams —
+    // the behavioral model behind next-action prediction and anomalous-
+    // session scoring (the event-stream counterpart of the bigram LM
+    // over words). Transitions come from one lag window per user
+    // (event-time order, id tie-break); the 5x5 probability matrix
+    // divides exact integer counts (row-normalized, e6-scaled exit).
+    // Scale shape: one user-keyed window over the fact, one bounded
+    // (types x types) aggregate, marginals broadcast back.
+    "events_markov_transition" -> QueryDef(
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), epochUs(col("ts")).as("tus"),
+            col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("c"))
+        val marg = trans.groupBy(col("prev")).agg(sum(col("c")).as("row_n"))
+        trans.join(broadcast(marg), Seq("prev"))
+          .selectExpr("prev", "next", "c",
+            s"${Q.scaledLong("CAST(c AS DOUBLE) / CAST(row_n AS DOUBLE)", 6)} AS p_e6")
+          .orderBy(col("prev"), col("next"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        x AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id) AS prev
+          FROM e),
+        t AS (
+          SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS c
+          FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+        m AS (SELECT prev, CAST(sum(c) AS BIGINT) AS row_n FROM t GROUP BY prev)
+        SELECT t.prev, t.next, t.c,
+               ${Q.scaledLong("CAST(c AS DOUBLE) / CAST(row_n AS DOUBLE)", 6)} AS p_e6
+        FROM t JOIN m ON t.prev = m.prev
+        ORDER BY t.prev, t.next""")),
+
     // Funnel LATENCY: time from first signup to first subsequent
     // purchase — the conversion-delay distribution product analytics
     // reports next to the conversion rate (funnel_user_stages). Exact
