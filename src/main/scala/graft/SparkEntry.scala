@@ -12,6 +12,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Relational,
+    Analytics,
     TextOps,
     Dedup,
     Similarity,

@@ -1,0 +1,424 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Decision-analytics operators: rank statistics, Pareto frontiers,
+  * forecasting smoothers, sequence mining, CDC merge and privacy audits.
+  *
+  * The reference pipeline's analytical surface is count/group-by/limit
+  * (reference: demos/duckdb.tape:10-34); these queries extend the engine
+  * with the statistics an experimentation / data-governance team runs on
+  * the same tables, following the repo-wide oracle-parity contract: every
+  * derived double leaves as a Q.scaledLong BIGINT or is produced by an
+  * identical expression tree in both engines, every output ordering is a
+  * total order.
+  *
+  * Scale notes (100 TB design): each query aggregates the fact table to a
+  * bounded domain FIRST (distinct metric values, the 31-day grid, the
+  * digit domain, QI groups) and runs its windows/joins on that bounded
+  * frame — never a window over the raw fact. The one global-order window
+  * (skyline, Mann-Whitney) is over the bounded domain; at cluster scale
+  * that frame is range-partitioned with per-range prefix merges, and the
+  * declared plan keeps that swap local to the window stage.
+  */
+object Analytics extends QueryPack {
+  import Q._
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // EXACT two-sample Mann-Whitney U (rank-sum) between the value
+    // distributions of two event types — the nonparametric A/B test an
+    // experimentation pipeline runs when the metric is skewed and a
+    // t-test's normality assumption fails. Complements stats_ks_two_sample
+    // (sup-distance) with the rank statistic, and its normalization
+    // U/(n1*n2) IS the AUC of "does a click value exceed a view value" —
+    // the probabilistic effect size. Entirely integer via the doubled-rank
+    // trick: with ties, the average rank of a tied block is
+    // (2*c_prev + cnt + 1)/2, so TWICE the rank-sum stays a BIGINT
+    // (2*R1 = sum a*(2*c_prev + cnt + 1)) and 2*U1 = 2*R1 - n1*(n1+1)
+    // is exact; ties are handled by construction, not approximation.
+    //
+    // Scale shape: one groupBy(value) of the filtered fact (values
+    // quantize to cents, so the domain is bounded), then the cumulative
+    // window runs over DISTINCT values — the same contract as the KS
+    // test next to it.
+    "stats_mann_whitney" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(expr(Q.scaledLong("value", 2)).as("v"),
+            (col("event_type") === "click").cast("long").as("isa"))
+        val byV = ev.groupBy(col("v"))
+          .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
+        val wCum = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(lit(1))
+        byV
+          .withColumn("call", sum(col("a") + col("b")).over(wCum))
+          .withColumn("n1", sum(col("a")).over(wAll))
+          .withColumn("n2", sum(col("b")).over(wAll))
+          // doubled rank-sum contribution of this tied block to sample A:
+          // block spans ranks (call-a-b, call]; avg rank doubled is
+          // 2*(call-a-b) + (a+b) + 1
+          .withColumn("r2c",
+            col("a") * (lit(2L) * (col("call") - col("a") - col("b"))
+              + col("a") + col("b") + lit(1L)))
+          .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+            sum(col("r2c")).as("r1x2"))
+          .selectExpr("n1", "n2",
+            "r1x2 - n1 * (n1 + 1) AS u2",
+            s"${Q.scaledLong(
+              "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))",
+              6)} AS auc_e6")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT ${Q.scaledLong("value", 2)} AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+          FROM events WHERE event_type IN ('click', 'view')),
+        byv AS (
+          SELECT v, CAST(sum(isa) AS BIGINT) AS a,
+                 CAST(sum(1 - isa) AS BIGINT) AS b
+          FROM ev GROUP BY v),
+        cum AS (
+          SELECT a, b,
+                 CAST(sum(a + b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS call,
+                 CAST(sum(a) OVER () AS BIGINT) AS n1,
+                 CAST(sum(b) OVER () AS BIGINT) AS n2
+          FROM byv),
+        agg AS (
+          SELECT CAST(min(n1) AS BIGINT) AS n1, CAST(min(n2) AS BIGINT) AS n2,
+                 CAST(sum(a * (2 * (call - a - b) + a + b + 1)) AS BIGINT) AS r1x2
+          FROM cum)
+        SELECT n1, n2, CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+               ${Q.scaledLong(
+          "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))",
+          6)} AS auc_e6
+        FROM agg""")),
+
+    // 2-D Pareto frontier (skyline) of parts on (cheaper price, larger
+    // size): a part survives iff no other part is at-least-as-good on
+    // both axes and strictly better on one — the multi-objective shortlist
+    // operator behind "best tradeoff" product queries. The textbook
+    // formulation is a quadratic NOT EXISTS self-join; the declared plan
+    // is the O(n log n) sweep: aggregate to per-price max size, one
+    // cumulative-max window over DISTINCT prices ascending, and a part is
+    // dominated iff a strictly cheaper price already reached its size
+    // (run >= size) or its own price group holds a strictly larger size
+    // (mx > size). Equal (price, size) twins survive together — no strict
+    // improvement either way.
+    //
+    // Scale shape: one groupBy(price) of parts, the window runs over the
+    // distinct-price frame, and the final join back to parts is an
+    // equi-join on price — nothing quadratic anywhere; at 100 TB the
+    // sweep range-partitions by price and merges per-range max prefixes.
+    "skyline_parts" -> QueryDef(
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .selectExpr("p_partkey",
+            s"${Q.scaledLong("p_retailprice", 2)} AS price_c",
+            "CAST(p_size AS BIGINT) AS size")
+        val wPrev = Window.orderBy(col("price_c"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val perPrice = p.groupBy(col("price_c")).agg(max(col("size")).as("mx"))
+          .withColumn("run", max(col("mx")).over(wPrev))
+        p.join(perPrice, Seq("price_c"))
+          .where(coalesce(col("run"), lit(Long.MinValue)) < col("size") &&
+            col("mx") <= col("size"))
+          .select(col("p_partkey"), col("price_c"), col("size"))
+          .orderBy(col("price_c"), col("p_partkey"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT p_partkey, ${Q.scaledLong("p_retailprice", 2)} AS price_c,
+                 CAST(p_size AS BIGINT) AS size
+          FROM part),
+        pp AS (
+          SELECT price_c, CAST(max(size) AS BIGINT) AS mx
+          FROM p GROUP BY price_c),
+        sweep AS (
+          SELECT price_c, mx,
+                 CAST(max(mx) OVER (ORDER BY price_c ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING) AS BIGINT) AS run
+          FROM pp)
+        SELECT p.p_partkey, p.price_c, p.size
+        FROM p JOIN sweep s ON p.price_c = s.price_c
+        WHERE coalesce(s.run, ${Long.MinValue}) < p.size AND s.mx <= p.size
+        ORDER BY p.price_c, p.p_partkey""")),
+
+    // Benford first-digit audit of order totals — the fraud / synthetic-
+    // data detector finance and data-quality teams run on monetary
+    // columns: naturally-occurring amounts follow P(d) = log10(1 + 1/d),
+    // and a uniform generator (like this synthetic corpus) visibly does
+    // not — the per-digit deviation IS the signal the audit reports. The
+    // first digit comes from the decimal rendering of the exact cents
+    // BIGINT (substr of an integer string is portable; no float log10 on
+    // the data path), and observed share, expected share, and the chi2
+    // contribution leave as e6-scaled BIGINTs.
+    //
+    // Scale shape: one 9-group aggregation of orders; the expected-share
+    // join is against a constant 9-row frame. Nothing else.
+    "quality_benford" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .selectExpr(s"CAST(substr(CAST(${Q.scaledLong("o_totalprice", 2)} AS STRING), 1, 1) AS BIGINT) AS digit")
+        val n = o.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = n.agg(sum(col("n")).as("total"))
+        n.crossJoin(broadcast(tot))
+          .selectExpr("digit", "n",
+            s"${Q.scaledLong("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS p_e6",
+            s"${Q.scaledLong("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS benford_e6",
+            s"${Q.scaledLong(
+              "pow(CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2.0) / (CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))",
+              2)} AS chi2_e2")
+          .orderBy(col("digit"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT CAST(substr(CAST(${Q.scaledLong("o_totalprice", 2)} AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders),
+        n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY digit),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM n)
+        SELECT digit, n,
+               ${Q.scaledLong("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS p_e6,
+               ${Q.scaledLong("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS benford_e6,
+               ${Q.scaledLong(
+          "pow(CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2.0) / (CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))",
+          2)} AS chi2_e2
+        FROM n CROSS JOIN t ORDER BY digit""")),
+
+    // EXACT double exponential smoothing (Brown's method, alpha = 1/2)
+    // of the daily count series per event type — the trend + level
+    // forecaster one step up from time_ema_counts' single smoother: the
+    // second-order series S2 closes to M_t / 2^(t+1) where M_t is the
+    // prefix sum of time_ema's shifted-count numerators N_t, so BOTH
+    // smoothers are exact BIGINT prefix sums divided by powers of two
+    // (exact in binary floating point), and the derived level
+    // (2*S1 - S2) and trend (S1 - S2) hash-match across engines with no
+    // tolerance — the property that makes a forecast regression-testable.
+    //
+    // Scale shape: one fact aggregation to the bounded days-x-types grid;
+    // two stacked prefix windows run on the grid, never the fact.
+    "time_holt_trend" -> QueryDef(
+      (s, d) => {
+        val spine = s.range(1)
+          .select(explode(expr(
+            "sequence(DATE'2024-01-01', DATE'2024-01-31', INTERVAL 1 DAY)"))
+            .as("day"))
+          .crossJoin(Tables.events(s, d).select(col("event_type")).distinct())
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts").cast("timestamp")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine
+          .join(broadcast(daily), Seq("day", "event_type"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("k", expr("datediff(day, DATE'2024-01-01') + 1"))
+          .withColumn("num",
+            sum(expr("c * shiftleft(CAST(1 AS BIGINT), k - 1)")).over(wCum))
+          .withColumn("m", sum(col("num")).over(wCum))
+          .selectExpr("day", "event_type", "c",
+            s"${Q.scaledLong(
+              "2.0 * CAST(num AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE) - CAST(m AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), k + 1) AS DOUBLE)",
+              6)} AS level_e6",
+            s"${Q.scaledLong(
+              "CAST(num AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE) - CAST(m AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), k + 1) AS DOUBLE)",
+              6)} AS trend_e6")
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some(s"""
+        WITH spine AS (
+          SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                        INTERVAL 1 DAY))::DATE AS day),
+        grid AS (
+          SELECT day, event_type FROM spine
+          CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT gr.day, gr.event_type, coalesce(d.c, 0) AS c,
+                 datediff('day', DATE '2024-01-01', gr.day) + 1 AS k
+          FROM grid gr LEFT JOIN daily d
+            ON gr.day = d.day AND gr.event_type = d.event_type),
+        s1 AS (
+          SELECT day, event_type, c, k,
+                 CAST(sum(c * (CAST(1 AS BIGINT) << (k - 1))) OVER (
+                   PARTITION BY event_type ORDER BY k ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS num
+          FROM g),
+        s2 AS (
+          SELECT day, event_type, c, k, num,
+                 CAST(sum(num) OVER (PARTITION BY event_type ORDER BY k ROWS
+                   BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+          FROM s1)
+        SELECT day, event_type, c,
+               ${Q.scaledLong(
+          "2.0 * CAST(num AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE) - CAST(m AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (k + 1)) AS DOUBLE)",
+          6)} AS level_e6,
+               ${Q.scaledLong(
+          "CAST(num AS DOUBLE) / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE) - CAST(m AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (k + 1)) AS DOUBLE)",
+          6)} AS trend_e6
+        FROM s2 ORDER BY day, event_type""")),
+
+    // Top user journey prefixes: each user's first four events (by event
+    // time, event_id tie-break) joined into a path string, counted across
+    // users, top 20 — the "how do users start" sequence-mining view that
+    // complements events_markov_transition's one-step matrix with ordered
+    // multi-step prefixes. concat_ws skips the missing slots of users
+    // with fewer than four events, exactly like the oracle's ordered
+    // string_agg over present rows.
+    //
+    // Scale shape: the rank window partitions by user (high cardinality,
+    // bounded state), the path aggregation is one user-keyed groupBy of
+    // four-row groups, and the final count feeds TakeOrderedAndProject —
+    // never a global sort of the paths frame.
+    "events_top_paths" -> QueryDef(
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val firsts = Tables.events(s, d)
+          .select(col("user_id"), epochUs(col("ts")).as("tus"),
+            col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(wOrd))
+          .where(col("rn") <= 4)
+        firsts.groupBy(col("user_id"))
+          .agg(concat_ws(">",
+            max(when(col("rn") === 1, col("event_type"))),
+            max(when(col("rn") === 2, col("event_type"))),
+            max(when(col("rn") === 3, col("event_type"))),
+            max(when(col("rn") === 4, col("event_type")))).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        r AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id) AS rn
+          FROM e),
+        p AS (
+          SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 4 GROUP BY user_id)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""")),
+
+    // Batch CDC MERGE (SCD1 upsert): apply a deterministic changeset —
+    // updates (key % 97), deletes (key % 101, winning over update on
+    // collision), inserts (key % 103, shifted to fresh keys) — to the
+    // customer snapshot in ONE full-outer join, the engine-agnostic MERGE
+    // INTO shape (reference's streaming upsert is the same last-write-wins
+    // semantics per micro-batch, src/consumer/data_sinks.py; this is its
+    // batch twin over a whole changeset). The post-merge state exits as a
+    // per-nation rowcount + balance checksum.
+    //
+    // Scale shape: both sides shuffle once on the merge key (at 100 TB:
+    // co-bucket snapshot and changeset on key to make this a zero-shuffle
+    // sort-merge); the verdict logic is a row-local CASE.
+    "merge_scd1_batch" -> QueryDef(
+      (s, d) => {
+        val snap = Tables.customer(s, d)
+          .selectExpr("c_custkey AS k", "CAST(c_nationkey AS BIGINT) AS nk",
+            s"${Q.scaledLong("c_acctbal", 2)} AS bal_c")
+        val del = snap.where(col("k") % 101 === 0)
+          .selectExpr("k", "'D' AS op", "CAST(NULL AS BIGINT) AS nbal",
+            "CAST(NULL AS BIGINT) AS ink")
+        val upd = snap.where(col("k") % 97 === 0 && col("k") % 101 =!= 0)
+          .selectExpr("k", "'U' AS op", "k * 100 AS nbal",
+            "CAST(NULL AS BIGINT) AS ink")
+        val ins = snap.where(col("k") % 103 === 0)
+          .selectExpr("k + 10000000 AS k", "'I' AS op", "k AS nbal", "nk AS ink")
+        val merged = snap
+          .join(del.unionByName(upd).unionByName(ins), Seq("k"), "full_outer")
+          .where(coalesce(col("op"), lit("_")) =!= "D")
+          .selectExpr("coalesce(nk, ink) AS nk",
+            "CASE WHEN op IN ('U', 'I') THEN nbal ELSE bal_c END AS bal")
+        merged.groupBy(col("nk"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_c"))
+          .orderBy(col("nk"))
+      },
+      Some(s"""
+        WITH snap AS (
+          SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nk,
+                 ${Q.scaledLong("c_acctbal", 2)} AS bal_c
+          FROM customer),
+        ch AS (
+          SELECT k, 'D' AS op, CAST(NULL AS BIGINT) AS nbal,
+                 CAST(NULL AS BIGINT) AS ink
+          FROM snap WHERE k % 101 = 0
+          UNION ALL
+          SELECT k, 'U', k * 100, CAST(NULL AS BIGINT)
+          FROM snap WHERE k % 97 = 0 AND k % 101 <> 0
+          UNION ALL
+          SELECT k + 10000000, 'I', k, nk FROM snap WHERE k % 103 = 0),
+        m AS (
+          SELECT coalesce(s.nk, c.ink) AS nk,
+                 CASE WHEN c.op IN ('U', 'I') THEN c.nbal ELSE s.bal_c END AS bal
+          FROM snap s FULL OUTER JOIN ch c ON s.k = c.k
+          WHERE c.op IS NULL OR c.op <> 'D')
+        SELECT nk, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(bal) AS BIGINT) AS bal_c
+        FROM m GROUP BY nk ORDER BY nk""")),
+
+    // k-anonymity / l-diversity audit over the quasi-identifier
+    // (nation, $1000 balance band) with market segment as the sensitive
+    // attribute — the privacy gate a training-data release runs before
+    // shipping user-derived tables: rows in groups of size k are
+    // re-identifiable with probability 1/k, and a group where every
+    // member shares one sensitive value leaks it outright (l = 1). Bands
+    // shift cents positive BEFORE the integer division so Spark's
+    // truncating div and DuckDB's flooring // agree on every row.
+    //
+    // Scale shape: one QI-keyed aggregation of the dimension, then a
+    // 4-row tier rollup; the total joins in as a broadcast 1-row frame.
+    "privacy_k_anonymity" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .selectExpr("CAST(c_nationkey AS BIGINT) AS nat",
+            s"(${Q.scaledLong("c_acctbal", 2)} + 100000) div 100000 AS band",
+            "c_mktsegment AS seg")
+        val g = c.groupBy(col("nat"), col("band"))
+          .agg(count(lit(1)).as("k"), expr("count(DISTINCT seg)").as("l"))
+        val tot = c.agg(count(lit(1)).as("total"))
+        g.selectExpr(
+          "CASE WHEN k = 1 THEN '1:unique' WHEN k < 5 THEN '2:k_lt_5' WHEN k < 10 THEN '3:k_lt_10' ELSE '4:k_ge_10' END AS tier",
+          "k", "l")
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+            min(col("l")).as("min_l"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("tier", "n_groups", "n_rows", "min_l",
+            s"${Q.scaledLong("CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS share_e6")
+          .orderBy(col("tier"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                 (${Q.scaledLong("c_acctbal", 2)} + 100000) // 100000 AS band,
+                 c_mktsegment AS seg
+          FROM customer),
+        g AS (
+          SELECT nat, band, CAST(count(*) AS BIGINT) AS k,
+                 CAST(count(DISTINCT seg) AS BIGINT) AS l
+          FROM c GROUP BY nat, band),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM c),
+        tiers AS (
+          SELECT CASE WHEN k = 1 THEN '1:unique' WHEN k < 5 THEN '2:k_lt_5'
+                      WHEN k < 10 THEN '3:k_lt_10' ELSE '4:k_ge_10' END AS tier,
+                 k, l
+          FROM g)
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(k) AS BIGINT) AS n_rows, CAST(min(l) AS BIGINT) AS min_l,
+               ${Q.scaledLong("CAST(sum(k) AS DOUBLE) / CAST(min(total) AS DOUBLE)", 6)} AS share_e6
+        FROM tiers CROSS JOIN t GROUP BY tier ORDER BY tier"""))
+  )
+}

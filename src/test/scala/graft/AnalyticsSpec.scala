@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the Analytics pack, beyond the DuckDB
+  * value-parity gate: rank-statistic bounds, skyline dominance soundness
+  * and completeness, Benford mass conservation, smoother identities,
+  * merge row accounting, and k-anonymity partition accounting.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+  private val d = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("mann-whitney: U bounds and AUC consistency") {
+    val r = q("stats_mann_whitney").collect().head
+    val (n1, n2, u2, auc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 > 0 && n2 > 0)
+    assert(u2 >= 0 && u2 <= 2 * n1 * n2, s"u2=$u2 outside [0, ${2 * n1 * n2}]")
+    val expect = math.floor(u2.toDouble / (2.0 * n1 * n2) * 1e6 + 0.5).toLong
+    assert(auc == expect, s"auc_e6=$auc != derived $expect")
+  }
+
+  test("skyline: sound (no dominated member) and complete (every part dominated or in)") {
+    val sky = q("skyline_parts").collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (price_c, size)
+    // soundness: no member dominates another
+    for (a <- sky; b <- sky if a != b)
+      assert(!(b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2)),
+        s"$b dominates $a inside the skyline")
+    // completeness: every part is in the skyline or dominated by a member
+    val parts = graft.engine.Tables.part(spark, d)
+      .selectExpr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS pc",
+        "CAST(p_size AS BIGINT) AS sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val skySet = sky.toSet
+    parts.foreach { p =>
+      assert(skySet.contains(p) || sky.exists(b =>
+        b._1 <= p._1 && b._2 >= p._2 && (b._1 < p._1 || b._2 > p._2)),
+        s"part $p neither on skyline nor dominated")
+    }
+  }
+
+  test("benford: digit mass accounts for every order") {
+    val rows = q("quality_benford").collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.engine.Tables.orders(spark, d).count())
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val pSum = rows.map(_.getLong(2)).sum
+    assert(math.abs(pSum - 1000000L) <= rows.length,
+      s"observed shares sum to $pSum, expected ~1e6")
+  }
+
+  test("holt trend: level - trend recovers the single smoother (time_ema)") {
+    val holt = q("time_holt_trend")
+      .selectExpr("day", "event_type", "level_e6 - trend_e6 AS s1_e6")
+    val ema = q("time_ema_counts").selectExpr("day", "event_type", "ema_e6")
+    val off = holt.join(ema, Seq("day", "event_type"))
+      .where(abs(col("s1_e6") - col("ema_e6")) > 2)
+      .count()
+    assert(off == 0, s"$off grid rows where 2*S1-S2 - (S1-S2) drifts from S1")
+  }
+
+  test("top paths: bounded output, positive counts, users accounted") {
+    val rows = q("events_top_paths").collect()
+    assert(rows.length <= 20)
+    assert(rows.forall(_.getLong(1) > 0))
+    val users = graft.engine.Tables.events(spark, d)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum <= users)
+  }
+
+  test("scd1 merge: exact row accounting (snapshot - deletes + inserts)") {
+    val snap = graft.engine.Tables.customer(spark, d)
+      .selectExpr("c_custkey AS k")
+    val nDel = snap.where(col("k") % 101 === 0).count()
+    val nIns = snap.where(col("k") % 103 === 0).count()
+    val merged = q("merge_scd1_batch").agg(sum("n_rows")).collect().head.getLong(0)
+    assert(merged == snap.count() - nDel + nIns,
+      s"merged=$merged, expected ${snap.count()} - $nDel + $nIns")
+  }
+
+  test("k-anonymity: tiers partition the QI groups and the rows") {
+    val rows = q("privacy_k_anonymity").collect()
+    val c = graft.engine.Tables.customer(spark, d)
+      .selectExpr("c_nationkey AS nat",
+        "(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 100000) div 100000 AS band")
+    assert(rows.map(_.getLong(2)).sum == c.count())
+    assert(rows.map(_.getLong(1)).sum == c.distinct().count())
+    assert(rows.forall(_.getLong(3) >= 1)) // min_l >= 1 always
+  }
+}

@@ -13,6 +13,7 @@ class ContractSpec extends AnyFunSuite {
 
   private val packs = Seq(
     "Relational" -> queries.Relational.defs,
+    "Analytics" -> queries.Analytics.defs,
     "TextOps" -> queries.TextOps.defs,
     "Dedup" -> queries.Dedup.defs,
     "Similarity" -> queries.Similarity.defs,
