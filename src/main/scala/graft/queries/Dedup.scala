@@ -750,6 +750,58 @@ object Dedup extends QueryPack {
                     JOIN dup e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
         ORDER BY a, b, c""")),
 
+    // HITS hubs/authorities (two integer-exact half-steps) over the
+    // verified dup-pair graph — the mutual-reinforcement centrality that
+    // complements PageRank's random-walk rank: a document is a strong
+    // hub if it near-dups many strong authorities and vice versa, which
+    // on duplication graphs separates template sources (high hub) from
+    // widely-copied canonical pages (high authority). Unnormalized
+    // power iteration from h0 = 1 keeps every score a BIGINT (a1 = in-
+    // degree, h1 = sum of neighbor a1, a2 = sum of neighbor h1), so two
+    // rounds hash-match the DuckDB re-derivation exactly — same
+    // integer-exactness contract as graph_pagerank_dups.
+    //
+    // Scale shape per half-step: one equi-join of the edge list against
+    // the previous score vector plus one destination-keyed aggregation —
+    // the standard message-passing shape, one shuffle per half-step, and
+    // the edge list is localCheckpoint-truncated once so iterations
+    // never re-run the LSH pipeline.
+    "graph_hits_dups" -> QueryDef(
+      (s, d) => {
+        val dup = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val edges = dup.toDF("src", "dst")
+          .union(dup.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
+        val a1 = edges.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+          .withColumnRenamed("dst", "v")
+        val h1 = edges.join(a1.withColumnRenamed("v", "dst"), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+          .withColumnRenamed("src", "v")
+        val a2 = edges.join(h1.withColumnRenamed("v", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+          .withColumnRenamed("dst", "v")
+        h1.join(a2, Seq("v"))
+          .selectExpr("CAST(v AS BIGINT) AS doc_id",
+            "CAST(h1 AS BIGINT) AS hub", "CAST(a2 AS BIGINT) AS auth")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
+        dup AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jacc >= $JaccThreshold),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+                  UNION ALL SELECT doc_b, doc_a FROM dup),
+        a1 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS a1
+               FROM edges GROUP BY dst),
+        h1 AS (SELECT e.src AS v, CAST(sum(a.a1) AS BIGINT) AS h1
+               FROM edges e JOIN a1 a ON e.dst = a.v GROUP BY e.src),
+        a2 AS (SELECT e.dst AS v, CAST(sum(h.h1) AS BIGINT) AS a2
+               FROM edges e JOIN h1 h ON e.src = h.v GROUP BY e.dst)
+        SELECT h1.v AS doc_id, h1.h1 AS hub, a2.a2 AS auth
+        FROM h1 JOIN a2 ON h1.v = a2.v ORDER BY doc_id""")),
+
     // Exact n-gram Jaccard with a BOUNDED worst case: the declared result
     // is the LSH-candidate-verified pairs UNION an exact all-pairs pass
     // over a deterministic 1/16 document stratum. The stratum is the

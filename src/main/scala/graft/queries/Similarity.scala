@@ -331,6 +331,81 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
 
+    // Binary (1-bit sign) quantization retrieval: every embedding packs
+    // into two 32-bit sign words, the shortlist is the 20 Hamming-nearest
+    // corpus vectors per query (bit_count over XOR — the cheapest
+    // distance that exists), and the exact cosine reranks only the
+    // shortlist — the modern memory-bound ANN path (64 floats -> 8
+    // bytes = 32x compression; at 100 TB the packed words fit RAM when
+    // the float vectors never could, the Hamming scan is one pass over
+    // fixed-width integers inside whole-stage codegen, and the exact
+    // rerank touches 20 rows per query). Two 32-bit words per vector
+    // keep every shift inside non-negative BIGINT range in both engines
+    // — no sign-bit edge case. Deterministic end to end: sign packing,
+    // Hamming ties broken by vec_id, rerank ties by vec_id.
+    "sim_binary_quantize" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        def word(off: Int): String =
+          s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> " +
+            s"acc + IF(element_at(embedding, i + $off) >= 0, " +
+            s"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "embedding",
+            s"${word(0)} AS w1", s"${word(32)} AS w2")
+        val q = e.where(col("vec_id") < 20)
+          .selectExpr("vec_id AS qid", "embedding AS qv",
+            "w1 AS q1", "w2 AS q2")
+        val n = e.selectExpr("vec_id AS vid", "embedding AS nv", "w1", "w2")
+        val wShort = Window.partitionBy(col("qid"))
+          .orderBy(col("ham"), col("vid"))
+        val short = broadcast(q).join(n, col("qid") =!= col("vid"))
+          .withColumn("ham",
+            expr("CAST(bit_count(w1 ^ q1) + bit_count(w2 ^ q2) AS BIGINT)"))
+          .withColumn("hrn", row_number().over(wShort))
+          .where(col("hrn") <= 20)
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vid"))
+        cosine(short, "qv", "nv")
+          .withColumn("rn", row_number().over(wTop))
+          .where(col("rn") <= 5)
+          .selectExpr("qid", "rn", "vid", "ham", "round(cos, 6) AS cos")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        def word(v: String, off: Int): String =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 33), i -> " +
+            s"CASE WHEN $v[i + $off] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+            s"ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, ${word("embedding", 0)} AS w1,
+                 ${word("embedding", 32)} AS w2
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qv, w1 AS q1, w2 AS q2
+              FROM e WHERE vec_id < 20),
+        h AS (
+          SELECT qid, qv, e.vec_id AS vid, e.embedding AS nv,
+                 CAST(bit_count(xor(e.w1, q.q1))
+                      + bit_count(xor(e.w2, q.q2)) AS BIGINT) AS ham
+          FROM q JOIN e ON e.vec_id <> q.qid),
+        short AS (
+          SELECT qid, qv, vid, nv, ham,
+                 row_number() OVER (PARTITION BY qid ORDER BY ham, vid) AS hrn
+          FROM h),
+        sc AS (
+          SELECT qid, vid, ham, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM short WHERE hrn <= 20),
+        ranked AS (
+          SELECT qid, vid, ham, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rn
+          FROM sc)
+        SELECT qid, rn, vid, ham, round(cos, 6) AS cos
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+      }),
+
     // Distributed PCA power iteration, two rounds, INTEGER-exact — the
     // primitive behind embedding whitening / dominant-direction removal
     // in curation pipelines (e.g. dropping the "common language

@@ -85,6 +85,58 @@ object TextOps extends QueryPack {
         SELECT doc_id, ${duckStrHash("text")} AS fp
         FROM documents ORDER BY doc_id""")),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // local-document-fingerprinting algorithm): hash every char 6-gram,
+    // slide a window of 4 hashes, keep each window's minimum — the
+    // selected set is guaranteed to share fingerprints with any document
+    // that shares a run of >= 9 chars, which is the partial-overlap
+    // detector text_fingerprint's whole-string hash cannot be (one edited
+    // byte changes the whole-string hash; winnowing still matches every
+    // untouched region). The doc exits as its fingerprint-set size plus
+    // an order-canonical fold hash of the sorted distinct set, so the
+    // SELECTION ITSELF is what the oracle verifies.
+    //
+    // Scale shape: entirely row-local higher-order functions — O(len * w)
+    // arithmetic per document inside whole-stage codegen, no explode, no
+    // shuffle; the downstream dedup join on shared fingerprints is the
+    // same band-join shape as MinHash LSH.
+    "text_winnow_fingerprint" -> QueryDef(
+      (s, d) => {
+        val grams =
+          "transform(sequence(1, length(t) - 5), p -> " +
+            "aggregate(transform(sequence(0, 5), j -> CAST(ascii(substr(t, p + j, 1)) AS BIGINT)), " +
+            s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P))"
+        Tables.documents(s, d)
+          .where(length(col("text")) >= 9)
+          .selectExpr("doc_id", "lower(text) AS t")
+          .selectExpr("doc_id", s"$grams AS hs")
+          .selectExpr("doc_id", "CAST(size(hs) AS BIGINT) AS n_grams",
+            "array_sort(array_distinct(transform(sequence(1, size(hs) - 3), q -> array_min(slice(hs, q, 4))))) AS fps")
+          .selectExpr("doc_id", "n_grams",
+            "CAST(size(fps) AS BIGINT) AS n_fp",
+            s"aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P) AS fp_hash")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lower(text) AS t FROM documents
+          WHERE length(text) >= 9),
+        hs AS (
+          SELECT doc_id, list_transform(range(1, length(t) - 4), p ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, 6), j -> CAST(ascii(substr(t, p + j, 1)) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % $P)) AS hs
+          FROM t),
+        fp AS (
+          SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+                 list_sort(list_distinct(list_transform(range(1, len(hs) - 2), q ->
+                   list_min(list_slice(hs, q, q + 3))))) AS fps
+          FROM hs)
+        SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                 (acc, x) -> (acc * 31 + x) % $P) AS fp_hash
+        FROM fp ORDER BY doc_id""")),
+
     "text_tokens" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .selectExpr(
