@@ -1003,28 +1003,26 @@ object Ingest extends QueryPack {
           .adAttributionOuter(src(imps), src(clicks))
         val qn = s"ljoin_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
-          // pre-start adds: one deterministic batch 0 (see inner join note)
+          // TWO data batches total — the outer-join minimum, since
+          // eviction needs one batch executed UNDER an already-advanced
+          // watermark and the watermark only updates at batch end.
+          // Batch 0 carries ALL real rows plus the flush rows that raise
+          // both streams' max event time past every real impression's
+          // horizon (matches emit here; cross-batch join-state survival
+          // is the inner-join roundtrip's dedicated property). Batch 1 is
+          // one filtered flush row running under the advanced watermark:
+          // it evicts the unmatched impressions and emits their null-
+          // click rows. Micro-batches cost ~0.5s fixed each in this
+          // runtime (no-data batches are disabled), so the third batch
+          // the round-4 choreography used was pure overhead.
           imps.addData(impEvents)
-          clicks.addData(clickEvents.take(3))
+          imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
+          clicks.addData(clickEvents)
+          clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            // batch 2: the cross-batch click (matched under batch 1's
-            // watermark, so ad 4's impression state is still live) PLUS
-            // the flush rows raising both streams' max event time past
-            // every real impression's horizon — the final output depends
-            // only on the FINAL watermark, so one watermark-raising stage
-            // suffices (micro-batches cost ~0.5s fixed each in this
-            // runtime, which is also why no-data batches are disabled).
-            clicks.addData(clickEvents.drop(3))
-            imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
-            clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
-            q.processAllAvailable()
-            // batch 3: one more filtered flush row, executing under the
-            // watermark batch 2 advanced — evicts and emits the unmatched
-            // rows (no-data batches are disabled; this data batch is what
-            // the trailing no-data batch used to be)
             clicks.addData(Seq(("2024-01-05 03:00:00", -2L)))
             q.processAllAvailable()
           } finally q.stop()
@@ -1071,23 +1069,15 @@ object Ingest extends QueryPack {
                   click_ts <= imp_ts + INTERVAL 1 HOUR"""), "full_outer")
         val qn = s"fjoin_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
-          // pre-start adds: one deterministic batch 0 (see inner join note)
+          // two-batch choreography — see the left-outer roundtrip note
           imps.addData(impEvents)
-          clicks.addData(clickEvents.take(3))
+          imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
+          clicks.addData(clickEvents)
+          clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            // watermark-raising flush batch (see the left-outer
-            // roundtrip's choreography note)
-            clicks.addData(clickEvents.drop(3))
-            imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
-            clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
-            q.processAllAvailable()
-            // batch 3: one more filtered flush row, executing under the
-            // watermark batch 2 advanced — evicts and emits the unmatched
-            // rows (no-data batches are disabled; this data batch is what
-            // the trailing no-data batch used to be)
             clicks.addData(Seq(("2024-01-05 03:00:00", -2L)))
             q.processAllAvailable()
           } finally q.stop()
@@ -1138,23 +1128,15 @@ object Ingest extends QueryPack {
                   click_ts <= imp_ts + INTERVAL 1 HOUR"""), "right_outer")
         val qn = s"rjoin_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
-          // pre-start adds: one deterministic batch 0 (see inner join note)
+          // two-batch choreography — see the left-outer roundtrip note
           imps.addData(impEvents)
-          clicks.addData(clickEvents.take(3))
+          imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
+          clicks.addData(clickEvents)
+          clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            // watermark-raising flush batch (see the left-outer
-            // roundtrip's choreography note)
-            clicks.addData(clickEvents.drop(3))
-            imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
-            clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
-            q.processAllAvailable()
-            // batch 3: one more filtered flush row, executing under the
-            // watermark batch 2 advanced — evicts and emits the unmatched
-            // rows (no-data batches are disabled; this data batch is what
-            // the trailing no-data batch used to be)
             clicks.addData(Seq(("2024-01-05 03:00:00", -2L)))
             q.processAllAvailable()
           } finally q.stop()
