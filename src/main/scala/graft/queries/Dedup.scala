@@ -475,7 +475,12 @@ object Dedup extends QueryPack {
     // transitive closure.
     "dedup_clusters" -> QueryDef(
       (s, d) => {
-        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        // truncate lineage before iterating (the graph_kcore_dups
+        // discipline): the iterative op re-plans its input per round, and
+        // the LSH pipeline's plan is deep — persist alone leaves the
+        // planning cost in every round
+        val pairs = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
         graft.engine.ops.ConnectedComponents.run(pairs)
           .selectExpr("CAST(v AS BIGINT) AS doc_id",
             "CAST(lbl AS BIGINT) AS cluster_id")
@@ -498,7 +503,12 @@ object Dedup extends QueryPack {
     // transitive closure dedup_clusters checks.
     "dedup_rate_by_source" -> QueryDef(
       (s, d) => {
-        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        // truncate lineage before iterating (the graph_kcore_dups
+        // discipline): the iterative op re-plans its input per round, and
+        // the LSH pipeline's plan is deep — persist alone leaves the
+        // planning cost in every round
+        val pairs = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
         val dupDocs = graft.engine.ops.ConnectedComponents.run(pairs)
           .selectExpr("CAST(v AS BIGINT) AS doc_id")
           .withColumn("isdup", lit(1L))
@@ -532,7 +542,12 @@ object Dedup extends QueryPack {
     // closure and picks the same representative.
     "dedup_keep_best" -> QueryDef(
       (s, d) => {
-        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        // truncate lineage before iterating (the graph_kcore_dups
+        // discipline): the iterative op re-plans its input per round, and
+        // the LSH pipeline's plan is deep — persist alone leaves the
+        // planning cost in every round
+        val pairs = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
         val labels = graft.engine.ops.ConnectedComponents.run(pairs)
           .selectExpr("CAST(v AS BIGINT) AS doc_id",
             "CAST(lbl AS BIGINT) AS cluster_id")
@@ -572,7 +587,12 @@ object Dedup extends QueryPack {
     // PageRank.scala).
     "graph_pagerank_dups" -> QueryDef(
       (s, d) => {
-        val pairs = minHashDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        // truncate lineage before iterating (the graph_kcore_dups
+        // discipline): the iterative op re-plans its input per round, and
+        // the LSH pipeline's plan is deep — persist alone leaves the
+        // planning cost in every round
+        val pairs = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
         graft.engine.ops.PageRank.run(pairs, iters = 3)
           .selectExpr("CAST(v AS BIGINT) AS doc_id", "CAST(rank AS BIGINT) AS rank")
           .orderBy(col("doc_id"))
