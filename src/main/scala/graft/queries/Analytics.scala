@@ -369,6 +369,143 @@ object Analytics extends QueryPack {
                CAST(sum(bal) AS BIGINT) AS bal_c
         FROM m GROUP BY nk ORDER BY nk""")),
 
+    // Welch's unequal-variance t-test between the click and view value
+    // distributions — the parametric companion to stats_mann_whitney
+    // (ranks) and stats_ks_two_sample (CDF distance): the trio is the
+    // standard A/B readout. Every moment is an EXACT BIGINT sufficient
+    // statistic of the cents-quantized metric (n, sum, sum-of-squares
+    // accumulate associatively — the two-phase shape that makes the test
+    // mergeable across partitions and across days at 100 TB), and the t
+    // statistic plus the Welch-Satterthwaite degrees of freedom are
+    // computed from those integers through one identical expression tree
+    // in both engines, leaving e6-scaled.
+    "stats_ttest_welch" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(expr(Q.scaledLong("value", 2)).as("v"),
+            (col("event_type") === "click").cast("long").as("isa"))
+        val stats = ev.groupBy(col("isa"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+            sum(col("v") * col("v")).as("sxx"))
+        val a = stats.where(col("isa") === 1)
+          .selectExpr("n AS n1", "sx AS sx1", "sxx AS sxx1")
+        val b = stats.where(col("isa") === 0)
+          .selectExpr("n AS n2", "sx AS sx2", "sxx AS sxx2")
+        val se1 = "((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)"
+        val se2 = "((CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)"
+        a.crossJoin(broadcast(b))
+          .selectExpr("n1", "n2",
+            s"${Q.scaledLong(
+              s"(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($se1 + $se2)",
+              6)} AS t_e6",
+            s"${Q.scaledLong(
+              s"pow($se1 + $se2, 2.0) / (pow($se1, 2.0) / (CAST(n1 AS DOUBLE) - 1.0) + pow($se2, 2.0) / (CAST(n2 AS DOUBLE) - 1.0))",
+              3)} AS df_e3")
+      },
+      Some {
+        val se1 = "((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)"
+        val se2 = "((CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)"
+        s"""
+        WITH ev AS (
+          SELECT ${Q.scaledLong("value", 2)} AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+          FROM events WHERE event_type IN ('click', 'view')),
+        st AS (
+          SELECT isa, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sx,
+                 CAST(sum(v * v) AS BIGINT) AS sxx
+          FROM ev GROUP BY isa),
+        ab AS (
+          SELECT a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+                 b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
+          FROM (SELECT * FROM st WHERE isa = 1) a
+          CROSS JOIN (SELECT * FROM st WHERE isa = 0) b)
+        SELECT n1, n2,
+               ${Q.scaledLong(
+          s"(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($se1 + $se2)",
+          6)} AS t_e6,
+               ${Q.scaledLong(
+          s"pow($se1 + $se2, 2.0) / (pow($se1, 2.0) / (CAST(n1 AS DOUBLE) - 1.0) + pow($se2, 2.0) / (CAST(n2 AS DOUBLE) - 1.0))",
+          3)} AS df_e3
+        FROM ab"""
+      }),
+
+    // Lag-k autocorrelation (k = 1 and 7) of the daily event-count
+    // series per event type — the seasonality probe a forecasting
+    // pipeline runs before choosing a model (lag-7 spikes = weekly
+    // cycle; lag-1 = momentum). Counts live on the zero-filled 31-day
+    // calendar grid (a silent day is a real observation, same contract
+    // as time_ema_counts), every Pearson moment over the (x_t, x_{t-k})
+    // pairs is an exact BIGINT (n*sxy - sx*sy etc.), and r leaves as the
+    // integer-moment ratio through one identical expression tree,
+    // e6-scaled.
+    //
+    // Scale shape: one fact aggregation to the bounded grid; the lag
+    // window and the per-(type, lag) Pearson fold both run on the grid.
+    "time_autocorr" -> QueryDef(
+      (s, d) => {
+        val spine = s.range(1)
+          .select(explode(expr(
+            "sequence(DATE'2024-01-01', DATE'2024-01-31', INTERVAL 1 DAY)"))
+            .as("day"))
+          .crossJoin(Tables.events(s, d).select(col("event_type")).distinct())
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts").cast("timestamp")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val grid = spine
+          .join(broadcast(daily), Seq("day", "event_type"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val lagged = Seq(1, 7).map { k =>
+          grid.withColumn("x", lag(col("c"), k).over(wOrd))
+            .where(col("x").isNotNull)
+            .withColumn("lag", lit(k.toLong))
+        }.reduce(_ unionByName _)
+        val rNum = "CAST(n * sxy - sx * sy AS DOUBLE)"
+        val rDen = "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"
+        lagged.groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sy"),
+            sum(col("x")).as("sx"), sum(col("c") * col("c")).as("syy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("c")).as("sxy"))
+          .selectExpr("event_type", "lag", "n",
+            s"${Q.scaledLong(s"$rNum / $rDen", 6)} AS r_e6")
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some {
+        val rNum = "CAST(n * sxy - sx * sy AS DOUBLE)"
+        val rDen = "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"
+        s"""
+        WITH spine AS (
+          SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                        INTERVAL 1 DAY))::DATE AS day),
+        grid AS (
+          SELECT day, event_type FROM spine
+          CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT gr.day, gr.event_type, coalesce(d.c, 0) AS c
+          FROM grid gr LEFT JOIN daily d
+            ON gr.day = d.day AND gr.event_type = d.event_type),
+        lagged AS (
+          SELECT event_type, CAST(k AS BIGINT) AS lag, c,
+                 lag(c, k) OVER (PARTITION BY event_type, k ORDER BY day) AS x
+          FROM g CROSS JOIN (SELECT unnest([1, 7]) AS k)),
+        mo AS (
+          SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS syy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * c) AS BIGINT) AS sxy
+          FROM lagged WHERE x IS NOT NULL GROUP BY event_type, lag)
+        SELECT event_type, lag, n, ${Q.scaledLong(s"$rNum / $rDen", 6)} AS r_e6
+        FROM mo ORDER BY event_type, lag"""
+      }),
+
     // k-anonymity / l-diversity audit over the quasi-identifier
     // (nation, $1000 balance band) with market segment as the sensitive
     // attribute — the privacy gate a training-data release runs before

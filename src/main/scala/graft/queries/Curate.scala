@@ -237,6 +237,60 @@ object Curate extends QueryPack {
                              (acc, v) -> acc + v) AS tot
           FROM c)
         SELECT source, n, ${Q.scaledLong("sq / tot", 6)} AS share_e6
-        FROM c CROSS JOIN t ORDER BY source"""))
+        FROM c CROSS JOIN t ORDER BY source""")),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    // document under the corpus unigram LM (text_unigram_logprob's exact
+    // arithmetic), split the corpus into head/middle/tail terciles of
+    // fluency, and report the (source x bucket) doc/token distribution —
+    // the table a curation run reads to decide which tail slices to drop
+    // and which sources skew noisy. Docs rank by the e6-ROUNDED score
+    // with doc_id tie-break, so tercile assignment is stable across
+    // engines (raw float association noise cannot reorder a 6-decimal
+    // tie-broken sort key).
+    //
+    // Scale shape: LM counts broadcast to the scoring scan (the
+    // text_unigram_logprob contract); the tercile window runs over the
+    // per-DOC score frame, not tokens. At 100 TB the global ntile swaps
+    // for approx-percentile thresholds (one aggregation, no global
+    // window) — the bucket rule stays the same.
+    "curate_ccnet_buckets" -> QueryDef(
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .selectExpr("doc_id", "source",
+            s"explode(${sparkWords("lower(text)")}) AS term")
+        val lm = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val tot = terms.agg(count(lit(1)).as("n"))
+        val scored = terms.join(broadcast(lm), "term").crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            expr(Q.scaledLong("avg(ln(c * 1.0 / n))", 6)).as("lp6"))
+        val wB = Window.orderBy(col("lp6").desc, col("doc_id"))
+        scored.withColumn("bucket", ntile(3).over(wB))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .selectExpr("source", "CAST(bucket AS BIGINT) AS bucket",
+            "n_docs", "CAST(n_tokens AS BIGINT) AS n_tokens")
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT doc_id, source, unnest(${duckWords("lower(text)")}) AS term
+          FROM documents),
+        lm AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+        tot AS (SELECT count(*) AS n FROM terms),
+        scored AS (
+          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 ${Q.scaledLong("avg(ln(c * 1.0 / n))", 6)} AS lp6
+          FROM terms JOIN lm USING (term) CROSS JOIN tot
+          GROUP BY doc_id, source),
+        b AS (
+          SELECT source, n_tokens,
+                 ntile(3) OVER (ORDER BY lp6 DESC, doc_id) AS bucket
+          FROM scored)
+        SELECT source, CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM b GROUP BY source, bucket ORDER BY source, bucket"""))
   )
 }

@@ -83,6 +83,44 @@ class AnalyticsSpec extends AnyFunSuite {
       s"merged=$merged, expected ${snap.count()} - $nDel + $nIns")
   }
 
+  test("welch t-test: sign matches the mean difference, df within classical bounds") {
+    val r = q("stats_ttest_welch").collect().head
+    val (n1, n2, t, df3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val ev = graft.engine.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type")
+      .agg(avg(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.signum(t.toDouble) == math.signum(ev("click") - ev("view")))
+    val df = df3 / 1000.0
+    assert(df >= math.min(n1, n2) - 1 && df <= n1 + n2 - 2,
+      s"Welch df=$df outside [min(n)-1, n1+n2-2]")
+  }
+
+  test("autocorr: correlation bounds and exact pair counts per lag") {
+    val rows = q("time_autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, lag, n, r6) =>
+      assert(n == 31 - lag, s"$et lag=$lag should have ${31 - lag} pairs, got $n")
+      assert(r6 >= -1000000L && r6 <= 1000000L, s"$et lag=$lag r_e6=$r6")
+    }
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(1L, 7L))
+  }
+
+  test("ccnet buckets: terciles partition the scored docs evenly") {
+    val rows = q("curate_ccnet_buckets").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val scoredDocs = graft.engine.Tables.documents(spark, d)
+      .where("size(filter(split(lower(text), ' '), w -> w <> '')) > 0").count()
+    assert(rows.map(_._3).sum == scoredDocs)
+    val perBucket = rows.groupBy(_._2).map { case (b, g) => b -> g.map(_._3).sum }
+    assert(perBucket.keySet == Set(1L, 2L, 3L))
+    assert(perBucket.values.max - perBucket.values.min <= 1,
+      s"ntile terciles must differ by at most one doc: $perBucket")
+  }
+
   test("k-anonymity: tiers partition the QI groups and the rows") {
     val rows = q("privacy_k_anonymity").collect()
     val c = graft.engine.Tables.customer(spark, d)
