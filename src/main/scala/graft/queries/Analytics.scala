@@ -506,6 +506,150 @@ object Analytics extends QueryPack {
         FROM mo ORDER BY event_type, lag"""
       }),
 
+    // RFM segmentation — the classic customer-value grid: per user,
+    // Recency (days from last event to the 2024-02-01 reference),
+    // Frequency (event count) and Monetary (cents sum) each quintile-
+    // banded, the three quintiles concatenated into the 111..555 segment
+    // code, and the cohort sizes + monetary mass reported per segment.
+    // Quintile assignment orders by the integer metric with user_id
+    // tie-break, so banding is deterministic and engine-identical.
+    //
+    // Scale shape: one user-keyed aggregation of the fact, then three
+    // ntile windows over the per-USER frame (dimension-sized; at 100 TB
+    // swap for approx-percentile band thresholds — one aggregation, no
+    // global window — with the same segment rule).
+    "events_rfm_segmentation" -> QueryDef(
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            expr("datediff(DATE'2024-02-01', max(to_date(CAST(ts AS TIMESTAMP))))")
+              .as("r_days"),
+            count(lit(1)).as("f"),
+            sum(expr(Q.scaledLong("value", 2))).as("m_c"))
+        val rw = Window.orderBy(col("r_days"), col("user_id"))
+        val fw = Window.orderBy(col("f").desc, col("user_id"))
+        val mw = Window.orderBy(col("m_c").desc, col("user_id"))
+        u.withColumn("rq", ntile(5).over(rw))
+          .withColumn("fq", ntile(5).over(fw))
+          .withColumn("mq", ntile(5).over(mw))
+          .selectExpr("CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment", "m_c")
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_users"), sum(col("m_c")).as("m_sum_c"))
+          .orderBy(col("segment"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT user_id,
+                 datediff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') AS r_days,
+                 CAST(count(*) AS BIGINT) AS f,
+                 CAST(sum(${Q.scaledLong("value", 2)}) AS BIGINT) AS m_c
+          FROM events GROUP BY user_id),
+        b AS (
+          SELECT m_c,
+                 ntile(5) OVER (ORDER BY r_days, user_id) AS rq,
+                 ntile(5) OVER (ORDER BY f DESC, user_id) AS fq,
+                 ntile(5) OVER (ORDER BY m_c DESC, user_id) AS mq
+          FROM u)
+        SELECT CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(m_c) AS BIGINT) AS m_sum_c
+        FROM b GROUP BY 1 ORDER BY segment""")),
+
+    // ABC / Pareto classification of parts by revenue — the 80/95 cut
+    // inventory and curation teams run to split a catalog into the vital
+    // few (A: first 80% of cumulative revenue), the moderate middle (B:
+    // to 95%) and the long tail (C). The cumulative share test is pure
+    // BIGINT cross-multiplication (cum*5 <= total*4, cum*20 <= total*19)
+    // — no division on the classification path, so the boundary part is
+    // classified identically in both engines.
+    //
+    // Scale shape: one part-keyed aggregation of lineitem, a cumulative
+    // window over the per-PART frame ordered by revenue (dimension-
+    // sized), and a 3-row rollup; the grand total joins in as a
+    // broadcast 1-row frame.
+    "orders_abc_pareto" -> QueryDef(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr(Q.scaledLong("l_extendedprice", 2))).as("rev_c"))
+        val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = rev.agg(sum(col("rev_c")).as("total"))
+        rev.withColumn("cum", sum(col("rev_c")).over(wCum))
+          .crossJoin(broadcast(tot))
+          .selectExpr(
+            "CASE WHEN cum * 5 <= total * 4 THEN 'A' WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS cls",
+            "rev_c", "total")
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"),
+            min(col("total")).as("total"))
+          .selectExpr("cls", "n_parts", "rev_c",
+            s"${Q.scaledLong("CAST(rev_c AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS share_e6")
+          .orderBy(col("cls"))
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT l_partkey,
+                 CAST(sum(${Q.scaledLong("l_extendedprice", 2)}) AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY l_partkey),
+        c AS (
+          SELECT l_partkey, rev_c,
+                 CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ROWS
+                   BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(rev_c) OVER () AS BIGINT) AS total
+          FROM rev),
+        cls AS (
+          SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                      WHEN cum * 20 <= total * 19 THEN 'B'
+                      ELSE 'C' END AS cls, rev_c, total
+          FROM c)
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev_c) AS BIGINT) AS rev_c,
+               ${Q.scaledLong("CAST(sum(rev_c) AS DOUBLE) / CAST(min(total) AS DOUBLE)", 6)} AS share_e6
+        FROM cls GROUP BY cls ORDER BY cls""")),
+
+    // Longest consecutive-day activity streak per user (gaps-and-islands
+    // via the day-number minus row-number trick: consecutive days share
+    // one island id), reported as the streak-length histogram — the
+    // engagement-depth metric next to cohort_retention's calendar view.
+    // Entirely integer: day numbers, island ids, streak lengths.
+    //
+    // Scale shape: one distinct over (user, day) — bounded by users x
+    // 31 days — then a user-partitioned rank window and two bounded
+    // aggregations; the fact is scanned once.
+    "events_activity_streaks" -> QueryDef(
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01')")
+              .as("dnum"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("dnum"))
+        days.withColumn("grp", col("dnum") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id")).agg(max(col("len")).as("best"))
+          .groupBy(col("best").as("streak_len"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("streak_len"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dnum
+          FROM events),
+        isl AS (
+          SELECT user_id, dnum,
+                 dnum - row_number() OVER (PARTITION BY user_id ORDER BY dnum) AS grp
+          FROM days),
+        st AS (
+          SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+          FROM isl GROUP BY user_id, grp),
+        best AS (
+          SELECT user_id, CAST(max(len) AS BIGINT) AS best FROM st GROUP BY user_id)
+        SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
+        FROM best GROUP BY best ORDER BY streak_len""")),
+
     // k-anonymity / l-diversity audit over the quasi-identifier
     // (nation, $1000 balance band) with market segment as the sensitive
     // attribute — the privacy gate a training-data release runs before

@@ -121,6 +121,40 @@ class AnalyticsSpec extends AnyFunSuite {
       s"ntile terciles must differ by at most one doc: $perBucket")
   }
 
+  test("rfm: quintile digits in range, user mass conserved") {
+    val rows = q("events_rfm_segmentation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (seg, _, _) =>
+      val (rq, fq, mq) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(Seq(rq, fq, mq).forall(x => x >= 1 && x <= 5), s"segment $seg")
+    }
+    val users = graft.engine.Tables.events(spark, d)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == users)
+  }
+
+  test("abc pareto: classes partition parts, shares ordered A >= B") {
+    val rows = q("orders_abc_pareto").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    val parts = graft.engine.Tables.lineitem(spark, d)
+      .select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == parts)
+    val share = rows.map(r => r._1 -> r._4).toMap
+    // A carries ~80% of revenue with far fewer parts than its share
+    assert(share("A") >= 700000L && share("A") <= 800000L)
+    assert(rows.map(_._4).sum >= 999998L && rows.map(_._4).sum <= 1000002L)
+  }
+
+  test("activity streaks: histogram mass = users, lengths within the 31-day window") {
+    val rows = q("events_activity_streaks").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val users = graft.engine.Tables.events(spark, d)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == users)
+    assert(rows.forall { case (len, _) => len >= 1 && len <= 31 })
+  }
+
   test("k-anonymity: tiers partition the QI groups and the rows") {
     val rows = q("privacy_k_anonymity").collect()
     val c = graft.engine.Tables.customer(spark, d)
