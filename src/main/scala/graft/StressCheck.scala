@@ -233,6 +233,24 @@ object StressCheck {
     }
     println(s"[stress] pq_rows=$pqRows")
     spark.catalog.clearCache()
+    // binary-quantization retrieval at 50k vectors: the packed-word
+    // Hamming scan (20 queries x 50k corpus = 1M codegen'd bit_count
+    // rows) + exact rerank must hold its 5-rows-per-query contract at
+    // 25x the bench corpus — the memory-bound ANN path whose whole point
+    // is surviving corpus growth the float scan cannot.
+    val bqRows = t("sim_binary_quantize (50k vectors)") {
+      SparkEntry.queries("sim_binary_quantize")(spark, vecDir).count()
+    }
+    println(s"[stress] bq_rows=$bqRows")
+    spark.catalog.clearCache()
+    // winnowing at 125k docs (marker-token replicas make the texts ~2x
+    // the bench corpus): the O(len * w) row-local fingerprint selection
+    // must stay a narrow map — no explode, no shuffle, memory flat.
+    val winnowed = t("text_winnow_fingerprint (125k docs)") {
+      SparkEntry.queries("text_winnow_fingerprint")(spark, dir).count()
+    }
+    println(s"[stress] winnowed_docs=$winnowed")
+    spark.catalog.clearCache()
     // SemDeDup at 50k vectors: the declared k=8 codebook would put ~6k
     // vectors in every cell (~156M within-cell candidates — the same
     // quadratic cliff the 4-bit LSH bands hit above). The published fix
@@ -277,7 +295,8 @@ object StressCheck {
       (if (pairs >= 6000 && clusters >= 1900 && missed == 0 && chunks >= nDocs &&
         nVecs == 50000 && annPairs >= 500000 && ivfRows >= 50 &&
         packedBins >= 1 && decontam >= 1 && containment >= 1 &&
-        recallTrained >= recallFixed && pqRows == 30 && incDups == 5000)
+        recallTrained >= recallFixed && pqRows == 30 && incDups == 5000 &&
+        bqRows == 100 && winnowed >= nDocs - 25)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

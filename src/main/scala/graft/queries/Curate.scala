@@ -291,6 +291,75 @@ object Curate extends QueryPack {
         SELECT source, CAST(bucket AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        FROM b GROUP BY source, bucket ORDER BY source, bucket"""))
+        FROM b GROUP BY source, bucket ORDER BY source, bucket""")),
+
+    // DSIR data selection (Xie et al. 2023, Data Selection via Importance
+    // Resampling): score every raw-pool document by how much its hashed
+    // n-gram feature distribution resembles a target domain — here the
+    // 'en' slice plays the target, the rest the raw pool, features are
+    // 64 hashed unigram buckets, and the per-bucket importance log-weight
+    // is ln(p_target / p_raw) with Laplace smoothing. The portability
+    // trick: log-weights QUANTIZE to e6 BIGINTs per bucket (64 rows)
+    // BEFORE the per-document sum, so each doc's score is an exact
+    // integer sum — immune to the float association-order noise a
+    // per-doc sum of raw doubles would hit. Deterministic top-50 selects
+    // the manifest.
+    //
+    // Scale shape: two bounded bucket aggregations (64 rows each), the
+    // 64-row weight table broadcasts to the token scan, and the doc
+    // score is one doc-keyed aggregation — the fact shuffles once, by
+    // doc_id. At 100 TB the bucket count rises (the paper uses 10^4
+    // hashed bigram buckets); the plan is unchanged.
+    "curate_dsir_select" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val toks = Tables.documents(s, d)
+          .selectExpr("doc_id", "lang",
+            s"explode(${sparkWords("lower(text)")}) AS term")
+          .selectExpr("doc_id", "lang", s"${sparkStrHash("term")} % 64 AS b")
+        val tgt = toks.where(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val raw = toks.where(col("lang") =!= "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val nt = toks.where(col("lang") === "en").agg(count(lit(1)).as("nt"))
+        val nr = toks.where(col("lang") =!= "en").agg(count(lit(1)).as("nr"))
+        val buckets = s.range(64).toDF("b")
+          .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .selectExpr("b", s"${Q.scaledLong(
+            "ln((coalesce(ct, 0) + 1.0) / (nt + 64.0)) - ln((coalesce(cr, 0) + 1.0) / (nr + 64.0))",
+            6)} AS lw_e6")
+        toks.where(col("lang") =!= "en")
+          .join(broadcast(buckets), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lw_e6")).as("score_e6"))
+          .orderBy(col("score_e6").desc, col("doc_id"))
+          .limit(50)
+          .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "score_e6")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, ${duckStrHash("term")} % 64 AS b
+          FROM (SELECT doc_id, lang, unnest(${duckWords("lower(text)")}) AS term
+                FROM documents) t),
+        tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+        raw AS (SELECT b, count(*) AS cr FROM toks WHERE lang <> 'en' GROUP BY b),
+        nt AS (SELECT count(*) AS nt FROM toks WHERE lang = 'en'),
+        nr AS (SELECT count(*) AS nr FROM toks WHERE lang <> 'en'),
+        buckets AS (
+          SELECT r.b, ${Q.scaledLong(
+          "ln((coalesce(ct, 0) + 1.0) / (nt + 64.0)) - ln((coalesce(cr, 0) + 1.0) / (nr + 64.0))",
+          6)} AS lw_e6
+          FROM range(0, 64) r(b)
+          LEFT JOIN tgt ON r.b = tgt.b LEFT JOIN raw ON r.b = raw.b
+          CROSS JOIN nt CROSS JOIN nr),
+        sc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(lw_e6) AS BIGINT) AS score_e6
+          FROM toks JOIN buckets ON toks.b = buckets.b
+          WHERE lang <> 'en' GROUP BY doc_id)
+        SELECT doc_id, n_tokens, score_e6
+        FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 50"""))
   )
 }

@@ -155,6 +155,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.forall { case (len, _) => len >= 1 && len <= 31 })
   }
 
+  test("dsir: 50-doc manifest, raw-pool only, deterministic descending scores") {
+    val rows = q("curate_dsir_select").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 50)
+    val scores = rows.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "manifest must be score-descending")
+    val enDocs = graft.engine.Tables.documents(spark, d)
+      .where(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !enDocs.contains(r._1)),
+      "target-domain docs must not appear in the raw-pool manifest")
+  }
+
   test("k-anonymity: tiers partition the QI groups and the rows") {
     val rows = q("privacy_k_anonymity").collect()
     val c = graft.engine.Tables.customer(spark, d)
