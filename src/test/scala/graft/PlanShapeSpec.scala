@@ -512,4 +512,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"greedy rounds must stay on equi-joins:\n$p")
   }
+
+  test("skyline is the window sweep, never a quadratic self-join") {
+    // the 2-D Pareto frontier must compile to one per-price aggregate,
+    // one window over distinct prices, and an equi-join back to parts —
+    // a NOT EXISTS formulation would surface as a nested-loop/cartesian
+    val p = plan("skyline_parts")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"skyline must not self-join quadratically:\n$p")
+    assert(p.contains("Window"), s"the cumulative-max sweep must be a window:\n$p")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"part should scan at most twice (rows + sweep):\n$p")
+  }
+
+  test("binary-quantize broadcasts the query side against one corpus scan") {
+    // the Hamming shortlist is 20 broadcast queries x corpus, inside
+    // codegen; the rerank touches only the shortlist
+    val p = plan("sim_binary_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 20 query rows must broadcast to the corpus Hamming scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("DSIR broadcasts the 64-row weight table; the fact shuffles only by doc") {
+    val p = plan("curate_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket weight table must broadcast to the token scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("winnowing is a pure narrow map: no exchange before the sort") {
+    // fingerprint selection is row-local HOF arithmetic; the only
+    // exchange in the plan is the final presentation orderBy
+    val p = plan("text_winnow_fingerprint")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"winnowing must not shuffle except the output sort, found $exchanges:\n$p")
+  }
+
+  test("CCNet bucketing broadcasts the LM count tables to the scoring scan") {
+    val p = plan("curate_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary-bounded LM counts must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
