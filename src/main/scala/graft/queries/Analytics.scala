@@ -650,6 +650,203 @@ object Analytics extends QueryPack {
         SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
         FROM best GROUP BY best ORDER BY streak_len""")),
 
+    // Gini coefficient of the per-user event-count distribution — the
+    // concentration number behind "do power users dominate the corpus":
+    // training-data pipelines run the same statistic on per-source and
+    // per-domain token counts before deciding caps. Computed by the
+    // sorted-rank formula G = 2*Σ(i*c_i)/(n*Σc) - (n+1)/n with ranks
+    // assigned by (count, user_id) — every moment is a BIGINT (rank
+    // products bounded by n²*max_c), the final expression is one
+    // identical tree, e6-scaled.
+    //
+    // Scale shape: one user-keyed aggregation of the fact, one rank
+    // window over the per-USER frame, one fold — same contract as the
+    // RFM quintiles next to it.
+    "events_power_gini" -> QueryDef(
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c"), col("user_id"))
+        u.withColumn("rk", row_number().over(w))
+          .agg(count(lit(1)).as("n_users"), sum(col("c")).as("total_events"),
+            sum(col("rk") * col("c")).as("s1"))
+          .selectExpr("n_users", "total_events",
+            s"${Q.scaledLong(
+              "2.0 * CAST(s1 AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE)",
+              6)} AS gini_e6")
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id),
+        r AS (
+          SELECT c, CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS rk
+          FROM u),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(c) AS BIGINT) AS total_events,
+                 CAST(sum(rk * c) AS BIGINT) AS s1
+          FROM r)
+        SELECT n_users, total_events,
+               ${Q.scaledLong(
+          "2.0 * CAST(s1 AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE)",
+          6)} AS gini_e6
+        FROM m""")),
+
+    // Week-over-week growth per event type — the trend delta a weekly
+    // business review reads. Weeks are integer day-number buckets from
+    // the fixed 2024-01-01 Monday anchor (datediff div 7: no engine
+    // week-numbering convention involved), the previous week arrives by
+    // lag over the bounded (type x week) frame, and growth leaves as an
+    // e6-scaled ratio (NULL for the first week — no denominator).
+    "time_wow_growth" -> QueryDef(
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') div 7")
+              .as("wk"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+        wk.withColumn("prev", lag(col("n"), 1).over(w))
+          .selectExpr("event_type", "CAST(wk AS BIGINT) AS wk", "n",
+            s"CASE WHEN prev IS NULL THEN NULL ELSE ${Q.scaledLong(
+              "CAST(n AS DOUBLE) / CAST(prev AS DOUBLE)", 6)} END AS growth_e6")
+          .orderBy(col("event_type"), col("wk"))
+      },
+      Some(s"""
+        WITH wkc AS (
+          SELECT event_type,
+                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT event_type, CAST(wk AS BIGINT) AS wk, n,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+          FROM wkc)
+        SELECT event_type, wk, n,
+               CASE WHEN prev IS NULL THEN NULL ELSE ${Q.scaledLong(
+          "CAST(n AS DOUBLE) / CAST(prev AS DOUBLE)", 6)} END AS growth_e6
+        FROM g ORDER BY event_type, wk""")),
+
+    // Two-proportion z-test: weekend vs weekday click-through rate
+    // (clicks over clicks+views), pooled-variance z from exact BIGINT
+    // counts — the conversion-rate significance readout completing the
+    // A/B family (Welch = means, Mann-Whitney = ranks, KS = shape,
+    // this = proportions). Weekend-ness is integer day arithmetic from
+    // the 2024-01-01 Monday anchor (dow 5,6), no engine dayofweek
+    // convention involved.
+    "stats_prop_ztest" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .selectExpr(
+            "CASE WHEN datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') % 7 IN (5, 6) THEN 1 ELSE 0 END AS wknd",
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isclick")
+        val g = ev.groupBy(col("wknd"))
+          .agg(count(lit(1)).as("n"), sum(col("isclick")).as("x"))
+        val a = g.where(col("wknd") === 1).selectExpr("n AS n1", "x AS x1")
+        val b = g.where(col("wknd") === 0).selectExpr("n AS n2", "x AS x2")
+        val pp = "(CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+        a.crossJoin(broadcast(b))
+          .selectExpr("n1", "x1", "n2", "x2",
+            s"${Q.scaledLong(
+              s"(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))",
+              6)} AS z_e6")
+      },
+      Some {
+        val pp = "(CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+        s"""
+        WITH ev AS (
+          SELECT CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                        IN (5, 6) THEN 1 ELSE 0 END AS wknd,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isclick
+          FROM events WHERE event_type IN ('click', 'view')),
+        g AS (
+          SELECT wknd, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(isclick) AS BIGINT) AS x
+          FROM ev GROUP BY wknd),
+        ab AS (
+          SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+          FROM (SELECT * FROM g WHERE wknd = 1) a
+          CROSS JOIN (SELECT * FROM g WHERE wknd = 0) b)
+        SELECT n1, x1, n2, x2,
+               ${Q.scaledLong(
+          s"(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($pp * (1.0 - $pp) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))",
+          6)} AS z_e6
+        FROM ab"""
+      }),
+
+    // Exact per-group MODE with a deterministic tie rule (highest count,
+    // then smallest value) — the categorical summary statistic the
+    // profiler family lacked; computed as one count aggregation plus a
+    // rank window over the bounded (group x value) frame, never a sort
+    // of the fact.
+    "agg_mode_quantity" -> QueryDef(
+      (s, d) => {
+        val c = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            expr("CAST(l_quantity AS BIGINT)").as("qty"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("c").desc, col("qty"))
+        c.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .selectExpr("l_returnflag", "qty AS mode_qty", "c AS n")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2),
+        r AS (
+          SELECT l_returnflag, qty, c,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY c DESC, qty) AS rn
+          FROM c)
+        SELECT l_returnflag, qty AS mode_qty, c AS n
+        FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // NEAREST-neighbor as-of alignment: each signup pairs with the
+    // closest click of the same user within +/-1 hour, |delta| ties
+    // breaking toward the EARLIER click — the bidirectional variant of
+    // the forward-only asof_next_click. The candidate set is the
+    // user-keyed equi-join with the window as a residual range predicate
+    // (never a time-only cross join), then one rank per signup.
+    "join_asof_nearest" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            epochUs(col("ts")).as("tus"), col("event_type"))
+        val su = ev.where(col("event_type") === "signup")
+          .selectExpr("user_id", "event_id AS s_id", "tus AS s_us")
+        val cl = ev.where(col("event_type") === "click")
+          .selectExpr("user_id", "event_id AS c_id", "tus AS c_us")
+        val w = Window.partitionBy(col("s_id"))
+          .orderBy(abs(col("c_us") - col("s_us")), col("c_us"), col("c_id"))
+        su.join(cl, Seq("user_id"))
+          .where(abs(col("c_us") - col("s_us")) <= 3600000000L)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .selectExpr("user_id", "s_id", "c_id", "c_us - s_us AS delta_us")
+          .orderBy(col("user_id"), col("s_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        su AS (SELECT user_id, event_id AS s_id, tus AS s_us FROM ev
+               WHERE event_type = 'signup'),
+        cl AS (SELECT user_id, event_id AS c_id, tus AS c_us FROM ev
+               WHERE event_type = 'click'),
+        cand AS (
+          SELECT su.user_id, s_id, c_id, c_us - s_us AS delta_us,
+                 row_number() OVER (PARTITION BY s_id
+                   ORDER BY abs(c_us - s_us), c_us, c_id) AS rn
+          FROM su JOIN cl ON su.user_id = cl.user_id
+          WHERE abs(c_us - s_us) <= 3600000000)
+        SELECT user_id, s_id, c_id, delta_us
+        FROM cand WHERE rn = 1 ORDER BY user_id, s_id""")),
+
     // k-anonymity / l-diversity audit over the quasi-identifier
     // (nation, $1000 balance band) with market segment as the sensitive
     // attribute — the privacy gate a training-data release runs before

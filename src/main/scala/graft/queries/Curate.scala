@@ -360,6 +360,66 @@ object Curate extends QueryPack {
           FROM toks JOIN buckets ON toks.b = buckets.b
           WHERE lang <> 'en' GROUP BY doc_id)
         SELECT doc_id, n_tokens, score_e6
-        FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 50"""))
+        FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 50""")),
+
+    // Epoch allocation under a data-constrained budget (the Muennighoff
+    // et al. 2023 repetition regime): given the temperature-sampling
+    // target shares (curate_source_mix's sqrt weights) and a global
+    // token budget of half the corpus, how many FULL passes over each
+    // source does the mix imply, plus the fractional last epoch — the
+    // repeat-count table a data-constrained training run is driven by.
+    // share -> target tokens -> (full epochs, e6 fraction) is all BIGINT
+    // division/remainder once the share is e6-quantized; the only double
+    // is the sqrt weight (IEEE correctly-rounded, sorted fold — the
+    // curate_source_mix contract).
+    //
+    // Scale shape: per-source aggregates (20 rows), one broadcast 1-row
+    // denominator — nothing touches the fact twice.
+    "curate_mix_epochs" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .selectExpr("source", s"CAST(size(${sparkWords("text")}) AS BIGINT) AS ntok")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("avail_tok"))
+          .withColumn("sq", sqrt(col("n_docs")))
+        val tot = counts.agg(
+          expr("aggregate(array_sort(collect_list(sq)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            .as("tot"),
+          sum(col("avail_tok")).as("corpus_tok"))
+        counts.crossJoin(broadcast(tot))
+          .selectExpr("source", "n_docs", "avail_tok",
+            s"${Q.scaledLong("sq / tot", 6)} AS share_e6",
+            "corpus_tok div 2 AS budget")
+          .selectExpr("source", "n_docs", "avail_tok", "share_e6",
+            "(share_e6 * budget) div 1000000 AS target_tok")
+          .selectExpr("source", "n_docs", "avail_tok", "share_e6", "target_tok",
+            "target_tok div avail_tok AS epochs_full",
+            "((target_tok % avail_tok) * 1000000) div avail_tok AS frac_e6")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(${duckWords("text")})) AS BIGINT) AS avail_tok,
+                 sqrt(count(*)) AS sq
+          FROM documents GROUP BY source),
+        t AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(sq))),
+                             (acc, v) -> acc + v) AS tot,
+                 CAST(sum(avail_tok) AS BIGINT) AS corpus_tok
+          FROM c),
+        x AS (
+          SELECT source, n_docs, avail_tok,
+                 ${Q.scaledLong("sq / tot", 6)} AS share_e6,
+                 corpus_tok // 2 AS budget
+          FROM c CROSS JOIN t),
+        y AS (
+          SELECT source, n_docs, avail_tok, share_e6,
+                 (share_e6 * budget) // 1000000 AS target_tok
+          FROM x)
+        SELECT source, n_docs, avail_tok, share_e6, target_tok,
+               CAST(target_tok // avail_tok AS BIGINT) AS epochs_full,
+               CAST(((target_tok % avail_tok) * 1000000) // avail_tok AS BIGINT) AS frac_e6
+        FROM y ORDER BY source"""))
   )
 }

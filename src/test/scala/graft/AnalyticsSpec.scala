@@ -169,6 +169,71 @@ class AnalyticsSpec extends AnyFunSuite {
       "target-domain docs must not appear in the raw-pool manifest")
   }
 
+  test("gini: bounds [0,1), mass accounting") {
+    val r = q("events_power_gini").collect().head
+    val (n, tot, g) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(g >= 0 && g < 1000000L, s"gini_e6=$g outside [0, 1e6)")
+    val events = graft.engine.Tables.events(spark, d).count()
+    assert(tot == events && n > 0)
+  }
+
+  test("wow growth: first week NULL, ratios consistent with counts") {
+    val rows = q("time_wow_growth").collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.head.isNullAt(3), "first week must have NULL growth")
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(prev, cur) if !cur.isNullAt(3) =>
+          val expect = math.floor(
+            cur.getLong(2).toDouble / prev.getLong(2) * 1e6 + 0.5).toLong
+          assert(cur.getLong(3) == expect)
+        case _ =>
+      }
+    }
+  }
+
+  test("proportion z-test: counts partition the click/view population") {
+    val r = q("stats_prop_ztest").collect().head
+    val total = graft.engine.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "view")).count()
+    assert(r.getLong(0) + r.getLong(2) == total)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+  }
+
+  test("mode: the reported value really is the argmax count") {
+    q("agg_mode_quantity").collect().foreach { r =>
+      val flag = r.getString(0)
+      val top = graft.engine.Tables.lineitem(spark, d)
+        .where(col("l_returnflag") === flag)
+        .groupBy(expr("CAST(l_quantity AS BIGINT)").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("q")).limit(1)
+        .collect().head
+      assert(r.getLong(1) == top.getLong(0) && r.getLong(2) == top.getLong(1))
+    }
+  }
+
+  test("asof nearest: one row per matched signup, |delta| within the window") {
+    val rows = q("join_asof_nearest").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length,
+      "each signup must match at most once")
+    assert(rows.forall(r => math.abs(r.getLong(3)) <= 3600000000L))
+  }
+
+  test("epoch mix: budget conservation within rounding, shares sum to ~1") {
+    val rows = q("curate_mix_epochs").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val shareSum = rows.map(_._2).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length)
+    rows.foreach { case (avail, _, target, full, frac) =>
+      val reconstructed = full * avail + frac * avail / 1000000L
+      assert(math.abs(reconstructed - target) <= avail / 1000000L + 1,
+        s"epochs*avail + frac*avail must reconstruct the target: $reconstructed vs $target")
+    }
+  }
+
   test("k-anonymity: tiers partition the QI groups and the rows") {
     val rows = q("privacy_k_anonymity").collect()
     val c = graft.engine.Tables.customer(spark, d)
