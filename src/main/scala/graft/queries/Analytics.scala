@@ -335,8 +335,13 @@ object Analytics extends QueryPack {
         val upd = snap.where(col("k") % 97 === 0 && col("k") % 101 =!= 0)
           .selectExpr("k", "'U' AS op", "k * 100 AS nbal",
             "CAST(NULL AS BIGINT) AS ink")
+        // Insert keys are NEGATED snapshot keys: c_custkey >= 1 at every
+        // scale factor, so -k is a keyspace disjoint from the snapshot by
+        // construction — a fixed "+10M" offset would collide with real
+        // keys from roughly sf67 and silently turn inserts into
+        // overwrites in the full-outer merge.
         val ins = snap.where(col("k") % 103 === 0)
-          .selectExpr("k + 10000000 AS k", "'I' AS op", "k AS nbal", "nk AS ink")
+          .selectExpr("-k AS k", "'I' AS op", "k AS nbal", "nk AS ink")
         val merged = snap
           .join(del.unionByName(upd).unionByName(ins), Seq("k"), "full_outer")
           .where(coalesce(col("op"), lit("_")) =!= "D")
@@ -359,7 +364,7 @@ object Analytics extends QueryPack {
           SELECT k, 'U', k * 100, CAST(NULL AS BIGINT)
           FROM snap WHERE k % 97 = 0 AND k % 101 <> 0
           UNION ALL
-          SELECT k + 10000000, 'I', k, nk FROM snap WHERE k % 103 = 0),
+          SELECT -k, 'I', k, nk FROM snap WHERE k % 103 = 0),
         m AS (
           SELECT coalesce(s.nk, c.ink) AS nk,
                  CASE WHEN c.op IN ('U', 'I') THEN c.nbal ELSE s.bal_c END AS bal
@@ -699,11 +704,18 @@ object Analytics extends QueryPack {
     // week-numbering convention involved), the previous week arrives by
     // lag over the bounded (type x week) frame, and growth leaves as an
     // e6-scaled ratio (NULL for the first week — no denominator).
+    //
+    // The day number is shifted +70000 days before the integer division
+    // and the week re-based by -10000 after: Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, so a pre-anchor timestamp
+    // (negative datediff) would land in different week buckets per
+    // engine. On a positive dividend the two agree (same guard as
+    // privacy_k_anonymity's bucketing).
     "time_wow_growth" -> QueryDef(
       (s, d) => {
         val wk = Tables.events(s, d)
           .groupBy(col("event_type"),
-            expr("datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') div 7")
+            expr("(datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') + 70000) div 7 - 10000")
               .as("wk"))
           .agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
@@ -716,7 +728,7 @@ object Analytics extends QueryPack {
       Some(s"""
         WITH wkc AS (
           SELECT event_type,
-                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+                 (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 70000) // 7 - 10000 AS wk,
                  CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY 1, 2),
         g AS (

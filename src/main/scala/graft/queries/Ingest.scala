@@ -1003,25 +1003,25 @@ object Ingest extends QueryPack {
           .adAttributionOuter(src(imps), src(clicks))
         val qn = s"ljoin_rt_${System.nanoTime()}"
         withStreamingPartitions(s) {
-          // TWO data batches total — the outer-join minimum, since
-          // eviction needs one batch executed UNDER an already-advanced
-          // watermark and the watermark only updates at batch end.
-          // Batch 0 carries ALL real rows plus the flush rows that raise
-          // both streams' max event time past every real impression's
-          // horizon (matches emit here; cross-batch join-state survival
-          // is the inner-join roundtrip's dedicated property). Batch 1 is
-          // one filtered flush row running under the advanced watermark:
-          // it evicts the unmatched impressions and emits their null-
-          // click rows. Micro-batches cost ~0.5s fixed each in this
-          // runtime (no-data batches are disabled), so the third batch
-          // the round-4 choreography used was pure overhead.
+          // THREE batches: this roundtrip is the outer-join family's
+          // cross-batch-state witness (the full/right variants stay at
+          // the two-batch eviction minimum). Batch 0 buffers every
+          // impression but holds back ad 4's click; batch 1 delivers it
+          // plus the flush rows — the ad-4 impression must have SURVIVED
+          // in join state across the batch boundary for its matched row
+          // to emit (watermark is still 2023-12-31 23:00 then, so the
+          // 01:45 click is not late). Batch 2 is one filtered flush row
+          // running under the now-advanced watermark: it evicts the
+          // unmatched impressions and emits their null-click rows.
           imps.addData(impEvents)
-          imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
-          clicks.addData(clickEvents)
-          clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
+          clicks.addData(clickEvents.take(3))
           val q = joined.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try {
+            q.processAllAvailable()
+            imps.addData(Seq(("2024-01-05 02:00:00", -1L)))
+            clicks.addData(clickEvents.drop(3)) // ad 4: cross-batch match
+            clicks.addData(Seq(("2024-01-05 02:00:00", -2L)))
             q.processAllAvailable()
             clicks.addData(Seq(("2024-01-05 03:00:00", -2L)))
             q.processAllAvailable()

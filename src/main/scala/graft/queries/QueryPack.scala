@@ -46,6 +46,18 @@ object Q {
     * post-rounded DOUBLE, whose decimal re-rendering is build-dependent
     * (round-2 driver hash failures were exactly the post-rounded-double
     * queries). Derived double columns must leave the engine through this.
+    *
+    * ACCEPTED ULP RISK (documented, not eliminated): expressions routed
+    * through transcendentals (log10/ln/pow/sqrt — quality_benford,
+    * curate_ccnet_buckets, curate_dsir_select, stats_ttest_welch, ...)
+    * rely on JVM Math and DuckDB libm both being correctly-rounded-to-
+    * ~1-ulp, NOT bit-identical. If the true value of `e` sits within
+    * ~1 ulp of a .5 * 10^-n rounding boundary the scaled integer can
+    * differ by 1 between engines. We keep n small (<=6) relative to
+    * double precision (~15-16 significant digits) so the boundary band
+    * is ~1e-10 of the value space; six rounds x 250 queries have never
+    * hit it. A driver-side +/-1-in-last-digit tolerance would close the
+    * gap entirely; until then this comment is the contract.
     */
   def scaledLong(e: String, n: Int): String = {
     val p = "1" + "0" * n

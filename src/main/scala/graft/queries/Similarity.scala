@@ -346,22 +346,33 @@ object Similarity extends QueryPack {
     "sim_binary_quantize" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // Word count and offsets derive from Portable.Dim (Dim/32 sign
+        // words) instead of a hardcoded two — out-of-range element_at
+        // returns NULL, which would silently pack missing dimensions as
+        // 0-bits if Dim ever drifted from the packing layout. The
+        // size(embedding) = Dim guard raises loudly instead.
+        require(Portable.Dim % 32 == 0, s"Dim ${Portable.Dim} not word-aligned")
+        val nWords = Portable.Dim / 32
         def word(off: Int): String =
-          s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> " +
+          s"IF(size(embedding) = ${Portable.Dim}, " +
+            s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> " +
             s"acc + IF(element_at(embedding, i + $off) >= 0, " +
-            s"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
+            s"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))), " +
+            s"raise_error('embedding dim <> ${Portable.Dim}'))"
+        val wordCols = (1 to nWords).map(w => s"${word((w - 1) * 32)} AS w$w")
         val e = Tables.embeddings(s, d)
-          .selectExpr("vec_id", "embedding",
-            s"${word(0)} AS w1", s"${word(32)} AS w2")
+          .selectExpr("vec_id" +: "embedding" +: wordCols: _*)
         val q = e.where(col("vec_id") < 20)
-          .selectExpr("vec_id AS qid", "embedding AS qv",
-            "w1 AS q1", "w2 AS q2")
-        val n = e.selectExpr("vec_id AS vid", "embedding AS nv", "w1", "w2")
+          .selectExpr("vec_id AS qid" +: "embedding AS qv" +:
+            (1 to nWords).map(w => s"w$w AS q$w"): _*)
+        val n = e.selectExpr("vec_id AS vid" +: "embedding AS nv" +:
+          (1 to nWords).map(w => s"w$w"): _*)
+        val hamExpr = (1 to nWords).map(w => s"bit_count(w$w ^ q$w)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
         val wShort = Window.partitionBy(col("qid"))
           .orderBy(col("ham"), col("vid"))
         val short = broadcast(q).join(n, col("qid") =!= col("vid"))
-          .withColumn("ham",
-            expr("CAST(bit_count(w1 ^ q1) + bit_count(w2 ^ q2) AS BIGINT)"))
+          .withColumn("ham", expr(hamExpr))
           .withColumn("hrn", row_number().over(wShort))
           .where(col("hrn") <= 20)
         val wTop = Window.partitionBy(col("qid"))
@@ -377,17 +388,21 @@ object Similarity extends QueryPack {
           s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 33), i -> " +
             s"CASE WHEN $v[i + $off] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) " +
             s"ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"
+        val nWords = Portable.Dim / 32
+        val wordSel = (1 to nWords)
+          .map(w => s"${word("embedding", (w - 1) * 32)} AS w$w").mkString(",\n                 ")
+        val qSel = (1 to nWords).map(w => s"w$w AS q$w").mkString(", ")
+        val hamSel = (1 to nWords).map(w => s"bit_count(xor(e.w$w, q.q$w))")
+          .mkString("CAST(", "\n                      + ", " AS BIGINT)")
         s"""
         WITH e AS (
-          SELECT vec_id, embedding, ${word("embedding", 0)} AS w1,
-                 ${word("embedding", 32)} AS w2
+          SELECT vec_id, embedding, $wordSel
           FROM embeddings),
-        q AS (SELECT vec_id AS qid, embedding AS qv, w1 AS q1, w2 AS q2
+        q AS (SELECT vec_id AS qid, embedding AS qv, $qSel
               FROM e WHERE vec_id < 20),
         h AS (
           SELECT qid, qv, e.vec_id AS vid, e.embedding AS nv,
-                 CAST(bit_count(xor(e.w1, q.q1))
-                      + bit_count(xor(e.w2, q.q2)) AS BIGINT) AS ham
+                 $hamSel AS ham
           FROM q JOIN e ON e.vec_id <> q.qid),
         short AS (
           SELECT qid, qv, vid, nv, ham,
