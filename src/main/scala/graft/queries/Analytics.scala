@@ -909,6 +909,357 @@ object Analytics extends QueryPack {
         SELECT tier, CAST(count(*) AS BIGINT) AS n_groups,
                CAST(sum(k) AS BIGINT) AS n_rows, CAST(min(l) AS BIGINT) AS min_l,
                ${Q.scaledLong("CAST(sum(k) AS DOUBLE) / CAST(min(total) AS DOUBLE)", 6)} AS share_e6
-        FROM tiers CROSS JOIN t GROUP BY tier ORDER BY tier"""))
+        FROM tiers CROSS JOIN t GROUP BY tier ORDER BY tier""")),
+
+    // Per-nation OLS regression of order value against order date — the
+    // "is this market growing" trend line, fitted from EXACT BIGINT
+    // sufficient statistics (n, Σx, Σy, Σxx, Σxy, Σyy with x = day
+    // number, y = whole-dollar price): the normal-equations closed form
+    // is then one rational expression tree (+,-,*,/ only — no
+    // transcendental), so slope, intercept and R² are bit-identical
+    // across engines before scaling. The suff stats are associative, so
+    // at 100 TB the aggregation partials map-side and merges in one
+    // shuffle on nationkey; the fact-dim join shuffles on custkey
+    // (co-bucket orders and customer on custkey to eliminate it).
+    // BIGINT headroom: Σy² ≤ rows_per_nation * 3.6e11 — safe beyond
+    // sf100; the quantization unit is the dial if that ever tightens.
+    "stats_ols_regression" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d).selectExpr("o_custkey",
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT) AS x",
+          s"${Q.scaledLong("o_totalprice", 0)} AS y")
+        val c = Tables.customer(s, d)
+          .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS nk")
+        val st = o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("nk"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+        st.selectExpr("nk", "n",
+            s"${Q.scaledLong(olsSlope, 6)} AS slope_e6",
+            s"${Q.scaledLong(olsIntercept, 2)} AS intercept_e2",
+            s"${Q.scaledLong(olsR2, 6)} AS r2_e6")
+          .orderBy(col("nk"))
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM (
+            SELECT o_custkey,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                   ${Q.scaledLong("o_totalprice", 0)} AS y
+            FROM orders) o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1)
+        SELECT nk, n,
+               ${Q.scaledLong(olsSlope, 6)} AS slope_e6,
+               ${Q.scaledLong(olsIntercept, 2)} AS intercept_e2,
+               ${Q.scaledLong(olsR2, 6)} AS r2_e6
+        FROM st ORDER BY nk""")),
+
+    // One-way ANOVA F across the five event types on cents-quantized
+    // value — "does ANY variant differ" before pairwise tests. Per-group
+    // EXACT BIGINT moments (n, Σv, Σv²) pivot into ONE row via CASE
+    // pinned to the five known types, so every double fold below has a
+    // FIXED association order written in the expression tree — no
+    // engine-dependent double-sum ordering anywhere (the same discipline
+    // as the sorted folds elsewhere, done here by enumeration because
+    // the group domain is static). F and η² are rational in the moments
+    // → bit-identical. Scale shape: one map-side-combinable aggregation
+    // of the fact, then a 5-row pivot; nothing else touches the data.
+    "stats_anova_oneway" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr(Q.scaledLong("value", 2)).as("v"), col("event_type"))
+        val g = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("ss"))
+        g.groupBy().agg(expr(anovaPivot.head), anovaPivot.tail.map(expr): _*)
+          .selectExpr(s"CAST(${AnovaTypes.size} AS BIGINT) AS k",
+            s"$anovaN AS n",
+            s"${Q.scaledLong(anovaF, 6)} AS f_e6",
+            s"${Q.scaledLong(anovaEta2, 6)} AS eta2_e6")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS ss
+          FROM (SELECT ${Q.scaledLong("value", 2)} AS v, event_type FROM events)
+          GROUP BY event_type),
+        p AS (SELECT ${anovaPivot.mkString(", ")} FROM g)
+        SELECT CAST(${AnovaTypes.size} AS BIGINT) AS k, $anovaN AS n,
+               ${Q.scaledLong(anovaF, 6)} AS f_e6,
+               ${Q.scaledLong(anovaEta2, 6)} AS eta2_e6
+        FROM p""")),
+
+    // Lead-lag cross-correlation between the daily click and purchase
+    // series (lags -3..+3) — "do purchases follow clicks, and by how
+    // many days": the causality-screening readout run before building
+    // an attribution model. Day counts are exact BIGINTs on the bounded
+    // 31-day grid; each lag's Pearson correlation comes from BIGINT
+    // sufficient statistics through a rational-plus-sqrt tree (IEEE
+    // sqrt is correctly rounded, so still bit-identical). Scale shape:
+    // the fact aggregates to the day grid FIRST; the 7-lag self-join
+    // runs on that bounded frame — never on raw events.
+    "time_cross_corr" -> QueryDef(
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .selectExpr(
+            "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') AS day",
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isx",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isy")
+          .groupBy(col("day"))
+          .agg(sum(col("isx")).as("x"), sum(col("isy")).as("y"))
+        val lags = g.sparkSession.range(1)
+          .selectExpr("explode(sequence(-3, 3)) AS lag")
+        val a = g.selectExpr("day AS da", "x")
+        val b = g.selectExpr("day AS db", "y")
+        val st = broadcast(lags).crossJoin(a)
+          .join(b, col("db") === col("da") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        st.selectExpr("CAST(lag AS BIGINT) AS lag", "n AS n_days",
+            s"${Q.scaledLong(corrExpr, 6)} AS corr_e6")
+          .orderBy(col("lag"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        st AS (
+          SELECT t.lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+                 CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+                 CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+                 CAST(sum(a.x * b.y) AS BIGINT) AS sxy
+          FROM range(-3, 4) t(lag)
+          CROSS JOIN g a JOIN g b ON b.day = a.day + t.lag
+          GROUP BY t.lag)
+        SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+               ${Q.scaledLong(corrExpr, 6)} AS corr_e6
+        FROM st ORDER BY lag""")),
+
+    // STL-style seasonal decomposition of the daily event count:
+    // trend = centered 7-day moving mean (emitted only where the full
+    // window exists), weekly seasonal = per-day-of-week mean deviation,
+    // residual = remainder. The trick that keeps it bit-identical: the
+    // trend window SUM and the deviation 7y - trend7 stay INTEGER; the
+    // only doubles are single divisions at the very end, one identical
+    // tree per output column. Day-of-week is day-number % 7 from the
+    // Monday anchor (non-negative domain — no floor/trunc divergence).
+    // Scale shape: the fact aggregates to the bounded day grid first;
+    // windows and the 7-row seasonal join run on that grid.
+    "time_stl_decompose" -> QueryDef(
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .selectExpr(
+            "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') AS day")
+          .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        val t = g
+          .withColumn("trend7",
+            when(count(lit(1)).over(w7) === 7, sum(col("y")).over(w7)))
+          .withColumn("dow", col("day") % 7)
+          .withColumn("dev7", lit(7) * col("y") - col("trend7"))
+        val seas = t.where(col("dev7").isNotNull)
+          .groupBy(col("dow"))
+          .agg(sum(col("dev7")).as("sdev"), count(lit(1)).as("cdev"))
+        t.join(broadcast(seas), Seq("dow"), "left")
+          .selectExpr("CAST(day AS BIGINT) AS day", "y",
+            s"CASE WHEN trend7 IS NULL THEN NULL ELSE ${Q.scaledLong(stlTrend, 2)} END AS trend_e2",
+            s"${Q.scaledLong(stlSeason, 2)} AS seasonal_e2",
+            s"CASE WHEN trend7 IS NULL THEN NULL ELSE ${Q.scaledLong(stlResid, 2)} END AS resid_e2")
+          .orderBy(col("day"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT day, y,
+                 CASE WHEN count(*) OVER w = 7
+                      THEN CAST(sum(y) OVER w AS BIGINT) END AS trend7,
+                 day % 7 AS dow
+          FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        t2 AS (SELECT *, 7 * y - trend7 AS dev7 FROM t),
+        seas AS (
+          SELECT dow, CAST(sum(dev7) AS BIGINT) AS sdev,
+                 CAST(count(*) AS BIGINT) AS cdev
+          FROM t2 WHERE dev7 IS NOT NULL GROUP BY dow)
+        SELECT CAST(day AS BIGINT) AS day, y,
+               CASE WHEN trend7 IS NULL THEN NULL ELSE ${Q.scaledLong(stlTrend, 2)} END AS trend_e2,
+               ${Q.scaledLong(stlSeason, 2)} AS seasonal_e2,
+               CASE WHEN trend7 IS NULL THEN NULL ELSE ${Q.scaledLong(stlResid, 2)} END AS resid_e2
+        FROM t2 LEFT JOIN seas USING (dow) ORDER BY day""")),
+
+    // Kaplan-Meier survival: days from signup to first purchase, users
+    // with no purchase censored at the study end (day 29) — the
+    // time-to-convert readout a growth team tracks, with censoring
+    // handled correctly instead of dropped. The counting process is
+    // entirely integer (events d, censorings c, at-risk n per distinct
+    // duration via one cumulative window over the bounded duration
+    // grid); the survival curve is the cumulative product Π(1 - d/n),
+    // computed as exp of an ORDERED window sum of ln factors — sequential
+    // association in both engines, so only the documented ln-ulp risk
+    // remains. Scale shape: two event-type filters aggregate per user
+    // (one shuffle on user_id), then everything runs on the ≤31-row
+    // duration grid.
+    "events_survival_km" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d).selectExpr("user_id", "event_type",
+          "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') AS dday")
+        val su = e.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("dday")).as("s0"))
+        val pu = e.where(col("event_type") === "purchase")
+          .selectExpr("user_id", "dday AS pday")
+        val subj = su.join(pu, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("s0"))
+          .agg(min(when(col("pday") >= col("s0"), col("pday"))).as("pd"))
+          .selectExpr(
+            "CASE WHEN pd IS NOT NULL THEN pd - s0 ELSE 29 - s0 END AS dur",
+            "CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev")
+        val byDur = subj.groupBy(col("dur"))
+          .agg(sum(col("ev")).as("d"), sum(lit(1) - col("ev")).as("c"))
+        val wAll = Window.partitionBy(lit(1))
+        val wCum = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byDur
+          .withColumn("n_total", sum(col("d") + col("c")).over(wAll))
+          .withColumn("n_risk",
+            col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          // Spark's ln(0) is NULL while DuckDB's is -inf: a duration
+          // where EVERY remaining subject events (n_risk = d) is kept
+          // out of the log-sum entirely and survival is pinned to 0 from
+          // that row on via the cumulative zero flag — identical CASE
+          // trees in both engines, no ln(0) evaluated in either.
+          .withColumn("lnf",
+            expr("CASE WHEN d = 0 THEN 0.0 WHEN n_risk > d THEN " +
+              "ln((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)) / CAST(n_risk AS DOUBLE)) END"))
+          .withColumn("lsum", sum(col("lnf")).over(wCum))
+          .withColumn("zero", max(when(col("n_risk") === col("d"), 1).otherwise(0)).over(wCum))
+          .selectExpr("CAST(dur AS BIGINT) AS dur", "n_risk", "d AS d_events",
+            "c AS c_censored",
+            s"CASE WHEN zero = 1 THEN CAST(0 AS BIGINT) ELSE ${Q.scaledLong("exp(lsum)", 6)} END AS surv_e6")
+          .orderBy(col("dur"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dday
+          FROM events),
+        su AS (
+          SELECT user_id, min(dday) AS s0 FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+        subj AS (
+          SELECT su.user_id, su.s0,
+                 min(CASE WHEN p.dday >= su.s0 THEN p.dday END) AS pd
+          FROM su LEFT JOIN (
+            SELECT user_id, dday FROM e WHERE event_type = 'purchase') p
+            ON su.user_id = p.user_id
+          GROUP BY su.user_id, su.s0),
+        durs AS (
+          SELECT CASE WHEN pd IS NOT NULL THEN pd - s0 ELSE 29 - s0 END AS dur,
+                 CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM subj),
+        byd AS (
+          SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(sum(1 - ev) AS BIGINT) AS c
+          FROM durs GROUP BY dur),
+        km AS (
+          SELECT dur, d, c,
+                 CAST(sum(d + c) OVER () AS BIGINT)
+                   - CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n_risk
+          FROM byd),
+        km2 AS (
+          SELECT dur, n_risk, d, c,
+                 sum(CASE WHEN d = 0 THEN 0.0 WHEN n_risk > d THEN
+                       ln((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)) / CAST(n_risk AS DOUBLE)) END)
+                   OVER cum AS lsum,
+                 max(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER cum AS zero
+          FROM km
+          WINDOW cum AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT CAST(dur AS BIGINT) AS dur, n_risk, d AS d_events,
+               c AS c_censored,
+               CASE WHEN zero = 1 THEN CAST(0 AS BIGINT)
+                    ELSE ${Q.scaledLong("exp(lsum)", 6)} END AS surv_e6
+        FROM km2 ORDER BY dur"""))
   )
+
+  // ---- shared engine-identical expression trees (see QueryPack doc) ----
+
+  /** OLS normal-equation pieces over the (n, sx, sy, sxx, sxy, syy)
+    * sufficient-statistic row; rational in BIGINTs, so bit-identical.
+    */
+  private val olsVx =
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private val olsVy =
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val olsCv =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val olsSlope = s"$olsCv / $olsVx"
+  private val olsIntercept =
+    s"(CAST(sy AS DOUBLE) - ($olsSlope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+  private val olsR2 = s"($olsCv * $olsCv) / ($olsVx * $olsVy)"
+
+  /** The five event types, pinned: the ANOVA pivot and every fold below
+    * enumerate them in THIS order so the double association order is part
+    * of the declared expression tree.
+    */
+  private val AnovaTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val anovaPivot: Seq[String] =
+    AnovaTypes.flatMap { t =>
+      Seq(s"CAST(max(CASE WHEN event_type = '$t' THEN n END) AS BIGINT) AS n_$t",
+        s"CAST(max(CASE WHEN event_type = '$t' THEN sv END) AS BIGINT) AS sv_$t",
+        s"CAST(max(CASE WHEN event_type = '$t' THEN ss END) AS BIGINT) AS ss_$t")
+    }
+
+  private val anovaN =
+    AnovaTypes.map(t => s"n_$t").mkString("(", " + ", ")")
+  private val anovaS =
+    AnovaTypes.map(t => s"sv_$t").mkString("(CAST(", " + ", " AS DOUBLE))")
+  private val anovaSS =
+    AnovaTypes.map(t => s"ss_$t").mkString("(CAST(", " + ", " AS DOUBLE))")
+  /** Σ s_g²/n_g folded in the pinned type order. */
+  private val anovaB = AnovaTypes
+    .map(t => s"CAST(sv_$t AS DOUBLE) * CAST(sv_$t AS DOUBLE) / CAST(n_$t AS DOUBLE)")
+    .mkString("(", " + ", ")")
+  private val anovaSsb = s"($anovaB - $anovaS * $anovaS / CAST($anovaN AS DOUBLE))"
+  private val anovaSsw = s"($anovaSS - $anovaB)"
+  private val anovaSst = s"($anovaSS - $anovaS * $anovaS / CAST($anovaN AS DOUBLE))"
+  private val anovaF =
+    s"($anovaSsb / ${AnovaTypes.size - 1}.0) / ($anovaSsw / (CAST($anovaN AS DOUBLE) - ${AnovaTypes.size}.0))"
+  private val anovaEta2 = s"$anovaSsb / $anovaSst"
+
+  /** Pearson correlation from the per-lag suff-stat row; rational + IEEE
+    * sqrt → bit-identical.
+    */
+  private val corrExpr = {
+    val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val cv = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    s"$cv / sqrt($vx * $vy)"
+  }
+
+  /** STL output pieces: single divisions of integer moments. */
+  private val stlTrend = "CAST(trend7 AS DOUBLE) / 7.0"
+  private val stlSeason = "CAST(sdev AS DOUBLE) / (7.0 * CAST(cdev AS DOUBLE))"
+  private val stlResid =
+    s"(7.0 * CAST(y AS DOUBLE) - CAST(trend7 AS DOUBLE)) / 7.0 - $stlSeason"
 }
