@@ -938,6 +938,99 @@ object Dedup extends QueryPack {
         FROM chunks a JOIN chunks b
           ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // Fuzzy dedup by EDIT DISTANCE — the character-level complement to
+    // the shingle family: shingles miss dense single-character noise
+    // (OCR errors, mojibake) that Levenshtein catches. Candidates are
+    // blocked on (12-char normalized prefix, length//16 band) so the
+    // quadratic distance only runs inside tiny blocks (max block 3 at
+    // sf0.01 — prefix blocking bounds the join exactly like an LSH
+    // band), and the distance itself is capped to the first 120 chars:
+    // O(120²) per candidate, row-local, inside codegen. At 100 TB the
+    // prefix key is uniformly distributed (real corpora: prepend a
+    // cheap content hash of the first line) and a MinHash band would
+    // pre-filter candidates before any distance runs.
+    "dedup_editdist_pairs" -> QueryDef(
+      (s, d) => {
+        val b = Tables.documents(s, d).selectExpr("doc_id",
+          "substring(lower(text), 1, 120) AS lt",
+          "substring(lower(text), 1, 12) AS pfx",
+          "n_chars div 16 AS band")
+        b.toDF("doc_a", "la", "pfx", "band")
+          .join(b.toDF("doc_b", "lb", "pfx2", "band2"),
+            col("pfx") === col("pfx2") && col("band") === col("band2") &&
+              col("doc_a") < col("doc_b"))
+          .selectExpr("doc_a", "doc_b",
+            "CAST(levenshtein(la, lb) AS BIGINT) AS dist")
+          .where(col("dist") <= 20)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, substr(lower(text), 1, 120) AS lt,
+                 substr(lower(text), 1, 12) AS pfx, n_chars // 16 AS band
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(levenshtein(a.lt, b2.lt) AS BIGINT) AS dist
+        FROM b a JOIN b b2
+          ON a.pfx = b2.pfx AND a.band = b2.band AND a.doc_id < b2.doc_id
+        WHERE levenshtein(a.lt, b2.lt) <= 20
+        ORDER BY doc_a, doc_b""")),
+
+    // Common-neighbor Jaccard link prediction on the customer-part
+    // co-purchase bipartite graph — the collaborative-filtering
+    // primitive ("these two buyers' baskets overlap most"): exactly the
+    // doc-shingle Jaccard machinery above, re-aimed at a graph whose
+    // neighbor structure is NOT all-cliques (the verified dup graph is:
+    // any two docs sharing most shingles also band-collide, so
+    // distance-2 non-edges don't exist there and link prediction is
+    // vacuous — tested at sf0.01 and sf0.1). Counts are exact integers;
+    // the score is one rational division. Scale shape: the pair join is
+    // keyed on partkey with bounded per-part fanout (TPC-H part df ~30
+    // regardless of sf; a real corpus caps hot items like
+    // cappedShingles), common >= 2 prunes noise pairs before the
+    // degree joins (small dims, broadcast), and the top-20 exits via
+    // TakeOrderedAndProject — never a global sort.
+    "graph_jaccard_links" -> QueryDef(
+      (s, d) => {
+        val cp = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .selectExpr("CAST(o_custkey AS BIGINT) AS c", "CAST(l_partkey AS BIGINT) AS p")
+          .distinct()
+        val sizes = cp.groupBy(col("c")).agg(count(lit(1)).as("n"))
+        cp.toDF("ca", "p")
+          .join(cp.toDF("cb", "p2"), col("p") === col("p2") && col("ca") < col("cb"))
+          .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
+          .where(col("common") >= 2)
+          .join(broadcast(sizes.toDF("ca", "na")), "ca")
+          .join(broadcast(sizes.toDF("cb", "nb")), "cb")
+          .selectExpr("ca AS cust_a", "cb AS cust_b", "common", "na", "nb",
+            s"${Q.scaledLong(
+              "CAST(common AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - CAST(common AS DOUBLE))",
+              6)} AS jacc_e6")
+          .orderBy(col("jacc_e6").desc, col("cust_a"), col("cust_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH cp AS (
+          SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                          CAST(l.l_partkey AS BIGINT) AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM cp GROUP BY c),
+        pairs AS (
+          SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
+          FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)
+        SELECT p.ca AS cust_a, p.cb AS cust_b, p.common,
+               sa.n AS na, sb.n AS nb,
+               ${Q.scaledLong(
+          "CAST(p.common AS DOUBLE) / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - CAST(p.common AS DOUBLE))",
+          6)} AS jacc_e6
+        FROM pairs p JOIN sizes sa ON sa.c = p.ca JOIN sizes sb ON sb.c = p.cb
+        ORDER BY jacc_e6 DESC, cust_a, cust_b LIMIT 20"""))
   )
 }
