@@ -31,6 +31,22 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_morton", es => MortonInterleave(es.head, es(1)), "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime-filter rule (SPARK-32268) but does NOT expose them in the
+    // SQL registry; surfacing them under graft names turns the engine's
+    // semi-join prefilter into a first-class operator (join_bloom_
+    // prefilter). Arity: graft_bloom_agg(longCol[, estimatedItems]),
+    // graft_might_contain(bloomBinary, longCol).
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es =>
+        if (es.size >= 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head, es(1))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head, 100000L),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)),
+      "built-in")
   }
 
   /** Shared scalar fold (the strhash semantics) for reuse in eval paths. */

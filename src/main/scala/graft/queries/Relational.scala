@@ -3857,6 +3857,51 @@ object Relational extends QueryPack {
           FROM orders) r,
           (SELECT unnest([CAST(25 AS BIGINT), 50, 75]) AS q)
         WHERE rn = (n * q + 99) // 100
-        ORDER BY o_orderpriority, q"""))
+        ORDER BY o_orderpriority, q""")),
+
+    // Bloom-prefiltered join: the dim side's keys build a bloom filter
+    // (bloom_filter_agg over xxhash64) that prefilters the FACT SCAN
+    // with might_contain BEFORE the exact join — Spark's own
+    // runtime-filter machinery (SPARK-32268) made explicit as an
+    // operator, the pattern that matters when the dim is too big to
+    // broadcast-hash-join cheaply but its key SET still fits in a few
+    // KB of bloom bits: at 100 TB the filter drops ~96% of fact rows
+    // (one nation's suppliers) before any shuffle, and false positives
+    // are eliminated by the exact join behind it, so the RESULT is
+    // byte-identical to the plain join the oracle runs. Revenue is
+    // per-row scaled cents before the sum — exact BIGINT, tie-safe.
+    "join_bloom_prefilter" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        // might_contain requires the bloom binary as a CONSTANT or
+        // scalar subquery (it folds to a literal before codegen) — so
+        // the build side is declared as a scalar subquery, exactly how
+        // Spark's own InjectRuntimeFilter plants it.
+        Tables.supplier(s, d).createOrReplaceTempView("graft_bloom_supp")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_bloom_li")
+        s.sql(s"""
+          WITH dim AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS suppkey
+            FROM graft_bloom_supp WHERE s_nationkey = 7),
+          f AS (
+            SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                   ${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)} AS rev_c
+            FROM graft_bloom_li
+            WHERE graft_might_contain(
+              (SELECT graft_bloom_agg(xxhash64(CAST(s_suppkey AS BIGINT)))
+               FROM graft_bloom_supp WHERE s_nationkey = 7),
+              xxhash64(CAST(l_suppkey AS BIGINT))))
+          SELECT suppkey, count(*) AS n_items,
+                 sum(rev_c) AS revenue_c
+          FROM f JOIN dim ON f.l_suppkey = dim.suppkey
+          GROUP BY suppkey ORDER BY suppkey""")
+      },
+      Some(s"""
+        SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)}) AS BIGINT) AS revenue_c
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey = 7
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

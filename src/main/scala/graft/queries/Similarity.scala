@@ -1527,6 +1527,112 @@ object Similarity extends QueryPack {
       Some(s"""
         SELECT label, CAST(count(*) AS BIGINT) AS n,
                ${(1 to 4).map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 4) AS c$i").mkString(", ")}
-        FROM embeddings GROUP BY label ORDER BY label"""))
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // Int8 SCALAR quantization retrieval — the third compression point
+    // on the PQ / binary-sign curve (4x memory vs 8x/32x, much higher
+    // fidelity): per-DIMENSION min/max train a 127-level affine code,
+    // the shortlist scans DECODED int8 vectors (the asymmetric-distance
+    // trick: decode is a per-row transform, the scan dot product stays
+    // the codegen FloatDot), and the exact cosine reranks only the
+    // top-20 shortlist. Decode-then-dot rather than integer-dot keeps
+    // the corpus-side artifact 64 bytes/vector while reusing the exact
+    // same broadcast-queries x corpus scan plan as every other ANN
+    // query here. Deterministic: train min/max are exact float
+    // extremes, the code is floor(affine + 0.5) with the degenerate
+    // mn = mx dimension pinned to code 0, ties break by vec_id.
+    // Scale shape: training is one 64-group aggregate (broadcast
+    // back); coding is row-local; shortlist + rerank touch 20 rows per
+    // query.
+    "sim_scalar_quantize" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val dims = e.select(posexplode(col("embedding")).as(Seq("i0", "x")))
+          .groupBy(col("i0"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val params = dims
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("i0"), col("mn"), col("mx")))).as("pp"))
+          .selectExpr("transform(pp, z -> CAST(z.mn AS DOUBLE)) AS mns",
+            "transform(pp, z -> CAST(z.mx AS DOUBLE)) AS mxs")
+        val dec = e.crossJoin(broadcast(params))
+          .selectExpr("vec_id", "embedding", s"$sparkSqDecode AS decf")
+        val q = dec.where(col("vec_id") < 20)
+          .selectExpr("vec_id AS qid", "embedding AS qv", "decf AS qdec")
+        val n = dec.selectExpr("vec_id AS vid", "embedding AS nv", "decf AS ndec")
+        val wShort = Window.partitionBy(col("qid"))
+          .orderBy(col("adot").desc, col("vid"))
+        val short = broadcast(q).join(n, col("qid") =!= col("vid"))
+          .withColumn("adot", expr(sparkDot("qdec", "ndec")))
+          .withColumn("srn", row_number().over(wShort))
+          .where(col("srn") <= 20)
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vid"))
+        cosine(short, "qv", "nv")
+          .withColumn("rn", row_number().over(wTop))
+          .where(col("rn") <= 5)
+          .selectExpr("qid", "rn", "vid", "round(adot, 6) AS adot",
+            "round(cos, 6) AS cos")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""
+        WITH dims AS (
+          SELECT t.i - 1 AS i0, min(embedding[t.i]) AS mn, max(embedding[t.i]) AS mx
+          FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY 1),
+        params AS (
+          SELECT list(CAST(mn AS DOUBLE) ORDER BY i0) AS mns,
+                 list(CAST(mx AS DOUBLE) ORDER BY i0) AS mxs
+          FROM dims),
+        dec AS (
+          SELECT vec_id, embedding, $duckSqDecode AS decf
+          FROM embeddings, params),
+        q AS (SELECT vec_id AS qid, embedding AS qv, decf AS qdec
+              FROM dec WHERE vec_id < 20),
+        shortall AS (
+          SELECT qid, qv, d.vec_id AS vid, d.embedding AS nv,
+                 ${duckDot("qdec", "d.decf")} AS adot
+          FROM q JOIN dec d ON d.vec_id <> q.qid),
+        short AS (
+          SELECT qid, qv, vid, nv, adot,
+                 row_number() OVER (PARTITION BY qid ORDER BY adot DESC, vid) AS srn
+          FROM shortall),
+        sc AS (
+          SELECT qid, vid, adot, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM short WHERE srn <= 20),
+        ranked AS (
+          SELECT qid, vid, adot, dot / (sqrt(na) * sqrt(nb)) AS cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rn
+          FROM sc)
+        SELECT qid, rn, vid, round(adot, 6) AS adot, round(cos, 6) AS cos
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""))
   )
+
+  /** Int8 scalar-quantization decode (code then decode fused): each
+    * dimension maps through floor((x - mn)/(mx - mn) * 127 + 0.5) and
+    * back to mn + code * (mx - mn)/127, emitted as FLOAT so the scan
+    * dot product is the same codegen FloatDot / duckDot fold as every
+    * other ANN query. mn = mx dims pin to mn (code 0).
+    */
+  private val sparkSqDecode: String = {
+    val x = "CAST(element_at(embedding, i) AS DOUBLE)"
+    val mn = "element_at(mns, i)"
+    val mx = "element_at(mxs, i)"
+    s"""transform(sequence(1, $Dim), i -> CAST(
+          CASE WHEN $mx = $mn THEN $mn
+               ELSE $mn + floor(($x - $mn) / ($mx - $mn) * 127.0 + 0.5)
+                    * ($mx - $mn) / 127.0 END AS FLOAT))"""
+  }
+
+  private val duckSqDecode: String = {
+    val x = "CAST(embedding[i] AS DOUBLE)"
+    val mn = "mns[i]"
+    val mx = "mxs[i]"
+    s"""list_transform(range(1, ${Dim + 1}), i -> CAST(
+          CASE WHEN $mx = $mn THEN $mn
+               ELSE $mn + floor(($x - $mn) / ($mx - $mn) * 127.0 + 0.5)
+                    * ($mx - $mn) / 127.0 END AS FLOAT))"""
+  }
 }

@@ -1102,6 +1102,79 @@ object TextOps extends QueryPack {
                         w -> len(list_filter(ws, x -> x = w))),
                       c -> c * c)), 0) AS BIGINT) END AS conc_num
         FROM (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents) t
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Jensen-Shannon divergence of each source's unigram distribution
+    // from the corpus distribution — the drift/contamination radar run
+    // per-source (or per-crawl-snapshot) before mixing: symmetric,
+    // bounded by ln 2, and zero only when the source looks exactly like
+    // the corpus (quality_drift_psi is the binned two-sample variant;
+    // this is the full-vocabulary information-theoretic one). The
+    // decomposition keeps it scalable AND deterministic: only terms
+    // PRESENT in the source carry a log term — the entire absent-vocab
+    // q-side mass collapses to ln 2 * (1 - sum_present q) in closed
+    // form — and the per-source double fold runs over a term-sorted
+    // list (sequential association in both engines), so the only
+    // cross-engine wiggle is the documented ln ulp. Scale shape: one
+    // term-keyed aggregation per (source, term) with map-side combine,
+    // global term counts broadcast, and the ordered fold runs per
+    // source over its own vocabulary (at 100 TB: fixed-point integer
+    // partial sums replace the sorted fold; the closed-form absent
+    // mass is what makes "vs the whole corpus" affordable at all).
+    "quality_js_divergence" -> QueryDef(
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .selectExpr("source", s"explode(${sparkWords("lower(text)")}) AS term")
+        val st = terms.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("c"))
+        val stot = st.groupBy(col("source")).agg(sum(col("c")).as("stot"))
+        val gt = terms.groupBy(col("term")).agg(count(lit(1)).as("gc"))
+        val tot = terms.agg(count(lit(1)).as("t"))
+        val contrib = st.join(stot, "source")
+          .join(broadcast(gt), "term").crossJoin(broadcast(tot))
+          .selectExpr("source", "term", s"$jsContrib AS contrib", s"$jsQ AS qv")
+        contrib.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_terms"),
+            sort_array(collect_list(struct(col("term"), col("contrib"), col("qv"))))
+              .as("arr"))
+          .selectExpr("source", "n_terms",
+            s"""${Q.scaledLong(
+              """0.5 * aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)
+                 + 0.5 * ln(2.0) * (1.0 - aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.qv))""",
+              6)} AS js_e6""")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT source, unnest(${duckWords("lower(text)")}) AS term FROM documents),
+        st AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM terms GROUP BY source, term),
+        stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS stot FROM st GROUP BY source),
+        gt AS (SELECT term, CAST(count(*) AS BIGINT) AS gc FROM terms GROUP BY term),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM terms),
+        contrib AS (
+          SELECT st.source, st.term, $jsContrib AS contrib, $jsQ AS qv
+          FROM st JOIN stot USING (source) JOIN gt USING (term) CROSS JOIN tot),
+        folds AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(contrib ORDER BY term)), (acc, x) -> acc + x) AS csum,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(qv ORDER BY term)), (acc, x) -> acc + x) AS qsum
+          FROM contrib GROUP BY source)
+        SELECT source, n_terms,
+               ${Q.scaledLong("0.5 * csum + 0.5 * ln(2.0) * (1.0 - qsum)", 6)} AS js_e6
+        FROM folds ORDER BY source"""))
   )
+
+  /** JS-divergence per-term pieces over the (c, stot, gc, t) counts:
+    * p = c/stot (source prob), q = gc/t (corpus prob), m = (p+q)/2;
+    * contrib = p*ln(p/m) + q*ln(q/m). All inputs >= 1 so every log
+    * argument is strictly positive.
+    */
+  private val jsP = "(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))"
+  private val jsQ = "(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE))"
+  private val jsContrib =
+    s"($jsP * ln($jsP / (0.5 * ($jsP + $jsQ))) + $jsQ * ln($jsQ / (0.5 * ($jsP + $jsQ))))"
 }
