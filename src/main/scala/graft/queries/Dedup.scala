@@ -1000,6 +1000,10 @@ object Dedup extends QueryPack {
             col("l_orderkey") === col("o_orderkey"))
           .selectExpr("CAST(o_custkey AS BIGINT) AS c", "CAST(l_partkey AS BIGINT) AS p")
           .distinct()
+          // materialize once: the frame feeds both sides of the pair
+          // self-join AND the degree aggregate — unpersisted, the
+          // lineitem-orders join and distinct replan four times
+          .persist()
         val sizes = cp.groupBy(col("c")).agg(count(lit(1)).as("n"))
         cp.toDF("ca", "p")
           .join(cp.toDF("cb", "p2"), col("p") === col("p2") && col("ca") < col("cb"))

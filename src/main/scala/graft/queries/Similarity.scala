@@ -1556,6 +1556,9 @@ object Similarity extends QueryPack {
           .agg(sort_array(collect_list(struct(col("i0"), col("mn"), col("mx")))).as("pp"))
           .selectExpr("transform(pp, z -> CAST(z.mn AS DOUBLE)) AS mns",
             "transform(pp, z -> CAST(z.mx AS DOUBLE)) AS mxs")
+          // 1-row training artifact feeds BOTH the query and corpus
+          // decode paths — cache it so the train scan runs once
+          .persist()
         val dec = e.crossJoin(broadcast(params))
           .selectExpr("vec_id", "embedding", s"$sparkSqDecode AS decf")
         val q = dec.where(col("vec_id") < 20)

@@ -1125,11 +1125,14 @@ object TextOps extends QueryPack {
       (s, d) => {
         val terms = Tables.documents(s, d)
           .selectExpr("source", s"explode(${sparkWords("lower(text)")}) AS term")
+        // ONE corpus explode: the global counts, source totals and the
+        // grand total all derive from the compact (source, term) counts
+        // — unpersisted, the tokenizer re-ran four times
         val st = terms.groupBy(col("source"), col("term"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")).persist()
         val stot = st.groupBy(col("source")).agg(sum(col("c")).as("stot"))
-        val gt = terms.groupBy(col("term")).agg(count(lit(1)).as("gc"))
-        val tot = terms.agg(count(lit(1)).as("t"))
+        val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
+        val tot = st.agg(sum(col("c")).as("t"))
         val contrib = st.join(stot, "source")
           .join(broadcast(gt), "term").crossJoin(broadcast(tot))
           .selectExpr("source", "term", s"$jsContrib AS contrib", s"$jsQ AS qv")
@@ -1151,8 +1154,8 @@ object TextOps extends QueryPack {
           SELECT source, term, CAST(count(*) AS BIGINT) AS c
           FROM terms GROUP BY source, term),
         stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS stot FROM st GROUP BY source),
-        gt AS (SELECT term, CAST(count(*) AS BIGINT) AS gc FROM terms GROUP BY term),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM terms),
+        gt AS (SELECT term, CAST(sum(c) AS BIGINT) AS gc FROM st GROUP BY term),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM st),
         contrib AS (
           SELECT st.source, st.term, $jsContrib AS contrib, $jsQ AS qv
           FROM st JOIN stot USING (source) JOIN gt USING (term) CROSS JOIN tot),
