@@ -96,6 +96,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom surface: no false negatives, scalar-subquery probe, arity-2 sizing") {
+    // every inserted key MUST probe true (bloom guarantees no false
+    // negatives); the probe side takes the bloom as a scalar subquery —
+    // the shape join_bloom_prefilter plants
+    spark.range(0, 1000).selectExpr("id * 7 AS k")
+      .createOrReplaceTempView("bloom_keys")
+    val missed = spark.sql("""
+      SELECT count(*) AS miss FROM bloom_keys
+      WHERE NOT graft_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(k)) FROM bloom_keys), xxhash64(k))
+    """).collect().head.getLong(0)
+    assert(missed == 0, s"bloom filters must never false-negative, missed $missed")
+    // explicit estimated-items arity parses and still covers all keys
+    val missed2 = spark.sql("""
+      SELECT count(*) AS miss FROM bloom_keys
+      WHERE NOT graft_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(k), CAST(2000 AS BIGINT)) FROM bloom_keys),
+        xxhash64(k))
+    """).collect().head.getLong(0)
+    assert(missed2 == 0)
+  }
+
   test("expressions survive with codegen disabled (interpreted path)") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {

@@ -556,4 +556,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"vocabulary-bounded LM counts must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("bloom prefilter plants might_contain ABOVE the fact scan, before the join") {
+    // the whole point of the operator: the bloom (a scalar subquery built
+    // once from the dim keys) filters fact rows BEFORE any join/shuffle;
+    // the exact join behind it is a broadcast of the filtered dim
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("might_contain"),
+      s"the bloom probe must appear as a filter condition:\n$p")
+    assert(p.contains("Subquery"), s"the bloom must build as a one-shot subquery:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the exact dim join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("co-purchase link prediction: top-k exit, broadcast degrees, keyed pair join") {
+    val p = plan("graph_jaccard_links")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must exit via TakeOrdered, never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay keyed on partkey:\n$p")
+  }
+
+  test("scalar-quantize broadcasts the 1-row params and the query side") {
+    // train -> 1-row params broadcast to both decode paths; shortlist is
+    // 20 broadcast queries x one corpus scan (the sim-family contract)
+    val p = plan("sim_scalar_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries and params must broadcast to the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      s"the params artifact must materialize once:\n$p")
+  }
+
+  test("JS divergence aggregates to term counts before any join") {
+    // the four count frames all derive from ONE (source, term) aggregate;
+    // the bounded-vocabulary global counts broadcast to it
+    val p = plan("quality_js_divergence")
+    assert(p.contains("BroadcastHashJoin"),
+      s"term-keyed global counts must broadcast:\n$p")
+    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates <= 1,
+      s"the tokenizer explode must run once, found $generates:\n$p")
+  }
 }
