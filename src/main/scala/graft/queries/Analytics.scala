@@ -1198,8 +1198,48 @@ object Analytics extends QueryPack {
                c AS c_censored,
                CASE WHEN zero = 1 THEN CAST(0 AS BIGINT)
                     ELSE ${Q.scaledLong("exp(lsum)", 6)} END AS surv_e6
-        FROM km2 ORDER BY dur"""))
+        FROM km2 ORDER BY dur""")),
+
+    // Differentially-private histogram release with DERANDOMIZED Laplace
+    // noise: per-nation customer counts plus Lap(1/eps) noise whose
+    // uniform draw comes from a Knuth-hash of the group key instead of a
+    // RNG — the standard trick for making a DP pipeline TESTABLE (same
+    // release every run and in the oracle) while keeping the exact
+    // noise shape (inverse-CDF transform of the uniform). eps = 1,
+    // sensitivity 1 (each customer contributes to one nation bucket).
+    // In production the hash input would be key + a secret per-release
+    // salt; the mechanism, sensitivity bound and inverse-CDF transform
+    // are what this operator declares. Scale shape: one aggregation,
+    // then row-local noise — nothing joins, nothing re-shuffles.
+    "privacy_dp_counts" -> QueryDef(
+      (s, d) => {
+        val g = Tables.customer(s, d)
+          .groupBy(expr("CAST(c_nationkey AS BIGINT)").as("nat"))
+          .agg(count(lit(1)).as("c"))
+        g.selectExpr("nat", "c", s"$dpU AS u")
+          .selectExpr("nat",
+            s"${Q.scaledLong(s"CAST(c AS DOUBLE) + $dpLaplace", 2)} AS noisy_e2")
+          .orderBy(col("nat"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM customer GROUP BY 1),
+        u AS (SELECT nat, c, $dpU AS u FROM g)
+        SELECT nat,
+               ${Q.scaledLong(s"CAST(c AS DOUBLE) + $dpLaplace", 2)} AS noisy_e2
+        FROM u ORDER BY nat"""))
   )
+
+  /** Derandomized-Laplace pieces: u in (0,1) from a Knuth multiplicative
+    * hash of the group key; Lap(b=1/eps=1) via the inverse CDF
+    * -sign(u-1/2) * ln(1 - 2|u-1/2|). u is never exactly 0/0.5/1 (odd
+    * numerator over 2e6), so the log argument stays in (0, 1].
+    */
+  private val dpU = "((CAST((nat * 2654435761) % 1000000 AS DOUBLE) * 2.0 + 1.0) / 2000000.0)"
+  private val dpLaplace =
+    "(-(CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) * ln(1.0 - 2.0 * abs(u - 0.5)))"
 
   // ---- shared engine-identical expression trees (see QueryPack doc) ----
 

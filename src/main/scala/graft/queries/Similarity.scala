@@ -1610,8 +1610,80 @@ object Similarity extends QueryPack {
                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS INTEGER) AS rn
           FROM sc)
         SELECT qid, rn, vid, round(adot, 6) AS adot, round(cos, 6) AS cos
-        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""))
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    // Deterministic k-center (farthest-point) seeding — the k-means++
+    // style initializer with the random draw replaced by greedy argmax,
+    // the standard derandomization (2-approx for the k-center
+    // objective): start at the min vec_id, then 3x pick the vector
+    // farthest from the chosen set. Every distance is EXACT BIGINT
+    // (milli-scaled integer vectors, the cluster_kmeans_iterate
+    // contract), sel ties break by vec_id, so the seed set
+    // hash-matches the oracle bit-for-bit. The greedy loop is
+    // inherently sequential in k but each round stays DECLARATIVE: one
+    // broadcast of the single new center against the persisted corpus
+    // scan, a running least() of distances, and an orderBy().limit(1)
+    // argmax (TakeOrdered — no driver collect, no global sort). At
+    // 100 TB: k rounds x one corpus scan each, the same shape Lloyd's
+    // rounds already declare.
+    "sim_kcenter_init" -> QueryDef(
+      (s, d) => {
+        val xi = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        val e = Tables.embeddings(s, d)
+          .selectExpr("vec_id", s"$xi AS v").persist()
+        val c1 = e.orderBy(col("vec_id")).limit(1)
+          .selectExpr("vec_id AS cid", "v AS cv")
+        val dist1 = e.crossJoin(broadcast(c1))
+          .selectExpr("vec_id", "v", s"${kcD2("v", "cv")} AS md")
+        def next(dists: DataFrame): (DataFrame, DataFrame) = {
+          val c = dists.orderBy(col("md").desc, col("vec_id")).limit(1)
+            .selectExpr("vec_id AS cid", "v AS cv", "md")
+          val nd = dists.crossJoin(broadcast(c.selectExpr("cv AS cv2")))
+            .selectExpr("vec_id", "v", s"least(md, ${kcD2("v", "cv2")}) AS md")
+          (c, nd)
+        }
+        val (c2, dist2) = next(dist1)
+        val (c3, dist3) = next(dist2)
+        val (c4, _) = next(dist3)
+        c1.selectExpr("CAST(1 AS BIGINT) AS k", "cid AS vec_id",
+            "CAST(NULL AS BIGINT) AS d2sel")
+          .unionByName(c2.selectExpr("CAST(2 AS BIGINT) AS k", "cid AS vec_id", "md AS d2sel"))
+          .unionByName(c3.selectExpr("CAST(3 AS BIGINT) AS k", "cid AS vec_id", "md AS d2sel"))
+          .unionByName(c4.selectExpr("CAST(4 AS BIGINT) AS k", "cid AS vec_id", "md AS d2sel"))
+          .orderBy(col("k"))
+      },
+      Some {
+        val xi = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        def d2(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, ${Dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+        s"""
+        WITH xq AS (SELECT vec_id, $xi AS v FROM embeddings),
+        c1 AS (SELECT vec_id AS cid, v AS cv FROM xq ORDER BY vec_id LIMIT 1),
+        dist1 AS (
+          SELECT x.vec_id, x.v, ${d2("x.v", "c1.cv")} AS md FROM xq x, c1),
+        c2 AS (SELECT vec_id AS cid, v AS cv, md FROM dist1
+               ORDER BY md DESC, vec_id LIMIT 1),
+        dist2 AS (
+          SELECT d.vec_id, d.v, least(d.md, ${d2("d.v", "c2.cv")}) AS md
+          FROM dist1 d, c2),
+        c3 AS (SELECT vec_id AS cid, v AS cv, md FROM dist2
+               ORDER BY md DESC, vec_id LIMIT 1),
+        dist3 AS (
+          SELECT d.vec_id, d.v, least(d.md, ${d2("d.v", "c3.cv")}) AS md
+          FROM dist2 d, c3),
+        c4 AS (SELECT vec_id AS cid, v AS cv, md FROM dist3
+               ORDER BY md DESC, vec_id LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS k, cid AS vec_id, CAST(NULL AS BIGINT) AS d2sel FROM c1
+        UNION ALL SELECT 2, cid, md FROM c2
+        UNION ALL SELECT 3, cid, md FROM c3
+        UNION ALL SELECT 4, cid, md FROM c4
+        ORDER BY k"""
+      })
   )
+
+  /** Exact integer squared-L2 between two milli-scaled BIGINT vectors. */
+  private def kcD2(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
   /** Int8 scalar-quantization decode (code then decode fused): each
     * dimension maps through floor((x - mn)/(mx - mn) * 127 + 0.5) and

@@ -1168,7 +1168,44 @@ object TextOps extends QueryPack {
           FROM contrib GROUP BY source)
         SELECT source, n_terms,
                ${Q.scaledLong("0.5 * csum + 0.5 * ln(2.0) * (1.0 - qsum)", 6)} AS js_e6
-        FROM folds ORDER BY source"""))
+        FROM folds ORDER BY source""")),
+
+    // Flesch reading-ease per document — the classic readability score a
+    // curation pipeline uses alongside stopword/punctuation quality
+    // gates (easy text and degenerate text both score extreme): counts
+    // of words, sentence-final punctuation, and vowel-group syllables
+    // are exact integers from row-local regex folds, and the Flesch
+    // formula 206.835 - 1.015*(W/S) - 84.6*(Syl/W) is rational — no
+    // transcendental anywhere, so the e2-scaled score is bit-identical.
+    // Scale shape: a pure narrow map over the document scan plus the
+    // presentation sort; nothing shuffles.
+    "text_readability" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", "text", s"${sparkWords("lower(text)")} AS ws")
+        .where("size(ws) > 0")
+        .selectExpr("doc_id",
+          "CAST(size(ws) AS BIGINT) AS n_words",
+          // sentence terminators; a fragment with none counts as one sentence
+          "greatest(CAST(1 AS BIGINT), CAST(length(regexp_replace(text, '[^.!?]', '')) AS BIGINT)) AS n_sents",
+          // vowel groups approximate syllables; every word has at least one
+          "CAST(aggregate(transform(ws, w -> greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0)))), 0, (a, x) -> a + x) AS BIGINT) AS n_syll")
+        .selectExpr("doc_id", "n_words", "n_sents", "n_syll",
+          s"${Q.scaledLong(fleschExpr, 2)} AS flesch_e2")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, text, ${duckWords("lower(text)")} AS ws FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 greatest(CAST(1 AS BIGINT), CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT)) AS n_sents,
+                 CAST(list_reduce(list_prepend(0, list_transform(ws,
+                   w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+                   (a, x) -> a + x) AS BIGINT) AS n_syll
+          FROM w WHERE len(ws) > 0)
+        SELECT doc_id, n_words, n_sents, n_syll,
+               ${Q.scaledLong(fleschExpr, 2)} AS flesch_e2
+        FROM c ORDER BY doc_id"""))
   )
 
   /** JS-divergence per-term pieces over the (c, stot, gc, t) counts:
@@ -1176,6 +1213,13 @@ object TextOps extends QueryPack {
     * contrib = p*ln(p/m) + q*ln(q/m). All inputs >= 1 so every log
     * argument is strictly positive.
     */
+  /** Flesch reading ease over the exact (n_words, n_sents, n_syll) counts
+    * — rational, so bit-identical across engines.
+    */
+  private val fleschExpr =
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) " +
+      "- 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
+
   private val jsP = "(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))"
   private val jsQ = "(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE))"
   private val jsContrib =
