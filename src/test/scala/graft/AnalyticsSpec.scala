@@ -243,4 +243,94 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == c.distinct().count())
     assert(rows.forall(_.getLong(3) >= 1)) // min_l >= 1 always
   }
+
+  test("OLS: R2 bounds and suff-stats match a driver recomputation") {
+    val rows = q("stats_ols_regression").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getLong(4)
+      assert(r2 >= 0L && r2 <= 1000000L, s"r2_e6=$r2 outside [0, 1e6]")
+    }
+    // one nation recomputed from raw rows: slope from exact BIGINT stats
+    val raw = graft.engine.Tables.orders(spark, d)
+      .join(graft.engine.Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_nationkey") === 0)
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT) AS x",
+        "CAST(floor(o_totalprice + 0.5) AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = raw.length.toLong
+    val (sx, sy) = (raw.map(_._1).sum, raw.map(_._2).sum)
+    val sxx = raw.map(t => t._1 * t._1).sum
+    val sxy = raw.map(t => t._1 * t._2).sum
+    val slope = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx)
+    val got = rows.find(_.getLong(0) == 0L).get.getLong(2)
+    assert(got == math.floor(slope * 1e6 + 0.5).toLong,
+      s"nation-0 slope_e6 $got != recomputed")
+  }
+
+  test("ANOVA: F positive-definite pieces and eta2 in [0,1]") {
+    val r = q("stats_anova_oneway").collect().head
+    assert(r.getLong(0) == 5L) // k groups
+    assert(r.getLong(1) == graft.engine.Tables.events(spark, d).count())
+    val eta2 = r.getLong(3)
+    assert(eta2 >= 0L && eta2 <= 1000000L, s"eta2_e6=$eta2 outside [0, 1e6]")
+  }
+
+  test("cross-correlation: lag-0 covers the full grid, corr bounded") {
+    val rows = q("time_cross_corr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L))
+    val byLag = rows.map(t => t._1 -> t._2).toMap
+    // |lag| days fall off each end of the overlap window
+    rows.foreach { case (lag, nd, corr) =>
+      assert(nd == byLag(0L) - math.abs(lag), s"lag $lag day count")
+      assert(corr >= -1000000L && corr <= 1000000L)
+    }
+  }
+
+  test("STL: decomposition reassembles the series where trend exists") {
+    q("time_stl_decompose").collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        val y = r.getLong(1).toDouble
+        val sum = (r.getLong(2) + r.getLong(3) + r.getLong(4)).toDouble / 100.0
+        // three independently rounded e2 terms: at most 1.5 cents apart
+        assert(math.abs(sum - y) <= 0.03, s"day ${r.getLong(0)}: $sum != $y")
+      }
+    }
+  }
+
+  test("Kaplan-Meier: risk-set accounting and monotone survival") {
+    val rows = q("events_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // n_risk drops by exactly d + c at each step
+    rows.sliding(2).foreach {
+      case Array((_, n1, d1, c1, _), (_, n2, _, _, _)) =>
+        assert(n2 == n1 - d1 - c1, s"risk set must shrink by removals")
+      case _ =>
+    }
+    // survival is non-increasing and within [0, 1]
+    val surv = rows.map(_._5)
+    assert(surv.head <= 1000000L && surv.forall(_ >= 0L))
+    surv.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "survival must be non-increasing")
+      case _ =>
+    }
+  }
+
+  test("DP counts: noise matches the declared inverse-CDF recomputation") {
+    val truth = graft.engine.Tables.customer(spark, d)
+      .groupBy(col("c_nationkey")).count().collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+    q("privacy_dp_counts").collect().foreach { r =>
+      val (nat, noisy) = (r.getLong(0), r.getLong(1))
+      val u = (((nat * 2654435761L) % 1000000L).toDouble * 2.0 + 1.0) / 2000000.0
+      val lap = -(if (u >= 0.5) 1.0 else -1.0) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val expect = math.floor((truth(nat).toDouble + lap) * 100.0 + 0.5).toLong
+      assert(noisy == expect, s"nation $nat: $noisy != $expect")
+    }
+  }
 }

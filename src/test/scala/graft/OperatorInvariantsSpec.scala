@@ -83,4 +83,85 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       assert(approxTop <= exact(qid) + 1e-9, s"query $qid: approx beats exact?")
     }
   }
+
+  test("dedup_editdist_pairs distances match a plain-Scala Levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val texts = graft.engine.Tables.documents(spark, d)
+      .selectExpr("doc_id", "substring(lower(text), 1, 120) AS lt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = q("dedup_editdist_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.foreach { case (a, b, dist) =>
+      assert(a < b && dist <= 20)
+      assert(dist == lev(texts(a), texts(b)).toLong,
+        s"pair ($a,$b): engine $dist != recomputed")
+    }
+  }
+
+  test("bloom prefilter result EQUALS the plain exact join (false positives never leak)") {
+    val got = q("join_bloom_prefilter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = graft.engine.Tables.lineitem(spark, d)
+      .join(graft.engine.Tables.supplier(spark, d)
+          .where(col("s_nationkey") === 7),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey").cast("long").as("suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)")).as("rev"))
+      .orderBy(col("suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == plain, s"bloom-prefiltered join diverged from the exact join")
+  }
+
+  test("k-center seeds: distinct, and the selection radius shrinks monotonically") {
+    val rows = q("sim_kcenter_init").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_._2).distinct.length == 4, "seeds must be distinct vectors")
+    val radii = rows.drop(1).map(_._3)
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a,
+        "greedy farthest-point radius must be non-increasing")
+      case _ =>
+    }
+  }
+
+  test("scalar-quantize rerank scores equal the exact brute-force cosine") {
+    val exact = q("sim_topk_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    q("sim_scalar_quantize").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // any (qid, vid) surviving the shortlist must carry the TRUE cosine
+      exact.get(key).foreach { c =>
+        assert(math.abs(r.getDouble(4) - c) < 1e-9,
+          s"$key: rerank cosine != exact")
+      }
+    }
+  }
+
+  test("JS divergence bounded by ln 2; readability counts reconstruct the score") {
+    q("quality_js_divergence").collect().foreach { r =>
+      val js = r.getLong(2)
+      assert(js >= 0L && js <= math.floor(math.log(2.0) * 1e6 + 0.5).toLong,
+        s"${r.getString(0)}: js_e6=$js outside [0, ln2]")
+    }
+    q("text_readability").collect().take(50).foreach { r =>
+      val (w, s2, syl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val f = 206.835 - 1.015 * (w.toDouble / s2) - 84.6 * (syl.toDouble / w)
+      assert(r.getLong(4) == math.floor(f * 100.0 + 0.5).toLong,
+        s"doc ${r.getLong(0)}: flesch_e2 mismatch")
+    }
+  }
 }
