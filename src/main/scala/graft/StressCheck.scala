@@ -243,6 +243,36 @@ object StressCheck {
     }
     println(s"[stress] bq_rows=$bqRows")
     spark.catalog.clearCache()
+    // int8 scalar quantization at 50k vectors: train (one 64-group
+    // aggregate) + decode-and-scan shortlist + exact rerank must keep
+    // the broadcast-queries x one-corpus-scan shape at 50x bench scale.
+    val sqRows = t("sim_scalar_quantize (50k vectors)") {
+      SparkEntry.queries("sim_scalar_quantize")(spark, vecDir).count()
+    }
+    println(s"[stress] sq_rows=$sqRows")
+    spark.catalog.clearCache()
+    // k-center seeding at 50k vectors: 4 sequential rounds, each ONE
+    // corpus scan + a TakeOrdered argmax — the declarative greedy loop
+    // must not degrade to driver-side iteration at corpus scale.
+    val kcRows = t("sim_kcenter_init (50k vectors)") {
+      SparkEntry.queries("sim_kcenter_init")(spark, vecDir).count()
+    }
+    println(s"[stress] kcenter_rows=$kcRows")
+    spark.catalog.clearCache()
+    // edit-distance blocking at 125k docs: the quadratic Levenshtein is
+    // only viable if the (prefix, length-band) blocks STAY bounded as
+    // the corpus grows 25x — log the max block so a degenerate key
+    // (template corpora) would show up here before it bites at 100 TB.
+    val (edPairs, maxBlock) = t("dedup_editdist_pairs blocking (125k docs)") {
+      val p = SparkEntry.queries("dedup_editdist_pairs")(spark, dir).count()
+      val mb = graft.engine.Tables.documents(spark, dir)
+        .selectExpr("substring(lower(text), 1, 12) AS pfx", "n_chars div 16 AS band")
+        .groupBy("pfx", "band").count()
+        .agg(max("count")).collect().head.getLong(0)
+      (p, mb)
+    }
+    println(s"[stress] editdist_pairs=$edPairs max_block=$maxBlock")
+    spark.catalog.clearCache()
     // winnowing at 125k docs (marker-token replicas make the texts ~2x
     // the bench corpus): the O(len * w) row-local fingerprint selection
     // must stay a narrow map — no explode, no shuffle, memory flat.
@@ -296,7 +326,8 @@ object StressCheck {
         nVecs == 50000 && annPairs >= 500000 && ivfRows >= 50 &&
         packedBins >= 1 && decontam >= 1 && containment >= 1 &&
         recallTrained >= recallFixed && pqRows == 30 && incDups == 5000 &&
-        bqRows == 100 && winnowed >= nDocs - 25)
+        bqRows == 100 && winnowed >= nDocs - 25 &&
+        sqRows == 100 && kcRows == 4 && maxBlock <= 100)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
