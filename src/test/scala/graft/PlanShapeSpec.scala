@@ -579,7 +579,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("scalar-quantize broadcasts the 1-row params and the query side") {
     // train -> 1-row params broadcast to both decode paths; shortlist is
-    // 20 broadcast queries x one corpus scan (the sim-family contract)
+    // 20 broadcast queries x one corpus scan (the sim-family contract).
+    // Cleared cache: same cross-suite InMemoryRelation rendering caveat
+    // as the JS plan test below.
+    spark.catalog.clearCache()
     val p = plan("sim_scalar_quantize")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"queries and params must broadcast to the corpus scan:\n$p")
@@ -590,7 +593,12 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("JS divergence aggregates to term counts before any join") {
     // the four count frames all derive from ONE (source, term) aggregate;
-    // the bounded-vocabulary global counts broadcast to it
+    // the bounded-vocabulary global counts broadcast to it. Another suite
+    // may have left the persisted term-count frame in the shared session's
+    // cache — the substituted InMemoryRelation renders its own Generate in
+    // the formatted plan, double-counting the explode — so assert on the
+    // canonical uncached plan.
+    spark.catalog.clearCache()
     val p = plan("quality_js_divergence")
     assert(p.contains("BroadcastHashJoin"),
       s"term-keyed global counts must broadcast:\n$p")
