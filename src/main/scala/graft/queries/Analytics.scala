@@ -1200,6 +1200,53 @@ object Analytics extends QueryPack {
                     ELSE ${Q.scaledLong("exp(lsum)", 6)} END AS surv_e6
         FROM km2 ORDER BY dur""")),
 
+    // Theil-Sen robust trend: the MEDIAN of all pairwise day-grid slopes
+    // — the estimator that shrugs off the outlier days OLS gets dragged
+    // by (29% breakdown point vs 0). Key scale fact: the pairwise
+    // quadratic is in the GRID (31 days -> 435 pairs), never in the
+    // fact — the raw events aggregate to the bounded day grid first,
+    // exactly the stats_ols/cross-corr contract. Each slope leaves as an
+    // e6-scaled BIGINT through one identical division tree; the median
+    // is the exact lower-median row of the (slope, d1, d2) total order —
+    // integer row_number arithmetic, no percentile_approx anywhere.
+    "stats_theil_sen" -> QueryDef(
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .selectExpr(
+            "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') AS day")
+          .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        val pairs = g.toDF("d1", "y1")
+          .join(g.toDF("d2", "y2"), col("d2") > col("d1"))
+          .selectExpr("d1", "d2",
+            s"${Q.scaledLong(
+              "(CAST(y2 AS DOUBLE) - CAST(y1 AS DOUBLE)) / (CAST(d2 AS DOUBLE) - CAST(d1 AS DOUBLE))",
+              6)} AS slope_e6")
+        val w = Window.orderBy(col("slope_e6"), col("d1"), col("d2"))
+        val wAll = Window.partitionBy(lit(1))
+        pairs.withColumn("rn", row_number().over(w))
+          .withColumn("np", count(lit(1)).over(wAll))
+          .where(expr("rn = (np + 1) div 2"))
+          .selectExpr("np AS n_pairs", "slope_e6")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        pairs AS (
+          SELECT a.day AS d1, b.day AS d2,
+                 ${Q.scaledLong(
+          "(CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE)) / (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE))",
+          6)} AS slope_e6
+          FROM g a JOIN g b ON b.day > a.day),
+        r AS (
+          SELECT slope_e6,
+                 row_number() OVER (ORDER BY slope_e6, d1, d2) AS rn,
+                 count(*) OVER () AS np
+          FROM pairs)
+        SELECT CAST(np AS BIGINT) AS n_pairs, slope_e6
+        FROM r WHERE rn = (np + 1) // 2""")),
+
     // Differentially-private histogram release with DERANDOMIZED Laplace
     // noise: per-nation customer counts plus Lap(1/eps) noise whose
     // uniform draw comes from a Knuth-hash of the group key instead of a

@@ -279,6 +279,42 @@ object SourceFormats extends QueryPack {
         FROM orders WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Dynamic partition pruning roundtrip — the 100 TB scan killer: the
+    // fact writes day-partitioned, the dim keeps only every 10th day,
+    // and Spark's DPP rule reuses the broadcast build to PRUNE fact
+    // partitions at runtime (the scan's PartitionFilters gains a
+    // dynamicpruning expression — plan-asserted), so 27 of 30
+    // partitions are never opened. This is the mechanism that turns a
+    // "join then filter" over a petabyte of day-partitioned parquet
+    // into a 3-partition read; the oracle re-derives the same numbers
+    // by predicate over the unpartitioned table.
+    "source_dpp_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_dpp_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        Tables.events(s, d)
+          .selectExpr("event_id",
+            "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') AS day",
+            s"${Q.scaledLong("value", 2)} AS v_c")
+          .write.mode("overwrite").partitionBy("day").parquet(out.toString)
+        val fact = s.read.parquet(out.toString)
+        val dim = s.range(0, 31).selectExpr("CAST(id AS INT) AS day")
+          .where(col("day") % 10 === 0)
+        fact.join(broadcast(dim), "day")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("v_c")).as("value_c"))
+          .selectExpr("CAST(day AS BIGINT) AS day", "n", "value_c")
+          .orderBy(col("day"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                 ${Q.scaledLong("value", 2)} AS v_c
+          FROM events)
+        SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v_c) AS BIGINT) AS value_c
+        FROM f WHERE day % 10 = 0 GROUP BY day ORDER BY day""")),
+
     // Sketch-mergeable distinct counting — the 100 TB cardinality shape:
     // each shard builds a DataSketches HLL sketch locally, the driver-side
     // union merges 8 fixed-size binary sketches instead of shuffling the

@@ -557,6 +557,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("DPP roundtrip: the fact scan carries a dynamicpruning partition filter") {
+    // 27 of 30 day partitions must be pruned at runtime by the broadcast
+    // build side — the petabyte-scan killer this operator declares
+    val p = plan("source_dpp_roundtrip")
+    assert(p.contains("dynamicpruningexpression"),
+      s"the partitioned fact scan must be dynamically pruned:\n$p")
+    assert(p.contains("PartitionFilters"), s"partition filters missing:\n$p")
+  }
+
   test("bloom prefilter plants might_contain ABOVE the fact scan, before the join") {
     // the whole point of the operator: the bloom (a scalar subquery built
     // once from the dim keys) filters fact rows BEFORE any join/shuffle;
