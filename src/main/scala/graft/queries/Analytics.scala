@@ -1247,6 +1247,49 @@ object Analytics extends QueryPack {
         SELECT CAST(np AS BIGINT) AS n_pairs, slope_e6
         FROM r WHERE rn = (np + 1) // 2""")),
 
+    // Kendall's tau-b between the daily click and purchase series — the
+    // rank-concordance companion to Pearson (time_cross_corr) and the
+    // rank-sum test (stats_mann_whitney): robust to any monotone
+    // transform of either series. Concordant/discordant/tie counts are
+    // exact integers over the bounded day-grid pair frame (the
+    // stats_theil_sen quadratic-in-the-GRID contract), and tau-b is
+    // rational + IEEE sqrt — bit-identical.
+    "stats_kendall_tau" -> QueryDef(
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .selectExpr(
+            "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') AS day",
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isx",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isy")
+          .groupBy(col("day"))
+          .agg(sum(col("isx")).as("x"), sum(col("isy")).as("y"))
+        val st = g.toDF("d1", "x1", "y1")
+          .join(g.toDF("d2", "x2", "y2"), col("d2") > col("d1"))
+          .agg(count(lit(1)).as("n0"),
+            sum(expr("CASE WHEN (x2 - x1) * (y2 - y1) > 0 THEN 1 ELSE 0 END")).as("c"),
+            sum(expr("CASE WHEN (x2 - x1) * (y2 - y1) < 0 THEN 1 ELSE 0 END")).as("dd"),
+            sum(expr("CASE WHEN x1 = x2 THEN 1 ELSE 0 END")).as("tx"),
+            sum(expr("CASE WHEN y1 = y2 THEN 1 ELSE 0 END")).as("ty"))
+        st.selectExpr("n0 AS n_pairs", "c AS concordant", "dd AS discordant",
+          s"${Q.scaledLong(kendallTauB, 6)} AS tau_e6")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+                 CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                 CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+          FROM g a JOIN g b ON b.day > a.day)
+        SELECT n0 AS n_pairs, c AS concordant, dd AS discordant,
+               ${Q.scaledLong(kendallTauB, 6)} AS tau_e6
+        FROM st""")),
+
     // Differentially-private histogram release with DERANDOMIZED Laplace
     // noise: per-nation customer counts plus Lap(1/eps) noise whose
     // uniform draw comes from a Knuth-hash of the group key instead of a
@@ -1278,6 +1321,12 @@ object Analytics extends QueryPack {
                ${Q.scaledLong(s"CAST(c AS DOUBLE) + $dpLaplace", 2)} AS noisy_e2
         FROM u ORDER BY nat"""))
   )
+
+  /** Kendall tau-b from the exact concordance counts: (C - D) /
+    * sqrt((n0 - Tx)(n0 - Ty)); rational + IEEE sqrt, bit-identical.
+    */
+  private val kendallTauB =
+    "(CAST(c AS DOUBLE) - CAST(dd AS DOUBLE)) / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE)) * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)))"
 
   /** Derandomized-Laplace pieces: u in (0,1) from a Knuth multiplicative
     * hash of the group key; Lap(b=1/eps=1) via the inverse CDF

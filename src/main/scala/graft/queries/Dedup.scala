@@ -940,6 +940,40 @@ object Dedup extends QueryPack {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // N-gram NOVELTY curve: per document, the fraction of its distinct
+    // shingles never seen in any earlier document (arrival order =
+    // doc_id) — the redundancy-decay readout used to ORDER training
+    // data and to decide when a crawl snapshot stops paying for itself
+    // (novelty of late documents collapsing toward 0 = the corpus is
+    // saturating). One shingle-keyed first-occurrence aggregation plus
+    // one per-doc aggregation — both map-side combinable; at 100 TB
+    // first-occurrence is the same shuffle the dedup index already
+    // pays, so the curve rides along for free.
+    "dedup_ngram_novelty" -> QueryDef(
+      (s, d) => {
+        val shd = shingleRows(s, d).distinct().persist()
+        val firsts = shd.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+        shd.join(firsts, "sh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .selectExpr("doc_id", "n_shingles", "n_novel",
+            s"${Q.scaledLong(
+              "CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)", 4)} AS novelty_e4")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $duckBase,
+        f AS (SELECT sh, min(doc_id) AS fd FROM shd_raw GROUP BY sh),
+        per AS (
+          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM shd_raw s JOIN f USING (sh) GROUP BY s.doc_id)
+        SELECT doc_id, n_shingles, n_novel,
+               ${Q.scaledLong(
+          "CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)", 4)} AS novelty_e4
+        FROM per ORDER BY doc_id""")),
+
     // Fuzzy dedup by EDIT DISTANCE — the character-level complement to
     // the shingle family: shingles miss dense single-character noise
     // (OCR errors, mojibake) that Levenshtein catches. Candidates are

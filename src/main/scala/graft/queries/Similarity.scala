@@ -1324,6 +1324,72 @@ object Similarity extends QueryPack {
         FROM sc WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         ORDER BY vid_a, vid_b""")),
 
+    // SEMANTIC dup clusters: connected components over the verified
+    // embedding near-dup pairs — the embedding-space twin of the
+    // shingle-space dedup_clusters, completing the dedup matrix (exact /
+    // shingle-LSH / embed-LSH, each: signatures -> pairs -> clusters ->
+    // canonical pick). n_labels counts distinct class labels swallowed
+    // per cluster — the purity audit that catches a threshold set so
+    // loose it merges semantically distinct docs. Same iterative
+    // discipline as every graph op here: localCheckpoint truncates the
+    // deep LSH lineage before min-label propagation (one shuffle per
+    // round), and the tiny dup-member frame broadcasts into the
+    // embeddings join.
+    "dedup_embed_clusters" -> QueryDef(
+      (s, d) => {
+        val pairs = bandCandidatesScored(s, d).where("cos >= 0.4")
+          .select(col("vid_a"), col("vid_b")).localCheckpoint()
+        val labels = graft.engine.ops.ConnectedComponents.run(pairs)
+          .selectExpr("CAST(v AS BIGINT) AS vec_id", "CAST(lbl AS BIGINT) AS cluster_id")
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+          .join(broadcast(labels), Seq("vec_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("keeper_vec"),
+            expr("CAST(count(DISTINCT label) AS BIGINT)").as("n_labels"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM e
+          UNION ALL
+          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM e),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        prs AS (
+          SELECT c.vid_a, c.vid_b, ea.embedding AS ea, eb.embedding AS eb
+          FROM cand c JOIN embeddings ea ON ea.vec_id = c.vid_a
+                      JOIN embeddings eb ON eb.vec_id = c.vid_b),
+        sc AS (
+          SELECT vid_a, vid_b, ${duckDot("ea", "eb")} AS dot,
+                 ${duckDot("ea", "ea")} AS na, ${duckDot("eb", "eb")} AS nb
+          FROM prs),
+        dup AS (
+          SELECT vid_a, vid_b FROM sc
+          WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4),
+        edges AS (
+          SELECT vid_a AS a, vid_b AS b FROM dup
+          UNION
+          SELECT vid_b, vid_a FROM dup),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        verts AS (SELECT DISTINCT a AS v FROM edges),
+        labels AS (
+          SELECT v AS vec_id, least(v, min(b)) AS cluster_id
+          FROM verts JOIN reach ON reach.a = v GROUP BY v)
+        SELECT CAST(l.cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(m.vec_id) AS BIGINT) AS keeper_vec,
+               CAST(count(DISTINCT m.label) AS BIGINT) AS n_labels
+        FROM labels l JOIN embeddings m ON m.vec_id = l.vec_id
+        GROUP BY l.cluster_id ORDER BY cluster_id""")),
+
     // Threshold operating curve for embedding near-dup: how many
     // candidate pairs survive each cosine cutoff (0.05-wide buckets +
     // the descending cumulative count). This is the artifact you
