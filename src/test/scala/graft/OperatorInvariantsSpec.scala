@@ -151,6 +151,38 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed clusters: members >= 2, keeper is the min member, labels bounded") {
+    val rows = q("dedup_embed_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cid, n, keeper, nl) =>
+      assert(n >= 2, s"cluster $cid: a component needs at least an edge")
+      assert(keeper == cid, "min-label CC: keeper must equal the min-id label")
+      assert(nl >= 1 && nl <= n)
+    }
+  }
+
+  test("novelty: first doc fully novel, fractions bounded, novel mass = distinct shingles") {
+    val rows = q("dedup_ngram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head._4 == 10000L, "the first-arriving doc is 100% novel")
+    rows.foreach { case (_, n, nov, e4) =>
+      assert(nov >= 0 && nov <= n && e4 >= 0 && e4 <= 10000)
+    }
+    // every distinct shingle is novel for exactly one document, so the
+    // novel mass can never exceed the per-doc distinct total
+    val totalNovel = rows.map(_._3).sum
+    assert(totalNovel > 0 && totalNovel <= rows.map(_._2).sum)
+  }
+
+  test("kendall tau-b: bounded and consistent with its own counts") {
+    val r = q("stats_kendall_tau").collect().head
+    val (n0, c, dd, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(c + dd <= n0)
+    assert(tau >= -1000000L && tau <= 1000000L)
+    assert((c >= dd) == (tau >= 0), "tau sign must follow the concordance excess")
+  }
+
   test("JS divergence bounded by ln 2; readability counts reconstruct the score") {
     q("quality_js_divergence").collect().foreach { r =>
       val js = r.getLong(2)
