@@ -26,7 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // release per-query persisted frames
+      finally {
+        // release per-query persisted frames: drain the registry (the
+        // library contract) and clearCache (belt-and-braces for anything
+        // cached outside it)
+        graft.queries.Persisted.drain()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -36,17 +36,48 @@ object GraftFunctions {
     // SQL registry; surfacing them under graft names turns the engine's
     // semi-join prefilter into a first-class operator (join_bloom_
     // prefilter). Arity: graft_bloom_agg(longCol[, estimatedItems]),
-    // graft_might_contain(bloomBinary, longCol).
+    // graft_might_contain(bloomBinary, longCol). Construction goes
+    // through BloomShim — the internal constructors are the only
+    // private-API surface in the library.
     reg.createOrReplaceTempFunction("graft_bloom_agg",
-      es =>
-        if (es.size >= 2)
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head, es(1))
-        else
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head, 100000L),
-      "built-in")
+      es => BloomShim.agg(es.head, es.drop(1).headOption), "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain",
-      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)),
-      "built-in")
+      es => BloomShim.mightContain(es.head, es(1)), "built-in")
+  }
+
+  /** Single choke point for the Spark-INTERNAL bloom expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`). Their
+    * constructors are `private[sql]`-adjacent internal API with no
+    * deprecation cycle and have changed signature across Spark minors —
+    * so this shim is the ONLY place that names them (r7 ADVICE).
+    *
+    * PINNED: verified against Spark 4.1.x (the `/opt/spark/jars` this
+    * build compiles and tests with; FunctionsSpec's no-false-negative
+    * property is the behavioral gate). On a Spark bump: a source rebuild
+    * surfaces a signature change here as a compile error; a binary swap
+    * (running against newer jars than compiled) surfaces it as the
+    * pinned IllegalStateException below instead of an opaque
+    * LinkageError deep in query execution.
+    */
+  private object BloomShim {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+
+    private def pinned(what: String, e: LinkageError): Nothing =
+      throw new IllegalStateException(
+        s"$what: Spark-internal constructor signature changed " +
+          "(graft pins Spark 4.1.x) — update graft.functions.BloomShim " +
+          "for this Spark version", e)
+
+    def agg(child: Expression, estimatedItems: Option[Expression]): Expression =
+      try estimatedItems match {
+        case Some(n) => new BloomFilterAggregate(child, n)
+        case None => new BloomFilterAggregate(child, 100000L)
+      } catch { case e: LinkageError => pinned("graft_bloom_agg", e) }
+
+    def mightContain(bloom: Expression, value: Expression): Expression =
+      try BloomFilterMightContain(bloom, value)
+      catch { case e: LinkageError => pinned("graft_might_contain", e) }
   }
 
   /** Shared scalar fold (the strhash semantics) for reuse in eval paths. */

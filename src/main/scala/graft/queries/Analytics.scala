@@ -1059,13 +1059,23 @@ object Analytics extends QueryPack {
     // tree per output column. Day-of-week is day-number % 7 from the
     // Monday anchor (non-negative domain — no floor/trunc divergence).
     // Scale shape: the fact aggregates to the bounded day grid first;
-    // windows and the 7-row seasonal join run on that grid.
+    // windows and the 7-row seasonal join run on that grid. The grid is
+    // DENSIFIED (r7 ADVICE): days with zero events are materialized with
+    // y = 0 via a sequence over [min(day), max(day)], so the ROWS-based
+    // 7-row window really is 7 CALENDAR days even on sparse inputs —
+    // without it the declared "centered 7-day" semantics silently
+    // widened across gaps (identically in both engines, but wrongly).
     "time_stl_decompose" -> QueryDef(
       (s, d) => {
-        val g = Tables.events(s, d)
+        val observed = Tables.events(s, d)
           .selectExpr(
             "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE'2024-01-01') AS day")
           .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        val grid = observed
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .selectExpr("explode(sequence(d0, d1)) AS day")
+        val g = grid.join(observed, Seq("day"), "left")
+          .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
         val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
         val t = g
           .withColumn("trend7",
@@ -1083,10 +1093,16 @@ object Analytics extends QueryPack {
           .orderBy(col("day"))
       },
       Some(s"""
-        WITH g AS (
+        WITH observed AS (
           SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
                  CAST(count(*) AS BIGINT) AS y
           FROM events GROUP BY 1),
+        grid AS (
+          SELECT unnest(range(d0, d1 + 1)) AS day
+          FROM (SELECT min(day) AS d0, max(day) AS d1 FROM observed)),
+        g AS (
+          SELECT grid.day AS day, CAST(coalesce(y, 0) AS BIGINT) AS y
+          FROM grid LEFT JOIN observed ON grid.day = observed.day),
         t AS (
           SELECT day, y,
                  CASE WHEN count(*) OVER w = 7

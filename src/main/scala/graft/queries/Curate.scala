@@ -53,13 +53,13 @@ object Curate extends QueryPack {
             s"""CASE WHEN ${sparkStrHash("text")} % 10 < 8 THEN 'train'
                      WHEN ${sparkStrHash("text")} % 10 < 9 THEN 'val'
                      ELSE 'test' END AS split""")
-          .persist()
+          .persistScoped()
         val labels = Dedup.defs("dedup_clusters").build(s, d)
         val drops = labels.where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"))
         val dd = qual.join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("split"))
-          .persist()
+          .persistScoped()
         val splits = dd
           .groupBy(col("split")).agg(count(lit(1)).as("n"))
           .select(concat(lit("4_split_"), col("split")).as("stage"), col("n"))

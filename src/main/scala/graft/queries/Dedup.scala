@@ -154,7 +154,7 @@ object Dedup extends QueryPack {
     * ground truth the candidate-restricted path is compared against.
     */
   private[graft] def jaccardAllPairs(s: SparkSession, d: String): DataFrame =
-    jaccardOver(cappedShingles(shingleRows(s, d).distinct()).persist())
+    jaccardOver(cappedShingles(shingleRows(s, d).distinct()).persistScoped())
 
   /** SimHash over SHINGLE hashes, not word hashes: the corpus vocabulary
     * is tiny (~30 words), so word-presence simhashes collide corpus-wide
@@ -182,7 +182,7 @@ object Dedup extends QueryPack {
     * 10x-duplicate stress corpus).
     */
   private def minHashDupPairs(s: SparkSession, d: String): DataFrame =
-    minHashDupPairsOver(s, d, cappedShingles(shingleRows(s, d).distinct()).persist())
+    minHashDupPairsOver(s, d, cappedShingles(shingleRows(s, d).distinct()).persistScoped())
 
   /** As minHashDupPairs, but over a caller-supplied capped+persisted
     * distinct-shingle frame, so a query that needs BOTH the LSH pairs and
@@ -191,7 +191,7 @@ object Dedup extends QueryPack {
     */
   private def minHashDupPairsOver(
       s: SparkSession, d: String, shd: DataFrame): DataFrame = {
-    val bands = minHashBandsFrom(minHashSig(s, d)).persist()
+    val bands = minHashBandsFrom(minHashSig(s, d)).persistScoped()
     val cand = bands.toDF("doc_a", "band", "key")
       .join(bands.toDF("doc_b", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") &&
@@ -220,8 +220,8 @@ object Dedup extends QueryPack {
     */
   private[graft] def incrementalVerdicts(
       s: SparkSession, d: String, inPred: String, exPred: String): DataFrame = {
-    val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
-    val bands = minHashBandsFrom(minHashSig(s, d)).persist()
+    val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
+    val bands = minHashBandsFrom(minHashSig(s, d)).persistScoped()
     val cand = bands.where(inPred).toDF("doc_in", "band", "key")
       .join(bands.where(exPred).toDF("doc_ex", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
@@ -697,8 +697,8 @@ object Dedup extends QueryPack {
     // the asymmetry visible in the gated output.
     "dedup_containment_pairs" -> QueryDef(
       (s, d) => {
-        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
-        val bands = minHashBandsFrom(minHashSig(s, d)).persist()
+        val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
+        val bands = minHashBandsFrom(minHashSig(s, d)).persistScoped()
         val cand = bands.toDF("doc_a", "band", "key")
           .join(bands.toDF("doc_b", "band2", "key2"),
             col("band") === col("band2") && col("key") === col("key2") &&
@@ -751,7 +751,7 @@ object Dedup extends QueryPack {
     "graph_triangles_dups" -> QueryDef(
       (s, d) => {
         val e = minHashDupPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).persist()
+          .select(col("doc_a"), col("doc_b")).persistScoped()
         e.toDF("a", "b")
           .join(e.toDF("b2", "c"), col("b") === col("b2"))
           .join(e.toDF("a2", "c2"),
@@ -836,7 +836,7 @@ object Dedup extends QueryPack {
     // space, so the UNION dedups exactly.
     "dedup_jaccard_pairs" -> QueryDef(
       (s, d) => {
-        val shd = cappedShingles(shingleRows(s, d).distinct()).persist()
+        val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
         val lsh = minHashDupPairsOver(s, d, shd)
           .select(col("doc_a"), col("doc_b"), col("jacc"))
         val exact = jaccardOver(shd.where(s"doc_id % $ExactStratumMod = 0"))
@@ -913,7 +913,7 @@ object Dedup extends QueryPack {
 
     "dedup_simhash_pairs" -> QueryDef(
       (s, d) => {
-        val sim = simHashSigs(s, d).persist()
+        val sim = simHashSigs(s, d).persistScoped()
         val chunks = (0 until 4).map(c =>
           struct(lit(c).as("chunk"), expr(s"shiftright(simhash, ${8 * c}) & 255").as("key")))
         val blocked = sim
@@ -948,10 +948,18 @@ object Dedup extends QueryPack {
     // saturating). One shingle-keyed first-occurrence aggregation plus
     // one per-doc aggregation — both map-side combinable; at 100 TB
     // first-occurrence is the same shuffle the dedup index already
-    // pays, so the curve rides along for free.
+    // pays, so the curve rides along for free. Routed through
+    // cappedShingles (r7 ADVICE) like every other consumer of the
+    // shingle feature space: the cap is what makes "rides the dedup
+    // index shuffle" true (the index is built over the capped space) and
+    // what keeps an ultra-common shingle from making the sh-keyed
+    // first-occurrence aggregate a hot partition. Semantics note:
+    // novelty is measured over the DEDUP-RELEVANT shingles — a stop
+    // shingle in >MaxShingleDocFreq docs carries no novelty signal by
+    // definition, so excluding it is the curve you actually want.
     "dedup_ngram_novelty" -> QueryDef(
       (s, d) => {
-        val shd = shingleRows(s, d).distinct().persist()
+        val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
         val firsts = shd.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
         shd.join(firsts, "sh")
           .groupBy(col("doc_id"))
@@ -964,11 +972,11 @@ object Dedup extends QueryPack {
       },
       Some(s"""
         WITH $duckBase,
-        f AS (SELECT sh, min(doc_id) AS fd FROM shd_raw GROUP BY sh),
+        f AS (SELECT sh, min(doc_id) AS fd FROM shd GROUP BY sh),
         per AS (
           SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
                  CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-          FROM shd_raw s JOIN f USING (sh) GROUP BY s.doc_id)
+          FROM shd s JOIN f USING (sh) GROUP BY s.doc_id)
         SELECT doc_id, n_shingles, n_novel,
                ${Q.scaledLong(
           "CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)", 4)} AS novelty_e4
@@ -985,11 +993,19 @@ object Dedup extends QueryPack {
     // prefix key is uniformly distributed (real corpora: prepend a
     // cheap content hash of the first line) and a MinHash band would
     // pre-filter candidates before any distance runs.
+    //
+    // CROSS-ENGINE UNIT CONTRACT (r7 ADVICE): Spark's levenshtein counts
+    // Unicode codepoints, DuckDB's counts BYTES — one multibyte-character
+    // edit scores differently per engine. Both sides therefore strip to
+    // printable ASCII first (regexp `[^ -~]`, identical in both regex
+    // dialects), making codepoints == bytes by construction; on a real
+    // multilingual corpus keep the strip (edit distance over raw UTF-8
+    // bytes is meaningless anyway) or swap in a codepoint-aware distance.
     "dedup_editdist_pairs" -> QueryDef(
       (s, d) => {
         val b = Tables.documents(s, d).selectExpr("doc_id",
-          "substring(lower(text), 1, 120) AS lt",
-          "substring(lower(text), 1, 12) AS pfx",
+          "substring(regexp_replace(lower(text), '[^ -~]', ''), 1, 120) AS lt",
+          "substring(regexp_replace(lower(text), '[^ -~]', ''), 1, 12) AS pfx",
           "n_chars div 16 AS band")
         b.toDF("doc_a", "la", "pfx", "band")
           .join(b.toDF("doc_b", "lb", "pfx2", "band2"),
@@ -1002,8 +1018,10 @@ object Dedup extends QueryPack {
       },
       Some("""
         WITH b AS (
-          SELECT doc_id, substr(lower(text), 1, 120) AS lt,
-                 substr(lower(text), 1, 12) AS pfx, n_chars // 16 AS band
+          SELECT doc_id,
+                 substr(regexp_replace(lower(text), '[^ -~]', '', 'g'), 1, 120) AS lt,
+                 substr(regexp_replace(lower(text), '[^ -~]', '', 'g'), 1, 12) AS pfx,
+                 n_chars // 16 AS band
           FROM documents)
         SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
                CAST(levenshtein(a.lt, b2.lt) AS BIGINT) AS dist
@@ -1037,7 +1055,7 @@ object Dedup extends QueryPack {
           // materialize once: the frame feeds both sides of the pair
           // self-join AND the degree aggregate — unpersisted, the
           // lineitem-orders join and distinct replan four times
-          .persist()
+          .persistScoped()
         val sizes = cp.groupBy(col("c")).agg(count(lit(1)).as("n"))
         cp.toDF("ca", "p")
           .join(cp.toDF("cb", "p2"), col("p") === col("p2") && col("ca") < col("cb"))

@@ -277,15 +277,20 @@ object Ingest extends QueryPack {
 
   def defs: Map[String, QueryDef] = Map(
     // Throughput probe for the core pipeline: 200 producer batches x 100
-    // events through parse+route (the full reference data path). No value
-    // oracle (the fixture generator is JVM-side), so the driver records
-    // the weaker rows-only check; its purpose is the BENCH timing — the
-    // reference's steady state is ~10 events/s end-to-end, this measures
-    // the engine parsing 20k events per run. Generation runs ON THE
-    // EXECUTORS (one deterministically-seeded EventGen per batch id), so
-    // the bench times parse+route, not driver-side JSON string building —
-    // and the shape scales: at 100 TB the batch ids partition and every
-    // executor generates + parses its own slice.
+    // events through parse+route (the full reference data path). Its
+    // purpose is the BENCH timing — the reference's steady state is ~10
+    // events/s end-to-end, this measures the engine parsing 20k events
+    // per run. Generation runs ON THE EXECUTORS (one deterministically-
+    // seeded EventGen per batch id), so the bench times parse+route, not
+    // driver-side JSON string building — and the shape scales: at 100 TB
+    // the batch ids partition and every executor generates + parses its
+    // own slice. UNDER THE ORACLE GATE: the generator is a seeded PRNG
+    // (seeds 99..298, fixed batch size), so its routing breakdown is a
+    // CONSTANT of the parse+route semantics — the oracle pins the
+    // independently-computed expected counts as literals (partition-count
+    // independent: each batch's bytes depend only on its own seed). Any
+    // change to parser edge rules, router precedence, or the generator's
+    // corruption model flips these and fails the hash gate.
     "ingest_throughput" -> QueryDef(
       (s, _) => {
         val spark = s
@@ -301,7 +306,12 @@ object Ingest extends QueryPack {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("reason"))
       },
-      None),
+      Some("""
+        SELECT reason, CAST(n AS BIGINT) AS n
+        FROM (VALUES ('corrupted_batch', 27),
+                     ('invalid_schema', 1712),
+                     ('valid', 15588)) AS t(reason, n)
+        ORDER BY reason""")),
 
     // End-to-end streaming roundtrip UNDER THE ORACLE GATE (not just
     // specs): the literal batches are written as files, streamed through

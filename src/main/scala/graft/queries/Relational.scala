@@ -436,17 +436,34 @@ object Relational extends QueryPack {
         FROM documents GROUP BY GROUPING SETS ((lang), (source))
         ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
 
-    // HLL estimates are implementation-specific, so no value oracle —
-    // the driver records the weaker rows-only check for this one.
+    // HLL estimate UNDER THE ORACLE GATE via its published error bound:
+    // the raw estimate is implementation-specific (Spark HLL++ vs
+    // DuckDB's HLL hash differently), so the estimate itself can never be
+    // value-checked cross-engine. What IS checkable: the exact
+    // cardinality twin, and the sketch's accuracy CONTRACT —
+    // |approx - exact| <= 3*rsd*exact with rsd = 0.05 (Spark's default
+    // relative standard deviation; 3-sigma makes a violation a
+    // ~0.3%-probability event, i.e. a real sketch regression, not noise).
+    // Spark emits the measured boolean; the oracle recomputes the exact
+    // side and asserts the contract (TRUE). A sketch drifting out of its
+    // published bound now FAILS the hash gate instead of hiding behind a
+    // rows-only check.
     "agg_approx_distinct" -> QueryDef(
       (s, d) => {
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          .agg(approx_count_distinct(col("l_partkey")).as("approx"),
             countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx") - col("exact_parts"))
+              <= lit(0.15) * col("exact_parts")).as("within_bound"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Portable median/p90: explicit middle-element selection via
     // row_number (engine quantile interpolation differs across builds —
@@ -498,24 +515,84 @@ object Relational extends QueryPack {
       }),
 
     // The 100 TB percentile path the exact-median comment promises: a
-    // single-pass mergeable KLL/GK-style sketch (approx_percentile)
-    // instead of the per-group sort+row_number the exact query pays.
-    // Sketch internals are implementation-specific, so no value oracle —
-    // rows-only, like agg_approx_distinct; the exact twin above stays the
-    // value-checked query. Bench-wise this must beat agg_median_orders
-    // (no window, no sort — one partial+final aggregation).
+    // single-pass mergeable GK-style sketch (approx_percentile) instead
+    // of the per-group sort+row_number the exact query pays. Now UNDER
+    // THE ORACLE GATE via the sketch's published rank-error contract:
+    // with accuracy B, the returned element's rank is within n/B of the
+    // target rank. The exact side computes the data values at the target
+    // rank +/- slack (slack = ceil(n/B) + 1 rank, one extra for the
+    // two-element even-n median window), and the engine checks the
+    // sketch's answer lies between them; the oracle recomputes the exact
+    // values and bounds and asserts the contract (TRUE). The estimate
+    // columns themselves are sketch-internal and never hashed — the
+    // booleans are the strongest cross-engine-checkable claim about them.
     "agg_approx_percentile" -> QueryDef(
       (s, d) => {
-        Tables.orders(s, d)
+        import org.apache.spark.sql.expressions.Window
+        val byStatus = Window.partitionBy(col("o_orderstatus"))
+        val ranked = byStatus.orderBy(col("o_totalprice"))
+        val mid = "CASE WHEN rn IN (lo, hi) THEN o_totalprice END"
+        val exact = Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(ranked))
+          .withColumn("n", count(lit(1)).over(byStatus))
+          .selectExpr("o_orderstatus", "o_totalprice", "rn", "n",
+            "(n + 1) div 2 AS lo", "(n + 2) div 2 AS hi",
+            "(9 * n + 9) div 10 AS r90",
+            "(n + 9999) div 10000 + 1 AS slack")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr(Q.scaledLong(s"(min($mid) + max($mid)) / 2.0", 2))
+              .as("median_cents"),
+            expr(Q.scaledLong(
+              "max(CASE WHEN rn = r90 THEN o_totalprice END)", 2))
+              .as("p90_cents"),
+            expr(Q.scaledLong(
+              "max(CASE WHEN rn = greatest(1, lo - slack) THEN o_totalprice END)", 2))
+              .as("m_lo"),
+            expr(Q.scaledLong(
+              "max(CASE WHEN rn = least(n, hi + slack) THEN o_totalprice END)", 2))
+              .as("m_hi"),
+            expr(Q.scaledLong(
+              "max(CASE WHEN rn = greatest(1, r90 - slack) THEN o_totalprice END)", 2))
+              .as("p_lo"),
+            expr(Q.scaledLong(
+              "max(CASE WHEN rn = least(n, r90 + slack) THEN o_totalprice END)", 2))
+              .as("p_hi"))
+        val approx = Tables.orders(s, d)
           .groupBy(col("o_orderstatus"))
           .agg(
             expr(Q.scaledLong("approx_percentile(o_totalprice, 0.5, 10000)", 2))
-              .as("approx_median_cents"),
+              .as("am"),
             expr(Q.scaledLong("approx_percentile(o_totalprice, 0.9, 10000)", 2))
-              .as("approx_p90_cents"))
+              .as("ap"))
+        exact.join(approx, "o_orderstatus")
+          .select(col("o_orderstatus"), col("median_cents"), col("p90_cents"),
+            col("am").between(col("m_lo"), col("m_hi")).as("median_in_bound"),
+            col("ap").between(col("p_lo"), col("p_hi")).as("p90_in_bound"))
           .orderBy(col("o_orderstatus"))
       },
-      None),
+      Some {
+        val mid = "CASE WHEN rn IN (lo, hi) THEN o_totalprice END"
+        s"""
+        WITH r AS (
+          SELECT o_orderstatus, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice) AS rn,
+                 count(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM orders),
+        p AS (
+          SELECT o_orderstatus, o_totalprice, rn,
+                 (n + 1) // 2 AS lo, (n + 2) // 2 AS hi,
+                 (9 * n + 9) // 10 AS r90
+          FROM r)
+        SELECT o_orderstatus,
+               ${Q.scaledLong(s"(min($mid) + max($mid)) / 2.0", 2)} AS median_cents,
+               ${Q.scaledLong("max(CASE WHEN rn = r90 THEN o_totalprice END)", 2)} AS p90_cents,
+               TRUE AS median_in_bound,
+               TRUE AS p90_in_bound
+        FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      }),
 
     // Skew-safe two-phase aggregation UNDER THE ORACLE GATE: events has
     // only a handful of event_type values (each key is a hot key), so the
@@ -660,7 +737,7 @@ object Relational extends QueryPack {
           .groupBy(col("l_suppkey"))
           .agg(sum(expr(Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 4)))
             .as("total_rev_e4"))
-          .persist() // feeds both the max probe and the equality join
+          .persistScoped() // feeds both the max probe and the equality join
         val top = rev.agg(max(col("total_rev_e4")).as("max_rev_e4"))
         rev.join(broadcast(top), col("total_rev_e4") === col("max_rev_e4"))
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -1739,7 +1816,7 @@ object Relational extends QueryPack {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_type"), epochUs(col("ts")).as("tus"))
-          .persist()
+          .persistScoped()
         val s0 = ev.filter(col("event_type") === "signup")
           .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
         def stage(prev: DataFrame, prevT: String, ty: String, outT: String) =
@@ -1750,9 +1827,9 @@ object Relational extends QueryPack {
             .agg(min(col("tus")).as(outT), min(col("t0")).as("t0"))
         // each stage frame feeds BOTH its own summary and the next stage:
         // persist the tiny per-user frames so no aggregation re-runs
-        val v = stage(s0.persist(), "t0", "view", "t1")
-        val c = stage(v.persist(), "t1", "click", "t2")
-        val p = stage(c.persist(), "t2", "purchase", "t3")
+        val v = stage(s0.persistScoped(), "t0", "view", "t1")
+        val c = stage(v.persistScoped(), "t1", "click", "t2")
+        val p = stage(c.persistScoped(), "t2", "purchase", "t3")
         def summarize(df: DataFrame, tcol: String, label: String) =
           df.agg(count(lit(1)).as("n_users"),
             coalesce(sum(col(tcol) - col("t0")), lit(0L)).as("sum_lag_us"))
@@ -1807,7 +1884,7 @@ object Relational extends QueryPack {
         val o = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"), expr(xD).as("x"))
-          .persist()
+          .persistScoped()
         val st = o.groupBy(col("c_mktsegment"))
           .agg(expr("CAST(count(1) AS DECIMAL(38,0))").as("n"),
             expr("sum(x)").as("sx"), expr("sum(x * x)").as("sxx"))
@@ -2300,7 +2377,7 @@ object Relational extends QueryPack {
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"), col("o_orderpriority"))
         val cells = base.groupBy(col("c_mktsegment"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("o")).persist()
+          .agg(count(lit(1)).as("o")).persistScoped()
         val rm = cells.groupBy(col("c_mktsegment")).agg(sum(col("o")).as("r"))
         val cm = cells.groupBy(col("o_orderpriority")).agg(sum(col("o")).as("c"))
         val tot = cells.agg(sum(col("o")).as("n"))
@@ -3876,20 +3953,26 @@ object Relational extends QueryPack {
         // might_contain requires the bloom binary as a CONSTANT or
         // scalar subquery (it folds to a literal before codegen) — so
         // the build side is declared as a scalar subquery, exactly how
-        // Spark's own InjectRuntimeFilter plants it.
-        Tables.supplier(s, d).createOrReplaceTempView("graft_bloom_supp")
-        Tables.lineitem(s, d).createOrReplaceTempView("graft_bloom_li")
+        // Spark's own InjectRuntimeFilter plants it. View names carry a
+        // per-invocation nanoTime suffix (r7 ADVICE; same pattern as the
+        // Ingest pack): fixed names would silently rebind mid-query when
+        // two builds share a session.
+        val tag = java.lang.System.nanoTime()
+        val vSupp = s"graft_bloom_supp_$tag"
+        val vLi = s"graft_bloom_li_$tag"
+        Tables.supplier(s, d).createOrReplaceTempView(vSupp)
+        Tables.lineitem(s, d).createOrReplaceTempView(vLi)
         s.sql(s"""
           WITH dim AS (
             SELECT CAST(s_suppkey AS BIGINT) AS suppkey
-            FROM graft_bloom_supp WHERE s_nationkey = 7),
+            FROM $vSupp WHERE s_nationkey = 7),
           f AS (
             SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
                    ${Q.scaledLong("l_extendedprice * (1.0 - l_discount)", 2)} AS rev_c
-            FROM graft_bloom_li
+            FROM $vLi
             WHERE graft_might_contain(
               (SELECT graft_bloom_agg(xxhash64(CAST(s_suppkey AS BIGINT)))
-               FROM graft_bloom_supp WHERE s_nationkey = 7),
+               FROM $vSupp WHERE s_nationkey = 7),
               xxhash64(CAST(l_suppkey AS BIGINT))))
           SELECT suppkey, count(*) AS n_items,
                  sum(rev_c) AS revenue_c

@@ -142,7 +142,7 @@ object Similarity extends QueryPack {
         Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      .persist()
+      .persistScoped()
     val a = assigned.select(col("cell"), col("vec_id").as("vid_a"),
       col("embedding").as("ea"))
     val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vid_b"),
@@ -178,7 +178,7 @@ object Similarity extends QueryPack {
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val xq = Tables.embeddings(s, d).selectExpr("vec_id",
       "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xq")
-      .persist()
+      .persistScoped()
     val s1 = xq.selectExpr("vec_id", "xq",
       s"""aggregate(
             transform(sequence(1, $Dim), i ->
@@ -526,14 +526,14 @@ object Similarity extends QueryPack {
         val cand = scored.withColumn("rn", row_number().over(wq))
           .where(col("rn") <= 8)
           .select(col("qid"), col("vid"), col("cos").as("rel"), col("nv"))
-          .persist()
+          .persistScoped()
         val pairs = cosine(
           cand.select(col("qid"), col("vid").as("va"), col("nv").as("ea"))
             .join(cand.select(col("qid").as("qid2"), col("vid").as("vb"), col("nv").as("eb")),
               col("qid") === col("qid2") && col("va") =!= col("vb")),
           "ea", "eb")
           .select(col("qid"), col("va"), col("vb"), col("cos").as("sim"))
-          .persist()
+          .persistScoped()
         def argmax(df: DataFrame, scoreCol: String): DataFrame =
           df.withColumn("_r", row_number().over(
               Window.partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("vid"))))
@@ -880,11 +880,11 @@ object Similarity extends QueryPack {
             .where(col("_rn") === 1)
             .drop("_d2", "_rn", "cent_id", "cv")
             .withColumnRenamed("_cell", outCol)
-        val e = Tables.embeddings(s, d).selectExpr("vec_id", s"$xi AS xi").persist()
+        val e = Tables.embeddings(s, d).selectExpr("vec_id", s"$xi AS xi").persistScoped()
         val c1 = e.filter(col("vec_id") < NList)
           .select(col("vec_id").as("cent_id"), col("xi").as("cv"))
         val a1 = assign(
-          e, c1.withColumn("_cell", col("cent_id")), "cell1").persist()
+          e, c1.withColumn("_cell", col("cent_id")), "cell1").persistScoped()
         val c2 = a1.select(col("cell1"), posexplode(col("xi")).as(Seq("pos", "v")))
           .groupBy(col("cell1"), col("pos"))
           .agg(expr("sum(v) div count(1)").as("m"))
@@ -1035,12 +1035,12 @@ object Similarity extends QueryPack {
             .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
             .select(col("cell").as("cent_id"), col("cv"))
         val e = Tables.embeddings(s, d)
-          .selectExpr("vec_id", "embedding", s"$xi AS xi").persist()
+          .selectExpr("vec_id", "embedding", s"$xi AS xi").persistScoped()
         val c0 = e.filter(col("vec_id") < NList)
           .select(col("vec_id").as("cent_id"), col("xi").as("cv"))
-        val a1 = assign(e, c0).persist()           // round 1: assign
+        val a1 = assign(e, c0).persistScoped()           // round 1: assign
         val c1 = means(a1)                         // round 1: update
-        val a2 = assign(a1.drop("cell"), c1).persist() // round 2: assign
+        val a2 = assign(a1.drop("cell"), c1).persistScoped() // round 2: assign
         val c2 = means(a2)                         // round 2: update (codebook)
         val af = assign(a2.drop("cell"), c2)       // final inverted lists
         val q = af.filter(col("vec_id") < 20)
@@ -1132,7 +1132,7 @@ object Similarity extends QueryPack {
           .select(col("vec_id"), explode(expr(
             "transform(sequence(0, 3), s -> struct(s AS sub, slice(xi, s * 16 + 1, 16) AS v))")).as("t"))
           .select(col("vec_id"), col("t.sub").as("sub"), col("t.v").as("v"))
-          .persist()
+          .persistScoped()
         def assign(cb: DataFrame): DataFrame =
           sub.join(broadcast(cb), "sub")
             .withColumn("_d2", expr(d2("v", "cv")))
@@ -1467,7 +1467,7 @@ object Similarity extends QueryPack {
           .select(col("vec_id"), col("cent_id"))
         val cellStats = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"))
-          .persist() // feeds the 2_cells and 3_max_cell stage rows
+          .persistScoped() // feeds the 2_cells and 3_max_cell stage rows
         val bandRows = bucketed(s, d).selectExpr("vec_id",
           "explode(array(named_struct('band', 0, 'key', bucket % 16), " +
             "named_struct('band', 1, 'key', bucket div 16))) AS bk")
@@ -1624,7 +1624,7 @@ object Similarity extends QueryPack {
             "transform(pp, z -> CAST(z.mx AS DOUBLE)) AS mxs")
           // 1-row training artifact feeds BOTH the query and corpus
           // decode paths — cache it so the train scan runs once
-          .persist()
+          .persistScoped()
         val dec = e.crossJoin(broadcast(params))
           .selectExpr("vec_id", "embedding", s"$sparkSqDecode AS decf")
         val q = dec.where(col("vec_id") < 20)
@@ -1696,7 +1696,7 @@ object Similarity extends QueryPack {
       (s, d) => {
         val xi = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
         val e = Tables.embeddings(s, d)
-          .selectExpr("vec_id", s"$xi AS v").persist()
+          .selectExpr("vec_id", s"$xi AS v").persistScoped()
         val c1 = e.orderBy(col("vec_id")).limit(1)
           .selectExpr("vec_id AS cid", "v AS cv")
         val dist1 = e.crossJoin(broadcast(c1))

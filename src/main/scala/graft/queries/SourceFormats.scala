@@ -410,6 +410,14 @@ object SourceFormats extends QueryPack {
                CAST(sum(id) AS BIGINT) AS sum_ids
         FROM c""")),
 
+    // Two-level mergeable HLL (per-shard sketch -> union -> estimate),
+    // the distributed cardinality shape: at 100 TB each executor builds
+    // its shard's sketch and only the ~KB sketches shuffle. UNDER THE
+    // ORACLE GATE via the Datasketches published error: lgK = 12 gives
+    // RSE ~= 1.04/sqrt(2^12) ~= 1.6%, so 3-sigma ~= 5%. Spark emits the
+    // measured |approx - exact| <= 0.05*exact boolean; the oracle
+    // recomputes the exact cardinality and asserts the contract (TRUE) —
+    // a sketch-union regression now fails the hash gate.
     "agg_hll_shards" -> QueryDef(
       (s, d) => {
         Tables.lineitem(s, d)
@@ -417,11 +425,17 @@ object SourceFormats extends QueryPack {
           .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
           .agg(
             hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-              .cast("long").as("approx_parts"))
+              .cast("long").as("approx"))
           .crossJoin(broadcast(
             Tables.lineitem(s, d)
               .agg(countDistinct(col("l_partkey")).as("exact_parts"))))
+          .select(col("exact_parts"),
+            (abs(col("approx") - col("exact_parts"))
+              <= lit(0.05) * col("exact_parts")).as("within_bound"))
       },
-      None)
+      Some("""
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem"""))
   )
 }

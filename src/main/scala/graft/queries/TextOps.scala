@@ -1129,7 +1129,7 @@ object TextOps extends QueryPack {
         // grand total all derive from the compact (source, term) counts
         // — unpersisted, the tokenizer re-ran four times
         val st = terms.groupBy(col("source"), col("term"))
-          .agg(count(lit(1)).as("c")).persist()
+          .agg(count(lit(1)).as("c")).persistScoped()
         val stot = st.groupBy(col("source")).agg(sum(col("c")).as("stot"))
         val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
         val tot = st.agg(sum(col("c")).as("t"))
