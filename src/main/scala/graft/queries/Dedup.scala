@@ -210,6 +210,32 @@ object Dedup extends QueryPack {
       .where(s"jacc >= $JaccThreshold")
   }
 
+  // ---- StressFunnel accessors (graft.StressFunnel only) ----------------
+  // The 1M-doc funnel leg times each stage of the EXACT pipeline the
+  // declared queries compose (no alternate code path), so the stage
+  // frames are exposed read-only to the stress main.
+
+  /** The capped, distinct shingle feature space (stage 1). */
+  private[graft] def funnelShingles(s: SparkSession, d: String): DataFrame =
+    cappedShingles(shingleRows(s, d).distinct())
+
+  /** (band, key, n_docs) bucket ledger (stage 2 accounting): LSH
+    * candidate volume is sum n_docs*(n_docs-1)/2 over this frame and the
+    * max row is the hottest bucket — the quantities that must grow
+    * LINEARLY with replica count for the funnel to survive 100 TB.
+    */
+  private[graft] def bandBucketLedger(s: SparkSession, d: String): DataFrame =
+    minHashBandsFrom(minHashSig(s, d))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+
+  /** Verified near-dup pairs over a caller-persisted shingle frame
+    * (stage 3) — identical plan to dedup_minhash_pairs.
+    */
+  private[graft] def funnelPairs(
+      s: SparkSession, d: String, shd: DataFrame): DataFrame =
+    minHashDupPairsOver(s, d, shd)
+
   /** Incremental-dedup verdicts over an arbitrary incoming/existing
     * split (predicates over doc_id): the declared dedup_incremental
     * instantiates the deterministic 20% stratum; StressCheck probes 5k

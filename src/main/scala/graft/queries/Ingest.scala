@@ -235,14 +235,18 @@ object Ingest extends QueryPack {
     * dominant cost of these queries — under a loaded driver the empty
     * extra partitions triple the measured time. One partition carries the
     * whole literal input; a production stream sizes this to the cluster
-    * instead.
+    * instead — `spark.graft.stream.statePartitions` is that dial, and
+    * StatePartitionDialSpec asserts the gated output is IDENTICAL at 1
+    * and 8 state partitions (keyed state is partition-count invariant;
+    * the 100x streaming scale-out story).
     */
   private def withStreamingPartitions[A](s: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
     val prevNd = s.conf.get(ndKey)
-    s.conf.set(key, "1")
+    s.conf.set(key,
+      s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("1"))
     // Every micro-batch costs ~0.5s of fixed orchestration in this runtime
     // (incremental re-plan + state commit + WAL), so each processAllAvailable
     // call's trailing no-data batch roughly doubles a roundtrip's cost while

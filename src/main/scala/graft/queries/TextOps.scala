@@ -614,6 +614,99 @@ object TextOps extends QueryPack {
         SELECT CAST(rnk AS BIGINT) AS rnk, pair, n
         FROM ranked WHERE rnk <= 10 ORDER BY rnk""")),
 
+    // BPE ENCODE — the tokenizer-side operator an LLM pipeline actually
+    // runs over the corpus (text_bpe_pairs above is the TRAINING count;
+    // this applies the learned merge table). The top-8 merges by corpus
+    // pair count (same ranking as text_bpe_pairs) become the merge table;
+    // each document is then tokenized ROW-LOCALLY: every word starts as
+    // its character sequence and each merge (X,Y), in priority order,
+    // fuses adjacent tokens X,Y left-to-right in one greedy pass — which
+    // is the fixpoint for single-character merges, since merges only grow
+    // tokens so a later pass can never re-expose an (X,Y) adjacency.
+    // Token strings use '|' as the in-word separator (the corpus charset
+    // is lowercase a-y + space, lint-checked in ContractSpec, so the
+    // marker cannot collide) and the fold compares WHOLE tokens (exact
+    // last-token match), so multi-char fused tokens can never be merged
+    // by their prefix/suffix characters.
+    //
+    // Scale shape: the merge table is one map-side-combinable pair count
+    // collapsed to a single 8-element array row and broadcast; the encode
+    // itself is a narrow map over documents (nested HOF folds inside the
+    // row — no explode, no shuffle, no UDF). The gate hashes the exact
+    // per-doc tokenization (rolling hash over the token string), so both
+    // engines must produce byte-identical token sequences, not just equal
+    // counts.
+    "text_bpe_encode" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("pair"))
+        val merges = Tables.documents(s, d)
+          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS wd")
+          .where(length(col("wd")) >= 2)
+          .selectExpr(
+            "explode(transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))) AS pair")
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 8)
+          .agg(expr("transform(sort_array(collect_list(struct(rnk, pair))), x -> x.pair)").as("ms"))
+        Tables.documents(s, d)
+          .crossJoin(broadcast(merges))
+          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws", "ms")
+          .selectExpr("doc_id", "ws",
+            """array_join(transform(ws, w0 ->
+                 aggregate(ms,
+                   array_join(transform(sequence(1, length(w0)), ci -> substring(w0, ci, 1)), '|'),
+                   (s0, m) ->
+                     aggregate(split(s0, '[|]'), '',
+                       (acc, t) -> concat(acc,
+                         CASE WHEN acc <> '' AND t = substring(m, 2, 1)
+                                   AND (acc = substring(m, 1, 1)
+                                        OR right(acc, 2) = concat('|', substring(m, 1, 1)))
+                              THEN ''
+                              ELSE CASE WHEN acc = '' THEN '' ELSE '|' END END,
+                         t)))), ' ') AS ts""")
+          .selectExpr("doc_id",
+            "CAST(size(ws) AS BIGINT) AS n_words",
+            "CAST(length(ts) - length(replace(ts, '|', '')) + size(ws) AS BIGINT) AS n_tokens",
+            s"${sparkStrHash("ts")} AS fp")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH wd AS (
+          SELECT unnest(${duckWords("lower(text)")}) AS wd FROM documents),
+        prs AS (
+          SELECT unnest(list_transform(range(1, length(wd)),
+                 i -> substr(wd, CAST(i AS INT), 2))) AS pair
+          FROM wd WHERE length(wd) >= 2),
+        cnt AS (SELECT pair, count(*) AS n FROM prs GROUP BY pair),
+        rnk AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+                FROM cnt),
+        mrg AS (SELECT list(pair ORDER BY rnk) AS ms FROM rnk WHERE rnk <= 8),
+        docs AS (
+          SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        tok AS (
+          SELECT doc_id, ws,
+            array_to_string(list_transform(ws, w0 ->
+              list_reduce(
+                list_prepend(array_to_string(string_split(w0, ''), '|'), ms),
+                (s0, m) ->
+                  list_reduce(
+                    list_prepend('', string_split(s0, '|')),
+                    (acc, t) -> acc ||
+                      CASE WHEN acc <> '' AND t = substr(m, 2, 1)
+                                AND (acc = substr(m, 1, 1)
+                                     OR right(acc, 2) = '|' || substr(m, 1, 1))
+                           THEN ''
+                           ELSE CASE WHEN acc = '' THEN '' ELSE '|' END END
+                      || t))), ' ') AS ts
+          FROM docs, mrg)
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(length(ts) - length(replace(ts, '|', '')) + len(ws) AS BIGINT) AS n_tokens,
+               ${duckStrHash("ts")} AS fp
+        FROM tok ORDER BY doc_id""")),
+
     // Hash-based train/val/test assignment: membership is a pure function
     // of content, so the split survives reprocessing and dedup.
     // Text normalization — the first pass of every curation pipeline:

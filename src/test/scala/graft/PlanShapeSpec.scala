@@ -615,4 +615,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates <= 1,
       s"the tokenizer explode must run once, found $generates:\n$p")
   }
+
+  test("BPE encode: broadcast merge table, row-local tokenization, no doc-side explode") {
+    spark.catalog.clearCache()
+    val p = plan("text_bpe_encode")
+    // the 8-merge table reaches the document scan as a broadcast — the
+    // corpus never shuffles to meet it
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row merge table must broadcast to the document scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // exactly the two Generates of the merge-table COUNT side (word
+    // explode + pair explode); the encode side is nested HOF folds inside
+    // the row — a third Generate would mean the tokenizer started
+    // exploding documents
+    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates <= 2,
+      s"the encode must be row-local (only the pair count explodes), found $generates:\n$p")
+  }
 }
