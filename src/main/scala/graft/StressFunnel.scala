@@ -50,16 +50,20 @@ object StressFunnel {
     }
     println(s"[funnel] corpus: $nDocs docs")
 
-    // stage 1: shingle feature space (row-local extraction; the distinct +
-    // doc-frequency cap is the funnel's first shuffle)
-    val shd = graft.queries.Dedup.funnelShingles(spark, dir).persist()
+    // stage 1: shingle feature space (row-local extraction; the distinct
+    // is the funnel's first shuffle) — one materialization of the raw
+    // space feeds BOTH the capped frame and the stop-shingle broadcast,
+    // the same sharing minHashDupPairs does internally
+    val raw = graft.queries.Dedup.funnelRaw(spark, dir).persist()
+    val shd = graft.queries.Dedup.funnelShinglesFrom(raw).persist()
+    val hot = graft.queries.Dedup.funnelHotFrom(raw)
     val nShingles = t("stage 1: capped distinct shingles") { shd.count() }
 
-    // stage 2: MinHash signatures -> LSH band buckets; the ledger is the
-    // candidate accounting — sum n*(n-1)/2 is the work the verify stage
-    // will do, max n_docs is the hottest bucket
+    // stage 2: MinHash signatures (over the capped space) -> LSH band
+    // buckets; the ledger is the candidate accounting — sum n*(n-1)/2 is
+    // the work the verify stage will do, max n_docs is the hottest bucket
     val (nBuckets, candidates, maxBucket) = t("stage 2: band-bucket ledger") {
-      val r = graft.queries.Dedup.bandBucketLedger(spark, dir)
+      val r = graft.queries.Dedup.bandBucketLedger(spark, dir, hot)
         .agg(count(lit(1)).as("buckets"),
           sum(expr("n_docs * (n_docs - 1) div 2")).as("cand"),
           max(col("n_docs")).as("mx")).collect().head
@@ -71,7 +75,7 @@ object StressFunnel {
     // candidates); localCheckpoint truncates the deep LSH lineage before
     // the iterative stage re-plans it per round
     val pairs = t("stage 3: verified pairs") {
-      val p = graft.queries.Dedup.funnelPairs(spark, dir, shd)
+      val p = graft.queries.Dedup.funnelPairs(spark, dir, hot, shd)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       p
     }
@@ -108,7 +112,7 @@ object StressFunnel {
         .count()
     }
     println(s"[funnel] canonical_docs=$nCanonical")
-    labels.unpersist(); shd.unpersist()
+    labels.unpersist(); shd.unpersist(); raw.unpersist()
 
     // accounting: every verbatim triple must survive as a cluster (>=
     // 5000 clusters, >= 15000 verbatim pairs); candidate volume stays

@@ -71,12 +71,52 @@ object Dedup extends QueryPack {
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     shingleArr(s, d).select(col("doc_id"), explode(col("sh_arr")).as("sh"))
 
-  /** Per-row MinHash signature: 16 array_min folds over the shingle
-    * array. Zero shuffle — each document's signature is a pure function
-    * of its row.
+  /** The stop-shingle set as a single broadcastable row {hot:
+    * array<bigint>} — shingles in more than MaxShingleDocFreq docs.
+    * Computed from a caller-supplied DISTINCT (doc_id, sh) frame so
+    * composed queries share one materialization of the shingle space.
+    */
+  private def hotShingleArrFrom(shdRaw: DataFrame): DataFrame =
+    shdRaw.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > MaxShingleDocFreq)
+      .agg(expr("sort_array(collect_list(sh))").as("hot"))
+
+  private def hotShingleArr(s: SparkSession, d: String): DataFrame =
+    hotShingleArrFrom(shingleRows(s, d).distinct())
+
+  /** Per-document shingle array with the doc-frequency cap applied INSIDE
+    * the row: the hot set (tiny by construction) broadcasts as one array
+    * row and a codegen'd HOF filter drops its members, so signature
+    * extraction stays a narrow map over the corpus. Documents whose every
+    * shingle is hot drop out entirely — they have no dedup-relevant
+    * feature space (the verify stage's capped rows can't pair them
+    * either, so the exclusion is consistent end-to-end).
+    *
+    * Why signatures must see the CAPPED space (r8, caught by the 1M-doc
+    * StressFunnel leg): a shingle shared by a large fraction of the
+    * corpus wins the MinHash minimum for every document containing it,
+    * collapsing whole LSH bands into one bucket — the measured 1M-doc
+    * corpus produced single buckets of 1,785 docs and 36.8M candidate
+    * pairs (4.5x superlinear) from exactly this. Real corpora have such
+    * shingles ("of the and"-class word 3-grams), so at 100 TB the
+    * uncapped-signature plan is quadratic on its hottest bucket.
+    */
+  private def cappedShingleArrOver(s: SparkSession, d: String, hot: DataFrame): DataFrame =
+    shingleArr(s, d)
+      .crossJoin(broadcast(hot))
+      .selectExpr("doc_id", "filter(sh_arr, x -> NOT array_contains(hot, x)) AS sh_arr")
+      .where("size(sh_arr) >= 1")
+
+  /** Per-row MinHash signature: 16 array_min folds over the CAPPED
+    * shingle array. The signature map itself never shuffles — each
+    * document's signature is a pure function of its row plus the
+    * broadcast hot set.
     */
   private def minHashSig(s: SparkSession, d: String): DataFrame =
-    shingleArr(s, d)
+    minHashSigOver(s, d, hotShingleArr(s, d))
+
+  private def minHashSigOver(s: SparkSession, d: String, hot: DataFrame): DataFrame =
+    cappedShingleArrOver(s, d, hot)
       .selectExpr("doc_id", "graft_minhash(sh_arr) AS sig")
       .selectExpr("doc_id" +:
         (0 until MinHashK).map(i => s"element_at(sig, ${i + 1}) AS s$i"): _*)
@@ -169,7 +209,8 @@ object Dedup extends QueryPack {
     * unchanged).
     */
   private def simHashSigs(s: SparkSession, d: String): DataFrame =
-    shingleArr(s, d).selectExpr("doc_id", "graft_simhash(sh_arr) AS simhash")
+    cappedShingleArrOver(s, d, hotShingleArr(s, d))
+      .selectExpr("doc_id", "graft_simhash(sh_arr) AS simhash")
 
   /** (doc_a, doc_b, jacc): LSH band candidates verified by exact Jaccard
     * >= threshold. Signatures map shuffle-free over the scan; the band
@@ -181,17 +222,20 @@ object Dedup extends QueryPack {
     * candidate set (measured 150s -> seconds at a 50k-doc
     * 10x-duplicate stress corpus).
     */
-  private def minHashDupPairs(s: SparkSession, d: String): DataFrame =
-    minHashDupPairsOver(s, d, cappedShingles(shingleRows(s, d).distinct()).persistScoped())
+  private def minHashDupPairs(s: SparkSession, d: String): DataFrame = {
+    val raw = shingleRows(s, d).distinct().persistScoped()
+    minHashDupPairsOver(s, d, hotShingleArrFrom(raw), cappedShingles(raw).persistScoped())
+  }
 
-  /** As minHashDupPairs, but over a caller-supplied capped+persisted
-    * distinct-shingle frame, so a query that needs BOTH the LSH pairs and
-    * another view of the shingle feature space (dedup_jaccard_pairs'
-    * audit stratum) materializes the shingle pipeline once, not twice.
+  /** As minHashDupPairs, but over a caller-supplied hot-shingle row and
+    * capped+persisted distinct-shingle frame, so a query that needs BOTH
+    * the LSH pairs and another view of the shingle feature space
+    * (dedup_jaccard_pairs' audit stratum) materializes the shingle
+    * pipeline once, not twice.
     */
   private def minHashDupPairsOver(
-      s: SparkSession, d: String, shd: DataFrame): DataFrame = {
-    val bands = minHashBandsFrom(minHashSig(s, d)).persistScoped()
+      s: SparkSession, d: String, hot: DataFrame, shd: DataFrame): DataFrame = {
+    val bands = minHashBandsFrom(minHashSigOver(s, d, hot)).persistScoped()
     val cand = bands.toDF("doc_a", "band", "key")
       .join(bands.toDF("doc_b", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") &&
@@ -215,26 +259,50 @@ object Dedup extends QueryPack {
   // declared queries compose (no alternate code path), so the stage
   // frames are exposed read-only to the stress main.
 
+  /** The distinct (doc_id, sh) shingle space — the funnel persists this
+    * once and derives both the capped frame and the hot set from it,
+    * exactly like minHashDupPairs does internally.
+    */
+  private[graft] def funnelRaw(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).distinct()
+
   /** The capped, distinct shingle feature space (stage 1). */
-  private[graft] def funnelShingles(s: SparkSession, d: String): DataFrame =
-    cappedShingles(shingleRows(s, d).distinct())
+  private[graft] def funnelShinglesFrom(raw: DataFrame): DataFrame =
+    cappedShingles(raw)
+
+  /** The broadcastable stop-shingle row the signature stage subtracts. */
+  private[graft] def funnelHotFrom(raw: DataFrame): DataFrame =
+    hotShingleArrFrom(raw)
 
   /** (band, key, n_docs) bucket ledger (stage 2 accounting): LSH
     * candidate volume is sum n_docs*(n_docs-1)/2 over this frame and the
     * max row is the hottest bucket — the quantities that must grow
     * LINEARLY with replica count for the funnel to survive 100 TB.
     */
-  private[graft] def bandBucketLedger(s: SparkSession, d: String): DataFrame =
-    minHashBandsFrom(minHashSig(s, d))
+  private[graft] def bandBucketLedger(s: SparkSession, d: String, hot: DataFrame): DataFrame =
+    minHashBandsFrom(minHashSigOver(s, d, hot))
       .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
 
-  /** Verified near-dup pairs over a caller-persisted shingle frame
+  /** Raw (doc_id, band, key) membership — FunnelDiag's bucket-composition
+    * forensics. `capped = false` reproduces the pre-r8 uncapped-signature
+    * behavior whose bucket collapse the 1M leg caught.
+    */
+  private[graft] def bandBucketLedgerDocs(
+      s: SparkSession, d: String, capped: Boolean = true): DataFrame =
+    if (capped) minHashBandsFrom(minHashSig(s, d))
+    else minHashBandsFrom(
+      shingleArr(s, d)
+        .selectExpr("doc_id", "graft_minhash(sh_arr) AS sig")
+        .selectExpr("doc_id" +:
+          (0 until MinHashK).map(i => s"element_at(sig, ${i + 1}) AS s$i"): _*))
+
+  /** Verified near-dup pairs over caller-persisted hot + shingle frames
     * (stage 3) — identical plan to dedup_minhash_pairs.
     */
   private[graft] def funnelPairs(
-      s: SparkSession, d: String, shd: DataFrame): DataFrame =
-    minHashDupPairsOver(s, d, shd)
+      s: SparkSession, d: String, hot: DataFrame, shd: DataFrame): DataFrame =
+    minHashDupPairsOver(s, d, hot, shd)
 
   /** Incremental-dedup verdicts over an arbitrary incoming/existing
     * split (predicates over doc_id): the declared dedup_incremental
@@ -246,8 +314,9 @@ object Dedup extends QueryPack {
     */
   private[graft] def incrementalVerdicts(
       s: SparkSession, d: String, inPred: String, exPred: String): DataFrame = {
-    val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
-    val bands = minHashBandsFrom(minHashSig(s, d)).persistScoped()
+    val raw = shingleRows(s, d).distinct().persistScoped()
+    val shd = cappedShingles(raw).persistScoped()
+    val bands = minHashBandsFrom(minHashSigOver(s, d, hotShingleArrFrom(raw))).persistScoped()
     val cand = bands.where(inPred).toDF("doc_in", "band", "key")
       .join(bands.where(exPred).toDF("doc_ex", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
@@ -295,17 +364,30 @@ object Dedup extends QueryPack {
       FROM wh
       QUALIFY lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL)"""
 
-  private[queries] val duckBase: String = s"""${duckShingleChain("documents")},
+  /** The doc-frequency cap over any `sh` chain: `hot` is the stop-shingle
+    * set, `shd` the capped DISTINCT feature space (Jaccard/sizes/novelty),
+    * `shc` the capped rows WITH multiplicity (SimHash's occurrence-signed
+    * bit sums). Mirrors the engine's hotShingleArrFrom/cappedShingleArrOver
+    * exactly; reused by the streaming dedup roundtrip's literal corpus.
+    */
+  private[queries] val duckCap: String = s"""
     shd_raw AS (SELECT DISTINCT doc_id, sh FROM sh),
-    shd AS (
-      SELECT doc_id, sh FROM (
-        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shd_raw) t
-      WHERE df <= $MaxShingleDocFreq)"""
+    hot AS (SELECT sh FROM shd_raw GROUP BY sh HAVING count(*) > $MaxShingleDocFreq),
+    shd AS (SELECT doc_id, sh FROM shd_raw WHERE sh NOT IN (SELECT sh FROM hot)),
+    shc AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot))"""
 
+  private[queries] val duckBase: String =
+    s"""${duckShingleChain("documents")}, $duckCap"""
+
+  /** Signatures over the CAPPED distinct space (r8): min is duplicate-
+    * insensitive so distinct vs multiplicity is immaterial, and a doc
+    * whose every shingle is hot simply has no `sig` row — same exclusion
+    * as the engine's size >= 1 guard.
+    */
   private[queries] val duckSig: String = {
     val mins = (0 until MinHashK)
       .map(i => s"min((${minHashA(i)} * sh + ${minHashB(i)}) % $P) AS s$i").mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+    s"sig AS (SELECT doc_id, $mins FROM shd GROUP BY doc_id)"
   }
 
   private[queries] val duckBands: String = {
@@ -362,7 +444,7 @@ object Dedup extends QueryPack {
       .map(j => s"sum(CASE WHEN ((sh >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
     val packed = (0 until SimHashBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""sums AS (SELECT doc_id, $sums FROM sh GROUP BY doc_id),
+    s"""sums AS (SELECT doc_id, $sums FROM shc GROUP BY doc_id),
         sim AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums)"""
   }
 
@@ -723,8 +805,9 @@ object Dedup extends QueryPack {
     // the asymmetry visible in the gated output.
     "dedup_containment_pairs" -> QueryDef(
       (s, d) => {
-        val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
-        val bands = minHashBandsFrom(minHashSig(s, d)).persistScoped()
+        val raw = shingleRows(s, d).distinct().persistScoped()
+        val shd = cappedShingles(raw).persistScoped()
+        val bands = minHashBandsFrom(minHashSigOver(s, d, hotShingleArrFrom(raw))).persistScoped()
         val cand = bands.toDF("doc_a", "band", "key")
           .join(bands.toDF("doc_b", "band2", "key2"),
             col("band") === col("band2") && col("key") === col("key2") &&
@@ -862,8 +945,9 @@ object Dedup extends QueryPack {
     // space, so the UNION dedups exactly.
     "dedup_jaccard_pairs" -> QueryDef(
       (s, d) => {
-        val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
-        val lsh = minHashDupPairsOver(s, d, shd)
+        val raw = shingleRows(s, d).distinct().persistScoped()
+        val shd = cappedShingles(raw).persistScoped()
+        val lsh = minHashDupPairsOver(s, d, hotShingleArrFrom(raw), shd)
           .select(col("doc_a"), col("doc_b"), col("jacc"))
         val exact = jaccardOver(shd.where(s"doc_id % $ExactStratumMod = 0"))
           .where(s"jacc >= $JaccThreshold")

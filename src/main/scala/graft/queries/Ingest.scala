@@ -612,6 +612,12 @@ object Ingest extends QueryPack {
         val sig = in.toDF().toDF("doc_id", "text")
           .selectExpr("doc_id", s"${Portable.sparkWords("lower(text)")} AS ws")
           .where("size(ws) >= 3")
+          // the stream-side signature is uncapped: a stream can't compute
+          // its own corpus-wide doc frequencies, so at production scale
+          // the stop-shingle set arrives as a PRECOMPUTED static broadcast
+          // (stream-static join) refreshed out-of-band; this literal
+          // corpus (8 docs, cap = 1000) has no hot shingles, and the
+          // oracle applies the same (inert) cap CTEs for symmetry
           .selectExpr("doc_id", "graft_minhash(graft_shingles(ws)) AS sig")
           .selectExpr("doc_id" +:
             (0 until Portable.MinHashK).map(i => s"element_at(sig, ${i + 1}) AS s$i"): _*)
@@ -642,6 +648,7 @@ object Ingest extends QueryPack {
         WITH docs(doc_id, text) AS (VALUES ${minhashDocs
           .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")}),
         ${Dedup.duckShingleChain("docs")},
+        ${Dedup.duckCap},
         ${Dedup.duckSig},
         ${Dedup.duckBands},
         owners AS (

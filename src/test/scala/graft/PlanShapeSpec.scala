@@ -111,11 +111,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("simhash signature extraction is shuffle-free up to the output sort") {
+  test("simhash signature extraction: corpus maps row-locally, cap side broadcasts") {
+    // r8: signatures subtract the stop-shingle set, so the plan gains the
+    // bounded shingle-df aggregate (its exchanges carry (sh, count) pairs
+    // and one single-row array — never documents) feeding a broadcast
+    // into the row-local signature map. The CORPUS side must still reach
+    // graft_simhash without shuffling: the only join is the 1-row
+    // broadcast, and exchanges stay within the df-aggregate + output sort
+    // budget.
     val p = plan("dedup_simhash_sig")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the stop-shingle row must broadcast into the signature map:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle to meet the cap:\n$p")
     val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1,
-      s"row-local graft_simhash must not shuffle, found $exchanges exchanges:\n$p")
+    assert(exchanges <= 4,
+      s"expected only df-aggregate + sort exchanges, found $exchanges:\n$p")
   }
 
   test("curate funnel: no cartesian, and the dedup anti-join carries ids not text") {
@@ -405,7 +417,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // join must be an equi-join on (band, key) — a cartesian or nested
     // loop would make every crawl shard rescan the whole corpus index
     val p = plan("dedup_incremental")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
+      s"incoming x corpus candidates must equi-join on the band key:\n$p")
+    // the ONLY nested-loop allowed is the 1-row stop-shingle broadcast
+    // attach (r8 capped signatures) — a cross-build against a single
+    // array row, never a data relation on both sides
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, Inner".r.findAllIn(p).size +
+      "BroadcastNestedLoopJoin BuildLeft".r.findAllIn(p).size
+    assert(bnlj == 0,
       s"incoming x corpus candidates must equi-join on the band key:\n$p")
   }
 
