@@ -420,6 +420,60 @@ object Curate extends QueryPack {
         SELECT source, n_docs, avail_tok, share_e6, target_tok,
                CAST(target_tok // avail_tok AS BIGINT) AS epochs_full,
                CAST(((target_tok % avail_tok) * 1000000) // avail_tok AS BIGINT) AS frac_e6
-        FROM y ORDER BY source"""))
+        FROM y ORDER BY source""")),
+
+    // Temperature-scaled source mixing (the multilingual-sampling rule
+    // from Lample & Conneau 2019, reused for source mixing by the
+    // Gopher/LLaMA lineage): sampling weight w_i ∝ p_i^T with T = 0.7,
+    // where p_i is the source's token share — T < 1 flattens the mix so
+    // head sources stop dominating and tail sources are upsampled,
+    // without the hard inversion a uniform mix would cause. Complements
+    // curate_quota_alloc (sqrt-share = the T = 0.5 point with a
+    // different normalization).
+    //
+    // Scale shape: one map-side-combinable (source, token-count)
+    // aggregate over the corpus; everything after operates on the
+    // source-cardinality frame (tiny). The p_i^T powers use libm pow
+    // under the documented ulp contract; the normalizer Z = sum p_i^T
+    // folds in source-sorted order so the double sum has one
+    // association order in both engines.
+    "curate_temperature_mix" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .selectExpr("source", s"CAST(size(${sparkWords("lower(text)")}) AS BIGINT) AS ntok")
+          .groupBy(col("source")).agg(sum(col("ntok")).as("n_tok"))
+        val tot = counts.agg(sum(col("n_tok")).as("t"))
+        val pw = counts.crossJoin(broadcast(tot))
+          .selectExpr("source", "n_tok",
+            "CAST(n_tok AS DOUBLE) / CAST(t AS DOUBLE) AS p",
+            "pow(CAST(n_tok AS DOUBLE) / CAST(t AS DOUBLE), 0.7) AS pw")
+        val z = pw
+          .agg(sort_array(collect_list(struct(col("source"), col("pw")))).as("arr"))
+          .selectExpr(
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.pw) AS z")
+        pw.crossJoin(broadcast(z))
+          .selectExpr("source", "n_tok",
+            s"${Q.scaledLong("p", 6)} AS p_e6",
+            s"${Q.scaledLong("pw / z", 6)} AS w_e6")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT source, CAST(sum(len(${duckWords("lower(text)")})) AS BIGINT) AS n_tok
+          FROM documents GROUP BY source),
+        t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM c),
+        pw AS (
+          SELECT source, n_tok,
+                 CAST(n_tok AS DOUBLE) / CAST(t AS DOUBLE) AS p,
+                 pow(CAST(n_tok AS DOUBLE) / CAST(t AS DOUBLE), 0.7) AS pw
+          FROM c CROSS JOIN t),
+        z AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(pw ORDER BY source)), (acc, x) -> acc + x) AS z
+          FROM pw)
+        SELECT source, n_tok,
+               ${Q.scaledLong("p", 6)} AS p_e6,
+               ${Q.scaledLong("pw / z", 6)} AS w_e6
+        FROM pw CROSS JOIN z ORDER BY source"""))
   )
 }

@@ -1092,6 +1092,98 @@ object Dedup extends QueryPack {
           "CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)", 4)} AS novelty_e4
         FROM per ORDER BY doc_id""")),
 
+    // SOURCE-level corpus overlap: pairwise Jaccard between each
+    // source's (capped) shingle space — the crawl-planning readout that
+    // says "source A is 60% a re-crawl of source B, stop paying for it".
+    // Two estimators per pair, both deterministic and both mirrored in
+    // the oracle: the EXACT Jaccard over the distinct (source, shingle)
+    // frame, and the MinHash-union estimate (each source's 16-component
+    // signature is the min over ALL its docs' shingle hashes — the
+    // union-sketch property: sig(A ∪ B) = componentwise min — and
+    // matching components / 16 estimates J). within_bound checks the
+    // estimate against the binomial 3-sigma envelope at K = 16
+    // (sqrt(J(1-J)/16) <= 0.125, so 0.375 + rounding headroom) —
+    // computed identically in both engines, so the gate would catch
+    // either side drifting.
+    //
+    // Scale shape: per-source signatures are ONE map-side-combinable min
+    // aggregate producing 16 numbers per source — at 100 TB this is the
+    // only pass that touches the corpus, and source sketches compose
+    // across shards/days by the same min. The exact twin's self-join on
+    // sh has per-shingle fanout bounded by the SOURCE count (20), never
+    // the doc count; at production scale you keep only the sketch side.
+    "dedup_source_overlap" -> QueryDef(
+      (s, d) => {
+        val raw = shingleRows(s, d).distinct().persistScoped()
+        val srcSh = cappedShingles(raw)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("sh")).distinct().persistScoped()
+        val minCols = (0 until MinHashK).map(i =>
+          min(expr(s"(${minHashA(i)} * sh + ${minHashB(i)}) % $P")).as(s"s$i"))
+        val sig = srcSh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+        val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = srcSh.toDF("src_a", "sh")
+          .join(srcSh.toDF("src_b", "sh2"),
+            col("sh") === col("sh2") && col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+        val matches = (0 until MinHashK)
+          .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+        // the pair frames are source-cardinality-bounded (S^2 rows for S
+        // sources, never doc- or shingle-scaled): broadcast the build
+        // side explicitly so the inequality join is a nested loop over
+        // S rows, not a planner-chosen cartesian
+        val est = sig.as("a").join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
+          .selectExpr("a.source AS src_a", "b.source AS src_b", s"$matches AS m")
+        sizes.toDF("src_a", "na")
+          .join(broadcast(sizes.toDF("src_b", "nb")), col("src_a") < col("src_b"))
+          .join(inter, Seq("src_a", "src_b"), "left")
+          .join(est, Seq("src_a", "src_b"))
+          .selectExpr("src_a", "src_b", "na", "nb",
+            "coalesce(inter, CAST(0 AS BIGINT)) AS inter", "m")
+          .selectExpr("src_a", "src_b", "na", "nb",
+            s"${Q.scaledLong(
+              "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)", 4)} AS exact_e4",
+            "m * 625 AS est_e4")
+          .selectExpr("src_a", "src_b", "na", "nb", "exact_e4", "est_e4",
+            "CAST(CASE WHEN abs(est_e4 - exact_e4) <= 4000 THEN 1 ELSE 0 END AS BIGINT) AS within_bound")
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""
+        WITH $duckBase,
+        srcsh AS (
+          SELECT DISTINCT doc.source, s.sh
+          FROM shd s JOIN documents doc ON doc.doc_id = s.doc_id),
+        sig AS (
+          SELECT source, ${(0 until MinHashK)
+          .map(i => s"min((${minHashA(i)} * sh + ${minHashB(i)}) % $P) AS s$i")
+          .mkString(", ")}
+          FROM srcsh GROUP BY source),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM srcsh GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+          FROM srcsh a JOIN srcsh b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2),
+        est AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 ${(0 until MinHashK)
+          .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")} AS m
+          FROM sig a JOIN sig b ON a.source < b.source),
+        base AS (
+          SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS na, sb.n AS nb,
+                 coalesce(i.inter, CAST(0 AS BIGINT)) AS inter, e.m
+          FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+          LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
+          JOIN est e ON e.src_a = sa.source AND e.src_b = sb.source),
+        scored AS (
+          SELECT src_a, src_b, na, nb,
+                 ${Q.scaledLong(
+          "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)", 4)} AS exact_e4,
+                 CAST(m * 625 AS BIGINT) AS est_e4
+          FROM base)
+        SELECT src_a, src_b, na, nb, exact_e4, est_e4,
+               CAST(CASE WHEN abs(est_e4 - exact_e4) <= 4000 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        FROM scored ORDER BY src_a, src_b""")),
+
     // Fuzzy dedup by EDIT DISTANCE — the character-level complement to
     // the shingle family: shingles miss dense single-character noise
     // (OCR errors, mojibake) that Levenshtein catches. Candidates are

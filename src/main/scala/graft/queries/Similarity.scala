@@ -331,6 +331,96 @@ object Similarity extends QueryPack {
         SELECT qid, rn, vid, round(cos, 6) AS cos
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""")),
 
+    // HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    // fuse the dense ranking (embedding cosine) with the sparse ranking
+    // (distinct-term overlap) per query doc — the standard two-tower
+    // retrieval merge, and the shape a curation pipeline uses to find
+    // "more like this" seed documents when neither modality alone is
+    // trusted. vec_id aligns with doc_id in the corpus, so query docs
+    // 0-2 probe both towers. RRF score = 1/(60+r_dense) + 1/(60+r_lex)
+    // (absent from a tower contributes 0); ranks are exact integers, so
+    // the fused score is a two-term rational folded in ONE fixed order —
+    // no ulp exposure beyond the shared-expression contract.
+    //
+    // Scale shape: the dense tower broadcasts 3 query vectors against
+    // the corpus (map-side, no corpus shuffle); the sparse tower is an
+    // equi-join on term between the 3 query docs' terms (broadcast) and
+    // the inverted (doc, term) frame; both rank frames are per-query
+    // top-heavy and the fusion join is keyed (qid, vid). Nothing
+    // quadratic, nothing driver-side.
+    "search_rrf_hybrid" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val n = e.select(col("vec_id").as("vid"), col("embedding").as("nv"))
+        val cosRank = cosine(
+          broadcast(q).join(n, col("qid") =!= col("vid")), "qv", "nv")
+          .withColumn("r_cos", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+          .select(col("qid"), col("vid"), col("r_cos"))
+        val dterms = Tables.documents(s, d)
+          .selectExpr("doc_id", s"explode(${sparkWords("lower(text)")}) AS term")
+          .distinct()
+        val lexRank = dterms.where(col("doc_id") < 3).toDF("qid", "term")
+          .join(dterms.toDF("vid", "term2"),
+            col("term") === col("term2") && col("qid") =!= col("vid"))
+          .groupBy(col("qid"), col("vid")).agg(count(lit(1)).as("overlap"))
+          .withColumn("r_lex", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("overlap").desc, col("vid"))))
+          .select(col("qid"), col("vid"), col("r_lex"))
+        cosRank.join(lexRank, Seq("qid", "vid"), "left")
+          .selectExpr("qid", "vid", "r_cos", "coalesce(r_lex, 0) AS r_lex",
+            s"""${Q.scaledLong(
+              """1.0 / (60.0 + CAST(r_cos AS DOUBLE))
+                 + CASE WHEN r_lex IS NULL THEN 0.0
+                        ELSE 1.0 / (60.0 + CAST(r_lex AS DOUBLE)) END""", 6)} AS rrf_e6""")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rrf_e6").desc, col("vid"))))
+          .where("rnk <= 5")
+          .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vid",
+            "CAST(r_cos AS BIGINT) AS r_cos", "CAST(r_lex AS BIGINT) AS r_lex", "rrf_e6")
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        n AS (SELECT vec_id AS vid, embedding AS nv FROM embeddings),
+        sc AS (
+          SELECT qid, vid, ${duckDot("qv", "nv")} AS dot,
+                 ${duckDot("qv", "qv")} AS na, ${duckDot("nv", "nv")} AS nb
+          FROM q JOIN n ON qid <> vid),
+        cr AS (
+          SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vid) AS r_cos
+          FROM sc),
+        dterms AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(${duckWords("lower(text)")}) AS term FROM documents) t),
+        ov AS (
+          SELECT a.doc_id AS qid, b.doc_id AS vid, CAST(count(*) AS BIGINT) AS overlap
+          FROM dterms a JOIN dterms b ON a.term = b.term AND a.doc_id <> b.doc_id
+          WHERE a.doc_id < 3 GROUP BY 1, 2),
+        lr AS (
+          SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, vid) AS r_lex
+          FROM ov),
+        fused AS (
+          SELECT cr.qid, cr.vid, cr.r_cos, lr.r_lex,
+                 ${Q.scaledLong(
+          """1.0 / (60.0 + CAST(cr.r_cos AS DOUBLE))
+                 + CASE WHEN lr.r_lex IS NULL THEN 0.0
+                        ELSE 1.0 / (60.0 + CAST(lr.r_lex AS DOUBLE)) END""", 6)} AS rrf_e6
+          FROM cr LEFT JOIN lr ON lr.qid = cr.qid AND lr.vid = cr.vid),
+        ranked AS (
+          SELECT qid, vid, r_cos, coalesce(r_lex, 0) AS r_lex, rrf_e6,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY rrf_e6 DESC, vid) AS BIGINT) AS rnk
+          FROM fused)
+        SELECT qid, rnk, vid, CAST(r_cos AS BIGINT) AS r_cos,
+               CAST(r_lex AS BIGINT) AS r_lex, rrf_e6
+        FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // Binary (1-bit sign) quantization retrieval: every embedding packs
     // into two 32-bit sign words, the shortlist is the 20 Hamming-nearest
     // corpus vectors per query (bit_count over XOR — the cheapest

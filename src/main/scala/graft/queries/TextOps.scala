@@ -371,6 +371,90 @@ object TextOps extends QueryPack {
         SELECT doc_id, rnk, term, CAST(score_e6 AS BIGINT) AS score_e6
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
 
+    // BM25 retrieval (Robertson-Sparck Jones) — the sparse-retrieval
+    // scorer a data pipeline runs for "find training docs about X"
+    // selection and RAG indexing. The query is the corpus's own terms at
+    // df-ranks 10-12 (mid-frequency: high enough to match many docs, low
+    // enough that idf isn't ~0) — fully deterministic, no literal terms
+    // to drift from the corpus. k1 = 1.2, b = 0.75.
+    //
+    // Scale shape: the (doc, term) tf frame is the inverted-index shuffle
+    // every retrieval system pays once; df/idf and the 3 query terms are
+    // vocabulary-bounded broadcasts; per-doc scores touch only the ~3
+    // matched rows, folded in term-sorted order (sort_array + HOF
+    // aggregate) so the double sum has ONE association order in both
+    // engines; the final top-15 is a TakeOrdered over scaled-integer
+    // scores. At 100 TB the tf frame is the persisted index table and
+    // each query is a broadcast probe of it — nothing here scans text
+    // twice.
+    "text_bm25_topk" -> QueryDef(
+      (s, d) => {
+        val docsW = Tables.documents(s, d)
+          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+        val terms = docsW.select(col("doc_id"), explode(col("ws")).as("term"))
+        val dl = docsW.selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS dl")
+        val nTot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+        val dfreq = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("term"))
+        val qterms = dfreq.withColumn("qrnk", row_number().over(wq))
+          .where("qrnk BETWEEN 10 AND 12").select(col("term"), col("df"))
+        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val contrib = tf.join(broadcast(qterms), "term")
+          .join(dl, "doc_id").crossJoin(broadcast(nTot))
+          .selectExpr("doc_id", "term",
+            """ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(tl AS DOUBLE))) AS contrib""")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e6").desc, col("doc_id"))
+        contrib.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sort_array(collect_list(struct(col("term"), col("contrib")))).as("arr"))
+          .selectExpr("doc_id", "CAST(n_terms AS BIGINT) AS n_terms",
+            s"${Q.scaledLong(
+              "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)", 6)} AS score_e6")
+          .withColumn("rnk", row_number().over(w))
+          .where("rnk <= 15")
+          .selectExpr("CAST(rnk AS BIGINT) AS rnk", "doc_id", "n_terms", "score_e6")
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH dw AS (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        terms AS (SELECT doc_id, unnest(ws) AS term FROM dw),
+        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM dw),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+        dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM terms) t GROUP BY term),
+        qterms AS (
+          SELECT term, df FROM (
+            SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS qrnk
+            FROM dfreq) t
+          WHERE qrnk BETWEEN 10 AND 12),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY doc_id, term),
+        contrib AS (
+          SELECT t.doc_id, t.term,
+                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+                 * (CAST(t.tf AS DOUBLE) * 2.2)
+                 / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(tl AS DOUBLE))) AS contrib
+          FROM tf t JOIN qterms q USING (term)
+                    JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN nt),
+        folds AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                 ${Q.scaledLong(
+          """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(contrib ORDER BY term)), (acc, x) -> acc + x)""", 6)} AS score_e6
+          FROM contrib GROUP BY doc_id),
+        ranked AS (
+          SELECT doc_id, n_terms, score_e6,
+                 CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk
+          FROM folds)
+        SELECT rnk, doc_id, n_terms, score_e6
+        FROM ranked WHERE rnk <= 15 ORDER BY rnk""")),
+
     // Corpus-LM quality score in the CCNet style (Wenzek et al. 2020:
     // filter/bucket web text by language-model perplexity): a unigram LM
     // is fit on the corpus itself and each document is scored by its mean

@@ -651,4 +651,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates <= 2,
       s"the encode must be row-local (only the pair count explodes), found $generates:\n$p")
   }
+
+  test("BM25: query terms and corpus stats broadcast; no cartesian; scoring joins are keyed") {
+    spark.catalog.clearCache()
+    val p = plan("text_bm25_topk")
+    assert(!p.contains("CartesianProduct"))
+    // the 3-term query set and the (N, total-length) row reach the tf
+    // frame as broadcasts — the inverted index never shuffles to meet them
+    assert(p.contains("BroadcastExchange"),
+      s"qterms/corpus-stats must broadcast into the scoring join:\n$p")
+  }
+
+  test("RRF hybrid: dense tower broadcasts queries; fusion join is keyed, no cartesian") {
+    spark.catalog.clearCache()
+    val p = plan("search_rrf_hybrid")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 3 query vectors must broadcast against the corpus:\n$p")
+  }
+
+  test("source overlap: per-source sketch is one aggregate; exact twin joins on sh, never cross") {
+    spark.catalog.clearCache()
+    val p = plan("dedup_source_overlap")
+    assert(!p.contains("CartesianProduct"))
+    // the source-pair frames are source-cardinality-bounded: their joins
+    // may broadcast, but the (source, sh) self-join must be an equi-join
+    // on sh (per-shingle fanout bounded by source count)
+    val smjCross = "SortMergeJoin.*Cross".r.findAllIn(p).size
+    assert(smjCross == 0, s"no cross sort-merge join allowed:\n$p")
+  }
 }
