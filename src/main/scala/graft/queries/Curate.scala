@@ -474,6 +474,104 @@ object Curate extends QueryPack {
         SELECT source, n_tok,
                ${Q.scaledLong("p", 6)} AS p_e6,
                ${Q.scaledLong("pw / z", 6)} AS w_e6
-        FROM pw CROSS JOIN z ORDER BY source"""))
+        FROM pw CROSS JOIN z ORDER BY source""")),
+
+    // One DoReMi domain-reweighting round (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    // each domain's EXCESS LOSS — how much worse the proxy model does on
+    // the domain than the reference — drives a multiplicative-weights
+    // update, upweighting domains the model hasn't learned. Here the
+    // proxy/reference losses are derived deterministically from the
+    // corpus itself: domain loss = the source's unigram cross-entropy
+    // under the CORPUS LM (text_unigram_logprob's model, aggregated per
+    // source), reference loss = the corpus LM's own entropy, so excess
+    // > 0 exactly for sources whose term distribution the corpus-wide
+    // model fits poorly. One MW step from uniform init (eta = 1):
+    // alpha_i ∝ exp(excess_i), then DoReMi's uniform smoothing
+    // (1-c) * alpha/Z + c/K with c = 0.01.
+    //
+    // Scale shape: everything derives from ONE compact (source, term)
+    // count aggregate with map-side combine (quality_js_divergence's
+    // plan); global term counts broadcast back onto it, the per-source
+    // CE folds run term-sorted over each source's own vocabulary, and
+    // the MW step operates on the source-cardinality frame. Doubles
+    // appear only in the ln/exp stage over the bounded vocab — each
+    // fold has ONE association order in both engines (term-sorted /
+    // source-sorted lists), so the only cross-engine wiggle is the
+    // documented transcendental ulp contract.
+    "curate_doremi_round" -> QueryDef(
+      (s, d) => {
+        val st = Tables.documents(s, d)
+          .selectExpr("source", s"explode(${sparkWords("lower(text)")}) AS term")
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+          .persistScoped()
+        val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
+        val tot = st.agg(sum(col("c")).as("t"))
+        val ce = st.join(broadcast(gt), "term").crossJoin(broadcast(tot))
+          .selectExpr("source", "term", "c",
+            "CAST(c AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE))) AS nll")
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tok"),
+            sort_array(collect_list(struct(col("term"), col("nll")))).as("arr"))
+        // corpus reference CE = the LM's own entropy, one term-sorted fold
+        val ref = gt.crossJoin(broadcast(tot))
+          .selectExpr("term",
+            "CAST(gc AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE))) / CAST(t AS DOUBLE) AS contrib")
+          .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("rarr"))
+          .selectExpr("aggregate(rarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS ref_ce")
+        val k = ce.agg(count(lit(1)).as("k"))
+        val ex = ce.crossJoin(broadcast(ref))
+          .selectExpr("source", "n_tok",
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.nll) / CAST(n_tok AS DOUBLE) AS ce",
+            "ref_ce")
+          .selectExpr("source", "n_tok", "ce", "ref_ce",
+            "greatest(0.0, ce - ref_ce) AS excess")
+          .withColumn("w", expr("exp(excess)"))
+        val z = ex
+          .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("zarr"))
+          .selectExpr("aggregate(zarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w) AS z")
+        ex.crossJoin(broadcast(z)).crossJoin(broadcast(k))
+          .selectExpr("source", "n_tok",
+            s"${Q.scaledLong("ce", 6)} AS ce_e6",
+            s"${Q.scaledLong("excess", 6)} AS excess_e6",
+            s"${Q.scaledLong("0.99 * w / z + 0.01 / CAST(k AS DOUBLE)", 6)} AS alpha_e6")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT source, unnest(${duckWords("lower(text)")}) AS term FROM documents),
+        st AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM terms GROUP BY source, term),
+        gt AS (SELECT term, CAST(sum(c) AS BIGINT) AS gc FROM st GROUP BY term),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM st),
+        ce AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(CAST(c AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE)))
+                        ORDER BY term)),
+                   (acc, x) -> acc + x) / CAST(sum(c) AS DOUBLE) AS ce
+          FROM st JOIN gt USING (term) CROSS JOIN tot GROUP BY source),
+        refce AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(CAST(gc AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE)))
+                        / CAST(t AS DOUBLE) ORDER BY term)),
+                   (acc, x) -> acc + x) AS ref_ce
+          FROM gt CROSS JOIN tot),
+        k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ce),
+        ex AS (
+          SELECT source, n_tok, ce, ref_ce,
+                 greatest(0.0, ce - ref_ce) AS excess,
+                 exp(greatest(0.0, ce - ref_ce)) AS w
+          FROM ce CROSS JOIN refce),
+        z AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w ORDER BY source)), (acc, x) -> acc + x) AS z
+          FROM ex)
+        SELECT source, n_tok,
+               ${Q.scaledLong("ce", 6)} AS ce_e6,
+               ${Q.scaledLong("excess", 6)} AS excess_e6,
+               ${Q.scaledLong("0.99 * w / z + 0.01 / CAST(k AS DOUBLE)", 6)} AS alpha_e6
+        FROM ex CROSS JOIN z CROSS JOIN k ORDER BY source"""))
   )
 }

@@ -600,6 +600,80 @@ object Dedup extends QueryPack {
                CAST(cluster_id AS BIGINT) AS cluster_id
         FROM labels ORDER BY doc_id""")),
 
+    // Split-LEAKAGE audit: near-duplicate clusters must not straddle
+    // train/val/test — a test doc with a training-set near-twin inflates
+    // eval (Lee et al. 2021 measure exactly this leak in C4/RealNews;
+    // GroupShuffleSplit is the sklearn-side fix). The audit compares two
+    // assignment rules over the verified near-dup clusters: the naive
+    // per-DOC id-hash shuffle split leaks (members draw independent
+    // splits, so most multi-doc clusters straddle — the positive
+    // control), while the GROUP-keyed rule (hash the cluster label, one
+    // draw per cluster) is structurally leak-free:
+    // leaky_groups_by_group must be 0.
+    //
+    // Scale shape: cluster labels come from the same LSH -> verified
+    // pairs -> bounded-round connected components chain dedup_clusters
+    // pays; the label frame (dup docs only, tiny vs the corpus) joins
+    // back to the doc-id scan, singletons keep their own id as group.
+    // Everything after is one groupBy on the numeric group key and a
+    // single-row integer fold — no text shuffles, no floats.
+    "split_leakage_audit" -> QueryDef(
+      (s, d) => {
+        val pairs = minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val labels = graft.engine.ops.ConnectedComponents.run(pairs)
+          .selectExpr("CAST(v AS BIGINT) AS doc_id",
+            "CAST(lbl AS BIGINT) AS cluster_id")
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS grp")
+          .selectExpr("grp",
+            s"(doc_id * 1103515245 + 12345) % $P % 10 AS dh",
+            s"(grp * 1103515245 + 12345) % $P % 10 AS gh")
+          .selectExpr("grp",
+            "CASE WHEN dh < 8 THEN 'train' WHEN dh < 9 THEN 'val' ELSE 'test' END AS dsp",
+            "CASE WHEN gh < 8 THEN 'train' WHEN gh < 9 THEN 'val' ELSE 'test' END AS gsp")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("dsp")).as("nd"),
+            countDistinct(col("gsp")).as("ng"))
+          .where(col("n") >= 2)
+          .agg(
+            count(lit(1)).as("n_dup_groups"),
+            coalesce(sum(col("n")), lit(0L)).as("n_dup_docs"),
+            coalesce(sum(when(col("nd") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("leaky_groups_by_doc"),
+            coalesce(sum(when(col("nd") > 1, col("n")).otherwise(0L)), lit(0L))
+              .as("leaky_docs_by_doc"),
+            coalesce(sum(when(col("ng") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("leaky_groups_by_group"))
+      },
+      Some(s"""
+        WITH RECURSIVE $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand, $duckClusterLabels,
+        b AS (
+          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS grp
+          FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        sp AS (
+          SELECT grp,
+                 CASE WHEN (doc_id * 1103515245 + 12345) % $P % 10 < 8 THEN 'train'
+                      WHEN (doc_id * 1103515245 + 12345) % $P % 10 < 9 THEN 'val'
+                      ELSE 'test' END AS dsp,
+                 CASE WHEN (grp * 1103515245 + 12345) % $P % 10 < 8 THEN 'train'
+                      WHEN (grp * 1103515245 + 12345) % $P % 10 < 9 THEN 'val'
+                      ELSE 'test' END AS gsp
+          FROM b),
+        g2 AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT dsp) AS BIGINT) AS nd,
+                 CAST(count(DISTINCT gsp) AS BIGINT) AS ng
+          FROM sp GROUP BY grp HAVING count(*) >= 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_docs,
+               CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaky_groups_by_doc,
+               CAST(coalesce(sum(CASE WHEN nd > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS leaky_docs_by_doc,
+               CAST(coalesce(sum(CASE WHEN ng > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaky_groups_by_group
+        FROM g2""")),
+
     // Per-SOURCE duplication report — the curation dashboard number that
     // decides which ingest feeds get down-weighted or cut: for each
     // document source, how many docs sit in a verified near-dup cluster

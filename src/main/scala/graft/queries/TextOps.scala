@@ -1013,6 +1013,7 @@ object TextOps extends QueryPack {
                CAST(count(*) AS BIGINT) AS n
         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+
     // Deterministic global corpus shuffle into trainer shards: every doc
     // gets a pseudo-random but SEEDED rank (an affine mod-prime hash of
     // its id — change the multiplier to reshuffle), the shard is the

@@ -635,6 +635,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the tokenizer explode must run once, found $generates:\n$p")
   }
 
+  test("DoReMi round: one tokenizer explode; LM counts broadcast back onto the compact aggregate") {
+    spark.catalog.clearCache()
+    val p = plan("curate_doremi_round")
+    // everything derives from ONE (source, term) count frame — a second
+    // Generate would mean the corpus tokenized twice
+    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates <= 1,
+      s"the tokenizer explode must run once, found $generates:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded global counts must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("split leakage audit: shuffles carry numeric keys, never document text") {
+    spark.catalog.clearCache()
+    val p = plan("split_leakage_audit")
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+    val ins = exchangeInputs.findAllMatchIn(p).map(_.group(1)).toList
+    assert(ins.nonEmpty && !ins.exists(_.contains("text#")),
+      s"no shuffle may carry document text:\n${ins.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("BPE encode: broadcast merge table, row-local tokenization, no doc-side explode") {
     spark.catalog.clearCache()
     val p = plan("text_bpe_encode")
