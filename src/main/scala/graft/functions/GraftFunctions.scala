@@ -31,6 +31,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_morton", es => MortonInterleave(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minus_sorted", es => MinusSorted(es.head, es(1)), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime-filter rule (SPARK-32268) but does NOT expose them in the
     // SQL registry; surfacing them under graft names turns the engine's
@@ -431,5 +432,108 @@ case class MortonInterleave(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MortonInterleave =
+    copy(left = l, right = r)
+}
+
+/** Order- and multiplicity-preserving subtraction of a SORTED long array
+  * from a long array: returns the elements of `left` (in their original
+  * order, duplicates kept) that do not occur in `right`, located by
+  * binary search — O(|left| * log |right|) per row against the
+  * O(|left| * |right|) linear scan of
+  * `filter(arr, x -> NOT array_contains(hot, x))`.
+  *
+  * This is the stop-shingle cap's hot path: the broadcast hot set grows
+  * with corpus size (the 1M-doc StressFunnel leg measured the HOF
+  * linear scan dominating signature extraction), while the binary
+  * search keeps the per-row cost flat in everything but log |hot|.
+  * Contract: `right` MUST be sorted ascending (hotShingleArrFrom emits
+  * sort_array(collect_list(..))); a violation silently keeps elements.
+  * Semantically identical to the HOF filter for sorted `right` —
+  * FunctionsSpec pins the equivalence property.
+  */
+case class MinusSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minus_sorted"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minus_sorted expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val hot = r.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val h = hot.numElements()
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var lo = 0
+      var hi = h - 1
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val v = hot.getLong(mid)
+        if (v == x) found = true
+        else if (v < x) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (!found) { out(m) = x; m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val v = ctx.freshName("v")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = $a.numElements();
+         |int $h = $b.numElements();
+         |long[] $out = new long[$n];
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $a.getLong($i);
+         |  int $lo = 0, $hi = $h - 1;
+         |  boolean $found = false;
+         |  while ($lo <= $hi && !$found) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    long $v = $b.getLong($mid);
+         |    if ($v == $x) $found = true;
+         |    else if ($v < $x) $lo = $mid + 1;
+         |    else $hi = $mid - 1;
+         |  }
+         |  if (!$found) $out[$m++] = $x;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  java.util.Arrays.copyOf($out, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinusSorted =
     copy(left = l, right = r)
 }

@@ -104,7 +104,14 @@ object Dedup extends QueryPack {
   private def cappedShingleArrOver(s: SparkSession, d: String, hot: DataFrame): DataFrame =
     shingleArr(s, d)
       .crossJoin(broadcast(hot))
-      .selectExpr("doc_id", "filter(sh_arr, x -> NOT array_contains(hot, x)) AS sh_arr")
+      // graft_minus_sorted: binary search against the SORTED broadcast hot
+      // array — O(log |hot|) per shingle. The straightforward
+      // filter(sh_arr, x -> NOT array_contains(hot, x)) is a linear scan
+      // whose per-row cost grows with the hot-set size; the 1M-doc
+      // StressFunnel leg measured it dominating signature extraction
+      // (hot grows with the corpus), so the cap's hot path gets the
+      // native expression.
+      .selectExpr("doc_id", "graft_minus_sorted(sh_arr, hot) AS sh_arr")
       .where("size(sh_arr) >= 1")
 
   /** Per-row MinHash signature: 16 array_min folds over the CAPPED

@@ -118,6 +118,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(missed2 == 0)
   }
 
+  test("graft_minus_sorted equals the HOF filter on sorted hot sets") {
+    // deterministic pseudo-random cases: duplicates, empty arr, empty
+    // hot, all-hot, none-hot — the binary search must match the linear
+    // array_contains filter element-for-element (order + multiplicity)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 30) {
+      val arr = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong)
+      val hot = Seq.fill(rnd.nextInt(8))(rnd.nextInt(20).toLong).distinct.sorted
+      val arrSql = if (arr.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+        else arr.mkString("array(CAST(", " AS BIGINT), CAST(", " AS BIGINT))")
+      val hotSql = if (hot.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+        else hot.mkString("array(CAST(", " AS BIGINT), CAST(", " AS BIGINT))")
+      val fast = viaDf(s"graft_minus_sorted($arrSql, $hotSql)")
+      val slow = viaDf(s"filter($arrSql, x -> NOT array_contains($hotSql, x))")
+      assert(fast == slow, s"trial $trial: arr=$arr hot=$hot")
+    }
+    assert(viaDf("graft_minus_sorted(CAST(NULL AS ARRAY<BIGINT>), array(CAST(1 AS BIGINT)))") == null)
+  }
+
   test("expressions survive with codegen disabled (interpreted path)") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
@@ -125,6 +144,7 @@ class FunctionsSpec extends AnyFunSuite {
       assert(viaDf("size(graft_shingles(array('a','b','c','d')))") == 2)
       assert(viaDf("graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))") == 3.0)
       assert(viaDf("graft_morton(CAST(3 AS BIGINT), CAST(1 AS BIGINT))") == 7L)
+      assert(viaDf("graft_minus_sorted(array(CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)), array(CAST(1 AS BIGINT)))") == Seq(2L, 2L))
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 }
