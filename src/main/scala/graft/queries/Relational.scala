@@ -465,6 +465,124 @@ object Relational extends QueryPack {
                TRUE AS within_bound
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // KMV (k-minimum-values) distinct sketch with SET-INTERSECTION
+    // estimates — the sketch-algebra piece HLL lacks (HLL union-merges
+    // but cannot intersect; Beyer et al. 2007, "On synopses for
+    // distinct-value estimation under multiset operations"). Audience
+    // overlap across order priorities: per group keep the k=64 smallest
+    // distinct PORTABLE hash values of o_custkey; |S| est = (k-1)*P/U_k
+    // (U_k = k-th smallest), union sketch = k smallest of the merged
+    // lists (the same compose-across-shards property the MinHash union
+    // sketch rides), intersection by inclusion-exclusion. Because the
+    // hash is the engine's own portable polynomial — not an
+    // implementation-private HLL hash — BOTH engines compute the
+    // identical sketch, so the ESTIMATES themselves are value-checked
+    // cross-engine (strictly stronger than agg_approx_distinct's
+    // bound-only gate), plus a within_bound from the KMV error contract
+    // (3-sigma ~ 3/sqrt(k-2) = 0.381 relative on each direct estimate;
+    // inclusion-exclusion differences carry no multiplicative guarantee,
+    // so the bound gates the three direct estimates, not the
+    // intersection).
+    //
+    // Scale shape: the only corpus-scale work is the distinct
+    // (group, hash) aggregate (map-side combinable); the k-smallest
+    // window runs on that distinct frame, and everything after operates
+    // on one bounded row per group (<= 64 longs). At 1000 executors the
+    // per-partition k-heap partial (an Aggregator) would cut the shuffle
+    // to k rows/group/partition; the declared plan keeps the declarative
+    // window and documents that as the drop-in upgrade.
+    "agg_kmv_overlap" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 64
+        val dist = Tables.orders(s, d)
+          .selectExpr("o_orderpriority AS prio", "o_custkey AS ck").distinct()
+        val dh = dist
+          .selectExpr("prio", s"(1234567 * ck + 7654321) % ${Portable.P} AS h")
+          .distinct()
+        val w = Window.partitionBy(col("prio")).orderBy(col("h"))
+        val sk = dh.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= K)
+          .groupBy(col("prio"))
+          .agg(expr("sort_array(collect_list(h))").as("sk"))
+        val nd = dist.groupBy(col("prio")).agg(countDistinct(col("ck")).as("nd"))
+        val sketches = sk.join(nd, "prio")
+        val inter = dist.as("x").join(dist.as("y"), "ck")
+          .where(col("x.prio") < col("y.prio"))
+          .groupBy(col("x.prio").as("pa"), col("y.prio").as("pb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        def est(skc: String, sz: String = null) = {
+          val kl = Option(sz).getOrElse(s"size($skc)")
+          s"CASE WHEN $kl < $K THEN CAST($kl AS DOUBLE) " +
+            s"ELSE CAST(${K - 1} AS DOUBLE) * ${Portable.P} / CAST(element_at($skc, $K) AS DOUBLE) END"
+        }
+        sketches.as("a")
+          .join(sketches.as("b"), col("a.prio") < col("b.prio"))
+          .select(col("a.prio").as("pa"), col("b.prio").as("pb"),
+            col("a.sk").as("ska"), col("b.sk").as("skb"),
+            col("a.nd").as("nd_a"), col("b.nd").as("nd_b"))
+          .join(inter, Seq("pa", "pb"), "left")
+          .selectExpr("pa", "pb", "ska", "skb", "nd_a", "nd_b",
+            "coalesce(exact_inter, CAST(0 AS BIGINT)) AS exact_inter",
+            s"slice(sort_array(array_distinct(concat(ska, skb))), 1, $K) AS ku")
+          .selectExpr("pa", "pb", "nd_a", "nd_b", "exact_inter",
+            "nd_a + nd_b - exact_inter AS exact_union",
+            s"${est("ska")} AS ea", s"${est("skb")} AS eb", s"${est("ku")} AS eu")
+          .selectExpr("pa", "pb", "nd_a", "nd_b", "exact_inter", "exact_union",
+            Q.scaledLong("eu", 2) + " AS est_union_e2",
+            Q.scaledLong("greatest(0.0, ea + eb - eu)", 2) + " AS est_inter_e2",
+            ("abs(ea - nd_a) <= 0.381 * nd_a AND abs(eb - nd_b) <= 0.381 * nd_b " +
+              "AND abs(eu - exact_union) <= 0.381 * exact_union AS within_bound"))
+          .orderBy(col("pa"), col("pb"))
+      },
+      Some {
+        val K = 64
+        def est(skc: String) =
+          s"CASE WHEN len($skc) < $K THEN CAST(len($skc) AS DOUBLE) " +
+            s"ELSE CAST(${K - 1} AS DOUBLE) * ${Portable.P} / CAST($skc[$K] AS DOUBLE) END"
+        s"""
+        WITH dist AS (
+          SELECT DISTINCT o_orderpriority AS prio, o_custkey AS ck FROM orders),
+        dh AS (
+          SELECT DISTINCT prio, (1234567 * ck + 7654321) % ${Portable.P} AS h
+          FROM dist),
+        rkd AS (
+          SELECT prio, h,
+                 row_number() OVER (PARTITION BY prio ORDER BY h) AS rnk
+          FROM dh),
+        sk AS (
+          SELECT prio, list(h ORDER BY h) AS sk
+          FROM rkd WHERE rnk <= $K GROUP BY prio),
+        nd AS (
+          SELECT prio, CAST(count(DISTINCT ck) AS BIGINT) AS nd
+          FROM dist GROUP BY prio),
+        sketches AS (SELECT sk.prio, sk.sk, nd.nd FROM sk JOIN nd USING (prio)),
+        inter AS (
+          SELECT x.prio AS pa, y.prio AS pb,
+                 CAST(count(*) AS BIGINT) AS exact_inter
+          FROM dist x JOIN dist y ON x.ck = y.ck AND x.prio < y.prio
+          GROUP BY x.prio, y.prio),
+        pairs AS (
+          SELECT a.prio AS pa, b.prio AS pb, a.sk AS ska, b.sk AS skb,
+                 a.nd AS nd_a, b.nd AS nd_b,
+                 coalesce(i.exact_inter, 0) AS exact_inter,
+                 (list_sort(list_distinct(a.sk || b.sk)))[1:$K] AS ku
+          FROM sketches a
+          JOIN sketches b ON a.prio < b.prio
+          LEFT JOIN inter i ON i.pa = a.prio AND i.pb = b.prio),
+        ests AS (
+          SELECT pa, pb, nd_a, nd_b, exact_inter,
+                 nd_a + nd_b - exact_inter AS exact_union,
+                 ${est("ska")} AS ea, ${est("skb")} AS eb, ${est("ku")} AS eu
+          FROM pairs)
+        SELECT pa, pb, nd_a, nd_b, exact_inter, exact_union,
+               ${Q.scaledLong("eu", 2)} AS est_union_e2,
+               ${Q.scaledLong("greatest(0.0, ea + eb - eu)", 2)} AS est_inter_e2,
+               abs(ea - nd_a) <= 0.381 * nd_a AND abs(eb - nd_b) <= 0.381 * nd_b
+                 AND abs(eu - exact_union) <= 0.381 * exact_union AS within_bound
+        FROM ests ORDER BY pa, pb"""
+      }),
+
     // Portable median/p90: explicit middle-element selection via
     // row_number (engine quantile interpolation differs across builds —
     // the round-2 driver hash fail), emitted as scaled BIGINT cents so no

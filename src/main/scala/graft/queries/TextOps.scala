@@ -73,6 +73,77 @@ object TextOps extends QueryPack {
   private val EmailRe = "[a-z0-9]+@[a-z0-9.]+"
   private val PhoneRe = "[+]1-555-[0-9]{4}"
 
+  // ---- shared BPE machinery (text_bpe_encode + text_token_fertility) ----
+  // The top-k corpus character-pair counts become the merge table (the
+  // same ranking text_bpe_pairs reports); the encode applies each merge
+  // row-locally with a greedy left-to-right whole-token fold. See the
+  // text_bpe_encode Scaladoc for the fixpoint argument and the '|'
+  // separator-collision contract.
+
+  /** Merge table: one broadcastable row holding the top-[[BpeMerges]]
+    * pairs in priority order. */
+  private val BpeMerges = 8
+  private def bpeMergesFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    Tables.documents(s, d)
+      .selectExpr(s"explode(${sparkWords("lower(text)")}) AS wd")
+      .where(length(col("wd")) >= 2)
+      .selectExpr(
+        "explode(transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))) AS pair")
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= BpeMerges)
+      .agg(expr("transform(sort_array(collect_list(struct(rnk, pair))), x -> x.pair)").as("ms"))
+  }
+
+  /** Spark expression: '|'-separated token string of word array `ws` under
+    * merge array `ms`. */
+  private val sparkBpeTs: String =
+    """array_join(transform(ws, w0 ->
+         aggregate(ms,
+           array_join(transform(sequence(1, length(w0)), ci -> substring(w0, ci, 1)), '|'),
+           (s0, m) ->
+             aggregate(split(s0, '[|]'), '',
+               (acc, t) -> concat(acc,
+                 CASE WHEN acc <> '' AND t = substring(m, 2, 1)
+                           AND (acc = substring(m, 1, 1)
+                                OR right(acc, 2) = concat('|', substring(m, 1, 1)))
+                      THEN ''
+                      ELSE CASE WHEN acc = '' THEN '' ELSE '|' END END,
+                 t)))), ' ')"""
+
+  /** DuckDB CTE chain ending in `tok(<extra>, ws, ts)`; `extra` is a
+    * comma-led projection of documents columns carried through. */
+  private def duckBpeTokCtes(extra: String): String = s"""
+        wd AS (
+          SELECT unnest(${duckWords("lower(text)")}) AS wd FROM documents),
+        prs AS (
+          SELECT unnest(list_transform(range(1, length(wd)),
+                 i -> substr(wd, CAST(i AS INT), 2))) AS pair
+          FROM wd WHERE length(wd) >= 2),
+        cnt AS (SELECT pair, count(*) AS n FROM prs GROUP BY pair),
+        rnk AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+                FROM cnt),
+        mrg AS (SELECT list(pair ORDER BY rnk) AS ms FROM rnk WHERE rnk <= $BpeMerges),
+        docs AS (
+          SELECT $extra ${duckWords("lower(text)")} AS ws FROM documents),
+        tok AS (
+          SELECT $extra ws,
+            array_to_string(list_transform(ws, w0 ->
+              list_reduce(
+                list_prepend(array_to_string(string_split(w0, ''), '|'), ms),
+                (s0, m) ->
+                  list_reduce(
+                    list_prepend('', string_split(s0, '|')),
+                    (acc, t) -> acc ||
+                      CASE WHEN acc <> '' AND t = substr(m, 2, 1)
+                                AND (acc = substr(m, 1, 1)
+                                     OR right(acc, 2) = '|' || substr(m, 1, 1))
+                           THEN ''
+                           ELSE CASE WHEN acc = '' THEN '' ELSE '|' END END
+                      || t))), ' ') AS ts
+          FROM docs, mrg)"""
+
   def defs: Map[String, QueryDef] = Map(
     "text_fingerprint" -> QueryDef(
       (s, d) => {
@@ -603,6 +674,126 @@ object TextOps extends QueryPack {
             FROM (SELECT lang, ${duckWords("text")} AS ws FROM documents) t1) t2) t3
         GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
 
+    // TRAINED language classifier — multinomial Naive Bayes with add-one
+    // smoothing over the df-top-256 vocabulary, the model-based sibling of
+    // text_langid's fixed keyword profiles (the GPT-3/CCNet pattern:
+    // curation filters are trained classifiers, not hand rules; Brown et
+    // al. 2020 §A "quality filtering"). Train and score run in ONE plan
+    // over the corpus's own (term, lang) counts; output is the 5x5
+    // confusion matrix of true vs predicted language.
+    //
+    // Determinism: each log-probability cell ln((c+1)/(tot+V)) and each
+    // log-prior rounds to an e6-scaled BIGINT ONCE (the documented ulp
+    // contract — one libm rounding per cell, nothing accumulated in
+    // floats); after the L-table, scoring is EXACT integer arithmetic
+    // (sum of tc*lw BIGINTs, bounded |score| < 2^31), so the per-doc
+    // argmax (score DESC, lang ASC) can never flip on float noise even
+    // between near-indistinguishable classes.
+    //
+    // Scale shape: the ONLY corpus-scale shuffle is the (doc_id, term)
+    // count (map-side combinable); vocabulary (top-256 by df), the
+    // (lang x term) L-table grid (<= 5*256 rows) and the priors are
+    // bounded frames that broadcast into the scoring joins; per-doc
+    // scores aggregate by (doc_id, slang) — fanout |langs| — and the
+    // argmax is a doc-partitioned window on the docs x langs frame. At
+    // 100 TB the model is still < 2k rows; only the term counts scale.
+    "quality_nb_langid" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // per-doc term counts (multiplicity) — the one corpus-scale shuffle
+        val dt = docs
+          .selectExpr("doc_id", "lang", s"explode(${sparkWords("lower(text)")}) AS term")
+          .groupBy(col("doc_id"), col("lang"), col("term"))
+          .agg(count(lit(1)).as("tc"))
+        // df-top-256 vocabulary (dt is distinct at (doc_id, term), so
+        // count(*) per term IS the document frequency)
+        val vocab = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term")).limit(256)
+          .select("term")
+        val dtv = dt.join(broadcast(vocab), "term")
+        val vs = vocab.agg(count(lit(1)).cast("long").as("v"))
+        val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+        val ndall = langs.agg(sum(col("nd")).as("ndall"))
+        val tot = dtv.groupBy(col("lang")).agg(sum(col("tc")).as("tt"))
+        val cnt = dtv.groupBy(col("lang"), col("term")).agg(sum(col("tc")).as("c"))
+        // full (lang x vocab-term) grid so UNSEEN (term, lang) pairs get
+        // the smoothed floor ln(1/(tt+V)) — absent cells would otherwise
+        // silently contribute 0 (= certainty) instead of the floor
+        val grid = langs.select(col("lang").as("slang"))
+          .crossJoin(broadcast(vocab)).crossJoin(broadcast(vs))
+          .join(broadcast(tot.withColumnRenamed("lang", "slang")), Seq("slang"), "left")
+          .join(broadcast(cnt.withColumnRenamed("lang", "slang")), Seq("slang", "term"), "left")
+          .selectExpr("slang", "term",
+            s"${Q.scaledLong("ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / CAST(coalesce(tt, 0) + v AS DOUBLE))", 6)} AS lw")
+        val prior = langs.crossJoin(broadcast(ndall))
+          .selectExpr("lang AS slang",
+            s"${Q.scaledLong("ln(CAST(nd AS DOUBLE) / CAST(ndall AS DOUBLE))", 6)} AS lp")
+        // per-(doc, candidate-lang) term-score sums; docs with only-OOV
+        // terms fall back to the prior via the left join below
+        val tsco = dtv.select("doc_id", "term", "tc")
+          .join(broadcast(grid), Seq("term"))
+          .groupBy(col("doc_id"), col("slang"))
+          .agg(sum(col("tc") * col("lw")).as("ts"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("slang"))
+        docs.select("doc_id", "lang")
+          .crossJoin(broadcast(prior))
+          .join(tsco, Seq("doc_id", "slang"), "left")
+          .selectExpr("doc_id", "lang", "slang",
+            "lp + coalesce(ts, CAST(0 AS BIGINT)) AS score")
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") === 1)
+          .groupBy(col("lang"), col("slang").as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some(s"""
+        WITH dt AS (
+          SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tc
+          FROM (SELECT doc_id, lang, unnest(${duckWords("lower(text)")}) AS term
+                FROM documents) t
+          GROUP BY doc_id, lang, term),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, count(*) AS df FROM dt GROUP BY term
+            ORDER BY df DESC, term LIMIT 256) v),
+        dtv AS (SELECT dt.* FROM dt JOIN vocab USING (term)),
+        vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        langs AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+                  FROM documents GROUP BY lang),
+        ndt AS (SELECT CAST(sum(nd) AS BIGINT) AS ndall FROM langs),
+        tot AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS tt FROM dtv GROUP BY lang),
+        cnt AS (SELECT lang, term, CAST(sum(tc) AS BIGINT) AS c
+                FROM dtv GROUP BY lang, term),
+        grid AS (
+          SELECT l.lang AS slang, vb.term,
+                 ${Q.scaledLong("ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / CAST(coalesce(t.tt, 0) + vs.v AS DOUBLE))", 6)} AS lw
+          FROM langs l CROSS JOIN vocab vb CROSS JOIN vs
+          LEFT JOIN tot t ON t.lang = l.lang
+          LEFT JOIN cnt c ON c.lang = l.lang AND c.term = vb.term),
+        prior AS (
+          SELECT lang AS slang,
+                 ${Q.scaledLong("ln(CAST(nd AS DOUBLE) / CAST(ndall AS DOUBLE))", 6)} AS lp
+          FROM langs CROSS JOIN ndt),
+        tsco AS (
+          SELECT d.doc_id, g.slang, CAST(sum(d.tc * g.lw) AS BIGINT) AS ts
+          FROM dtv d JOIN grid g ON g.term = d.term
+          GROUP BY d.doc_id, g.slang),
+        sco AS (
+          SELECT dd.doc_id, dd.lang, p.slang,
+                 p.lp + coalesce(t.ts, 0) AS score
+          FROM (SELECT doc_id, lang FROM documents) dd
+          CROSS JOIN prior p
+          LEFT JOIN tsco t ON t.doc_id = dd.doc_id AND t.slang = p.slang),
+        pred AS (
+          SELECT lang, slang AS pred_lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, slang) AS rnk
+          FROM sco)
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rnk = 1
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
+
     // Deterministic content-hash sampling: reproducible across runs and
     // engines, stable under repartitioning (unlike rand()-based
     // sampling) — the curation primitive for carving corpus subsets.
@@ -723,33 +914,10 @@ object TextOps extends QueryPack {
     "text_bpe_encode" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("pair"))
-        val merges = Tables.documents(s, d)
-          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS wd")
-          .where(length(col("wd")) >= 2)
-          .selectExpr(
-            "explode(transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))) AS pair")
-          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= 8)
-          .agg(expr("transform(sort_array(collect_list(struct(rnk, pair))), x -> x.pair)").as("ms"))
         Tables.documents(s, d)
-          .crossJoin(broadcast(merges))
+          .crossJoin(broadcast(bpeMergesFrame(s, d)))
           .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws", "ms")
-          .selectExpr("doc_id", "ws",
-            """array_join(transform(ws, w0 ->
-                 aggregate(ms,
-                   array_join(transform(sequence(1, length(w0)), ci -> substring(w0, ci, 1)), '|'),
-                   (s0, m) ->
-                     aggregate(split(s0, '[|]'), '',
-                       (acc, t) -> concat(acc,
-                         CASE WHEN acc <> '' AND t = substring(m, 2, 1)
-                                   AND (acc = substring(m, 1, 1)
-                                        OR right(acc, 2) = concat('|', substring(m, 1, 1)))
-                              THEN ''
-                              ELSE CASE WHEN acc = '' THEN '' ELSE '|' END END,
-                         t)))), ' ') AS ts""")
+          .selectExpr("doc_id", "ws", s"$sparkBpeTs AS ts")
           .selectExpr("doc_id",
             "CAST(size(ws) AS BIGINT) AS n_words",
             "CAST(length(ts) - length(replace(ts, '|', '')) + size(ws) AS BIGINT) AS n_tokens",
@@ -757,39 +925,63 @@ object TextOps extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH wd AS (
-          SELECT unnest(${duckWords("lower(text)")}) AS wd FROM documents),
-        prs AS (
-          SELECT unnest(list_transform(range(1, length(wd)),
-                 i -> substr(wd, CAST(i AS INT), 2))) AS pair
-          FROM wd WHERE length(wd) >= 2),
-        cnt AS (SELECT pair, count(*) AS n FROM prs GROUP BY pair),
-        rnk AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
-                FROM cnt),
-        mrg AS (SELECT list(pair ORDER BY rnk) AS ms FROM rnk WHERE rnk <= 8),
-        docs AS (
-          SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
-        tok AS (
-          SELECT doc_id, ws,
-            array_to_string(list_transform(ws, w0 ->
-              list_reduce(
-                list_prepend(array_to_string(string_split(w0, ''), '|'), ms),
-                (s0, m) ->
-                  list_reduce(
-                    list_prepend('', string_split(s0, '|')),
-                    (acc, t) -> acc ||
-                      CASE WHEN acc <> '' AND t = substr(m, 2, 1)
-                                AND (acc = substr(m, 1, 1)
-                                     OR right(acc, 2) = '|' || substr(m, 1, 1))
-                           THEN ''
-                           ELSE CASE WHEN acc = '' THEN '' ELSE '|' END END
-                      || t))), ' ') AS ts
-          FROM docs, mrg)
+        WITH ${duckBpeTokCtes("doc_id,")}
         SELECT doc_id,
                CAST(len(ws) AS BIGINT) AS n_words,
                CAST(length(ts) - length(replace(ts, '|', '')) + len(ws) AS BIGINT) AS n_tokens,
                ${duckStrHash("ts")} AS fp
         FROM tok ORDER BY doc_id""")),
+
+    // TOKENIZER FERTILITY by language — tokens-per-word and
+    // characters-per-token of the learned BPE vocabulary, the standard
+    // tokenizer-efficiency diagnostic (a language whose fertility is 2x
+    // another's pays 2x the sequence length for the same text; tokenizer
+    // papers report exactly these two ratios per language). Reuses the
+    // text_bpe_encode machinery (same merge table, same row-local encode)
+    // and aggregates per lang: sums of exact per-doc integer counts
+    // (words, tokens, chars), then two single IEEE divisions leave as
+    // e6-scaled BIGINTs. Scale shape: identical to text_bpe_encode (one
+    // broadcast merge row, narrow map) with the per-doc counts collapsing
+    // into a 5-row map-side-combinable aggregate.
+    "text_token_fertility" -> QueryDef(
+      (s, d) => {
+        Tables.documents(s, d)
+          .crossJoin(broadcast(bpeMergesFrame(s, d)))
+          .selectExpr("lang", s"${sparkWords("lower(text)")} AS ws", "ms")
+          .selectExpr("lang", "ws", s"$sparkBpeTs AS ts")
+          .selectExpr("lang",
+            "CAST(size(ws) AS BIGINT) AS nw",
+            "CAST(length(ts) - length(replace(ts, '|', '')) + size(ws) AS BIGINT) AS nt",
+            // chars = token-string length minus the size(ws)-1 word
+            // separators and the (n_tokens - size(ws)) in-word '|' marks
+            "CAST(length(replace(replace(ts, '|', ''), ' ', '')) AS BIGINT) AS nc")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"), sum(col("nt")).as("n_tokens"),
+            sum(col("nc")).as("n_chars"))
+          .selectExpr("lang", "n_docs", "n_words", "n_tokens", "n_chars",
+            s"${Q.scaledLong("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS fertility_e6",
+            s"${Q.scaledLong("CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS chars_per_token_e6")
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH ${duckBpeTokCtes("lang,")}
+        , per AS (
+          SELECT lang,
+                 CAST(len(ws) AS BIGINT) AS nw,
+                 CAST(length(ts) - length(replace(ts, '|', '')) + len(ws) AS BIGINT) AS nt,
+                 CAST(length(replace(replace(ts, '|', ''), ' ', '')) AS BIGINT) AS nc
+          FROM tok),
+        agg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS n_words,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(sum(nc) AS BIGINT) AS n_chars
+          FROM per GROUP BY lang)
+        SELECT lang, n_docs, n_words, n_tokens, n_chars,
+               ${Q.scaledLong("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS fertility_e6,
+               ${Q.scaledLong("CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS chars_per_token_e6
+        FROM agg ORDER BY lang""")),
 
     // Hash-based train/val/test assignment: membership is a pure function
     // of content, so the split survives reprocessing and dedup.
