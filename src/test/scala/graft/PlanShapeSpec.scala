@@ -703,4 +703,48 @@ class PlanShapeSpec extends AnyFunSuite {
     val smjCross = "SortMergeJoin.*Cross".r.findAllIn(p).size
     assert(smjCross == 0, s"no cross sort-merge join allowed:\n$p")
   }
+
+  test("BPE train: corpus tokenizes once; rounds iterate on the vocab frame") {
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val p = plan("text_bpe_train")
+    assert(!p.contains("CartesianProduct"))
+    // only the initial word count may explode the corpus text column;
+    // every per-round pair explode must read vocab columns (freq/ts) —
+    // a text#-consuming Generate in a round means it re-tokenized the
+    // corpus. (Raw Generate counts are inflated by the cached-subtree
+    // repetition in formatted explain, so key on the input column.)
+    val genInputs = "(?ms)^\\(\\d+\\) Generate.*?Input \\[\\d+\\]: \\[([^\\]]*)\\]".r
+    val textGen = genInputs.findAllMatchIn(p).map(_.group(1))
+      .count(_.contains("text#"))
+    assert(textGen <= 1,
+      s"only the initial word count may explode text#, found $textGen:\n$p")
+    // each round's 1-row argmax winner reaches the vocab frame broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the merge winner must broadcast into the re-tokenize:\n$p")
+  }
+
+  test("logreg: scoring is a narrow map — no explode, no text shuffle, weights broadcast") {
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val p = plan("quality_logreg_train")
+    assert(!p.contains("CartesianProduct"))
+    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates == 0,
+      s"feature extraction is HOF-only — no Generate allowed, found $generates:\n$p")
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+    val ins = exchangeInputs.findAllMatchIn(p).map(_.group(1)).toList
+    assert(!ins.exists(_.contains("text#")),
+      s"no shuffle may carry document text:\n${ins.mkString("\n")}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row weight frame must broadcast into the scoring map:\n$p")
+  }
+
+  test("score AUC: no explode; one global rank over the bounded eval frame") {
+    spark.catalog.clearCache()
+    val p = plan("quality_score_auc")
+    assert(!p.contains("CartesianProduct"))
+    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates == 0, s"no Generate allowed, found $generates:\n$p")
+  }
 }
