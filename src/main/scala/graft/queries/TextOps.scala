@@ -116,6 +116,113 @@ object TextOps extends QueryPack {
       " + (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - CAST(greatest(least(s, 999999), 1) AS DOUBLE) / 1000000.0))",
     6)
 
+  /** Label + e6-quantized feature frame shared by the classifier family
+    * (train / calibration). Scoped-persisted: the corpus tokenizes once
+    * per query build, not once per GD step.
+    */
+  private def lrFeats(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+      .where(expr("size(ws) > 0"))
+      .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS nw",
+        s"${sparkScore(stopwords)} AS stop",
+        "CAST(size(array_distinct(ws)) AS BIGINT) AS uniq")
+      .selectExpr("doc_id",
+        "CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y",
+        s"${Q.scaledLong("(CAST(nw AS DOUBLE) - 55.0) / 100.0", 6)} AS x1_e6",
+        s"${Q.scaledLong("((CAST(nw AS DOUBLE) - 55.0) / 100.0) * ((CAST(nw AS DOUBLE) - 55.0) / 100.0)", 6)} AS x2_e6",
+        s"${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x3_e6",
+        s"${Q.scaledLong("CAST(uniq AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x4_e6")
+      .persistScoped()
+
+  /** The [[LrSteps]] GD step frames: each carries (step, n_correct,
+    * mean_nll_e6, w0_e6..w4_e6) with the weights AFTER that step's
+    * update. 1-row frames, scoped-persisted so step t+1 reads a
+    * materialized t instead of replaying the whole chain.
+    */
+  private def lrStepFrames(
+      s: org.apache.spark.sql.SparkSession,
+      feats: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.DataFrame] = {
+    var w = s.range(1).selectExpr(
+      "CAST(0 AS BIGINT) AS w0_e6", "CAST(0 AS BIGINT) AS w1_e6",
+      "CAST(0 AS BIGINT) AS w2_e6", "CAST(0 AS BIGINT) AS w3_e6",
+      "CAST(0 AS BIGINT) AS w4_e6")
+    (1 to LrSteps).map { t =>
+      val scored = feats.crossJoin(broadcast(w))
+        .selectExpr("y", "x1_e6", "x2_e6", "x3_e6", "x4_e6",
+          s"${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s")
+        .selectExpr("y", "x1_e6", "x2_e6", "x3_e6", "x4_e6", "s",
+          s"$lrNll AS nll_e6")
+      val g = scored.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(expr("1000000 * (y * 1000000 - s)")).as("g0"),
+        sum(expr("x1_e6 * (y * 1000000 - s)")).as("g1"),
+        sum(expr("x2_e6 * (y * 1000000 - s)")).as("g2"),
+        sum(expr("x3_e6 * (y * 1000000 - s)")).as("g3"),
+        sum(expr("x4_e6 * (y * 1000000 - s)")).as("g4"),
+        sum(expr("CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END")).cast("bigint").as("n_correct"),
+        sum(col("nll_e6")).as("snll"))
+      val st = w.crossJoin(broadcast(g)).selectExpr(
+        (s"CAST($t AS BIGINT) AS step" +: "n_correct" +:
+          "CAST(floor(CAST(snll AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_nll_e6" +:
+          (0 to 4).map(j => s"w${j}_e6 + ${lrDelta(j)} AS w${j}_e6")): _*)
+        .persistScoped()
+      w = st.selectExpr("w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6")
+      st
+    }
+  }
+
+  /** DuckDB CTE chain shared by the classifier family: feats + w0t +
+    * sc1/g1/st1 ... sc[[LrSteps]]/g/st — st_t mirrors [[lrStepFrames]]'
+    * t-th frame.
+    */
+  private val duckLrCtes: String = {
+    val stepCtes = (1 to LrSteps).map { t =>
+      val prev = if (t == 1) "w0t" else s"st${t - 1}"
+      s"""sc$t AS (
+            SELECT y, x1_e6, x2_e6, x3_e6, x4_e6, s, $lrNll AS nll_e6
+            FROM (
+              SELECT y, x1_e6, x2_e6, x3_e6, x4_e6,
+                     ${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s
+              FROM feats, $prev) b$t),
+        g$t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(1000000 * (y * 1000000 - s)) AS BIGINT) AS g0,
+                   CAST(sum(x1_e6 * (y * 1000000 - s)) AS BIGINT) AS g1,
+                   CAST(sum(x2_e6 * (y * 1000000 - s)) AS BIGINT) AS g2,
+                   CAST(sum(x3_e6 * (y * 1000000 - s)) AS BIGINT) AS g3,
+                   CAST(sum(x4_e6 * (y * 1000000 - s)) AS BIGINT) AS g4,
+                   CAST(sum(CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   CAST(sum(nll_e6) AS BIGINT) AS snll
+            FROM sc$t),
+        st$t AS (
+            SELECT CAST($t AS BIGINT) AS step, g$t.n_correct AS n_correct,
+                   CAST(floor(CAST(snll AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_nll_e6,
+                   ${(0 to 4).map(j => s"w${j}_e6 + ${lrDelta(j)} AS w${j}_e6").mkString(", ")}
+            FROM $prev, g$t)"""
+    }.mkString(",\n        ")
+    s"""raw AS (
+          SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        ft AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+                 ${duckScore(stopwords)} AS stop,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
+          FROM raw WHERE len(ws) > 0),
+        feats AS (
+          SELECT doc_id,
+                 CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+                 ${Q.scaledLong("(CAST(nw AS DOUBLE) - 55.0) / 100.0", 6)} AS x1_e6,
+                 ${Q.scaledLong("((CAST(nw AS DOUBLE) - 55.0) / 100.0) * ((CAST(nw AS DOUBLE) - 55.0) / 100.0)", 6)} AS x2_e6,
+                 ${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x3_e6,
+                 ${Q.scaledLong("CAST(uniq AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x4_e6
+          FROM ft),
+        w0t AS (
+          SELECT CAST(0 AS BIGINT) AS w0_e6, CAST(0 AS BIGINT) AS w1_e6,
+                 CAST(0 AS BIGINT) AS w2_e6, CAST(0 AS BIGINT) AS w3_e6,
+                 CAST(0 AS BIGINT) AS w4_e6),
+        $stepCtes"""
+  }
+
   /** Merge table: one broadcastable row holding the top-[[BpeMerges]]
     * pairs in priority order. */
   private val BpeMerges = 8
@@ -1057,98 +1164,70 @@ object TextOps extends QueryPack {
     // two-level Aggregator split embed_centroids uses.
     "quality_logreg_train" -> QueryDef(
       (s, d) => {
-        val feats = Tables.documents(s, d)
-          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
-          .where(expr("size(ws) > 0"))
-          .selectExpr("CAST(size(ws) AS BIGINT) AS nw",
-            s"${sparkScore(stopwords)} AS stop",
-            "CAST(size(array_distinct(ws)) AS BIGINT) AS uniq")
-          .selectExpr(
-            "CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y",
-            s"${Q.scaledLong("(CAST(nw AS DOUBLE) - 55.0) / 100.0", 6)} AS x1_e6",
-            s"${Q.scaledLong("((CAST(nw AS DOUBLE) - 55.0) / 100.0) * ((CAST(nw AS DOUBLE) - 55.0) / 100.0)", 6)} AS x2_e6",
-            s"${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x3_e6",
-            s"${Q.scaledLong("CAST(uniq AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x4_e6")
-          .persistScoped()
-        var w = s.range(1).selectExpr(
-          "CAST(0 AS BIGINT) AS w0_e6", "CAST(0 AS BIGINT) AS w1_e6",
-          "CAST(0 AS BIGINT) AS w2_e6", "CAST(0 AS BIGINT) AS w3_e6",
-          "CAST(0 AS BIGINT) AS w4_e6")
-        val outs = (1 to LrSteps).map { t =>
-          val scored = feats.crossJoin(broadcast(w))
-            .selectExpr("y", "x1_e6", "x2_e6", "x3_e6", "x4_e6",
-              s"${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s")
-            .selectExpr("y", "x1_e6", "x2_e6", "x3_e6", "x4_e6", "s",
-              s"$lrNll AS nll_e6")
-          val g = scored.agg(
-            count(lit(1)).cast("bigint").as("n"),
-            sum(expr("1000000 * (y * 1000000 - s)")).as("g0"),
-            sum(expr("x1_e6 * (y * 1000000 - s)")).as("g1"),
-            sum(expr("x2_e6 * (y * 1000000 - s)")).as("g2"),
-            sum(expr("x3_e6 * (y * 1000000 - s)")).as("g3"),
-            sum(expr("x4_e6 * (y * 1000000 - s)")).as("g4"),
-            sum(expr("CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END")).cast("bigint").as("n_correct"),
-            sum(col("nll_e6")).as("snll"))
-          val st = w.crossJoin(broadcast(g)).selectExpr(
-            (s"CAST($t AS BIGINT) AS step" +: "n_correct" +:
-              "CAST(floor(CAST(snll AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_nll_e6" +:
-              (0 to 4).map(j => s"w${j}_e6 + ${lrDelta(j)} AS w${j}_e6")): _*)
-            .persistScoped()
-          w = st.selectExpr("w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6")
-          st.selectExpr("step", "n_correct", "mean_nll_e6",
-            "w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6")
-        }
-        outs.reduce(_ union _).orderBy(col("step"))
+        lrStepFrames(s, lrFeats(s, d))
+          .map(_.selectExpr("step", "n_correct", "mean_nll_e6",
+            "w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6"))
+          .reduce(_ union _).orderBy(col("step"))
       },
-      Some {
-        val stepCtes = (1 to LrSteps).map { t =>
-          val prev = if (t == 1) "w0t" else s"st${t - 1}"
-          s"""sc$t AS (
-            SELECT y, x1_e6, x2_e6, x3_e6, x4_e6, s, $lrNll AS nll_e6
-            FROM (
-              SELECT y, x1_e6, x2_e6, x3_e6, x4_e6,
-                     ${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s
-              FROM feats, $prev) b$t),
-        g$t AS (
-            SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(1000000 * (y * 1000000 - s)) AS BIGINT) AS g0,
-                   CAST(sum(x1_e6 * (y * 1000000 - s)) AS BIGINT) AS g1,
-                   CAST(sum(x2_e6 * (y * 1000000 - s)) AS BIGINT) AS g2,
-                   CAST(sum(x3_e6 * (y * 1000000 - s)) AS BIGINT) AS g3,
-                   CAST(sum(x4_e6 * (y * 1000000 - s)) AS BIGINT) AS g4,
-                   CAST(sum(CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-                   CAST(sum(nll_e6) AS BIGINT) AS snll
-            FROM sc$t),
-        st$t AS (
-            SELECT CAST($t AS BIGINT) AS step, g$t.n_correct AS n_correct,
-                   CAST(floor(CAST(snll AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_nll_e6,
-                   ${(0 to 4).map(j => s"w${j}_e6 + ${lrDelta(j)} AS w${j}_e6").mkString(", ")}
-            FROM $prev, g$t)"""
-        }.mkString(",\n        ")
-        s"""
-        WITH raw AS (
-          SELECT ${duckWords("lower(text)")} AS ws FROM documents),
-        ft AS (
-          SELECT CAST(len(ws) AS BIGINT) AS nw,
-                 ${duckScore(stopwords)} AS stop,
-                 CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
-          FROM raw WHERE len(ws) > 0),
-        feats AS (
-          SELECT CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
-                 ${Q.scaledLong("(CAST(nw AS DOUBLE) - 55.0) / 100.0", 6)} AS x1_e6,
-                 ${Q.scaledLong("((CAST(nw AS DOUBLE) - 55.0) / 100.0) * ((CAST(nw AS DOUBLE) - 55.0) / 100.0)", 6)} AS x2_e6,
-                 ${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x3_e6,
-                 ${Q.scaledLong("CAST(uniq AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS x4_e6
-          FROM ft),
-        w0t AS (
-          SELECT CAST(0 AS BIGINT) AS w0_e6, CAST(0 AS BIGINT) AS w1_e6,
-                 CAST(0 AS BIGINT) AS w2_e6, CAST(0 AS BIGINT) AS w3_e6,
-                 CAST(0 AS BIGINT) AS w4_e6),
-        $stepCtes
+      Some(s"""
+        WITH $duckLrCtes
         SELECT step, n_correct, mean_nll_e6, w0_e6, w1_e6, w2_e6, w3_e6, w4_e6 FROM (
           ${(1 to LrSteps).map(t => s"SELECT * FROM st$t").mkString(" UNION ALL ")})
-        ORDER BY step"""
-      }),
+        ORDER BY step""")),
+
+    // Calibration of the trained classifier — the reliability diagram
+    // (Guo et al. 2017's calibration framing), with EQUAL-COUNT bins
+    // (sklearn's strategy='quantile'): ntile(10) over the final-step
+    // predicted probability, then mean predicted probability vs observed
+    // positive rate per bin (a well-calibrated model's bins sit on the
+    // diagonal; a distilled 4-step GD model's don't yet — that gap IS
+    // the measurement; fixed-width deciles would collapse this model's
+    // clustered probabilities into one bin and measure nothing).
+    // Completes the classifier family: train (quality_logreg_train) ->
+    // ranking quality (quality_score_auc) -> probability quality (this).
+    // Determinism: ntile orders by (s, doc_id) so ties split identically
+    // in both engines; counts/sums are exact BIGINTs and the two per-bin
+    // divisions round once through the house rule. Scale shape: one more
+    // broadcast-weights scoring pass over the cached feature frame; the
+    // global ntile is fine for an eval SET (bounded by construction) —
+    // same note as the AUC's rank.
+    "quality_calibration_bins" -> QueryDef(
+      (s, d) => {
+        val feats = lrFeats(s, d)
+        val wFin = lrStepFrames(s, feats).last
+          .selectExpr("w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6")
+        feats.crossJoin(broadcast(wFin))
+          .selectExpr("doc_id", "y",
+            s"${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s")
+          .select(col("y"), col("s"),
+            ntile(10).over(Window.orderBy(col("s"), col("doc_id")))
+              .cast("bigint").as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("y")).as("n_pos"), sum(col("s")).as("ssum"))
+          .selectExpr("bin", "n", "n_pos",
+            "CAST(floor(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_pred_e6",
+            s"${Q.scaledLong("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS obs_rate_e6")
+          .orderBy(col("bin"))
+      },
+      Some(s"""
+        WITH $duckLrCtes,
+        fin AS (
+          SELECT doc_id, y, ${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s
+          FROM feats, st$LrSteps),
+        binned AS (
+          SELECT y, s,
+                 CAST(ntile(10) OVER (ORDER BY s, doc_id) AS BIGINT) AS bin
+          FROM fin),
+        ag AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(sum(s) AS BIGINT) AS ssum
+          FROM binned GROUP BY bin)
+        SELECT bin, n, n_pos,
+               CAST(floor(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_pred_e6,
+               ${Q.scaledLong("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS obs_rate_e6
+        FROM ag ORDER BY bin""")),
 
     // ROC-AUC of a quality score against a binary label via the
     // rank-statistic identity AUC = (sum of positive ranks - n1(n1+1)/2)
@@ -1246,6 +1325,10 @@ object TextOps extends QueryPack {
           .groupBy(col("wd")).agg(count(lit(1)).as("freq"))
           .selectExpr("freq",
             "array_join(transform(sequence(1, length(wd)), ci -> substring(wd, ci, 1)), '|') AS ts")
+          // the vocab frame is tiny relative to the corpus by definition
+          // (distinct words); single-partition rounds avoid paying the
+          // full shuffle-partition fanout 6x over
+          .coalesce(1)
           .persistScoped()
         val applyMerge =
           """aggregate(split(ts, '[|]'), '',
@@ -1253,7 +1336,7 @@ object TextOps extends QueryPack {
                                      AND (acc = a OR right(acc, length(a) + 1) = concat('|', a))
                                 THEN concat(acc, t)
                                 ELSE concat(acc, CASE WHEN acc = '' THEN '' ELSE '|' END, t) END)"""
-        val stats = (1 to rounds).map { r =>
+        val rounds_ = (1 to rounds).map { r =>
           val mg = v
             .selectExpr("freq", "split(ts, '[|]') AS tk")
             .where(expr("size(tk) >= 2"))
@@ -1265,12 +1348,21 @@ object TextOps extends QueryPack {
           v = v.crossJoin(broadcast(mg))
             .selectExpr("freq", s"$applyMerge AS ts")
             .persistScoped()
-          v.agg(sum(expr("freq * CAST(size(split(ts, '[|]')) AS BIGINT)")).as("ct"))
-            .crossJoin(broadcast(mg))
-            .selectExpr(s"CAST($r AS BIGINT) AS step", "a AS tok_a", "b AS tok_b",
-              "CAST(n AS BIGINT) AS n_pair", "CAST(ct AS BIGINT) AS corpus_tokens")
+          (mg.selectExpr(s"CAST($r AS BIGINT) AS step", "a AS tok_a",
+            "b AS tok_b", "CAST(n AS BIGINT) AS n_pair"), v)
         }
-        stats.reduce(_ union _).orderBy(col("step"))
+        // all six post-merge token counts in ONE union-aggregate stage
+        // (six separate 1-row scans would pay six stage launches for
+        // 31-row inputs)
+        val cts = rounds_.zipWithIndex.map { case ((_, vf), i) =>
+          vf.selectExpr(s"CAST(${i + 1} AS BIGINT) AS step", "freq", "ts")
+        }.reduce(_ union _)
+          .groupBy(col("step"))
+          .agg(sum(expr("freq * CAST(size(split(ts, '[|]')) AS BIGINT)"))
+            .cast("bigint").as("corpus_tokens"))
+        rounds_.map(_._1).reduce(_ union _)
+          .join(broadcast(cts), "step")
+          .orderBy(col("step"))
       },
       Some {
         val duckApply =

@@ -295,6 +295,28 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(got == exp, s"got=$got\nexp=$exp")
   }
 
+  test("quality_calibration_bins: equal-count partition, mass conservation, monotone prediction") {
+    val rows = q("quality_calibration_bins").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L), "bins must be 1..10")
+    // ntile: bin sizes differ by at most 1
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "equal-count bins")
+    // mass conservation against the corpus
+    val docs = graft.engine.Tables.documents(spark, d)
+      .where(expr("size(filter(split(lower(text), ' '), w -> w <> '')) > 0")).count()
+    assert(rows.map(_._2).sum == docs, "bins must partition the eval set")
+    // bins are ordered by predicted probability, so mean_pred is monotone
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"mean_pred must be nondecreasing: ${a._1}->${b._1}")
+    }
+    // each bin's observed rate recomputes from its own integers
+    rows.foreach { case (bin, n, npos, _, obs) =>
+      assert(obs == math.floor(npos.toDouble / n.toDouble * 1e6 + 0.5).toLong,
+        s"bin $bin obs_rate")
+    }
+  }
+
   test("quality_score_auc matches a driver-side tie-aware AUC recomputation") {
     def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
     val stop = Set("the", "a", "or", "and")

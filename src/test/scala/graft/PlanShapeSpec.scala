@@ -747,4 +747,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
     assert(generates == 0, s"no Generate allowed, found $generates:\n$p")
   }
+
+  test("calibration: broadcast final weights; no explode; no text in exchanges") {
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val p = plan("quality_calibration_bins")
+    assert(!p.contains("CartesianProduct"))
+    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates == 0, s"no Generate allowed, found $generates:\n$p")
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+    val ins = exchangeInputs.findAllMatchIn(p).map(_.group(1)).toList
+    assert(!ins.exists(_.contains("text#")),
+      s"no shuffle may carry document text:\n${ins.mkString("\n")}")
+  }
 }
