@@ -1370,6 +1370,187 @@ object Dedup extends QueryPack {
           "CAST(p.common AS DOUBLE) / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - CAST(p.common AS DOUBLE))",
           6)} AS jacc_e6
         FROM pairs p JOIN sizes sa ON sa.c = p.ca JOIN sizes sb ON sb.c = p.cb
-        ORDER BY jacc_e6 DESC, cust_a, cust_b LIMIT 20"""))
+        ORDER BY jacc_e6 DESC, cust_a, cust_b LIMIT 20""")),
+
+    // SUFFIX-ARRAY exact substring dedup — the Lee et al. 2021
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // method: build the corpus suffix array and read verbatim repeats off
+    // adjacent-suffix longest-common-prefixes. This is the EXACT
+    // complement to the probabilistic family (MinHash finds near-dups;
+    // the suffix array finds every literal cross-document span).
+    // Word-level suffixes (Lee et al. dedup token spans, not chars),
+    // built by PREFIX DOUBLING (Manber-Myers): round k ranks each
+    // suffix by its 2^k-word prefix as the pair (rank of self, rank at
+    // p + 2^(k-1), -1 past end); 7 rounds fully resolve docs <= 127
+    // words. Candidates = suffix-order-ADJACENT pairs from DIFFERENT
+    // docs sharing the full round-4 rank (>= 16-word common prefix):
+    // for any two docs sharing an L-word span (L >= 16), every suffix
+    // between their two span-suffixes shares >= L words of prefix, and
+    // the doc id changes somewhere in that interval — so some ADJACENT
+    // pair is cross-doc with lcp >= L, and the report's maximum is the
+    // true maximum cross-doc repeat. Exact LCP per candidate by first
+    // mismatch scan (explode + min — no O(n^2) prefix re-compare), then
+    // top-15 with the span's rolling-hash fingerprint so both engines
+    // must agree on the repeated words byte-for-byte.
+    //
+    // Scale shape: positions shuffle as (doc, p, rank) integer triples —
+    // never text (plan-asserted); each doubling round is one keyed
+    // self-join on (doc, p + off). The global dense_rank per round is the
+    // known cost of distributed suffix-array construction — at 100 TB it
+    // becomes a repartitionByRange + per-partition rank + offset merge
+    // (the tera-sort sharder's shape, same ordering contract); the gate
+    // keeps the declarative window. Candidate extraction rides ONE lead()
+    // window over the final order; the exact-LCP explode touches only
+    // the filtered survivors.
+    "dedup_suffix_repeats" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        // Distributed global dense_rank over (c1, c2): bucket by a
+        // DETERMINISTIC monotone function of c1 (the previous round's
+        // dense rank, so ((c1-1)*32) div max(c1) yields 32 contiguous
+        // blocks of the global order — equal keys share a bucket by
+        // construction, no range-sampling, no partition ids), rank each
+        // bucket in parallel, then add the cumulative distinct count of
+        // the buckets before it. The rank VALUES are identical to the
+        // naive single-task global window — this is its scale-out.
+        def rangeDenseRank(df: DataFrame, c1: String, c2: String): DataFrame = {
+          val mx = df.agg(max(col(c1)).as("_mx"))
+          val local = df.crossJoin(broadcast(mx))
+            .withColumn("_b", expr(s"(($c1 - 1) * 32) div _mx"))
+            .withColumn("_lrk", dense_rank().over(
+              Window.partitionBy(col("_b")).orderBy(col(c1), col(c2))).cast("long"))
+          val offs = local.groupBy(col("_b"))
+            .agg(max(col("_lrk")).as("_cnt"))
+            .withColumn("_off", coalesce(sum(col("_cnt")).over(
+              Window.orderBy(col("_b"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("_b"), col("_off"))
+          local.join(broadcast(offs), Seq("_b"))
+            .withColumn("_grk", col("_lrk") + col("_off"))
+            .drop("_b", "_lrk", "_off", "_mx")
+        }
+        val K = 7 // 2^7 = 128 > the generator's 99-word max
+        val ws0 = Tables.documents(s, d)
+          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+          .where(expr("size(ws) > 0 AND size(ws) <= 127"))
+          .persistScoped()
+        val pos = ws0
+          .select(col("doc_id"), posexplode(col("ws")))
+          .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p", "col AS w")
+        val wr = pos.select(col("w")).distinct()
+          .select(col("w"),
+            row_number().over(Window.orderBy(col("w"))).cast("long").as("rk"))
+        var cur = pos.join(broadcast(wr), "w")
+          .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
+          .localCheckpoint()
+        var r16: DataFrame = null
+        for (k <- 1 to K) {
+          val off = 1 << (k - 1)
+          val shifted = cur.selectExpr("doc_id", s"p - $off AS p", "rk AS rkb")
+          val paired = cur.join(shifted, Seq("doc_id", "p"), "left")
+            .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
+          // eager lineage cut per round (the ConnectedComponents pattern):
+          // each round references the previous TWICE (self + shifted), so
+          // without truncation the plan doubles per round
+          cur = rangeDenseRank(paired, "rk", "rkb")
+            .selectExpr("doc_id", "p", "gid", "_grk AS rk")
+            .localCheckpoint()
+          if (k == 4) r16 = cur
+        }
+        val sa = cur.join(r16.selectExpr("gid AS gid2", "rk AS rk16"),
+          col("gid") === col("gid2"))
+        val wOrd = Window.orderBy(col("rk"), col("gid"))
+        val cand = sa.select(col("doc_id"), col("p"), col("rk16"),
+            lead(col("doc_id"), 1).over(wOrd).as("doc_b"),
+            lead(col("p"), 1).over(wOrd).as("p_b"),
+            lead(col("rk16"), 1).over(wOrd).as("rk16_b"))
+          .where(col("doc_b").isNotNull && col("doc_id") =!= col("doc_b") &&
+            col("rk16") === col("rk16_b"))
+          .selectExpr("doc_id AS doc_a", "p AS p_a", "doc_b", "p_b")
+        val lcp = cand
+          .join(ws0.selectExpr("doc_id AS doc_a", "ws AS ws_a"), Seq("doc_a"))
+          .join(ws0.selectExpr("doc_id AS doc_b", "ws AS ws_b"), Seq("doc_b"))
+          // LEFT-MAXIMAL repeats only: a pair whose preceding words also
+          // match is a nested tail of a longer repeat and would crowd
+          // the report with p, p+1, p+2... shifts of the same span
+          .where(expr(
+            """p_a = 1 OR p_b = 1 OR
+               element_at(ws_a, CAST(p_a - 1 AS INT)) <> element_at(ws_b, CAST(p_b - 1 AS INT))"""))
+          .selectExpr("doc_a", "p_a", "doc_b", "p_b", "ws_a", "ws_b",
+            "least(size(ws_a) - p_a, size(ws_b) - p_b) + 1 AS m")
+          .selectExpr("doc_a", "p_a", "doc_b", "p_b", "m",
+            "explode(sequence(1, m)) AS i", "ws_a", "ws_b")
+          .selectExpr("doc_a", "p_a", "doc_b", "p_b", "m",
+            """CASE WHEN element_at(ws_a, CAST(p_a + i - 1 AS INT))
+                       = element_at(ws_b, CAST(p_b + i - 1 AS INT))
+                    THEN CAST(NULL AS BIGINT) ELSE i - 1 END AS mm""")
+          .groupBy(col("doc_a"), col("p_a"), col("doc_b"), col("p_b"), col("m"))
+          .agg(min(col("mm")).as("firstmm"))
+          .selectExpr("doc_a", "p_a", "doc_b", "p_b",
+            "CAST(coalesce(firstmm, m) AS BIGINT) AS lcp")
+        lcp.join(ws0.selectExpr("doc_id AS doc_a", "ws AS wsa"), Seq("doc_a"))
+          .selectExpr("lcp", "doc_a", "p_a", "doc_b", "p_b",
+            s"${sparkStrHash("array_join(slice(wsa, CAST(p_a AS INT), CAST(lcp AS INT)), ' ')")} AS span_fp")
+          .orderBy(col("lcp").desc, col("doc_a"), col("p_a"), col("doc_b"), col("p_b"))
+          .limit(15)
+      },
+      Some {
+        val roundCtes = (1 to 7).map { k =>
+          val off = 1 << (k - 1)
+          val p = k - 1
+          s"""c$k AS (
+            SELECT a.doc_id, a.p, a.gid,
+                   CAST(dense_rank() OVER (ORDER BY a.rk, coalesce(b.rk, -1)) AS BIGINT) AS rk
+            FROM c$p a LEFT JOIN c$p b ON a.doc_id = b.doc_id AND b.p = a.p + $off)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH w0 AS (
+          SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        wl AS (SELECT doc_id, ws FROM w0 WHERE len(ws) > 0 AND len(ws) <= 127),
+        pos AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS p, list_extract(ws, CAST(i AS INT)) AS w
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM wl) q),
+        wr AS (
+          SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS rk
+          FROM (SELECT DISTINCT w FROM pos) dw),
+        c0 AS (
+          SELECT doc_id, p, doc_id * 128 + p AS gid, rk
+          FROM pos JOIN wr USING (w)),
+        $roundCtes,
+        sa AS (
+          SELECT c7.doc_id, c7.p, c7.gid, c7.rk, c4.rk AS rk16
+          FROM c7 JOIN c4 ON c7.gid = c4.gid),
+        adj AS (
+          SELECT doc_id AS doc_a, p AS p_a, rk16,
+                 lead(doc_id) OVER wo AS doc_b, lead(p) OVER wo AS p_b,
+                 lead(rk16) OVER wo AS rk16_b
+          FROM sa WINDOW wo AS (ORDER BY rk, gid)),
+        cnd AS (
+          SELECT doc_a, p_a, doc_b, p_b FROM adj
+          WHERE doc_b IS NOT NULL AND doc_a <> doc_b AND rk16 = rk16_b),
+        ext AS (
+          SELECT cnd.doc_a, cnd.p_a, cnd.doc_b, cnd.p_b, wa.ws AS ws_a, wb.ws AS ws_b,
+                 least(len(wa.ws) - cnd.p_a, len(wb.ws) - cnd.p_b) + 1 AS m
+          FROM cnd JOIN wl wa ON wa.doc_id = cnd.doc_a
+                   JOIN wl wb ON wb.doc_id = cnd.doc_b
+          WHERE cnd.p_a = 1 OR cnd.p_b = 1 OR
+                list_extract(wa.ws, CAST(cnd.p_a - 1 AS INT))
+                  <> list_extract(wb.ws, CAST(cnd.p_b - 1 AS INT))),
+        mm AS (
+          SELECT doc_a, p_a, doc_b, p_b, m,
+                 min(CASE WHEN list_extract(ws_a, CAST(p_a + i - 1 AS INT))
+                               = list_extract(ws_b, CAST(p_b + i - 1 AS INT))
+                          THEN CAST(NULL AS BIGINT) ELSE i - 1 END) AS firstmm
+          FROM (SELECT ext.*, unnest(range(1, m + 1)) AS i FROM ext) q
+          GROUP BY doc_a, p_a, doc_b, p_b, m),
+        lc AS (
+          SELECT doc_a, p_a, doc_b, p_b,
+                 CAST(coalesce(firstmm, m) AS BIGINT) AS lcp
+          FROM mm)
+        SELECT lcp, lc.doc_a, p_a, doc_b, p_b,
+               ${duckStrHash("array_to_string(list_slice(wa.ws, CAST(p_a AS INT), CAST(p_a + lcp - 1 AS INT)), ' ')")} AS span_fp
+        FROM lc JOIN wl wa ON wa.doc_id = lc.doc_a
+        ORDER BY lcp DESC, doc_a, p_a, doc_b, p_b LIMIT 15"""
+      })
   )
 }

@@ -317,6 +317,50 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_suffix_repeats: spans verify verbatim, maximal, and the max matches brute force") {
+    val docs = graft.engine.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toVector)
+      .toMap
+    val rows = q("dedup_suffix_repeats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lcp, da, pa, db, pb) =>
+      val (wa, wb) = (docs(da), docs(db))
+      val (ia, ib) = (pa.toInt - 1, pb.toInt - 1)
+      // the reported span is verbatim identical in both documents
+      assert(wa.slice(ia, ia + lcp.toInt) == wb.slice(ib, ib + lcp.toInt),
+        s"span mismatch for ($da,$pa)x($db,$pb)")
+      // right-maximal: the next word differs or one suffix ends
+      val (na, nb) = (ia + lcp.toInt, ib + lcp.toInt)
+      assert(na >= wa.length || nb >= wb.length || wa(na) != wb(nb),
+        s"span not right-maximal for ($da,$pa)x($db,$pb)")
+      // left-maximal: the previous word differs or one span starts the doc
+      assert(ia == 0 || ib == 0 || wa(ia - 1) != wb(ib - 1),
+        s"span not left-maximal for ($da,$pa)x($db,$pb)")
+    }
+    // the report's maximum is the TRUE maximum cross-doc repeat: brute
+    // force via cross-doc repeated n-gram existence
+    def crossDocGramExists(n: Int): Boolean = {
+      val grams = scala.collection.mutable.Map[Vector[String], Long]()
+      var found = false
+      docs.foreach { case (id, ws) =>
+        ws.sliding(n).filter(_.size == n).foreach { g =>
+          grams.get(g.toVector) match {
+            case Some(other) if other != id => found = true
+            case None => grams(g.toVector) = id
+            case _ =>
+          }
+        }
+      }
+      found
+    }
+    val maxLcp = rows.map(_._1).max.toInt
+    assert(crossDocGramExists(maxLcp), s"reported max $maxLcp does not exist")
+    assert(!crossDocGramExists(maxLcp + 1), s"a repeat longer than $maxLcp exists")
+  }
+
   test("quality_score_auc matches a driver-side tie-aware AUC recomputation") {
     def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
     val stop = Set("the", "a", "or", "and")

@@ -748,6 +748,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates == 0, s"no Generate allowed, found $generates:\n$p")
   }
 
+  test("suffix repeats: doubling rounds checkpoint to integer leaves; no cartesian") {
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val p = plan("dedup_suffix_repeats")
+    assert(!p.contains("CartesianProduct"))
+    // the 7 prefix-doubling rounds ran eagerly and enter this plan as
+    // materialized integer-row leaves (the lineage-cut contract) — the
+    // final plan must not re-derive them from the documents scan
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"rounds must enter as checkpointed leaves:\n$p")
+  }
+
   test("calibration: broadcast final weights; no explode; no text in exchanges") {
     spark.catalog.clearCache()
     graft.queries.Persisted.drain()
