@@ -1372,6 +1372,101 @@ object Dedup extends QueryPack {
         FROM pairs p JOIN sizes sa ON sa.c = p.ca JOIN sizes sb ON sb.c = p.cb
         ORDER BY jacc_e6 DESC, cust_a, cust_b LIMIT 20""")),
 
+    // Label-propagation community detection (Raghavan et al. 2007) over
+    // the co-purchase graph — the community lens the link-prediction op
+    // (graph_jaccard_links) shares a graph with: three SYNCHRONOUS
+    // WEIGHTED-LPA rounds from self-labels, each vertex adopting the
+    // label with the largest incident co-purchase WEIGHT (shared-part
+    // count; tie -> smallest label). The weights matter twice: they make
+    // the argmax a pure integer comparison (no float scores, no
+    // randomized order — the classic async-LPA nondeterminism is
+    // designed out), and they break the uniform-count bootstrap tie of
+    // round 1 that would otherwise collapse sync LPA into min-label
+    // flooding (measured: unweighted, the whole graph converged to one
+    // community — weighted, vertices follow their strongest co-purchase
+    // edges and distinct communities survive). Edges keep only STRONG
+    // ties (>= 4 shared parts): community detection presupposes sparse
+    // inter-cluster connectivity, and at the >= 2 threshold the
+    // co-purchase graph is dense enough that one giant community is the
+    // honest answer. Complements
+    // ConnectedComponents (pure reachability) with density-sensitive
+    // grouping: a bridge vertex between two dense clusters joins the
+    // heavier side instead of gluing the components together.
+    //
+    // Scale shape per round: one keyed join (edges x labels, shuffles on
+    // the vertex id) + one (vertex, label) count aggregate (map-side
+    // combinable) + one vertex-partitioned argmax window — never a
+    // cross join; lineage cut per round with eager localCheckpoint (the
+    // CC/PageRank/suffix-array discipline). Output: top-20 communities
+    // by size with exact integer tie-breaks.
+    "graph_lpa_communities" -> QueryDef(
+      (s, d) => {
+        val cp = Tables.lineitem(s, d)
+          .selectExpr("l_orderkey", "CAST(l_partkey AS BIGINT) AS p")
+          .join(Tables.orders(s, d)
+            .selectExpr("o_orderkey", "CAST(o_custkey AS BIGINT) AS c"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("c"), col("p")).distinct()
+        val pairs = cp.toDF("ca", "p").join(cp.toDF("cb", "p2"),
+            col("p") === col("p2") && col("ca") < col("cb"))
+          .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
+          .where(col("common") >= 4)
+          .select(col("ca"), col("cb"), col("common"))
+        val edges = pairs.union(pairs.select(col("cb"), col("ca"), col("common")))
+          .toDF("a", "b", "w").localCheckpoint()
+        var lbl = edges.select(col("a").as("v")).distinct()
+          .withColumn("l", col("v")).localCheckpoint()
+        for (_ <- 1 to 3) {
+          val nbr = edges.join(lbl.toDF("b", "nl"), "b")
+            .select(col("a"), col("nl"), col("w"))
+          val top = nbr.groupBy(col("a"), col("nl")).agg(sum(col("w")).as("cnt"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("a")).orderBy(col("cnt").desc, col("nl"))))
+            .where(col("rn") === 1).select(col("a").as("v"), col("nl").as("l2"))
+          lbl = lbl.join(top, Seq("v"), "left")
+            .selectExpr("v", "coalesce(l2, l) AS l").localCheckpoint()
+        }
+        lbl.groupBy(col("l"))
+          .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))
+          .selectExpr("CAST(l AS BIGINT) AS community",
+            "CAST(n_members AS BIGINT) AS n_members",
+            "CAST(min_member AS BIGINT) AS min_member")
+          .orderBy(col("n_members").desc, col("community")).limit(20)
+      },
+      Some {
+        val roundCtes = (1 to 3).map { r =>
+          val p = r - 1
+          s"""n$r AS (
+            SELECT e.a, pl.l AS nl, CAST(sum(e.w) AS BIGINT) AS cnt
+            FROM edges e JOIN l$p pl ON e.b = pl.v GROUP BY e.a, pl.l),
+        t$r AS (
+            SELECT a AS v, nl AS l2 FROM (
+              SELECT a, nl, row_number() OVER (PARTITION BY a
+                ORDER BY cnt DESC, nl) AS rn FROM n$r) q
+            WHERE rn = 1),
+        l$r AS (
+            SELECT pl.v, coalesce(t.l2, pl.l) AS l
+            FROM l$p pl LEFT JOIN t$r t ON t.v = pl.v)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH cp AS (
+          SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                          CAST(l.l_partkey AS BIGINT) AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        pr AS (
+          SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
+          FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          GROUP BY 1, 2 HAVING count(*) >= 4),
+        edges AS (SELECT ca AS a, cb AS b, common AS w FROM pr
+                  UNION ALL SELECT cb, ca, common FROM pr),
+        l0 AS (SELECT DISTINCT a AS v, a AS l FROM edges),
+        $roundCtes
+        SELECT CAST(l AS BIGINT) AS community,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(v) AS BIGINT) AS min_member
+        FROM l3 GROUP BY l ORDER BY n_members DESC, community LIMIT 20"""
+      }),
+
     // SUFFIX-ARRAY exact substring dedup — the Lee et al. 2021
     // ("Deduplicating Training Data Makes Language Models Better")
     // method: build the corpus suffix array and read verbatim repeats off

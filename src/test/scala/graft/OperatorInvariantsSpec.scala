@@ -317,6 +317,46 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_lpa_communities matches a driver-side weighted sync-LPA recomputation") {
+    // rebuild the strong-tie co-purchase graph in plain Scala
+    val li = graft.engine.Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = graft.engine.Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cp = li.flatMap { case (ok, pk) => ord.get(ok).map(c => (c, pk)) }.distinct
+    val byPart = cp.groupBy(_._2)
+    val common = scala.collection.mutable.Map[(Long, Long), Long]()
+    byPart.values.foreach { cs =>
+      val custs = cs.map(_._1).distinct.sorted
+      for (i <- custs.indices; j <- (i + 1) until custs.length)
+        common((custs(i), custs(j))) = common.getOrElse((custs(i), custs(j)), 0L) + 1L
+    }
+    val edges = common.filter(_._2 >= 4L).toSeq
+      .flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val verts = edges.map(_._1).distinct
+    var lbl = verts.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val byA = edges.groupBy(_._1)
+      lbl = verts.map { v =>
+        val weights = scala.collection.mutable.Map[Long, Long]()
+        byA.getOrElse(v, Nil).foreach { case (_, b, w) =>
+          val nl = lbl(b); weights(nl) = weights.getOrElse(nl, 0L) + w
+        }
+        if (weights.isEmpty) v -> lbl(v)
+        else v -> weights.toSeq.sortBy { case (l, w) => (-w, l) }.head._1
+      }.toMap
+    }
+    val exp = lbl.values.groupBy(identity)
+      .map { case (l, vs) =>
+        (l, vs.size.toLong, lbl.filter(_._2 == l).keys.min) }
+      .toSeq.sortBy { case (l, n, _) => (-n, l) }.take(20)
+    val got = q("graph_lpa_communities").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got=$got\nexp=$exp")
+  }
+
   test("dedup_suffix_repeats: spans verify verbatim, maximal, and the max matches brute force") {
     val docs = graft.engine.Tables.documents(spark, d)
       .select("doc_id", "text").collect()

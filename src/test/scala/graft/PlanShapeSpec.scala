@@ -748,6 +748,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates == 0, s"no Generate allowed, found $generates:\n$p")
   }
 
+  test("LPA communities: rounds checkpoint to integer leaves; no cartesian") {
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val p = plan("graph_lpa_communities")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"LPA rounds must enter as checkpointed leaves:\n$p")
+  }
+
   test("suffix repeats: doubling rounds checkpoint to integer leaves; no cartesian") {
     spark.catalog.clearCache()
     graft.queries.Persisted.drain()
