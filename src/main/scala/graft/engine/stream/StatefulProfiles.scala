@@ -132,6 +132,67 @@ object StatefulProfiles {
         new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class Item(item: String)
+  final case class HeavyHitter(batch_n: Long, item: String, est: Long)
+
+  /** Misra–Gries heavy-hitters summary (k counters) as keyed streaming
+    * state, in its MERGEABLE form (Agarwal et al. 2012, "Mergeable
+    * Summaries"): each micro-batch's EXACT item counts — order-free, so
+    * the result is deterministic regardless of row order inside the
+    * batch — merge into the counter map, then while more than k counters
+    * remain, the (k+1)-th largest count is subtracted from every counter
+    * and non-positive counters drop (the classic MG decrement applied at
+    * batch granularity). Estimates never exceed true counts and
+    * undercount by at most the decremented mass (<= N/(k+1) in total).
+    *
+    * Keyed by a constant here (ONE global sketch); at scale the stream
+    * keys by shard and shard summaries merge pairwise by the same
+    * add-then-decrement step — that mergeability is why MG beats
+    * count-min for distributed top-k. After each batch the full
+    * surviving counter set is emitted sorted by item.
+    */
+  final class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[String, Item, HeavyHitter] {
+
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var batchNo: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long](
+        "mg_counters", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      batchNo = getHandle.getValueState[Long](
+        "mg_batch", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Item],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      val merged = scala.collection.mutable.Map[String, Long]()
+      counters.iterator().foreach { case (it, c) => merged(it) = c }
+      rows.foreach(r => merged(r.item) = merged.getOrElse(r.item, 0L) + 1L)
+      var entries = merged.toSeq
+      while (entries.size > k) {
+        val dec = entries.map(_._2).sorted(Ordering[Long].reverse)(k)
+        entries = entries.map { case (i, c) => (i, c - dec) }.filter(_._2 > 0L)
+      }
+      counters.iterator().map(_._1).toSeq.foreach(counters.removeKey)
+      entries.foreach { case (i, c) => counters.updateValue(i, c) }
+      val b = (if (batchNo.exists()) batchNo.get() else 0L) + 1L
+      batchNo.update(b)
+      entries.sortBy(_._1).iterator.map { case (i, c) => HeavyHitter(b, i, c) }
+    }
+  }
+
+  /** Declarative entry: one global MG sketch over the item stream. */
+  def heavyHitters(items: Dataset[Item], k: Int): Dataset[HeavyHitter] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_ => "all")
+      .transformWithState(
+        new HeavyHittersProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   final case class BandDoc(band: Long, key: Long, doc_id: Long)
   final case class BandHit(doc_id: Long, band: Long, owner: Long)
 

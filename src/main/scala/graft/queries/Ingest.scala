@@ -116,6 +116,16 @@ object Ingest extends QueryPack {
     Seq((1L, "click"), (1L, "view"), (2L, "click")),
     Seq((1L, "click"), (2L, "click")))
 
+  /** Item batches for the streaming Misra-Gries roundtrip — skewed so
+    * the decrement step fires in EVERY batch (more than k=3 live
+    * counters after each merge).
+    */
+  private val hhBatches: Seq[Seq[String]] = Seq(
+    Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d") ++ Seq("e"),
+    Seq.fill(4)("c") ++ Seq.fill(4)("d") ++ Seq("f"),
+    Seq.fill(6)("a") ++ Seq("b"))
+
   /** Literal (ts, event_type) rows for the streaming tumbling-window
     * roundtrip — spanning 4 hourly windows, two event types, delivered in
     * two micro-batches (first 4, then the rest — the second batch adds to
@@ -1407,6 +1417,76 @@ object Ingest extends QueryPack {
           GROUP BY t.user_id, p.event_type, t.batch)
         SELECT user_id, event_type, n FROM cum
         ORDER BY user_id, event_type, n""")),
+
+    // Streaming heavy hitters: a Misra-Gries summary (k = 3 counters) in
+    // transformWithState MapState — the streaming-sketch cross: the batch
+    // sketches (count-min, KMV, HLL-shard) answer "how many"; MG answers
+    // "WHICH items dominate an unbounded stream in bounded state". Each
+    // micro-batch merges its exact item counts into the counter map and
+    // applies the MG decrement (subtract the (k+1)-th largest, drop
+    // non-positives) — deterministic regardless of row order inside the
+    // batch, so the whole simulation is value-checked cross-engine: the
+    // oracle replays the identical merge-then-decrement per unrolled
+    // batch. The fixture is skewed so the decrement fires every batch.
+    // Scale note: one global sketch here; at scale the stream keys by
+    // shard and shard summaries merge by the same step (MG is mergeable
+    // — Agarwal et al. 2012 — which count-min top-k is not).
+    "stream_heavy_hitters_roundtrip" -> QueryDef(
+      (s, _) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.engine.stream.StatefulProfiles
+        val spark = s
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[StatefulProfiles.Item]
+        val hh = StatefulProfiles.heavyHitters(in.toDS(), k = 3)
+        val qn = s"hh_rt_${System.nanoTime()}"
+        withStreamingPartitions(s) {
+          withRocksDbState(s) {
+            val q = hh.toDF().writeStream.format("memory").queryName(qn)
+              .outputMode("update").start()
+            try {
+              hhBatches.foreach { b =>
+                in.addData(b.map(StatefulProfiles.Item(_)))
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+        }
+        s.table(qn)
+          .select(col("batch_n"), col("item"), col("est"))
+          .orderBy(col("batch_n"), col("item"))
+      },
+      Some {
+        val batchCtes = (1 to hhBatches.length).map { b =>
+          val merge =
+            if (b == 1) s"m$b AS (SELECT item, c AS v FROM pc$b)"
+            else s"""m$b AS (
+              SELECT coalesce(st.item, p.item) AS item,
+                     coalesce(st.v, 0) + coalesce(p.c, 0) AS v
+              FROM s${b - 1} st FULL OUTER JOIN pc$b p ON st.item = p.item)"""
+          s"""pc$b AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+                       FROM ev WHERE batch = $b GROUP BY item),
+        $merge,
+        d$b AS (
+          SELECT CASE WHEN (SELECT count(*) FROM m$b) > 3
+                      THEN (SELECT v FROM (
+                              SELECT v, row_number() OVER (ORDER BY v DESC) AS rn
+                              FROM m$b) t WHERE rn = 4)
+                      ELSE 0 END AS dec),
+        s$b AS (SELECT item, v - dec AS v FROM m$b, d$b WHERE v - dec > 0),
+        o$b AS (SELECT CAST($b AS BIGINT) AS batch_n, item,
+                       CAST(v AS BIGINT) AS est FROM s$b)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH ev(item, batch) AS (VALUES ${hhBatches.zipWithIndex
+          .flatMap { case (batch, bi) => batch.map(it => s"('$it', ${bi + 1})") }
+          .mkString(", ")}),
+        $batchCtes
+        SELECT * FROM (
+          ${(1 to hhBatches.length).map(b => s"SELECT * FROM o$b").mkString(" UNION ALL ")})
+        ORDER BY batch_n, item"""
+      }),
 
     "stream_state_counts_roundtrip" -> QueryDef(
       (s, _) => {
