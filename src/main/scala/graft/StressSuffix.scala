@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Suffix-array stress leg: replicate the sf0.1 corpus (marker-tokened
+  * per replica, the StressFunnel recipe, so suffix structure within a
+  * replica is preserved while replicas stay distinct) and run the FULL
+  * prefix-doubling construction from engine/ops/SuffixArray.scala over
+  * the combined position space, logging per-round wall time and the
+  * per-round distinct-rank growth.
+  *
+  * What linearity means here: position count and per-round cost must
+  * scale ~linearly in the replica count — each round is one keyed
+  * self-join plus the bucketed distributed dense_rank, both linear in
+  * positions. The distinct-rank column shows the resolution process:
+  * rank cardinality approaches the position count as suffixes resolve,
+  * and the verbatim replicas (0-2) keep exact ties to the end — the
+  * suffix array correctly refuses to distinguish identical suffixes.
+  *
+  * Usage: sbt "runMain graft.StressSuffix [reps]" (default 10 -> ~2.8M
+  * positions; not part of the bench contract).
+  */
+object StressSuffix {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = graft.engine.Sessions.local(32, "graft-stress-suffix")
+    val src = "/root/testdata/sf0.1"
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[suffix] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .crossJoin(spark.range(reps.toLong).toDF("rep"))
+      .selectExpr(
+        "doc_id * 1000 + rep AS doc_id",
+        """CASE WHEN rep < 3 THEN lower(text)
+           ELSE concat('r', CAST(rep AS STRING), ' ', lower(text)) END AS text""")
+    val ws0 = docs
+      .selectExpr("doc_id", "filter(split(text, ' '), w -> w <> '') AS ws")
+      .where("size(ws) > 0 AND size(ws) <= 127")
+    val pos = ws0
+      .select(col("doc_id"), posexplode(col("ws")))
+      .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p", "col AS w")
+    val wr = pos.select(col("w")).distinct()
+      .select(col("w"),
+        row_number().over(Window.orderBy(col("w"))).cast("long").as("rk"))
+    var cur = t("round 0: positions + token ranks") {
+      pos.join(broadcast(wr), "w")
+        .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
+        .localCheckpoint()
+    }
+    val nPos = cur.count()
+    println(s"[suffix] positions: $nPos (${reps}x replicas)")
+
+    for (k <- 1 to 7) {
+      val off = 1 << (k - 1)
+      cur = t(s"round $k (off $off)") {
+        val shifted = cur.selectExpr("doc_id", s"p - $off AS p", "rk AS rkb")
+        val paired = cur.join(shifted, Seq("doc_id", "p"), "left")
+          .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
+        graft.engine.ops.SuffixArray.rangeDenseRank(paired, "rk", "rkb")
+          .selectExpr("doc_id", "p", "gid", "_grk AS rk")
+          .localCheckpoint()
+      }
+      val dr = cur.agg(max(col("rk"))).head().getLong(0)
+      println(s"[suffix]   distinct ranks: $dr / $nPos")
+    }
+
+    // the verbatim replica triples (rep 0-2) must still tie exactly:
+    // identical suffixes get identical final ranks
+    val tied = cur.groupBy(col("rk")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 3).count()
+    println(s"[suffix] rank groups with >=3 members (verbatim triples): $tied")
+    require(tied > 0, "verbatim replicas must produce exact rank ties")
+    spark.stop()
+  }
+}

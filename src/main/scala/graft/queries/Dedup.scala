@@ -1500,31 +1500,9 @@ object Dedup extends QueryPack {
     "dedup_suffix_repeats" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        // Distributed global dense_rank over (c1, c2): bucket by a
-        // DETERMINISTIC monotone function of c1 (the previous round's
-        // dense rank, so ((c1-1)*32) div max(c1) yields 32 contiguous
-        // blocks of the global order — equal keys share a bucket by
-        // construction, no range-sampling, no partition ids), rank each
-        // bucket in parallel, then add the cumulative distinct count of
-        // the buckets before it. The rank VALUES are identical to the
-        // naive single-task global window — this is its scale-out.
-        def rangeDenseRank(df: DataFrame, c1: String, c2: String): DataFrame = {
-          val mx = df.agg(max(col(c1)).as("_mx"))
-          val local = df.crossJoin(broadcast(mx))
-            .withColumn("_b", expr(s"(($c1 - 1) * 32) div _mx"))
-            .withColumn("_lrk", dense_rank().over(
-              Window.partitionBy(col("_b")).orderBy(col(c1), col(c2))).cast("long"))
-          val offs = local.groupBy(col("_b"))
-            .agg(max(col("_lrk")).as("_cnt"))
-            .withColumn("_off", coalesce(sum(col("_cnt")).over(
-              Window.orderBy(col("_b"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-            .select(col("_b"), col("_off"))
-          local.join(broadcast(offs), Seq("_b"))
-            .withColumn("_grk", col("_lrk") + col("_off"))
-            .drop("_b", "_lrk", "_off", "_mx")
-        }
-        val K = 7 // 2^7 = 128 > the generator's 99-word max
+        // construction lives in engine/ops/SuffixArray.scala (prefix
+        // doubling + distributed dense_rank + per-round lineage cut);
+        // this query adds candidate extraction and the exact-LCP report
         val ws0 = Tables.documents(s, d)
           .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
           .where(expr("size(ws) > 0 AND size(ws) <= 127"))
@@ -1535,23 +1513,11 @@ object Dedup extends QueryPack {
         val wr = pos.select(col("w")).distinct()
           .select(col("w"),
             row_number().over(Window.orderBy(col("w"))).cast("long").as("rk"))
-        var cur = pos.join(broadcast(wr), "w")
+        val pos0 = pos.join(broadcast(wr), "w")
           .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
-          .localCheckpoint()
-        var r16: DataFrame = null
-        for (k <- 1 to K) {
-          val off = 1 << (k - 1)
-          val shifted = cur.selectExpr("doc_id", s"p - $off AS p", "rk AS rkb")
-          val paired = cur.join(shifted, Seq("doc_id", "p"), "left")
-            .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
-          // eager lineage cut per round (the ConnectedComponents pattern):
-          // each round references the previous TWICE (self + shifted), so
-          // without truncation the plan doubles per round
-          cur = rangeDenseRank(paired, "rk", "rkb")
-            .selectExpr("doc_id", "p", "gid", "_grk AS rk")
-            .localCheckpoint()
-          if (k == 4) r16 = cur
-        }
+        // 2^7 = 128 > the generator's 99-word max; bound round 4 = the
+        // 16-word-prefix rank for candidate filtering
+        val (cur, r16) = graft.engine.ops.SuffixArray.ranks(pos0, rounds = 7, boundRound = 4)
         val sa = cur.join(r16.selectExpr("gid AS gid2", "rk AS rk16"),
           col("gid") === col("gid2"))
         val wOrd = Window.orderBy(col("rk"), col("gid"))
