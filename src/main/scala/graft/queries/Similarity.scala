@@ -1834,7 +1834,101 @@ object Similarity extends QueryPack {
         UNION ALL SELECT 3, cid, md FROM c3
         UNION ALL SELECT 4, cid, md FROM c4
         ORDER BY k"""
-      })
+      }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    // CCMatrix/LASER recipe for mining parallel training pairs from two
+    // monolingual corpora): a candidate pair scores by the RATIO MARGIN
+    // margin(x,y) = 2*cos(x,y) / (avg_k cos(x, NN_k(x)) + avg_k cos(y,
+    // NN_k(y))) — cosine relative to each side's local neighborhood
+    // density, which kills the hub vectors that plain cosine thresholds
+    // mis-mine — and only MUTUAL-best pairs above margin 1 survive. The
+    // two "languages" here are the even/odd label halves of the
+    // embedding corpus (the split is the fixture; the margin machinery
+    // is the operator).
+    //
+    // Determinism: each pairwise cosine rounds ONCE to an e6 BIGINT
+    // (shared dot folds, the embedding-family discipline); avg_k sums
+    // are exact top-4 BIGINT sums with (cos desc, id) tie-break, so the
+    // margin is one integer ratio 8*c/(sax+sby) rounded once, and both
+    // argmaxes break ties on the partner id. Scale shape: the pair
+    // stage broadcasts the smaller side here (bounded eval corpus); at
+    // 100 TB candidates come from the bucketed hyperplane-LSH path
+    // (dedup_embed_lsh) and the margin/mutual-best stages are keyed
+    // joins + per-id argmax windows over candidates only.
+    "sim_margin_bitext" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val a = e.where(expr("label % 2 = 0"))
+          .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+        val b = e.where(expr("label % 2 = 1"))
+          .select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+        val pr = b.crossJoin(broadcast(a))
+          .selectExpr("a_id", "b_id",
+            s"${Q.scaledLong(
+              s"${sparkDot("ea", "eb")} / (sqrt(${sparkDot("ea", "ea")}) * sqrt(${sparkDot("eb", "eb")}))",
+              6)} AS c_e6")
+          .persistScoped()
+        def topSum(key: String, other: String, out: String) = pr
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col("c_e6").desc, col(other))))
+          .where(col("rn") <= 4)
+          .groupBy(col(key)).agg(sum(col("c_e6")).as(out))
+        val sa = topSum("a_id", "b_id", "sax")
+        val sb = topSum("b_id", "a_id", "sby")
+        val mg = pr.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+          .selectExpr("a_id", "b_id", "c_e6",
+            s"${Q.scaledLong("8.0 * CAST(c_e6 AS DOUBLE) / CAST(sax + sby AS DOUBLE)", 6)} AS margin_e6")
+        val ba = mg.withColumn("rn", row_number().over(
+            Window.partitionBy(col("a_id")).orderBy(col("margin_e6").desc, col("b_id"))))
+          .where(col("rn") === 1).drop("rn")
+        val bb = mg.withColumn("rn", row_number().over(
+            Window.partitionBy(col("b_id")).orderBy(col("margin_e6").desc, col("a_id"))))
+          .where(col("rn") === 1)
+          .select(col("a_id").as("a2"), col("b_id").as("b2"))
+        ba.join(bb, col("a_id") === col("a2") && col("b_id") === col("b2"))
+          .where(col("margin_e6") > 1000000L)
+          .select(col("a_id"), col("b_id"), col("c_e6"), col("margin_e6"))
+          .orderBy(col("margin_e6").desc, col("a_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label % 2 = 0),
+        b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label % 2 = 1),
+        pr AS (
+          SELECT a_id, b_id,
+                 ${Q.scaledLong(
+          s"${duckDot("ea", "eb")} / (sqrt(${duckDot("ea", "ea")}) * sqrt(${duckDot("eb", "eb")}))",
+          6)} AS c_e6
+          FROM a CROSS JOIN b),
+        sa AS (
+          SELECT a_id, CAST(sum(c_e6) AS BIGINT) AS sax FROM (
+            SELECT a_id, c_e6, row_number() OVER (PARTITION BY a_id
+              ORDER BY c_e6 DESC, b_id) AS rn FROM pr) t
+          WHERE rn <= 4 GROUP BY a_id),
+        sb AS (
+          SELECT b_id, CAST(sum(c_e6) AS BIGINT) AS sby FROM (
+            SELECT b_id, c_e6, row_number() OVER (PARTITION BY b_id
+              ORDER BY c_e6 DESC, a_id) AS rn FROM pr) t
+          WHERE rn <= 4 GROUP BY b_id),
+        mg AS (
+          SELECT pr.a_id, pr.b_id, c_e6,
+                 ${Q.scaledLong("8.0 * CAST(c_e6 AS DOUBLE) / CAST(sax + sby AS DOUBLE)", 6)} AS margin_e6
+          FROM pr JOIN sa USING (a_id) JOIN sb USING (b_id)),
+        ba AS (
+          SELECT a_id, b_id, c_e6, margin_e6 FROM (
+            SELECT a_id, b_id, c_e6, margin_e6, row_number() OVER (
+              PARTITION BY a_id ORDER BY margin_e6 DESC, b_id) AS rn FROM mg) t
+          WHERE rn = 1),
+        bb AS (
+          SELECT a_id, b_id FROM (
+            SELECT a_id, b_id, row_number() OVER (
+              PARTITION BY b_id ORDER BY margin_e6 DESC, a_id) AS rn FROM mg) t
+          WHERE rn = 1)
+        SELECT ba.a_id, ba.b_id, c_e6, margin_e6
+        FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+        WHERE margin_e6 > 1000000 ORDER BY margin_e6 DESC, ba.a_id LIMIT 20"""))
   )
 
   /** Exact integer squared-L2 between two milli-scaled BIGINT vectors. */

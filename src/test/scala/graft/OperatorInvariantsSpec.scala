@@ -317,6 +317,39 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_margin_bitext matches a driver-side margin-mining recomputation") {
+    def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val vecs = graft.engine.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val aSide = vecs.filter(_._3 % 2 == 0).map(v => (v._1, v._2))
+    val bSide = vecs.filter(_._3 % 2 == 1).map(v => (v._1, v._2))
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    val pr = for ((ai, ea) <- aSide; (bi, eb) <- bSide)
+      yield (ai, bi, e6(dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb)))))
+    val sax = pr.groupBy(_._1).map { case (ai, ps) =>
+      ai -> ps.sortBy(p => (-p._3, p._2)).take(4).map(_._3).sum }
+    val sby = pr.groupBy(_._2).map { case (bi, ps) =>
+      bi -> ps.sortBy(p => (-p._3, p._1)).take(4).map(_._3).sum }
+    val mg = pr.map { case (ai, bi, c) =>
+      (ai, bi, c, e6(8.0 * c.toDouble / (sax(ai) + sby(bi)).toDouble)) }
+    val bestA = mg.groupBy(_._1).map { case (_, ps) =>
+      ps.sortBy(p => (-p._4, p._2)).head }.toSet
+    val bestB = mg.groupBy(_._2).map { case (_, ps) =>
+      ps.sortBy(p => (-p._4, p._1)).head }.toSet
+    val exp = bestA.intersect(bestB).toSeq
+      .filter(_._4 > 1000000L)
+      .sortBy(p => (-p._4, p._1)).take(20)
+      .map { case (ai, bi, c, m) => (ai, bi, c, m) }
+    val got = q("sim_margin_bitext").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp, s"got=$got\nexp=$exp")
+  }
+
   test("graph_lpa_communities matches a driver-side weighted sync-LPA recomputation") {
     // rebuild the strong-tie co-purchase graph in plain Scala
     val li = graft.engine.Tables.lineitem(spark, d)

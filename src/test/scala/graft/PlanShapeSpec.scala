@@ -748,6 +748,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates == 0, s"no Generate allowed, found $generates:\n$p")
   }
 
+  test("margin bitext: side A broadcasts into the pair scan; keyed mutual-best joins") {
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val p = plan("sim_margin_bitext")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the A side / avg-k sums must broadcast:\n$p")
+  }
+
   test("LPA communities: rounds checkpoint to integer leaves; no cartesian") {
     spark.catalog.clearCache()
     graft.queries.Persisted.drain()
