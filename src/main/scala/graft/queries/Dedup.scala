@@ -417,11 +417,11 @@ object Dedup extends QueryPack {
     * dedup_clusters and the composed curate_funnel oracle.
     */
   private[queries] val duckClusterLabels: String = s"""
-    dup AS (
+    dup AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b
       FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
       WHERE j.jacc >= $JaccThreshold),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM dup
       UNION
       SELECT doc_b AS a, doc_a AS b FROM dup),
@@ -796,13 +796,13 @@ object Dedup extends QueryPack {
             GROUP BY e.b)"""
         s"""
         WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
-        dup AS (
+        dup AS MATERIALIZED (
           SELECT c.doc_a, c.doc_b
           FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
           WHERE j.jacc >= $JaccThreshold),
-        edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM dup
                   UNION ALL SELECT doc_b, doc_a FROM dup),
-        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+        deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
         r0 AS (SELECT a AS v, CAST(${graft.engine.ops.PageRank.Scale} AS BIGINT) AS r FROM deg),
         ${round("r0", "r1")},
         ${round("r1", "r2")},
@@ -851,7 +851,7 @@ object Dedup extends QueryPack {
       },
       Some(s"""
         WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
-        dup AS (
+        dup AS MATERIALIZED (
           SELECT c.doc_a, c.doc_b
           FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
           WHERE j.jacc >= $JaccThreshold),
@@ -859,13 +859,13 @@ object Dedup extends QueryPack {
                  SELECT doc_a AS v FROM dup UNION ALL SELECT doc_b FROM dup)
                GROUP BY v),
         k1 AS (SELECT v FROM d1 WHERE n >= 2),
-        e1 AS (SELECT doc_a, doc_b FROM dup
+        e1 AS MATERIALIZED (SELECT doc_a, doc_b FROM dup
                WHERE doc_a IN (SELECT v FROM k1) AND doc_b IN (SELECT v FROM k1)),
         d2 AS (SELECT v, count(*) AS n FROM (
                  SELECT doc_a AS v FROM e1 UNION ALL SELECT doc_b FROM e1)
                GROUP BY v),
         k2 AS (SELECT v FROM d2 WHERE n >= 2),
-        e2 AS (SELECT doc_a, doc_b FROM e1
+        e2 AS MATERIALIZED (SELECT doc_a, doc_b FROM e1
                WHERE doc_a IN (SELECT v FROM k2) AND doc_b IN (SELECT v FROM k2)),
         dfin AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
                    SELECT doc_a AS v FROM e2 UNION ALL SELECT doc_b FROM e2)
@@ -951,7 +951,7 @@ object Dedup extends QueryPack {
       },
       Some(s"""
         WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
-        dup AS (
+        dup AS MATERIALIZED (
           SELECT c.doc_a, c.doc_b
           FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
           WHERE j.jacc >= $JaccThreshold)
@@ -997,11 +997,11 @@ object Dedup extends QueryPack {
       },
       Some(s"""
         WITH $duckBase, $duckSig, $duckBands, $duckJacc, $duckCand,
-        dup AS (
+        dup AS MATERIALIZED (
           SELECT c.doc_a, c.doc_b
           FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
           WHERE j.jacc >= $JaccThreshold),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+        edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM dup
                   UNION ALL SELECT doc_b, doc_a FROM dup),
         a1 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS a1
                FROM edges GROUP BY dst),
@@ -1354,7 +1354,7 @@ object Dedup extends QueryPack {
           .limit(20)
       },
       Some(s"""
-        WITH cp AS (
+        WITH cp AS MATERIALIZED (
           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
                           CAST(l.l_partkey AS BIGINT) AS p
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -1444,22 +1444,22 @@ object Dedup extends QueryPack {
               SELECT a, nl, row_number() OVER (PARTITION BY a
                 ORDER BY cnt DESC, nl) AS rn FROM n$r) q
             WHERE rn = 1),
-        l$r AS (
+        l$r AS MATERIALIZED (
             SELECT pl.v, coalesce(t.l2, pl.l) AS l
             FROM l$p pl LEFT JOIN t$r t ON t.v = pl.v)"""
         }.mkString(",\n        ")
         s"""
-        WITH cp AS (
+        WITH cp AS MATERIALIZED (
           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
                           CAST(l.l_partkey AS BIGINT) AS p
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        pr AS (
+        pr AS MATERIALIZED (
           SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
           FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
           GROUP BY 1, 2 HAVING count(*) >= 4),
-        edges AS (SELECT ca AS a, cb AS b, common AS w FROM pr
+        edges AS MATERIALIZED (SELECT ca AS a, cb AS b, common AS w FROM pr
                   UNION ALL SELECT cb, ca, common FROM pr),
-        l0 AS (SELECT DISTINCT a AS v, a AS l FROM edges),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS l FROM edges),
         $roundCtes
         SELECT CAST(l AS BIGINT) AS community,
                CAST(count(*) AS BIGINT) AS n_members,
@@ -1559,7 +1559,7 @@ object Dedup extends QueryPack {
         val roundCtes = (1 to 7).map { k =>
           val off = 1 << (k - 1)
           val p = k - 1
-          s"""c$k AS (
+          s"""c$k AS MATERIALIZED (
             SELECT a.doc_id, a.p, a.gid,
                    CAST(dense_rank() OVER (ORDER BY a.rk, coalesce(b.rk, -1)) AS BIGINT) AS rk
             FROM c$p a LEFT JOIN c$p b ON a.doc_id = b.doc_id AND b.p = a.p + $off)"""
@@ -1567,8 +1567,8 @@ object Dedup extends QueryPack {
         s"""
         WITH w0 AS (
           SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
-        wl AS (SELECT doc_id, ws FROM w0 WHERE len(ws) > 0 AND len(ws) <= 127),
-        pos AS (
+        wl AS MATERIALIZED (SELECT doc_id, ws FROM w0 WHERE len(ws) > 0 AND len(ws) <= 127),
+        pos AS MATERIALIZED (
           SELECT doc_id, CAST(i AS BIGINT) AS p, list_extract(ws, CAST(i AS INT)) AS w
           FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM wl) q),
         wr AS (

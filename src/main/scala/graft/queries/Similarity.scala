@@ -1896,7 +1896,7 @@ object Similarity extends QueryPack {
       Some(s"""
         WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label % 2 = 0),
         b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label % 2 = 1),
-        pr AS (
+        pr AS MATERIALIZED (
           SELECT a_id, b_id,
                  ${Q.scaledLong(
           s"${duckDot("ea", "eb")} / (sqrt(${duckDot("ea", "ea")}) * sqrt(${duckDot("eb", "eb")}))",

@@ -80,6 +80,91 @@ object TextOps extends QueryPack {
   // text_bpe_encode Scaladoc for the fixpoint argument and the '|'
   // separator-collision contract.
 
+  // ---- shared pHash machinery (multimodal_phash_pairs) ----
+
+  /** 8x8 DCT-II basis, e4-scaled to integers ONCE here and embedded as
+    * literals in both dialects — so the transform is exact BIGINT
+    * arithmetic with no per-engine cosine evaluation.
+    */
+  private val PhashBasis: Seq[Long] = (0 until 8).flatMap { u =>
+    (0 until 8).map { i =>
+      val c = math.cos((2 * i + 1) * u * math.Pi / 16.0)
+      val norm = if (u == 0) math.sqrt(1.0 / 8.0) else math.sqrt(2.0 / 8.0)
+      math.floor(norm * c * 10000.0 + 0.5).toLong
+    }
+  }
+
+  /** Staged pHash expressions (grid over `ws` -> dct over `gr` ->
+    * sign bits over `dc`), Spark dialect; the query chains them through
+    * selectExprs. The grid is the payload's 64-bin CONTENT HISTOGRAM
+    * (word counts binned by the portable polynomial hash) — the
+    * perceptual-feature plane a real media decode produces (image
+    * intensity histogram / pooled luma); raw byte taps were measured
+    * useless here (near-dups landed at the random-hamming baseline,
+    * ~31/63 bits, because text bytes have no smooth 2D structure and
+    * length changes misalign every tap), while the histogram is
+    * edit-robust: known near-dup pairs land at hamming 0-2.
+    */
+  private val phSparkBins: String = "transform(ws, w -> graft_strhash(w) % 64)"
+  private val phSparkGrid: String =
+    "transform(sequence(0, 63), m -> " +
+      "CAST(size(filter(bs, b -> b = m)) AS BIGINT))"
+  /** Basis as a per-row COLUMN (`bf`), not a literal inside the lambda:
+    * HOFs are interpreted, and a literal array inside the innermost
+    * lambda is re-constructed on EVERY evaluation — 64x64 evaluations x
+    * two references made the hash minutes-slow; as a column it builds
+    * once per row.
+    */
+  private val phashBasisSql: String = PhashBasis.mkString("array(", "L, ", "L)")
+  /** SEPARABLE 2D DCT — row pass then column pass (512 integer ops each
+    * instead of the naive 4096): rt[u*8+j] = sum_i B[u][i]*g[i*8+j],
+    * C[u*8+v] = sum_j B[v][j]*rt[u*8+j]. Integer arithmetic, so the
+    * regrouping is exactly the naive double sum.
+    */
+  private val phSparkRowT: String =
+    "transform(sequence(0, 63), t -> " +
+      "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> " +
+      "acc + element_at(bf, CAST((t div 8) * 8 + i AS INT) + 1)" +
+      " * element_at(gr, CAST(i * 8 + (t % 8) AS INT) + 1)))"
+  private val phSparkDct: String =
+    "transform(sequence(0, 63), k -> " +
+      "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) -> " +
+      "acc + element_at(bf, CAST((k % 8) * 8 + j AS INT) + 1)" +
+      " * element_at(rt, CAST((k div 8) * 8 + j AS INT) + 1)))"
+  private val phSparkMed: String = "element_at(array_sort(slice(dc, 2, 63)), 32)"
+  private val phSparkBits: String =
+    """aggregate(sequence(1, 63), CAST(0 AS BIGINT),
+       (acc, k) -> acc + CASE WHEN element_at(dc, CAST(k AS INT) + 1) > med
+         THEN shiftleft(CAST(1 AS BIGINT), CAST(k AS INT) - 1)
+         ELSE CAST(0 AS BIGINT) END)"""
+
+  /** DuckDB twins — identical taps, identical integer basis literals,
+    * identical fold orders; the oracle chains them through CTEs.
+    */
+  private val phDuckBins: String =
+    s"""list_transform(ws, w -> (${duckStrHash("w")}) % 64)"""
+  private val phDuckGrid: String =
+    "list_transform(range(0, 64), m -> " +
+      "CAST(len(list_filter(bs, b -> b = m)) AS BIGINT))"
+  private val phDuckBf: String = PhashBasis.mkString("[", ", ", "]")
+  private val phDuckRowT: String =
+    "list_transform(range(0, 64), t -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), i -> " +
+      "bf[CAST((t // 8) * 8 + i AS INT) + 1]" +
+      " * gr[CAST(i * 8 + (t % 8) AS INT) + 1])), (acc, x) -> acc + x))"
+  private val phDuckDct: String =
+    "list_transform(range(0, 64), k -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j -> " +
+      "bf[CAST((k % 8) * 8 + j AS INT) + 1]" +
+      " * rt[CAST((k // 8) * 8 + j AS INT) + 1])), (acc, x) -> acc + x))"
+  private val phDuckMed: String = "list_sort(dc[2:64])[32]"
+  private val phDuckBits: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(range(1, 64), k ->
+         CASE WHEN dc[CAST(k AS INT) + 1] > med
+              THEN (CAST(1 AS BIGINT) << (CAST(k AS INT) - 1))
+              ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"""
+
   // ---- shared logistic-regression machinery (quality_logreg_train) ----
 
   /** GD steps; unrolled identically in the Spark loop and the oracle's
@@ -208,7 +293,7 @@ object TextOps extends QueryPack {
                  ${duckScore(stopwords)} AS stop,
                  CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
           FROM raw WHERE len(ws) > 0),
-        feats AS (
+        feats AS MATERIALIZED (
           SELECT doc_id,
                  CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
                  ${Q.scaledLong("(CAST(nw AS DOUBLE) - 55.0) / 100.0", 6)} AS x1_e6,
@@ -1380,7 +1465,7 @@ object TextOps extends QueryPack {
                  FROM (SELECT freq, tk, unnest(range(1, len(tk))) AS i FROM ex$r) t$r),
         mg$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM pr$r
                  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
-        v$r AS (SELECT freq, $duckApply AS ts FROM v$p, mg$r),
+        v$r AS MATERIALIZED (SELECT freq, $duckApply AS ts FROM v$p, mg$r),
         st$r AS (SELECT CAST($r AS BIGINT) AS step, a AS tok_a, b AS tok_b,
                         CAST(n AS BIGINT) AS n_pair,
                         (SELECT CAST(sum(freq * len(string_split(ts, '|'))) AS BIGINT) FROM v$r) AS corpus_tokens
@@ -1783,6 +1868,79 @@ object TextOps extends QueryPack {
                      CAST(ascii(substr(text, b * 16 + i, 1)) AS BIGINT)))),
                  'sum'), 0) AS BIGINT) AS digest
         FROM documents ORDER BY doc_id""")),
+
+    // Perceptual-hash near-dup pairs over opaque payloads — the
+    // image-dedup shape every LAION-style multimodal pipeline runs:
+    // resample the payload to 64 evenly-spaced taps (the stand-in for
+    // the 8x8 luma resize; a real image pipeline decodes at the
+    // mapPartitions seam and feeds the same grid), take the 2D DCT-II,
+    // and fingerprint each payload by the SIGNS of its 63 AC
+    // coefficients against their median — low-frequency structure
+    // survives small local edits, so near-dup payloads land at small
+    // Hamming distance. Pairs emerge via the SimHash pigeonhole: 8-bit
+    // chunks equi-join (hamming <= 7 implies >= 1 of 8 chunks equal),
+    // then exact bit_count verification.
+    //
+    // Determinism: the DCT basis is embedded as ONE set of e4-scaled
+    // integer literals (printed once by the same Scala code into both
+    // dialects), so every coefficient is an exact BIGINT sum — no
+    // per-engine cosine calls, no float anywhere; median is element 32
+    // of the sorted 63 ACs. Scale shape: hashing is a narrow row-local
+    // map; only 8-byte (chunk, hash) rows shuffle for the bucket join;
+    // verification touches candidates only.
+    "multimodal_phash_pairs" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        // persist barriers between the hash stages: without them
+        // CollapseProject inlines the 64-bin grid expression into every
+        // one of the DCT lambda's 4096 element_at(gr, ...) references
+        // (and dc into the 126 bit-stage references) — measured as a
+        // ~500,000x re-evaluation hang, not a plan-shape nicety
+        val grid = Tables.documents(s, d)
+          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+          .selectExpr("doc_id", s"$phSparkBins AS bs")
+          .persistScoped()
+          .selectExpr("doc_id", s"$phSparkGrid AS gr", s"$phashBasisSql AS bf")
+          .persistScoped()
+        val rowT = grid
+          .selectExpr("doc_id", s"$phSparkRowT AS rt", "bf").persistScoped()
+        val dct = rowT.selectExpr("doc_id", s"$phSparkDct AS dc").persistScoped()
+        val med = dct.selectExpr("doc_id", "dc", s"$phSparkMed AS med").persistScoped()
+        val docs = med.selectExpr("doc_id", s"$phSparkBits AS h")
+          .persistScoped()
+        val chunks = docs.selectExpr("doc_id", "h",
+          "explode(transform(sequence(0, 7), c -> struct(c AS c, shiftright(h, CAST(8 * c AS INT)) & 255 AS ck))) AS p")
+          .selectExpr("doc_id", "h", "p.c AS c", "p.ck AS ck")
+        chunks.toDF("doc_a", "ha", "c", "ck")
+          .join(chunks.toDF("doc_b", "hb", "c2", "ck2"),
+            col("c") === col("c2") && col("ck") === col("ck2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+          .selectExpr("doc_a", "doc_b",
+            "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming")
+          .where(col("hamming") <= 7)
+          .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+          .limit(25)
+      },
+      Some(s"""
+        WITH w AS MATERIALIZED (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
+        bn AS MATERIALIZED (SELECT doc_id, $phDuckBins AS bs FROM w),
+        g AS MATERIALIZED (SELECT doc_id, $phDuckGrid AS gr, $phDuckBf AS bf FROM bn),
+        rtf AS MATERIALIZED (SELECT doc_id, $phDuckRowT AS rt, bf FROM g),
+        dcf AS MATERIALIZED (SELECT doc_id, $phDuckDct AS dc FROM rtf),
+        mdf AS MATERIALIZED (SELECT doc_id, dc, $phDuckMed AS med FROM dcf),
+        hs AS MATERIALIZED (SELECT doc_id, $phDuckBits AS h FROM mdf),
+        ch AS (
+          SELECT doc_id, h, c, (h >> CAST(8 * c AS INT)) & 255 AS ck
+          FROM (SELECT doc_id, h, unnest(range(0, 8)) AS c FROM hs) q),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.h AS ha, b.h AS hb
+          FROM ch a JOIN ch b
+            ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 7
+        ORDER BY hamming, doc_a, doc_b LIMIT 25""")),
 
     "multimodal_meta" -> QueryDef(
       (s, d) => Tables.documents(s, d)

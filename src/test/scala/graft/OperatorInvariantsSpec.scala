@@ -317,6 +317,49 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_phash_pairs matches a driver-side integer-DCT recomputation") {
+    val P = 1000000007L
+    def strhash(w: String): Long =
+      w.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    val basis: Array[Long] = (0 until 8).flatMap { u =>
+      (0 until 8).map { i =>
+        val c = math.cos((2 * i + 1) * u * math.Pi / 16.0)
+        val norm = if (u == 0) math.sqrt(1.0 / 8.0) else math.sqrt(2.0 / 8.0)
+        math.floor(norm * c * 10000.0 + 0.5).toLong
+      }
+    }.toArray
+    def phash(text: String): Long = {
+      val ws = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val g = Array.fill(64)(0L)
+      ws.foreach(w => g((strhash(w) % 64).toInt) += 1L)
+      val rt = Array.tabulate(64) { t =>
+        (0 until 8).map(i => basis((t / 8) * 8 + i) * g(i * 8 + (t % 8))).sum
+      }
+      val c = Array.tabulate(64) { k =>
+        (0 until 8).map(j => basis((k % 8) * 8 + j) * rt((k / 8) * 8 + j)).sum
+      }
+      val med = c.drop(1).sorted.apply(31)
+      (1 until 64).foldLeft(0L)((acc, k) =>
+        if (c(k) > med) acc | (1L << (k - 1)) else acc)
+    }
+    val docs = graft.engine.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashes = docs.map { case (id, t) => id -> phash(t) }
+    def ham(a: Long, b: Long): Long = java.lang.Long.bitCount(a ^ b).toLong
+    // expected: chunk-pigeonhole candidates, hamming <= 7, top 25
+    val ids = hashes.keys.toSeq.sorted
+    val exp = (for {
+      i <- ids; j <- ids if i < j
+      ha = hashes(i); hb = hashes(j)
+      if (0 until 8).exists(c => ((ha >> (8 * c)) & 255) == ((hb >> (8 * c)) & 255))
+      h = ham(ha, hb) if h <= 7
+    } yield (i, j, h)).sortBy { case (a, b, h) => (h, a, b) }.take(25)
+    val got = q("multimodal_phash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got=$got\nexp=$exp")
+  }
+
   test("sim_margin_bitext matches a driver-side margin-mining recomputation") {
     def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
     val vecs = graft.engine.Tables.embeddings(spark, d)

@@ -748,6 +748,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates == 0, s"no Generate allowed, found $generates:\n$p")
   }
 
+  test("phash pairs: row-local hash; only 8-byte chunk rows shuffle; no cartesian") {
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val p = plan("multimodal_phash_pairs")
+    assert(!p.contains("CartesianProduct"))
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+    val ins = exchangeInputs.findAllMatchIn(p).map(_.group(1)).toList
+    assert(!ins.exists(i => i.contains("text#") || i.contains("ws#")),
+      s"no shuffle may carry document text or word arrays:\n${ins.mkString("\n")}")
+  }
+
   test("margin bitext: side A broadcasts into the pair scan; keyed mutual-best joins") {
     spark.catalog.clearCache()
     graft.queries.Persisted.drain()
