@@ -60,11 +60,14 @@ def main():
         argv = argv[1:]
     sfdir, outdir = argv[0], argv[1]
     only = set(argv[2:])
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            pth = f"{sfdir}/{t}.parquet"
+            if os.path.exists(pth):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pth}')")
+        return c
+    con = fresh_con()
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_ulp = 0
     for name, sql in sorted(oracles.items()):
@@ -76,6 +79,7 @@ def main():
             except Exception as e:
                 print(f"FAIL {name}: oracle error: {e}")
                 n_fail += 1
+                con = fresh_con()
                 continue
             if bad:
                 print(f"FAIL {name}: driver-unsafe output type(s): "
@@ -101,6 +105,9 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
+            # a poisoned connection (e.g. an OOM) must not cascade into
+            # every subsequent oracle — start clean
+            con = fresh_con()
             continue
         bad_dt = [f"{c}:{want[c].dtype}" for c in want.columns
                   if str(want[c].dtype) not in SAFE_DTYPES]
