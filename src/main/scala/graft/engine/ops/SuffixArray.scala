@@ -62,7 +62,13 @@ object SuffixArray {
         .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
       cur = rangeDenseRank(paired, "rk", "rkb")
         .selectExpr("doc_id", "p", "gid", "_grk AS rk")
-        .localCheckpoint()
+      // each round references its predecessor twice, so an uncut plan
+      // doubles per round; cutting every SECOND round bounds the
+      // blowup at 4 copies of a checkpointed leaf while halving the
+      // eager materialization jobs (the bound round always cuts, since
+      // it is retained and re-read later)
+      if (k % 2 == 0 || k == rounds || k == boundRound)
+        cur = cur.localCheckpoint()
       if (k == boundRound) bound = cur
     }
     (cur, bound)
