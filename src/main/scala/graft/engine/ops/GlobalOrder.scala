@@ -1,0 +1,143 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacements for unpartitioned corpus-scale windows —
+  * `Window.orderBy(...)` with no partitionBy funnels the ENTIRE input
+  * through one task, the classic 100 TB scale-killer that looks fine at
+  * test SF. Every helper here computes value-identical results to the
+  * single-task window by the histogram-bucket two-pass scheme:
+  *
+  *   1. bucket each row by a DETERMINISTIC monotone integer function of
+  *      its first sort key (the key's value scaled into 32 blocks of the
+  *      observed [min, max] span — equal keys land in the same bucket by
+  *      construction, so bucket boundaries never split ties of the
+  *      PRIMARY key);
+  *   2. run the window WITHIN each bucket in parallel
+  *      (`Window.partitionBy(_gb)`);
+  *   3. stitch buckets with a per-bucket offset frame — at most 32 rows,
+  *      one per non-empty bucket — which is the only place an
+  *      unpartitioned window remains (bounded by construction; the
+  *      global-window plan sweep whitelists exactly this `_gb`/`_grn`
+  *      shape).
+  *
+  * Companion of [[SuffixArray.rangeDenseRank]] (which buckets by a
+  * previous dense rank); these generalize to any long-typed sort key.
+  * Degenerate distributions (all keys equal) collapse to one bucket —
+  * the data has no order information to parallelize over; callers with
+  * such keys should bucket on a different column.
+  */
+object GlobalOrder {
+
+  private val Buckets = 32
+
+  /** Adds `_gb` (bucket) from the monotone span scaling of `key`, and
+    * `_gok` (the long key). One extra min/max aggregate pass.
+    */
+  private def bucketed(df: DataFrame, key: Column): DataFrame = {
+    val mm = df.select(key.cast("long").as("_gok"))
+      .agg(min(col("_gok")).as("_gmn"), max(col("_gok")).as("_gmx"))
+    df.withColumn("_gok", key.cast("long"))
+      .crossJoin(broadcast(mm))
+      .withColumn("_gb",
+        expr(s"((_gok - _gmn) * $Buckets) div (_gmx - _gmn + 1)"))
+      .drop("_gmn", "_gmx")
+  }
+
+  /** Distributed global `row_number()` ordered by (key, ties...) — the
+    * (key, ties) sort must totally order the rows for a deterministic
+    * result, exactly as the single-task window requires. Result column:
+    * `out` (BIGINT, 1-based).
+    */
+  def rowNumber(df: DataFrame, key: Column, ties: Seq[Column],
+      out: String = "_grn"): DataFrame = {
+    val wloc = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
+    val local = bucketed(df, key)
+      .withColumn("_glrn", row_number().over(wloc).cast("long"))
+    val offs = local.groupBy(col("_gb")).agg(count(lit(1)).as("_gcnt"))
+      .withColumn("_goff", coalesce(sum(col("_gcnt")).over(
+        Window.orderBy(col("_gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_gb"), col("_goff"))
+    local.join(broadcast(offs), Seq("_gb"))
+      .withColumn(out, col("_glrn") + col("_goff"))
+      .drop("_gok", "_gb", "_glrn", "_goff")
+  }
+
+  /** Distributed global running sum of `value` over the (key, ties...)
+    * order, INCLUSIVE of the current row (`rowsBetween(unboundedPreceding,
+    * currentRow)` semantics). Result column: `out` (BIGINT).
+    */
+  def runningSum(df: DataFrame, key: Column, ties: Seq[Column],
+      value: Column, out: String = "_gcum"): DataFrame = {
+    val wloc = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed(df, key)
+      .withColumn("_glcs", sum(value).over(wloc).cast("long"))
+      .withColumn("_glv", value.cast("long"))
+    val offs = local.groupBy(col("_gb")).agg(sum(col("_glv")).as("_gcnt"))
+      .withColumn("_goff", coalesce(sum(col("_gcnt")).over(
+        Window.orderBy(col("_gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_gb"), col("_goff"))
+    local.join(broadcast(offs), Seq("_gb"))
+      .withColumn(out, col("_glcs") + col("_goff"))
+      .drop("_gok", "_gb", "_glcs", "_glv", "_goff")
+  }
+
+  /** Distributed global `ntile(n)` over the (key, ties...) order — exact
+    * SQL ntile semantics reproduced arithmetically from the distributed
+    * row number: with N rows, the first N mod n tiles hold ceil(N/n)
+    * rows, the rest floor(N/n). Result column: `out` (BIGINT, 1-based).
+    */
+  def ntileCol(df: DataFrame, n: Int, key: Column, ties: Seq[Column],
+      out: String): DataFrame = {
+    val rn = rowNumber(df, key, ties, "_gntrn")
+    val tot = rn.agg(count(lit(1)).as("_gtot"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn(out, expr(
+        s"""CASE WHEN _gntrn <= (_gtot % $n) * (_gtot div $n + 1)
+              THEN (_gntrn - 1) div (_gtot div $n + 1) + 1
+              ELSE (_gtot % $n) + (_gntrn - 1 - (_gtot % $n) * (_gtot div $n + 1))
+                     div greatest(_gtot div $n, 1) + 1 END"""))
+      .drop("_gntrn", "_gtot")
+  }
+
+  /** Distributed global `lead(c, 1)` for each column in `leadCols` over
+    * the (key, ties...) order: in-bucket lead in parallel, then the seam
+    * rows (each bucket's LAST row) take their successor from the next
+    * non-empty bucket's FIRST row — one boundary row exchanged per
+    * bucket, never a global sort. The globally last row keeps NULL
+    * leads, exactly as the single-task window would. Appends
+    * `<col><suffix>` for each lead column.
+    */
+  def lead1(df: DataFrame, key: Column, ties: Seq[Column],
+      leadCols: Seq[String], suffix: String = "_nx"): DataFrame = {
+    val wloc = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
+    val base0 = bucketed(df, key)
+      .withColumn("_grn", row_number().over(wloc))
+      // sentinel marking "has an in-bucket successor" — leadCols
+      // themselves may legitimately hold NULLs
+      .withColumn("_ghn", lead(lit(1), 1).over(wloc))
+    val base = leadCols.foldLeft(base0) { (b, c) =>
+      b.withColumn(c + suffix, lead(col(c), 1).over(wloc))
+    }
+    // first row of each bucket, keyed by the PREVIOUS non-empty bucket
+    // (lag over the <=32-row per-bucket frame bridges empty buckets)
+    val firsts = base.where(col("_grn") === 1)
+      .select(col("_gb") +: leadCols.map(c => col(c).as(c + "_gfx")): _*)
+      .withColumn("_gpb", lag(col("_gb"), 1).over(Window.orderBy(col("_gb"))))
+      .where(col("_gpb").isNotNull)
+      .drop("_gb")
+    val inner = base.where(col("_ghn").isNotNull)
+    val seams = base.where(col("_ghn").isNull)
+      .join(firsts, col("_gb") === col("_gpb"), "left")
+    val patched = leadCols.foldLeft(seams) { (b, c) =>
+      b.withColumn(c + suffix, col(c + "_gfx"))
+    }.select(inner.columns.map(col): _*)
+    inner.unionByName(patched)
+      .drop("_gok", "_gb", "_grn", "_ghn")
+  }
+}

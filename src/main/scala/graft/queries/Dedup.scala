@@ -684,11 +684,13 @@ object Dedup extends QueryPack {
     // Per-SOURCE duplication report — the curation dashboard number that
     // decides which ingest feeds get down-weighted or cut: for each
     // document source, how many docs sit in a verified near-dup cluster
-    // and the exact ppm rate. The dup-doc set (connected-component
-    // vertices) is tiny relative to the corpus — the near-dup survivors
-    // — so it broadcasts to the documents scan; the only shuffle on the
-    // corpus side is the small per-source aggregate. The oracle
-    // re-derives cluster membership through the same recursive
+    // and the exact ppm rate. The dup-doc set joins the documents scan
+    // by plain doc_id equi-join with NO broadcast hint: at 100 TB the
+    // duplicate set is corpus-proportional (that is why you dedup), so a
+    // forced broadcast is an executor OOM at the design point — AQE
+    // still broadcasts it at runtime while it measures small. The only
+    // other corpus-side shuffle is the small per-source aggregate. The
+    // oracle re-derives cluster membership through the same recursive
     // transitive closure dedup_clusters checks.
     "dedup_rate_by_source" -> QueryDef(
       (s, d) => {
@@ -702,7 +704,7 @@ object Dedup extends QueryPack {
           .selectExpr("CAST(v AS BIGINT) AS doc_id")
           .withColumn("isdup", lit(1L))
         Tables.documents(s, d).select(col("doc_id"), col("source"))
-          .join(broadcast(dupDocs), Seq("doc_id"), "left")
+          .join(dupDocs, Seq("doc_id"), "left")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
@@ -725,10 +727,12 @@ object Dedup extends QueryPack {
     // longest document (n_chars, tie-break min id), the common
     // keep-longest heuristic for crawl snapshots that truncate. One
     // window + one aggregate over the cluster-label frame (dup docs
-    // only — tiny next to the corpus, so it broadcasts into the
-    // documents join exactly like dedup_rate_by_source); the oracle
-    // re-derives membership through the same recursive transitive
-    // closure and picks the same representative.
+    // only). The labels join carries NO broadcast hint: duplicate
+    // labels are corpus-proportional at 100 TB (same reasoning as
+    // dedup_rate_by_source) — the plain doc_id equi-join lets AQE
+    // broadcast while the set measures small and shuffle when it
+    // doesn't. The oracle re-derives membership through the same
+    // recursive transitive closure and picks the same representative.
     "dedup_keep_best" -> QueryDef(
       (s, d) => {
         // truncate lineage before iterating (the graph_kcore_dups
@@ -741,7 +745,7 @@ object Dedup extends QueryPack {
           .selectExpr("CAST(v AS BIGINT) AS doc_id",
             "CAST(lbl AS BIGINT) AS cluster_id")
         val scored = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-          .join(broadcast(labels), Seq("doc_id"))
+          .join(labels, Seq("doc_id"))
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("n_chars").desc, col("doc_id"))
         scored.withColumn("rn", row_number().over(w))
@@ -1325,8 +1329,9 @@ object Dedup extends QueryPack {
     // keyed on partkey with bounded per-part fanout (TPC-H part df ~30
     // regardless of sf; a real corpus caps hot items like
     // cappedShingles), common >= 2 prunes noise pairs before the
-    // degree joins (small dims, broadcast), and the top-20 exits via
-    // TakeOrderedAndProject — never a global sort.
+    // degree joins (keyed equi-joins, hint-free — AQE broadcasts the
+    // customer-scale degree table only while it measures small), and
+    // the top-20 exits via TakeOrderedAndProject — never a global sort.
     "graph_jaccard_links" -> QueryDef(
       (s, d) => {
         val cp = Tables.lineitem(s, d)
@@ -1344,8 +1349,13 @@ object Dedup extends QueryPack {
           .join(cp.toDF("cb", "p2"), col("p") === col("p2") && col("ca") < col("cb"))
           .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
           .where(col("common") >= 2)
-          .join(broadcast(sizes.toDF("ca", "na")), "ca")
-          .join(broadcast(sizes.toDF("cb", "nb")), "cb")
+          // NO broadcast hint on the degree table: customers scale with
+          // the corpus, so forcing it is a broadcast-OOM at 100x. The
+          // pair frame is already keyed on the customer ids — plain
+          // equi-joins shuffle pairs only, and AQE still broadcasts the
+          // degree side while it measures small.
+          .join(sizes.toDF("ca", "na"), "ca")
+          .join(sizes.toDF("cb", "nb"), "cb")
           .selectExpr("ca AS cust_a", "cb AS cust_b", "common", "na", "nb",
             s"${Q.scaledLong(
               "CAST(common AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - CAST(common AS DOUBLE))",

@@ -1878,8 +1878,12 @@ object Similarity extends QueryPack {
         val sa = topSum("a_id", "b_id", "sax")
         val sb = topSum("b_id", "a_id", "sby")
         val mg = pr.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+          // nullif guards the degenerate corpus whose top-4 cosine sums
+          // cancel to zero: unguarded, Spark yields Infinity and the
+          // BIGINT cast saturates while DuckDB errors — a cross-engine
+          // split. NULL margin fails the > 1e6 gate identically in both.
           .selectExpr("a_id", "b_id", "c_e6",
-            s"${Q.scaledLong("8.0 * CAST(c_e6 AS DOUBLE) / CAST(sax + sby AS DOUBLE)", 6)} AS margin_e6")
+            s"${Q.scaledLong("8.0 * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6")
         val ba = mg.withColumn("rn", row_number().over(
             Window.partitionBy(col("a_id")).orderBy(col("margin_e6").desc, col("b_id"))))
           .where(col("rn") === 1).drop("rn")
@@ -1914,7 +1918,7 @@ object Similarity extends QueryPack {
           WHERE rn <= 4 GROUP BY b_id),
         mg AS (
           SELECT pr.a_id, pr.b_id, c_e6,
-                 ${Q.scaledLong("8.0 * CAST(c_e6 AS DOUBLE) / CAST(sax + sby AS DOUBLE)", 6)} AS margin_e6
+                 ${Q.scaledLong("8.0 * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6
           FROM pr JOIN sa USING (a_id) JOIN sb USING (b_id)),
         ba AS (
           SELECT a_id, b_id, c_e6, margin_e6 FROM (

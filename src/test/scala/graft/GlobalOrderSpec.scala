@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.ops.GlobalOrder
+
+/** GlobalOrder's bucketed two-pass helpers must be VALUE-IDENTICAL to the
+  * single-task unpartitioned window they replace — on tie-heavy data
+  * (primary-key ties split by the tie-break), gap-heavy keys (empty
+  * buckets between populated ones), and the all-equal degenerate key.
+  */
+class GlobalOrderSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+
+  /** Deterministic pseudo-random frame: id, a skewed tie-heavy key k
+    * (hash-derived, clustered near 0), a gappy key g (three far-apart
+    * value islands), and a value v.
+    */
+  private def frame(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      val h = ((i * 2654435761L) % 1000003L).abs
+      val k = (h % 37) * (h % 37) // ties + skew, range [0, 1296]
+      val g = (h % 3) * 1000000L + (h % 50) // three islands
+      val v = (h % 91) + 1
+      (i.toLong, k, g, v)
+    }.toDF("id", "k", "g", "v")
+  }
+
+  private def collectSorted(df: DataFrame, cols: String*): Seq[Seq[Any]] =
+    df.orderBy(cols.map(col): _*).collect().toSeq.map(_.toSeq)
+
+  test("rowNumber matches the single-task global row_number") {
+    val df = frame(500)
+    for (key <- Seq("k", "g")) {
+      val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col(key), col("id"))).cast("long"))
+      val got = GlobalOrder.rowNumber(df, col(key), Seq(col("id")), "rn")
+      assert(collectSorted(got, "id") == collectSorted(want, "id"), s"key=$key")
+    }
+  }
+
+  test("rowNumber on an all-equal key still yields a valid total order") {
+    val df = frame(100).withColumn("one", lit(7L))
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("one"), col("id"))).cast("long"))
+    val got = GlobalOrder.rowNumber(df, col("one"), Seq(col("id")), "rn")
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+  }
+
+  test("runningSum matches the single-task cumulative window") {
+    val df = frame(500)
+    val w = Window.orderBy(col("g"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w).cast("long"))
+    val got = GlobalOrder.runningSum(df, col("g"), Seq(col("id")), col("v"), "cum")
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+  }
+
+  test("runningSum over a DESCENDING order via key negation") {
+    val df = frame(300)
+    val w = Window.orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w).cast("long"))
+    val got = GlobalOrder.runningSum(df, -col("v"), Seq(col("id")), col("v"), "cum")
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+  }
+
+  test("ntileCol matches SQL ntile for uneven tile splits") {
+    // n not divisible by tiles: first (n mod t) tiles get the extra row
+    for ((n, t) <- Seq((500, 10), (497, 10), (23, 5), (7, 10), (100, 7))) {
+      val df = frame(n)
+      val want = df.withColumn("q",
+        ntile(t).over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      val got = GlobalOrder.ntileCol(df, t, col("k"), Seq(col("id")), "q")
+      assert(collectSorted(got, "id") == collectSorted(want, "id"),
+        s"n=$n tiles=$t")
+    }
+  }
+
+  test("lead1 matches the single-task global lead, seams included") {
+    val df = frame(500)
+    for (key <- Seq("k", "g")) {
+      val w = Window.orderBy(col(key), col("id"))
+      val want = df
+        .withColumn("id_nx", lead(col("id"), 1).over(w))
+        .withColumn("v_nx", lead(col("v"), 1).over(w))
+      val got = GlobalOrder.lead1(df, col(key), Seq(col("id")), Seq("id", "v"))
+      assert(collectSorted(got, "id") == collectSorted(want, "id"), s"key=$key")
+      // exactly one row (the global last) has NULL leads
+      assert(got.where(col("id_nx").isNull).count() == 1, s"key=$key")
+    }
+  }
+
+  test("lead1 carries NULL lead-column values through seam patching") {
+    // a lead column that is itself NULL must not be confused with "no
+    // successor" — the _ghn sentinel, not the lead value, marks seams
+    val df = frame(200)
+      .withColumn("maybe", when(col("v") % 3 === 0, col("v")))
+    val w = Window.orderBy(col("g"), col("id"))
+    val want = df.withColumn("maybe_nx", lead(col("maybe"), 1).over(w))
+    val got = GlobalOrder.lead1(df, col("g"), Seq(col("id")), Seq("maybe"))
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+  }
+
+  test("the per-bucket windows are partitioned; only the offset stitch is not") {
+    // plan shape: the corpus-scale window must carry a partitionBy — the
+    // only unpartitioned window runs over the <=32-row offset frame
+    val df = frame(500)
+    val got = GlobalOrder.rowNumber(df, col("k"), Seq(col("id")), "rn")
+    val windows = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val unpart = windows.filter(_.partitionSpec.isEmpty)
+    // every unpartitioned window sits over the bucket aggregate (_gb)
+    assert(unpart.forall(_.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.forall(_.references.forall(_.name == "_gb")) => a
+    }.isDefined), "unpartitioned window must run over the bucket-offset frame only")
+  }
+}

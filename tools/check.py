@@ -79,6 +79,7 @@ def main():
             except Exception as e:
                 print(f"FAIL {name}: oracle error: {e}")
                 n_fail += 1
+                con.close()
                 con = fresh_con()
                 continue
             if bad:
@@ -106,7 +107,10 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             # a poisoned connection (e.g. an OOM) must not cascade into
-            # every subsequent oracle — start clean
+            # every subsequent oracle — close it, then start clean (an
+            # unclosed replaced connection leaks fds/memory over a
+            # 287-query run with repeated failures)
+            con.close()
             con = fresh_con()
             continue
         bad_dt = [f"{c}:{want[c].dtype}" for c in want.columns
@@ -116,7 +120,9 @@ def main():
                   + ", ".join(bad_dt))
             n_fail += 1
             continue
-        got = duckdb.connect().execute(
+        # the oracle connection (views over the sf tables) reads the
+        # engine dump too — no throwaway per-result connection to leak
+        got = con.execute(
             f"SELECT * FROM read_parquet('{pq}/*.parquet')").df()
         w, g = norm(want), norm(got)
         if list(w.columns) != list(g.columns):
