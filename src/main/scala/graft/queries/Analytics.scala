@@ -520,9 +520,11 @@ object Analytics extends QueryPack {
     // tie-break, so banding is deterministic and engine-identical.
     //
     // Scale shape: one user-keyed aggregation of the fact, then three
-    // ntile windows over the per-USER frame (dimension-sized; at 100 TB
-    // swap for approx-percentile band thresholds — one aggregation, no
-    // global window — with the same segment rule).
+    // DISTRIBUTED quintile assignments over the per-USER frame via
+    // GlobalOrder.ntileCol (r9, was three unpartitioned ntile windows —
+    // users grow with the corpus, so each window was a single-task
+    // funnel at 100x; descending orders ride key negation, ntile
+    // semantics reproduced exactly).
     "events_rfm_segmentation" -> QueryDef(
       (s, d) => {
         val u = Tables.events(s, d)
@@ -532,12 +534,14 @@ object Analytics extends QueryPack {
               .as("r_days"),
             count(lit(1)).as("f"),
             sum(expr(Q.scaledLong("value", 2))).as("m_c"))
-        val rw = Window.orderBy(col("r_days"), col("user_id"))
-        val fw = Window.orderBy(col("f").desc, col("user_id"))
-        val mw = Window.orderBy(col("m_c").desc, col("user_id"))
-        u.withColumn("rq", ntile(5).over(rw))
-          .withColumn("fq", ntile(5).over(fw))
-          .withColumn("mq", ntile(5).over(mw))
+        val G = graft.engine.ops.GlobalOrder
+        val banded =
+          G.ntileCol(
+            G.ntileCol(
+              G.ntileCol(u, 5, col("r_days"), Seq(col("user_id")), "rq"),
+              5, -col("f"), Seq(col("user_id")), "fq"),
+            5, -col("m_c"), Seq(col("user_id")), "mq")
+        banded
           .selectExpr("CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment", "m_c")
           .groupBy(col("segment"))
           .agg(count(lit(1)).as("n_users"), sum(col("m_c")).as("m_sum_c"))
@@ -569,19 +573,20 @@ object Analytics extends QueryPack {
     // — no division on the classification path, so the boundary part is
     // classified identically in both engines.
     //
-    // Scale shape: one part-keyed aggregation of lineitem, a cumulative
-    // window over the per-PART frame ordered by revenue (dimension-
-    // sized), and a 3-row rollup; the grand total joins in as a
+    // Scale shape: one part-keyed aggregation of lineitem, then the
+    // cumulative revenue comes from GlobalOrder.runningSum (r9, was an
+    // unpartitioned cumulative window — parts grow with the corpus, so
+    // the single-task window dies at 100x; descending order rides key
+    // negation) and a 3-row rollup; the grand total joins in as a
     // broadcast 1-row frame.
     "orders_abc_pareto" -> QueryDef(
       (s, d) => {
         val rev = Tables.lineitem(s, d)
           .groupBy(col("l_partkey"))
           .agg(sum(expr(Q.scaledLong("l_extendedprice", 2))).as("rev_c"))
-        val wCum = Window.orderBy(col("rev_c").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = rev.agg(sum(col("rev_c")).as("total"))
-        rev.withColumn("cum", sum(col("rev_c")).over(wCum))
+        graft.engine.ops.GlobalOrder
+          .runningSum(rev, -col("rev_c"), Seq(col("l_partkey")), col("rev_c"), "cum")
           .crossJoin(broadcast(tot))
           .selectExpr(
             "CASE WHEN cum * 5 <= total * 4 THEN 'A' WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS cls",
@@ -664,15 +669,16 @@ object Analytics extends QueryPack {
     // products bounded by n²*max_c), the final expression is one
     // identical tree, e6-scaled.
     //
-    // Scale shape: one user-keyed aggregation of the fact, one rank
-    // window over the per-USER frame, one fold — same contract as the
-    // RFM quintiles next to it.
+    // Scale shape: one user-keyed aggregation of the fact, one
+    // DISTRIBUTED rank over the per-USER frame via GlobalOrder.rowNumber
+    // (r9, was an unpartitioned row_number window — users grow with the
+    // corpus), one fold — same contract as the RFM quintiles next to it.
     "events_power_gini" -> QueryDef(
       (s, d) => {
         val u = Tables.events(s, d)
           .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("c"), col("user_id"))
-        u.withColumn("rk", row_number().over(w))
+        graft.engine.ops.GlobalOrder
+          .rowNumber(u, col("c"), Seq(col("user_id")), "rk")
           .agg(count(lit(1)).as("n_users"), sum(col("c")).as("total_events"),
             sum(col("rk") * col("c")).as("s1"))
           .selectExpr("n_users", "total_events",

@@ -150,6 +150,19 @@ object Dedup extends QueryPack {
     */
   private val MaxShingleDocFreq = 1000
 
+  /** Minimum cross-doc repeat span (words) `dedup_suffix_repeats`
+    * reports: candidates must share the full prefix-doubling round
+    * log2(span) rank, i.e. a >= MinRepeatSpanWords-word common prefix.
+    * This is the operator's REPORTING THRESHOLD, not a fixture
+    * accident: Lee et al. 2021 dedup at a 50-token floor for the same
+    * reason (shorter repeats are idiom, not duplication). A corpus
+    * whose longest cross-doc repeat is below the threshold yields an
+    * EMPTY report by design — OperatorInvariantsSpec asserts exactly
+    * that dichotomy instead of assuming non-emptiness.
+    */
+  val MinRepeatSpanLog2 = 4
+  val MinRepeatSpanWords: Int = 1 << MinRepeatSpanLog2
+
   /** (doc_a, doc_b, jacc): exact Jaccard via distinct-shingle self-join.
     * Pass a PERSISTED distinct-shingle frame: it feeds three scans (two
     * join sides plus sizes) — at cluster scale this is the staged
@@ -1500,13 +1513,13 @@ object Dedup extends QueryPack {
     //
     // Scale shape: positions shuffle as (doc, p, rank) integer triples —
     // never text (plan-asserted); each doubling round is one keyed
-    // self-join on (doc, p + off). The global dense_rank per round is the
-    // known cost of distributed suffix-array construction — at 100 TB it
-    // becomes a repartitionByRange + per-partition rank + offset merge
-    // (the tera-sort sharder's shape, same ordering contract); the gate
-    // keeps the declarative window. Candidate extraction rides ONE lead()
-    // window over the final order; the exact-LCP explode touches only
-    // the filtered survivors.
+    // self-join on (doc, p + off) plus a DISTRIBUTED global dense_rank
+    // (SuffixArray.rangeDenseRank: bucketed per-partition rank + offset
+    // merge). Candidate extraction is likewise distributed (r9):
+    // GlobalOrder.lead1 runs lead() within rank-range buckets and
+    // exchanges one boundary row per bucket — no single task ever holds
+    // the full position frame. The exact-LCP explode touches only the
+    // filtered survivors.
     "dedup_suffix_repeats" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
@@ -1525,19 +1538,24 @@ object Dedup extends QueryPack {
             row_number().over(Window.orderBy(col("w"))).cast("long").as("rk"))
         val pos0 = pos.join(broadcast(wr), "w")
           .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
-        // 2^7 = 128 > the generator's 99-word max; bound round 4 = the
-        // 16-word-prefix rank for candidate filtering
-        val (cur, r16) = graft.engine.ops.SuffixArray.ranks(pos0, rounds = 7, boundRound = 4)
+        // 2^7 = 128 > the generator's 99-word max; the bound round is the
+        // MinRepeatSpanWords-word-prefix rank for candidate filtering
+        val (cur, r16) = graft.engine.ops.SuffixArray.ranks(
+          pos0, rounds = 7, boundRound = MinRepeatSpanLog2)
         val sa = cur.join(r16.selectExpr("gid AS gid2", "rk AS rk16"),
           col("gid") === col("gid2"))
-        val wOrd = Window.orderBy(col("rk"), col("gid"))
-        val cand = sa.select(col("doc_id"), col("p"), col("rk16"),
-            lead(col("doc_id"), 1).over(wOrd).as("doc_b"),
-            lead(col("p"), 1).over(wOrd).as("p_b"),
-            lead(col("rk16"), 1).over(wOrd).as("rk16_b"))
-          .where(col("doc_b").isNotNull && col("doc_id") =!= col("doc_b") &&
-            col("rk16") === col("rk16_b"))
-          .selectExpr("doc_id AS doc_a", "p AS p_a", "doc_b", "p_b")
+          .select(col("doc_id"), col("p"), col("gid"), col("rk"), col("rk16"))
+        // suffix-order adjacency WITHOUT a single-task global window
+        // (r9): GlobalOrder.lead1 range-buckets by rk (a dense rank, so
+        // the monotone bucketing is contiguous), runs lead() within each
+        // bucket in parallel, and exchanges ONE boundary row per bucket
+        // for the seams — value-identical to lead() over the global
+        // (rk, gid) order at any corpus size
+        val cand = graft.engine.ops.GlobalOrder
+          .lead1(sa, col("rk"), Seq(col("gid")), Seq("doc_id", "p", "rk16"))
+          .where(col("doc_id_nx").isNotNull && col("doc_id") =!= col("doc_id_nx") &&
+            col("rk16") === col("rk16_nx"))
+          .selectExpr("doc_id AS doc_a", "p AS p_a", "doc_id_nx AS doc_b", "p_nx AS p_b")
         val lcp = cand
           .join(ws0.selectExpr("doc_id AS doc_a", "ws AS ws_a"), Seq("doc_a"))
           .join(ws0.selectExpr("doc_id AS doc_b", "ws AS ws_b"), Seq("doc_b"))

@@ -1274,19 +1274,21 @@ object TextOps extends QueryPack {
     // in both engines; counts/sums are exact BIGINTs and the two per-bin
     // divisions round once through the house rule. Scale shape: one more
     // broadcast-weights scoring pass over the cached feature frame; the
-    // global ntile is fine for an eval SET (bounded by construction) —
-    // same note as the AUC's rank.
+    // deciles come from GlobalOrder.ntileCol (r9, was a single-task
+    // global ntile over every scored document) — bucketed distributed
+    // row_number + the exact ntile arithmetic, value-identical to
+    // SQL ntile(10) at any corpus size.
     "quality_calibration_bins" -> QueryDef(
       (s, d) => {
         val feats = lrFeats(s, d)
         val wFin = lrStepFrames(s, feats).last
           .selectExpr("w0_e6", "w1_e6", "w2_e6", "w3_e6", "w4_e6")
-        feats.crossJoin(broadcast(wFin))
+        val scored = feats.crossJoin(broadcast(wFin))
           .selectExpr("doc_id", "y",
             s"${Q.scaledLong(s"1.0 / (1.0 + exp(-($lrZ)))", 6)} AS s")
-          .select(col("y"), col("s"),
-            ntile(10).over(Window.orderBy(col("s"), col("doc_id")))
-              .cast("bigint").as("bin"))
+        graft.engine.ops.GlobalOrder
+          .ntileCol(scored, 10, col("s"), Seq(col("doc_id")), "binx")
+          .selectExpr("y", "s", "CAST(binx AS BIGINT) AS bin")
           .groupBy(col("bin"))
           .agg(count(lit(1)).cast("bigint").as("n"),
             sum(col("y")).as("n_pos"), sum(col("s")).as("ssum"))
@@ -1322,13 +1324,21 @@ object TextOps extends QueryPack {
     // docs_quality_filter keep rule. Tie-aware: ties get average ranks via
     // 2*avg_rank = 2*rank() + count_ties - 1, which keeps EVERYTHING in
     // exact integers — u2 = 2*U is emitted as a pure-integer gate column
-    // and auc_e6 is that one integer ratio rounded once. Scale note: the
-    // global rank is fine for an eval SET (bounded by construction); a
-    // corpus-scale AUC would swap in the two-pass partition-histogram
-    // rank the tera-sort sharder uses, same formula.
+    // and auc_e6 is that one integer ratio rounded once. Scale shape
+    // (r9, was a global rank over every document): the corpus makes ONE
+    // map-side-combinable score-histogram aggregate — groupBy(sc) with
+    // per-score (count, positives) — and the rank arithmetic runs over
+    // the HISTOGRAM, whose row count is bounded by the e6-quantized
+    // score DOMAIN (<= 1,000,001 rows at any corpus size); its running
+    // sum distributes through GlobalOrder.runningSum (bucketed, no
+    // single-task window). Per tied block at cumulative count `cum`
+    // with c ties, each positive contributes 2*avg_rank = 2*(cum-c+1)
+    // + c - 1 = 2*cum - c + 1 — the identical tie-average value the
+    // row-level rank computed. nullif guards the all-one-class corpus
+    // (n1*n2 = 0): NULL auc in both engines, not Infinity-saturation.
     "quality_score_auc" -> QueryDef(
       (s, d) => {
-        Tables.documents(s, d)
+        val hist = Tables.documents(s, d)
           .selectExpr(s"${sparkWords("lower(text)")} AS ws")
           .where(expr("size(ws) > 0"))
           .selectExpr("CAST(size(ws) AS BIGINT) AS nw",
@@ -1336,16 +1346,17 @@ object TextOps extends QueryPack {
           .selectExpr(
             "CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y",
             s"${Q.scaledLong("CAST(stop AS DOUBLE) / CAST(nw AS DOUBLE)", 6)} AS sc")
-          .select(col("y"), col("sc"),
-            rank().over(Window.orderBy(col("sc"))).cast("bigint").as("r"),
-            count(lit(1)).over(Window.partitionBy(col("sc"))).cast("bigint").as("c"))
+          .groupBy(col("sc"))
+          .agg(count(lit(1)).cast("bigint").as("c"), sum(col("y")).as("p"))
+        graft.engine.ops.GlobalOrder
+          .runningSum(hist, col("sc"), Nil, col("c"), "cum")
           .agg(
-            sum(col("y")).as("n1"),
-            (count(lit(1)) - sum(col("y"))).cast("bigint").as("n2"),
-            sum(expr("CASE WHEN y = 1 THEN 2 * r + c - 1 ELSE 0 END")).as("ranksum2"))
+            sum(col("p")).as("n1"),
+            (sum(col("c")) - sum(col("p"))).cast("bigint").as("n2"),
+            sum(expr("p * (2 * cum - c + 1)")).as("ranksum2"))
           .selectExpr("n1 AS n_pos", "n2 AS n_neg",
             "ranksum2 - n1 * (n1 + 1) AS u2",
-            s"${Q.scaledLong("CAST(ranksum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE)", 6)} AS auc_e6")
+            s"${Q.scaledLong("CAST(ranksum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(nullif(2 * n1 * n2, 0) AS DOUBLE)", 6)} AS auc_e6")
       },
       Some(s"""
         WITH raw AS (
@@ -1370,7 +1381,7 @@ object TextOps extends QueryPack {
           FROM rk)
         SELECT n1 AS n_pos, n2 AS n_neg,
                ranksum2 - n1 * (n1 + 1) AS u2,
-               ${Q.scaledLong("CAST(ranksum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE)", 6)} AS auc_e6
+               ${Q.scaledLong("CAST(ranksum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(nullif(2 * n1 * n2, 0) AS DOUBLE)", 6)} AS auc_e6
         FROM ag""")),
 
     // TRUE sequential BPE training (Sennrich et al. 2016 "Neural Machine

@@ -441,6 +441,15 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .toMap
     val rows = q("dedup_suffix_repeats").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the min reported span is a NAMED operator threshold
+    // (Dedup.MinRepeatSpanWords), not a fixture accident: a corpus whose
+    // longest cross-doc repeat is shorter must yield an EMPTY report —
+    // assert the dichotomy instead of assuming non-emptiness
+    if (!crossDocGramExists(graft.queries.Dedup.MinRepeatSpanWords)) {
+      assert(rows.isEmpty,
+        s"no cross-doc repeat >= ${graft.queries.Dedup.MinRepeatSpanWords} words exists, report must be empty")
+      cancel("corpus below the min-span reporting threshold")
+    }
     assert(rows.nonEmpty)
     rows.foreach { case (lcp, da, pa, db, pb) =>
       val (wa, wb) = (docs(da), docs(db))
