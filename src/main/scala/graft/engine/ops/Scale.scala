@@ -84,6 +84,27 @@ object Scale {
     factS.join(dimR, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Hot-key cap for pair-generation self-joins — the cappedShingles
+    * pattern (MinHash/LSH dedup) lifted to a reusable op. A blocking key
+    * with n members contributes n(n-1)/2 candidate pairs, so ONE
+    * pathological key (a part in every order, a basket holding the whole
+    * catalog) turns a linear pair stage quadratic on its block. The cap
+    * enforces the bound instead of documenting it (documented bounds
+    * rot — the r8 1M-doc LSH episode): aggregate per-key group sizes
+    * (map-side combinable, skew-tolerant), broadcast the tiny over-cap
+    * key set, anti-join it away. Never a count().over(Window) — that
+    * would shuffle the full frame into per-key partitions, materializing
+    * exactly the hot partition the cap exists to drop. Dropping a hot
+    * key is the MinHash stop-shingle argument: a blocking key shared by
+    * more than `maxGroup` actors carries no pairwise-affinity signal.
+    */
+  def capHotKeys(df: DataFrame, key: Column, maxGroup: Int): DataFrame = {
+    val hot = df.groupBy(key.as("_hk")).agg(count(lit(1)).as("_hn"))
+      .where(col("_hn") > maxGroup)
+      .select(col("_hk"))
+    df.join(broadcast(hot), key === col("_hk"), "left_anti")
+  }
+
   /** Two-phase salted aggregation for skewed grouping keys: spread each
     * hot key over `saltBuckets` partial groups (salt derived
     * deterministically from the row content), aggregate partially, then

@@ -163,6 +163,43 @@ object Dedup extends QueryPack {
   val MinRepeatSpanLog2 = 4
   val MinRepeatSpanWords: Int = 1 << MinRepeatSpanLog2
 
+  /** Hot-part cap for the co-purchase graph ops (graph_jaccard_links,
+    * graph_lpa_communities): a part bought by n customers contributes
+    * n(n-1)/2 pairs to the blocked self-join, so one catalog-wide
+    * staple turns the pair stage quadratic on its block. ENFORCED via
+    * Scale.capHotKeys (r9; previously a "TPC-H part df ~30" comment —
+    * documented bounds rot, the r8 LSH episode is the precedent), and
+    * mirrored in the DuckDB oracles. Inert at test SF (max part degree
+    * ~30) but load-bearing at corpus scale; an ultra-common part
+    * carries no co-purchase-affinity signal, the stop-shingle argument.
+    */
+  val MaxCoPurchaseDegree = 256
+
+  /** Customer-part co-purchase incidence (c, p), hot-part capped — the
+    * shared graph both co-purchase ops analyze.
+    */
+  private def coPurchases(s: SparkSession, d: String): DataFrame =
+    graft.engine.ops.Scale.capHotKeys(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .selectExpr("CAST(o_custkey AS BIGINT) AS c",
+          "CAST(l_partkey AS BIGINT) AS p")
+        .distinct(),
+      col("p"), MaxCoPurchaseDegree)
+
+  /** Oracle twin of [[coPurchases]]: `cp` = the capped incidence. */
+  private val duckCoPurchases: String =
+    s"""cp0 AS MATERIALIZED (
+          SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                          CAST(l.l_partkey AS BIGINT) AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        cp AS MATERIALIZED (
+          SELECT c, p FROM cp0 WHERE p NOT IN (
+            SELECT p FROM cp0 GROUP BY p
+            HAVING count(*) > $MaxCoPurchaseDegree))"""
+
   /** (doc_a, doc_b, jacc): exact Jaccard via distinct-shingle self-join.
     * Pass a PERSISTED distinct-shingle frame: it feeds three scans (two
     * join sides plus sizes) — at cluster scale this is the staged
@@ -1339,24 +1376,20 @@ object Dedup extends QueryPack {
     // distance-2 non-edges don't exist there and link prediction is
     // vacuous — tested at sf0.01 and sf0.1). Counts are exact integers;
     // the score is one rational division. Scale shape: the pair join is
-    // keyed on partkey with bounded per-part fanout (TPC-H part df ~30
-    // regardless of sf; a real corpus caps hot items like
-    // cappedShingles), common >= 2 prunes noise pairs before the
+    // keyed on partkey with per-part fanout ENFORCED <=
+    // MaxCoPurchaseDegree by Scale.capHotKeys (r9; inert at TPC-H's
+    // ~30 part degree, load-bearing on a real catalog's staples — the
+    // cappedShingles pattern, oracle-mirrored), common >= 2 prunes
+    // noise pairs before the
     // degree joins (keyed equi-joins, hint-free — AQE broadcasts the
     // customer-scale degree table only while it measures small), and
     // the top-20 exits via TakeOrderedAndProject — never a global sort.
     "graph_jaccard_links" -> QueryDef(
       (s, d) => {
-        val cp = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .selectExpr("CAST(o_custkey AS BIGINT) AS c", "CAST(l_partkey AS BIGINT) AS p")
-          .distinct()
-          // materialize once: the frame feeds both sides of the pair
-          // self-join AND the degree aggregate — unpersisted, the
-          // lineitem-orders join and distinct replan four times
-          .persistScoped()
+        // materialize once: the frame feeds both sides of the pair
+        // self-join AND the degree aggregate — unpersisted, the
+        // lineitem-orders join and distinct replan four times
+        val cp = coPurchases(s, d).persistScoped()
         val sizes = cp.groupBy(col("c")).agg(count(lit(1)).as("n"))
         cp.toDF("ca", "p")
           .join(cp.toDF("cb", "p2"), col("p") === col("p2") && col("ca") < col("cb"))
@@ -1377,10 +1410,7 @@ object Dedup extends QueryPack {
           .limit(20)
       },
       Some(s"""
-        WITH cp AS MATERIALIZED (
-          SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
-                          CAST(l.l_partkey AS BIGINT) AS p
-          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        WITH $duckCoPurchases,
         sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM cp GROUP BY c),
         pairs AS (
           SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
@@ -1424,12 +1454,7 @@ object Dedup extends QueryPack {
     // by size with exact integer tie-breaks.
     "graph_lpa_communities" -> QueryDef(
       (s, d) => {
-        val cp = Tables.lineitem(s, d)
-          .selectExpr("l_orderkey", "CAST(l_partkey AS BIGINT) AS p")
-          .join(Tables.orders(s, d)
-            .selectExpr("o_orderkey", "CAST(o_custkey AS BIGINT) AS c"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("c"), col("p")).distinct()
+        val cp = coPurchases(s, d).select(col("c"), col("p"))
         val pairs = cp.toDF("ca", "p").join(cp.toDF("cb", "p2"),
             col("p") === col("p2") && col("ca") < col("cb"))
           .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
@@ -1472,10 +1497,7 @@ object Dedup extends QueryPack {
             FROM l$p pl LEFT JOIN t$r t ON t.v = pl.v)"""
         }.mkString(",\n        ")
         s"""
-        WITH cp AS MATERIALIZED (
-          SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
-                          CAST(l.l_partkey AS BIGINT) AS p
-          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        WITH $duckCoPurchases,
         pr AS MATERIALIZED (
           SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
           FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c

@@ -31,6 +31,15 @@ object Relational extends QueryPack {
 
   private val GapUs = 21600000000L // 6h session gap, in epoch micros
 
+  /** Basket-size cap for mine_brand_lift's within-order pair join: an
+    * order with more than this many distinct brands is dropped before
+    * pairing (enforced by Scale.capHotKeys, mirrored in the oracle) —
+    * one mega-basket would otherwise turn its block quadratic, and a
+    * basket spanning the whole catalog carries no affinity signal.
+    * Inert at TPC-H (brand domain is 25).
+    */
+  private val MaxBasketBrands = 64
+
   def defs: Map[String, QueryDef] = Map(
     // ---- aggregation ----------------------------------------------------
     "q1_pricing_summary" -> QueryDef(
@@ -3396,19 +3405,26 @@ object Relational extends QueryPack {
     // orders — support counts for brand pairs bought together and
     // lift = P(a,b) / (P(a)P(b)) as the independence ratio, the
     // classic affinity signal behind recommenders and assortment
-    // analysis. The pair join is BLOCKED on the order key (baskets are
-    // small, so the within-order quadratic is bounded by basket size —
-    // the same contract as join_interval_overlap); the 25-row brand
-    // marginals broadcast back, and the lift cross-multiplies exact
-    // integer counts before one deterministic division, exiting as an
-    // e6-scaled BIGINT. Top-20 pairs by support, full tie-breaks.
+    // analysis. The pair join is BLOCKED on the order key, and the
+    // within-order quadratic is ENFORCED bounded: baskets with more
+    // than MaxBasketBrands distinct brands are dropped via
+    // Scale.capHotKeys (r9; inert at TPC-H's ~25-brand domain,
+    // load-bearing on a real catalog where one mega-basket would turn
+    // its block quadratic — a basket holding the whole catalog carries
+    // no pairwise-affinity signal, the stop-shingle argument;
+    // oracle-mirrored). The 25-row brand marginals broadcast back, and
+    // the lift cross-multiplies exact integer counts before one
+    // deterministic division, exiting as an e6-scaled BIGINT. Top-20
+    // pairs by support, full tie-breaks.
     "mine_brand_lift" -> QueryDef(
       (s, d) => {
-        val items = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-          .distinct()
+        val items = graft.engine.ops.Scale.capHotKeys(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+            .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+              col("l_partkey") === col("p_partkey"))
+            .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+            .distinct(),
+          col("ok"), MaxBasketBrands)
         val nOrders = items.select(col("ok")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val singles = items.groupBy(col("brand")).agg(count(lit(1)).as("c"))
@@ -3431,9 +3447,13 @@ object Relational extends QueryPack {
           .orderBy(col("rn"))
       },
       Some(s"""
-        WITH items AS (
+        WITH items0 AS MATERIALIZED (
           SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
           FROM lineitem JOIN part ON l_partkey = p_partkey),
+        items AS MATERIALIZED (
+          SELECT ok, brand FROM items0 WHERE ok NOT IN (
+            SELECT ok FROM items0 GROUP BY ok
+            HAVING count(*) > $MaxBasketBrands)),
         n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
         singles AS (
           SELECT brand, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY brand),

@@ -253,4 +253,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue()).toMap
     assert(rows === Map(0L -> 100L, 5L -> 100L))
   }
+
+  // Hot-key cap: the r8 1M-doc LSH episode is the precedent that
+  // documented fanout bounds rot — capHotKeys ENFORCES them. Inject a
+  // pathological key and assert the pair stage stays linear.
+  test("capHotKeys keeps candidate pairs linear when a hot key is injected") {
+    import spark.implicits._
+    // background: 1000 keys x 4 actors each -> 1000 * C(4,2) = 6000 pairs
+    val bg = (1 to 1000).flatMap(k => (1 to 4).map(a => (k.toLong, (k * 10000 + a).toLong)))
+    // hot key 0: 2000 actors -> C(2000,2) ~ 2M pairs uncapped (333x the
+    // background) — one key dominating the whole stage
+    val hot = (1 to 2000).map(a => (0L, 90000000L + a))
+    val df = (bg ++ hot).toDF("p", "c")
+    val capped = Scale.capHotKeys(df, col("p"), 256)
+    assert(capped.where(col("p") === 0).count() == 0, "over-cap key must be dropped")
+    assert(capped.count() == bg.size.toLong, "under-cap keys must be untouched")
+    val pairs = capped.select(col("p"), col("c").as("ca"))
+      .join(capped.select(col("p").as("p2"), col("c").as("cb")),
+        col("p") === col("p2") && col("ca") < col("cb"))
+    assert(pairs.count() == 6000L, "capped pair count must be the linear background")
+    // plan shape: aggregate + anti-join, never a per-key count window
+    // (the windowed form would materialize the hot partition first)
+    val plan = capped.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("LeftAnti"), s"cap must drop hot keys via anti-join:\n$plan")
+    assert(!"(?m)^\\(\\d+\\) Window".r.findFirstIn(plan).isDefined,
+      s"cap must not use a window operator:\n$plan")
+  }
 }
