@@ -250,10 +250,11 @@ object Curate extends QueryPack {
     // tie-broken sort key).
     //
     // Scale shape: LM counts broadcast to the scoring scan (the
-    // text_unigram_logprob contract); the tercile window runs over the
-    // per-DOC score frame, not tokens. At 100 TB the global ntile swaps
-    // for approx-percentile thresholds (one aggregation, no global
-    // window) — the bucket rule stays the same.
+    // text_unigram_logprob contract); terciles come from
+    // GlobalOrder.ntileCol (r9, was a single-task global ntile over
+    // every scored document — docs grow with the corpus) — bucketed
+    // distributed row_number + exact ntile arithmetic, value-identical
+    // to SQL ntile(3) at any corpus size.
     "curate_ccnet_buckets" -> QueryDef(
       (s, d) => {
         val terms = Tables.documents(s, d)
@@ -265,8 +266,8 @@ object Curate extends QueryPack {
           .groupBy(col("doc_id"), col("source"))
           .agg(count(lit(1)).as("n_tokens"),
             expr(Q.scaledLong("avg(ln(c * 1.0 / n))", 6)).as("lp6"))
-        val wB = Window.orderBy(col("lp6").desc, col("doc_id"))
-        scored.withColumn("bucket", ntile(3).over(wB))
+        graft.engine.ops.GlobalOrder
+          .ntileCol(scored, 3, -col("lp6"), Seq(col("doc_id")), "bucket")
           .groupBy(col("source"), col("bucket"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .selectExpr("source", "CAST(bucket AS BIGINT) AS bucket",

@@ -1302,10 +1302,14 @@ object Relational extends QueryPack {
           .join(o.toDF("c2", "k_b", "b0", "b1"),
             col("c") === col("c2") && col("k_a") < col("k_b") &&
               col("a0") <= col("b1") && col("b0") <= col("a1"))
-        val w = Window.orderBy(col("n_overlaps").desc, col("c"))
+        // top-20 exits via sort+limit (TakeOrderedAndProject); the rank
+        // column is assigned after the limit, over 20 rows (r9, was
+        // rank-then-filter through a single-task global window over the
+        // per-customer aggregate — customers grow with the corpus)
         pairs.groupBy(col("c")).agg(count(lit(1)).as("n_overlaps"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 20)
+          .orderBy(col("n_overlaps").desc, col("c")).limit(20)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n_overlaps").desc, col("c"))))
           .selectExpr("CAST(rn AS BIGINT) AS rn", "c AS o_custkey",
             "CAST(n_overlaps AS BIGINT) AS n_overlaps")
           .orderBy(col("rn"))
@@ -1679,15 +1683,24 @@ object Relational extends QueryPack {
     // output is what decides broadcast vs salt vs AQE-skew-join for every
     // downstream part-key join (join_salted_skew is the treatment; this
     // is the diagnosis). Integer ppm via BIGINT division, exact in both
-    // engines; full tie-breaks keep top-10 deterministic.
+    // engines; full tie-breaks keep top-10 deterministic. Scale shape
+    // (r9, was rank-then-filter through a single-task global window plus
+    // an empty-partition total window): the top-10 exits via sort+limit
+    // (TakeOrderedAndProject — per-partition top-k then a 10-row merge),
+    // the grand total joins as a broadcast 1-row aggregate, and the rank
+    // column is assigned AFTER the limit, over 10 rows.
     "diag_key_skew" -> QueryDef(
       (s, d) => {
-        val w = Window.orderBy(col("cnt").desc, col("l_partkey"))
-        Tables.lineitem(s, d)
+        // persisted: feeds both the grand total and the top-k (one fact
+        // scan, two consumers of the per-part aggregate)
+        val agg = Tables.lineitem(s, d)
           .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 10)
+          .persistScoped()
+        val tot = agg.agg(sum(col("cnt")).as("total"))
+        agg.orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+          .crossJoin(broadcast(tot))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("cnt").desc, col("l_partkey"))))
           .selectExpr("CAST(rn AS BIGINT) AS rn", "l_partkey",
             "CAST(cnt AS BIGINT) AS cnt",
             "CAST(cnt * 1000000 DIV total AS BIGINT) AS share_ppm")
@@ -3339,9 +3352,10 @@ object Relational extends QueryPack {
     // portable statistics: the median exits as the two-middle-element
     // SUM (med2 = 2*median, no halving) and the p90 as the exact rank
     // selection, both over the CONVERTED-USER frame — bounded by user
-    // cardinality, not event volume, so the single global rank pass is
-    // a dimension-sized sort, never a fact sort (the per-user firsts
-    // are one user-keyed aggregation of the fact).
+    // cardinality, not event volume (the per-user firsts are one
+    // user-keyed aggregation of the fact), and the rank itself is
+    // distributed (GlobalOrder.rowNumber), so no task ever holds the
+    // full user frame.
     "funnel_time_to_convert" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -3352,15 +3366,23 @@ object Relational extends QueryPack {
           .join(su, Seq("user_id"))
           .where(col("tus") >= col("s_us"))
           .groupBy(col("user_id")).agg(min(col("tus")).as("p_us"))
+        // persisted: feeds the signed count, the converted count, and
+        // the rank pass
         val conv = su.join(pu, Seq("user_id"), "left")
           .withColumn("delta", col("p_us") - col("s_us"))
+          .persistScoped()
         val nSigned = conv.agg(count(lit(1)).as("n_signed"))
         val mid = "CASE WHEN rn IN (lo, hi) THEN delta END"
-        val ranked = conv.where(col("delta").isNotNull)
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("delta"), col("user_id"))))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(lit(1))))
+        // exact median/p90 ranks over the converted-user frame via the
+        // DISTRIBUTED row number (r9, was an unpartitioned window plus a
+        // literal-partition count — users grow with the corpus, so both
+        // funneled every converted user through one task at 100x); the
+        // frame count joins as a broadcast 1-row aggregate
+        val convd = conv.where(col("delta").isNotNull)
+        val nConv = convd.agg(count(lit(1)).as("n"))
+        val ranked = graft.engine.ops.GlobalOrder
+          .rowNumber(convd, col("delta"), Seq(col("user_id")), "rn")
+          .crossJoin(broadcast(nConv))
           .selectExpr("delta", "rn",
             "(n + 1) div 2 AS lo", "(n + 2) div 2 AS hi",
             "(9 * n + 9) div 10 AS r90")

@@ -569,9 +569,13 @@ object Similarity extends QueryPack {
                   transform(sequence(1, $Dim), i ->
                     element_at(xq, i) * element_at(v1arr, i)),
                   CAST(0 AS BIGINT), (a, x) -> a + x) AS alignment""")
+          // top-10 via sort+limit (TakeOrderedAndProject), rank assigned
+          // after the limit over 10 rows (r9, was rank-then-filter
+          // through a single-task global window over the corpus-scale
+          // alignment frame)
+          .orderBy(abs(col("alignment")).desc, col("vec_id")).limit(10)
           .withColumn("rn", row_number().over(
             Window.orderBy(abs(col("alignment")).desc, col("vec_id"))))
-          .where(col("rn") <= 10)
           .selectExpr("CAST(rn AS BIGINT) AS rn", "vec_id", "alignment")
           .orderBy(col("rn"))
       },
