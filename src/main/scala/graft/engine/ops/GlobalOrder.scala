@@ -52,10 +52,22 @@ object GlobalOrder {
     * `out` (BIGINT, 1-based).
     */
   def rowNumber(df: DataFrame, key: Column, ties: Seq[Column],
-      out: String = "_grn"): DataFrame = {
-    val wloc = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
-    val local = bucketed(df, key)
-      .withColumn("_glrn", row_number().over(wloc).cast("long"))
+      out: String = "_grn"): DataFrame =
+    rowNumberWith(bucketed(df, key), col("_gok") +: ties, out)
+      .drop("_gok", "_gb")
+
+  /** Distributed global `row_number()` with a CALLER-SUPPLIED bucket
+    * column `_gb` already present: `_gb` must be a deterministic
+    * monotone non-decreasing function of the sort prefix (so bucket
+    * boundaries never split the sort order) — e.g. the span-scaled
+    * integer key ([[rowNumber]]) or the first-character code of a
+    * lexicographically sorted string key. Leaves `_gb` in place for the
+    * caller to drop.
+    */
+  def rowNumberWith(df: DataFrame, sort: Seq[Column],
+      out: String): DataFrame = {
+    val wloc = Window.partitionBy(col("_gb")).orderBy(sort: _*)
+    val local = df.withColumn("_glrn", row_number().over(wloc).cast("long"))
     val offs = local.groupBy(col("_gb")).agg(count(lit(1)).as("_gcnt"))
       .withColumn("_goff", coalesce(sum(col("_gcnt")).over(
         Window.orderBy(col("_gb"))
@@ -63,7 +75,7 @@ object GlobalOrder {
       .select(col("_gb"), col("_goff"))
     local.join(broadcast(offs), Seq("_gb"))
       .withColumn(out, col("_glrn") + col("_goff"))
-      .drop("_gok", "_gb", "_glrn", "_goff")
+      .drop("_glrn", "_goff")
   }
 
   /** Distributed global running sum of `value` over the (key, ties...)

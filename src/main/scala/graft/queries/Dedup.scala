@@ -1555,9 +1555,22 @@ object Dedup extends QueryPack {
         val pos = ws0
           .select(col("doc_id"), posexplode(col("ws")))
           .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p", "col AS w")
-        val wr = pos.select(col("w")).distinct()
-          .select(col("w"),
-            row_number().over(Window.orderBy(col("w"))).cast("long").as("rk"))
+        // distributed lexicographic word rank (r9, was a single-task
+        // global row_number over the distinct-word frame — vocab grows
+        // sublinearly but unboundedly with the corpus): bucket by the
+        // first character's code point, a monotone prefix of the binary
+        // string order (fixture words are ASCII; UTF-8 byte order equals
+        // code-point order for the first character), rank within
+        // buckets, stitch with per-bucket offsets. Distinct words make
+        // row_number == dense_rank, and any order-isomorphic integer
+        // works as the round-0 rank — this one matches the oracle's
+        // ORDER BY w exactly.
+        val wr = graft.engine.ops.GlobalOrder
+          .rowNumberWith(
+            pos.select(col("w")).distinct()
+              .withColumn("_gb", expr("ascii(substring(w, 1, 1))")),
+            Seq(col("w")), "rk")
+          .select(col("w"), col("rk"))
         val pos0 = pos.join(broadcast(wr), "w")
           .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
         // 2^7 = 128 > the generator's 99-word max; the bound round is the

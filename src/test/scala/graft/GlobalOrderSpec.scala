@@ -106,6 +106,20 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(collectSorted(got, "id") == collectSorted(want, "id"))
   }
 
+  test("rowNumberWith ranks strings lexicographically via a first-char bucket") {
+    import spark.implicits._
+    val words = (1 to 400).map { i =>
+      val h = (i * 2654435761L) % 997
+      ('a' + (h % 26)).toChar.toString + ('a' + (h % 7)).toChar + (h % 13)
+    }.distinct.toDF("w")
+    val want = words.withColumn("rk",
+      row_number().over(Window.orderBy(col("w"))).cast("long"))
+    val got = GlobalOrder.rowNumberWith(
+      words.withColumn("_gb", expr("ascii(substring(w, 1, 1))")),
+      Seq(col("w")), "rk").select(col("w"), col("rk"))
+    assert(collectSorted(got, "w") == collectSorted(want, "w"))
+  }
+
   test("the per-bucket windows are partitioned; only the offset stitch is not") {
     // plan shape: the corpus-scale window must carry a partitionBy — the
     // only unpartitioned window runs over the <=32-row offset frame

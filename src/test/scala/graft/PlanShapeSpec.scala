@@ -457,13 +457,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("per-source dup rates broadcast the dup-doc set to the documents scan") {
-    // the cluster-member set is the near-dup survivors — tiny next to the
-    // corpus; a shuffle of documents by doc_id for this join would be the
-    // scale killer the broadcast avoids
-    val p = plan("dedup_rate_by_source")
-    assert(p.contains("BroadcastHashJoin"), s"dup-doc set must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"))
+  test("corpus-proportional frames carry NO forced broadcast hint (AQE decides)") {
+    // r9 (was the inverse assertion): the dup-doc set, the cluster
+    // labels, and the per-customer degree table all scale WITH the
+    // corpus — that is the point of deduplication — so a forced
+    // broadcast is an executor OOM at the 100x design point. The plain
+    // equi-join lets AQE broadcast at runtime while the set measures
+    // small and shuffle when it doesn't; the logical plan must stay
+    // hint-free on these queries.
+    for (q <- Seq("dedup_rate_by_source", "dedup_keep_best", "graph_jaccard_links")) {
+      val analyzed = SparkEntry.queries(q)(spark, d).queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      // the ONLY permitted hint is Scale.capHotKeys' broadcast of the
+      // over-cap key set (identified by its `_hn` count column) — keys
+      // shared by more members than the cap, a set the cap itself keeps
+      // tiny (the cappedShingles contract)
+      val illegal = hints.filterNot(_.child.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "_hn") => f
+      }.isDefined)
+      assert(illegal.isEmpty,
+        s"$q must not force-broadcast a corpus-proportional frame:\n${illegal.mkString("\n")}")
+      assert(!plan(q).contains("CartesianProduct"))
+    }
   }
 
   test("PCA power iteration: per-round mat-vec is scan + 64-group aggregate") {
