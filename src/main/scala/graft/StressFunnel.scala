@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object StressFunnel {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("phash")) {
+      phashLeg(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
     val reps = args.headOption.map(_.toInt).getOrElse(200)
     val spark = graft.engine.Sessions.local(32, "graft-stress-funnel")
     val src = "/root/testdata/sf0.1"
@@ -125,6 +129,88 @@ object StressFunnel {
       nCanonical == nClusters
     println(s"[funnel] docs=$nDocs shingles=$nShingles candidates=$candidates " +
       s"pairs=$nPairs clusters=$nClusters canonical=$nCanonical => " +
+      (if (ok) "OK" else "UNEXPECTED"))
+    graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+
+  /** pHash pigeonhole stress leg (`runMain graft.StressFunnel phash
+    * [reps]`, default 50 -> 250k payloads): drives the IDENTICAL staged
+    * pipeline multimodal_phash_pairs declares (TextOps.phashHashes ->
+    * phashPairsAll) over a replica corpus — replicas 0-2 verbatim (5,000
+    * exact-dup triples, hamming 0), replicas 3+ marker-tokened so each
+    * replica keeps the original near-dup structure while its histograms
+    * shift. Accounting mirrors the MinHash leg: the (chunk, value)
+    * bucket ledger BEFORE the join is the candidate volume the verify
+    * stage will pay — sum n*(n-1)/2 must stay ~linear in the replica
+    * count and the hottest bucket bounded, or the 8-bit pigeonhole has
+    * collapsed (the text-LSH r8 failure mode).
+    */
+  private def phashLeg(reps: Int): Unit = {
+    val spark = graft.engine.Sessions.local(32, "graft-stress-phash")
+    val src = "/root/testdata/sf0.1"
+    val dir = Files.createTempDirectory("graft_phash_").toString
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[phash] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    // replicas 3+ suffix EVERY word with the replica marker, so each
+    // replica's 64-bin histograms redistribute independently (the
+    // pHash analogue of the text leg's disjoint shingle spaces) while
+    // within-replica near-dup structure is preserved; replicas 0-2 stay
+    // verbatim -> 5,000 exact-dup triples at hamming 0
+    val nDocs = t(s"synthesize ${reps}x corpus") {
+      graft.engine.Tables.documents(spark, src)
+        .crossJoin(spark.range(reps.toLong).toDF("rep"))
+        .selectExpr(
+          "doc_id * 1000 + rep AS doc_id",
+          """CASE WHEN rep < 3 THEN text
+             ELSE regexp_replace(text, '(\\S+)', concat('$1r', CAST(rep AS STRING))) END AS text""",
+          "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.read.parquet(s"$dir/documents.parquet").count()
+    }
+    println(s"[phash] corpus: $nDocs payloads")
+
+    val hashes = t("stage 1: staged 63-bit pHash") {
+      val h = graft.queries.TextOps.phashHashes(spark, dir).localCheckpoint()
+      h.count()
+      h
+    }
+    // ledger BEFORE the cap (what a naive pigeonhole would pay) and the
+    // CAPPED index the verify stage actually joins — the delta is the
+    // stop-chunk cap's work
+    val (rawCand, rawMax) = t("stage 2a: raw chunk-bucket ledger") {
+      val r = graft.queries.TextOps.phashChunks(hashes)
+        .groupBy(col("c"), col("ck")).agg(count(lit(1)).as("n_docs"))
+        .agg(sum(expr("n_docs * (n_docs - 1) div 2")).as("cand"),
+          max(col("n_docs")).as("mx")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nBuckets, candidates, maxBucket) = t("stage 2b: capped index ledger") {
+      val r = graft.queries.TextOps.phashIndexChunks(hashes)
+        .groupBy(col("c"), col("ck")).agg(count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)).as("buckets"),
+          sum(expr("n_docs * (n_docs - 1) div 2")).as("cand"),
+          max(col("n_docs")).as("mx")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    println(s"[phash] raw: candidates=$rawCand max_bucket=$rawMax | capped: " +
+      s"buckets=$nBuckets candidates=$candidates max_bucket=$maxBucket")
+    val nPairs = t("stage 3: verified pairs (hamming <= 7)") {
+      graft.queries.TextOps.phashPairsAll(hashes).count()
+    }
+    println(s"[phash] verified_pairs=$nPairs")
+
+    // accounting: 5,000 verbatim triples -> >= 15,000 hamming-0 pairs;
+    // capped candidate volume within the cap's LINEAR guarantee (each
+    // payload's 8 chunks contribute < MaxChunkDocFreq/2 candidates
+    // apiece), hottest surviving bucket <= the cap
+    val ok = nDocs == 5000L * reps && nPairs >= 15000 &&
+      candidates <= 4L * graft.queries.TextOps.MaxChunkDocFreq * nDocs &&
+      maxBucket <= graft.queries.TextOps.MaxChunkDocFreq
+    println(s"[phash] docs=$nDocs candidates=$candidates pairs=$nPairs " +
+      s"cand_per_doc=${candidates / math.max(nDocs, 1)} => " +
       (if (ok) "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
@@ -164,6 +165,74 @@ object TextOps extends QueryPack {
          CASE WHEN dc[CAST(k AS INT) + 1] > med
               THEN (CAST(1 AS BIGINT) << (CAST(k AS INT) - 1))
               ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"""
+
+  /** The staged pHash pipeline: (doc_id, h). Persist barriers between
+    * the hash stages are load-bearing: without them CollapseProject
+    * inlines the 64-bin grid expression into every one of the DCT
+    * lambda's 4096 element_at(gr, ...) references (and dc into the 126
+    * bit-stage references) — measured as a ~500,000x re-evaluation
+    * hang, not a plan-shape nicety. Exposed to the StressFunnel pHash
+    * leg, which drives the identical code path at 250k payloads.
+    */
+  private[graft] def phashHashes(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val grid = Tables.documents(s, d)
+      .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+      .selectExpr("doc_id", s"$phSparkBins AS bs")
+      .persistScoped()
+      .selectExpr("doc_id", s"$phSparkGrid AS gr", s"$phashBasisSql AS bf")
+      .persistScoped()
+    val rowT = grid
+      .selectExpr("doc_id", s"$phSparkRowT AS rt", "bf").persistScoped()
+    val dct = rowT.selectExpr("doc_id", s"$phSparkDct AS dc").persistScoped()
+    val med = dct.selectExpr("doc_id", "dc", s"$phSparkMed AS med").persistScoped()
+    med.selectExpr("doc_id", s"$phSparkBits AS h").persistScoped()
+  }
+
+  /** 8-bit pigeonhole chunk rows (doc_id, h, c, ck) of a hash frame. */
+  private[graft] def phashChunks(hashes: DataFrame): DataFrame =
+    hashes.selectExpr("doc_id", "h",
+      "explode(transform(sequence(0, 7), c -> struct(c AS c, shiftright(h, CAST(8 * c AS INT)) & 255 AS ck))) AS p")
+      .selectExpr("doc_id", "h", "p.c AS c", "p.ck AS ck")
+
+  /** Stop-chunk cap: a (position, value) chunk bucket held by more than
+    * this many payloads is dropped from the pigeonhole index — the
+    * MinHash stop-shingle rule transplanted to Hamming space. Hot chunk
+    * values are the SIGN PATTERNS nearly every histogram shares (low-
+    * frequency AC signs are corpus-systematic, so their 8-bit chunks
+    * collapse onto a handful of values): the r9 StressFunnel pHash leg
+    * measured bucket 24%-of-corpus at 5k payloads and 602M candidates
+    * (12k/doc, superlinear) at 50k — the identical failure mode the
+    * stop-shingle cap fixed for text LSH in r8. Dropping a hot bucket
+    * costs recall ONLY for pairs whose every other shared chunk is also
+    * hot; near-dups (hamming <= 2) share >= 6 of 8 chunks, so they
+    * survive unless ALL their chunks are corpus-typical — the standard
+    * recall trade of every production multi-index (FAISS nprobe, LSH
+    * band caps). Mirrored in the DuckDB oracle.
+    */
+  private[graft] val MaxChunkDocFreq = 1000
+
+  /** The stop-chunk-capped pigeonhole index rows. */
+  private[graft] def phashIndexChunks(hashes: DataFrame): DataFrame =
+    graft.engine.ops.Scale.capHotKeys(
+      phashChunks(hashes), expr("c * 256 + ck"), MaxChunkDocFreq)
+
+  /** Pigeonhole candidates verified to hamming <= 7 — the full pair set
+    * (the declared query takes top-25). Candidates come only from
+    * stop-chunk-capped buckets, so per-payload candidate volume is
+    * bounded by 8 * MaxChunkDocFreq at any corpus size.
+    */
+  private[graft] def phashPairsAll(hashes: DataFrame): DataFrame = {
+    val chunks = phashIndexChunks(hashes)
+    chunks.toDF("doc_a", "ha", "c", "ck")
+      .join(chunks.toDF("doc_b", "hb", "c2", "ck2"),
+        col("c") === col("c2") && col("ck") === col("ck2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      .selectExpr("doc_a", "doc_b",
+        "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming")
+      .where(col("hamming") <= 7)
+  }
 
   // ---- shared logistic-regression machinery (quality_logreg_train) ----
 
@@ -1890,7 +1959,10 @@ object TextOps extends QueryPack {
     // survives small local edits, so near-dup payloads land at small
     // Hamming distance. Pairs emerge via the SimHash pigeonhole: 8-bit
     // chunks equi-join (hamming <= 7 implies >= 1 of 8 chunks equal),
-    // then exact bit_count verification.
+    // STOP-CHUNK-CAPPED (MaxChunkDocFreq — corpus-typical sign patterns
+    // carry no near-dup signal and their buckets go quadratic; see the
+    // constant's scaladoc for the measured collapse), then exact
+    // bit_count verification.
     //
     // Determinism: the DCT basis is embedded as ONE set of e4-scaled
     // integer literals (printed once by the same Scala code into both
@@ -1900,39 +1972,10 @@ object TextOps extends QueryPack {
     // map; only 8-byte (chunk, hash) rows shuffle for the bucket join;
     // verification touches candidates only.
     "multimodal_phash_pairs" -> QueryDef(
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        // persist barriers between the hash stages: without them
-        // CollapseProject inlines the 64-bin grid expression into every
-        // one of the DCT lambda's 4096 element_at(gr, ...) references
-        // (and dc into the 126 bit-stage references) — measured as a
-        // ~500,000x re-evaluation hang, not a plan-shape nicety
-        val grid = Tables.documents(s, d)
-          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
-          .selectExpr("doc_id", s"$phSparkBins AS bs")
-          .persistScoped()
-          .selectExpr("doc_id", s"$phSparkGrid AS gr", s"$phashBasisSql AS bf")
-          .persistScoped()
-        val rowT = grid
-          .selectExpr("doc_id", s"$phSparkRowT AS rt", "bf").persistScoped()
-        val dct = rowT.selectExpr("doc_id", s"$phSparkDct AS dc").persistScoped()
-        val med = dct.selectExpr("doc_id", "dc", s"$phSparkMed AS med").persistScoped()
-        val docs = med.selectExpr("doc_id", s"$phSparkBits AS h")
-          .persistScoped()
-        val chunks = docs.selectExpr("doc_id", "h",
-          "explode(transform(sequence(0, 7), c -> struct(c AS c, shiftright(h, CAST(8 * c AS INT)) & 255 AS ck))) AS p")
-          .selectExpr("doc_id", "h", "p.c AS c", "p.ck AS ck")
-        chunks.toDF("doc_a", "ha", "c", "ck")
-          .join(chunks.toDF("doc_b", "hb", "c2", "ck2"),
-            col("c") === col("c2") && col("ck") === col("ck2") &&
-              col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
-          .selectExpr("doc_a", "doc_b",
-            "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming")
-          .where(col("hamming") <= 7)
+      (s, d) =>
+        phashPairsAll(phashHashes(s, d))
           .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-          .limit(25)
-      },
+          .limit(25),
       Some(s"""
         WITH w AS MATERIALIZED (SELECT doc_id, ${duckWords("lower(text)")} AS ws FROM documents),
         bn AS MATERIALIZED (SELECT doc_id, $phDuckBins AS bs FROM w),
@@ -1941,9 +1984,13 @@ object TextOps extends QueryPack {
         dcf AS MATERIALIZED (SELECT doc_id, $phDuckDct AS dc FROM rtf),
         mdf AS MATERIALIZED (SELECT doc_id, dc, $phDuckMed AS med FROM dcf),
         hs AS MATERIALIZED (SELECT doc_id, $phDuckBits AS h FROM mdf),
-        ch AS (
+        ch0 AS MATERIALIZED (
           SELECT doc_id, h, c, (h >> CAST(8 * c AS INT)) & 255 AS ck
           FROM (SELECT doc_id, h, unnest(range(0, 8)) AS c FROM hs) q),
+        ch AS MATERIALIZED (
+          SELECT doc_id, h, c, ck FROM ch0 WHERE c * 256 + ck NOT IN (
+            SELECT c * 256 + ck FROM ch0 GROUP BY c, ck
+            HAVING count(*) > $MaxChunkDocFreq)),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.h AS ha, b.h AS hb
