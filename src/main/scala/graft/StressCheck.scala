@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object StressCheck {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stream")) {
+      streamLeg(args.lift(1).map(_.toInt).getOrElse(1000000))
+      return
+    }
     val spark = graft.engine.Sessions.local(32, "graft-stress")
     val src = "/root/testdata/sf0.1"
     val dir = Files.createTempDirectory("graft_stress_").toString
@@ -329,6 +333,117 @@ object StressCheck {
         bqRows == 100 && winnowed >= nDocs - 25 &&
         sqRows == 100 && kcRows == 4 && maxBlock <= 100)
         "OK" else "UNEXPECTED"))
+    graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+
+  /** Streaming scale-out throughput leg (`runMain graft.StressCheck
+    * stream [nEvents]`, default 1M): the THROUGHPUT half of
+    * StatePartitionDialSpec's semantics half — that spec proves the
+    * gated output is identical at 1 vs 8 state partitions; this leg
+    * measures what the dial BUYS, at a volume where state-store work
+    * dominates, and re-asserts output identity at the same time.
+    *
+    * Leg A drives the full StreamProcessor (parse -> route ->
+    * EvolvingTableSink bronze + dead-letter parquet, checkpointed;
+    * reference: src/consumer/stream_processor.py:24-167) over
+    * executor-generated raw batch files, reporting end-to-end events/s
+    * and the T7 progress telemetry fields the reference logs
+    * (stream_processor.py:137-144). The parse->route path is stateless
+    * and narrow, so its throughput is partition-count independent — the
+    * baseline the stateful leg is read against.
+    *
+    * Leg B runs a watermarked dropDuplicatesWithinWatermark over the
+    * same volume — every event a DISTINCT key, so the state store holds
+    * nEvents rows by end-of-run (the adversarial shape for state
+    * throughput) — once with 1 state partition and once with 8,
+    * reporting wall time, events/s, and the per-run state-store time
+    * (sum of allUpdatesTimeMs + commitTimeMs over all micro-batches /
+    * stateful operators). The two runs' outputs must be checksum-equal:
+    * partition count is a throughput dial, never a semantics dial.
+    */
+  private def streamLeg(nEvents: Int): Unit = {
+    val spark = graft.engine.Sessions.local(32, "graft-stress-stream")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_sstream_").toString
+    def t[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[sstream] $name: $sec%.1f s"); (r, sec)
+    }
+
+    // ---- leg A: StreamProcessor end-to-end ----
+    val perBatch = 1000
+    val nBatches = math.max(nEvents / perBatch, 1)
+    t(s"generate $nBatches raw batch files (executor-side)") {
+      spark.range(nBatches)
+        .map(i => new graft.fixtures.EventGen(seed = 5000L + i,
+          corruptionChance = 0.05, invalidSchemaChance = 0.05).nextBatch(perBatch))
+        .toDF("value").repartition(64)
+        .write.text(s"$dir/raw")
+    }
+    val proc = new graft.engine.stream.StreamProcessor(
+      new graft.engine.sinks.EvolvingTableSink(s"$dir/bronze"),
+      new graft.engine.sinks.ParquetAppendSink(s"$dir/dead"),
+      checkpointLocation = s"$dir/ckpt",
+      trigger = Trigger.AvailableNow())
+    val (_, procSec) = t(s"StreamProcessor ${nBatches * perBatch} events") {
+      val q = proc.start(spark.readStream
+        .option("maxFilesPerTrigger", 16).text(s"$dir/raw"))
+      q.awaitTermination()
+      proc.progressSummary(q).foreach(s => println(s"[sstream] $s"))
+    }
+    val (valid, dead) = proc.lastBatchCounts
+    println(f"[sstream] StreamProcessor: ${nBatches * perBatch / procSec}%.0f events/s " +
+      s"(last batch valid=$valid dead=$dead)")
+
+    // ---- leg B: stateful dedup, 1 vs 8 state partitions ----
+    t("generate event parquet") {
+      spark.range(nEvents.toLong).selectExpr(
+        "CAST(timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, id % 86400) AS timestamp) AS ts",
+        "concat('e', CAST(id AS STRING)) AS event_id",
+        "CAST(id % 97 AS BIGINT) AS user_id")
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/events")
+    }
+    val schema = spark.read.parquet(s"$dir/events").schema
+    val results = for (parts <- Seq(1, 8)) yield {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val out = s"$dir/out$parts"
+        val (_, sec) = t(s"dedup roundtrip @ $parts state partition(s)") {
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8).parquet(s"$dir/events")
+            .withWatermark("ts", "48 hours")
+            .dropDuplicatesWithinWatermark("event_id")
+            .writeStream
+            .option("checkpointLocation", s"$dir/ckpt$parts")
+            .trigger(Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start()
+          q.awaitTermination()
+          val stateMs = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq)
+            .map(so => so.allUpdatesTimeMs + so.commitTimeMs).sum
+          val batches = q.recentProgress.length
+          println(s"[sstream] parts=$parts micro_batches=$batches state_store_ms=$stateMs")
+          stateMs
+        }
+        val chk = spark.read.parquet(out)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(event_id))").as("h"))
+          .collect().head
+        println(f"[sstream] parts=$parts wall=$sec%.1f s " +
+          f"rate=${nEvents / sec}%.0f events/s rows=${chk.getLong(0)}")
+        (parts, sec, chk.getLong(0), chk.getLong(1))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val Seq((_, s1, n1, h1), (_, s8, n8, h8)) = results
+    val ok = n1 == nEvents.toLong && n8 == n1 && h8 == h1
+    println(f"[sstream] dial: 1 -> 8 partitions speedup=${s1 / s8}%.2fx " +
+      s"outputs_identical=${n8 == n1 && h8 == h1} => " +
+      (if (ok) "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
   }
