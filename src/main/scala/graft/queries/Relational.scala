@@ -40,6 +40,23 @@ object Relational extends QueryPack {
     */
   private val MaxBasketBrands = 64
 
+  /** Cornish-Fisher quantile estimates from merged raw power sums
+    * (columns n, s1, s2, s3) — ONE identical expression string in both
+    * dialects (explicit DOUBLE casts, source-text-fixed association).
+    * est_q = mean + std * (z_q + skew/6 * (z_q^2 - 1)); z_50 = 0,
+    * z_90 = 1.2815515655446004.
+    */
+  private val MomMean = "(s1 / CAST(n AS DOUBLE))"
+  private val MomStd =
+    s"sqrt(s2 / CAST(n AS DOUBLE) - $MomMean * $MomMean)"
+  private val MomSkew =
+    s"((s3 / CAST(n AS DOUBLE) - 3.0 * $MomMean * (s2 / CAST(n AS DOUBLE)) " +
+      s"+ 2.0 * $MomMean * $MomMean * $MomMean) / ($MomStd * $MomStd * $MomStd))"
+  private val MomP50 = s"($MomMean - $MomStd * $MomSkew / 6.0)"
+  private val MomP90 =
+    s"($MomMean + $MomStd * (1.2815515655446004 + $MomSkew / 6.0 * " +
+      "(1.2815515655446004 * 1.2815515655446004 - 1.0)))"
+
   def defs: Map[String, QueryDef] = Map(
     // ---- aggregation ----------------------------------------------------
     "q1_pricing_summary" -> QueryDef(
@@ -3671,6 +3688,90 @@ object Relational extends QueryPack {
                CAST(c.cum_n AS BIGINT) AS cum_n
         FROM picked p JOIN cum c ON p.bin = c.bin
         ORDER BY q""")),
+
+    // Moments quantile sketch (Gan et al. 2018, "Moment-Based Quantile
+    // Sketches for Efficient High Cardinality Aggregation Queries" —
+    // the sketch Druid ships): summarize a shard by its raw power sums
+    // (n, Σx, Σx², Σx³), MERGE shards by pure ADDITION, then estimate
+    // quantiles from the merged moments via the Cornish-Fisher
+    // expansion (z + skew/6·(z²−1)). Chosen over t-digest DELIBERATELY:
+    // t-digest centroids depend on merge ORDER, so a Spark run and a
+    // DuckDB run (or two Spark runs) produce different digests and the
+    // cross-engine hash gate cannot hold; power sums are
+    // order-invariant, the only truly deterministic mergeable quantile
+    // summary. Gated like the other sketches (r8 contract): estimate +
+    // exact twin + within_bound — the exact twins come from the
+    // cents-histogram rank (GlobalOrder.runningSum over the bounded
+    // price grid, no single-task window), and the <= 15% bound is
+    // checked by exact integer cross-multiplication in cents.
+    "sketch_moments_quantiles" -> QueryDef(
+      (s, d) => {
+        val shards = Tables.orders(s, d)
+          .selectExpr("o_orderkey % 8 AS shard", "CAST(o_totalprice AS DOUBLE) AS x")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("pn"), sum(col("x")).as("ps1"),
+            sum(expr("x * x")).as("ps2"), sum(expr("x * x * x")).as("ps3"))
+        val merged = shards.agg(sum(col("pn")).as("n"), sum(col("ps1")).as("s1"),
+          sum(col("ps2")).as("s2"), sum(col("ps3")).as("s3"))
+        val est = merged.selectExpr("n",
+          s"${Q.scaledLong(MomP50, 2)} AS est_p50_c",
+          s"${Q.scaledLong(MomP90, 2)} AS est_p90_c")
+        val byPrice = Tables.orders(s, d)
+          .selectExpr(s"${Q.scaledLong("o_totalprice", 2)} AS price_c")
+          .groupBy(col("price_c")).agg(count(lit(1)).as("c"))
+        val cum = graft.engine.ops.GlobalOrder
+          .runningSum(byPrice, col("price_c"), Nil, col("c"), "cum_n")
+        val tot = byPrice.agg(sum(col("c")).as("total"))
+        val qs = s.range(1).selectExpr("explode(array(50, 90)) AS q")
+        val exact = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+          .filter(col("cum_n") * lit(100L) >= col("q") * col("total"))
+          .groupBy(col("q")).agg(min(col("price_c")).as("px"))
+        val ex = exact.groupBy()
+          .agg(min(when(col("q") === 50, col("px"))).as("exact_p50_c"),
+            min(when(col("q") === 90, col("px"))).as("exact_p90_c"))
+        est.crossJoin(broadcast(ex))
+          .selectExpr("n", "est_p50_c", "exact_p50_c",
+            "abs(est_p50_c - exact_p50_c) * 100 <= 15 * exact_p50_c AS p50_within",
+            "est_p90_c", "exact_p90_c",
+            "abs(est_p90_c - exact_p90_c) * 100 <= 15 * exact_p90_c AS p90_within")
+      },
+      Some(s"""
+        WITH shards AS (
+          SELECT o_orderkey % 8 AS shard, count(*) AS pn,
+                 sum(CAST(o_totalprice AS DOUBLE)) AS ps1,
+                 sum(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE)) AS ps2,
+                 sum(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE)) AS ps3
+          FROM orders GROUP BY shard),
+        merged AS (
+          SELECT CAST(sum(pn) AS BIGINT) AS n, sum(ps1) AS s1,
+                 sum(ps2) AS s2, sum(ps3) AS s3
+          FROM shards),
+        est AS (
+          SELECT n, ${Q.scaledLong(MomP50, 2)} AS est_p50_c,
+                 ${Q.scaledLong(MomP90, 2)} AS est_p90_c
+          FROM merged),
+        bp AS (
+          SELECT ${Q.scaledLong("o_totalprice", 2)} AS price_c,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        cum AS (
+          SELECT price_c, sum(c) OVER (ORDER BY price_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                 (SELECT sum(c) FROM bp) AS total
+          FROM bp),
+        ex AS (
+          SELECT CAST(min(CASE WHEN q = 50 THEN px END) AS BIGINT) AS exact_p50_c,
+                 CAST(min(CASE WHEN q = 90 THEN px END) AS BIGINT) AS exact_p90_c
+          FROM (
+            SELECT q, min(price_c) AS px
+            FROM cum CROSS JOIN (SELECT unnest([50, 90]) AS q) qs
+            WHERE cum_n * 100 >= q * total
+            GROUP BY q) t)
+        SELECT n, est_p50_c, exact_p50_c,
+               abs(est_p50_c - exact_p50_c) * 100 <= 15 * exact_p50_c AS p50_within,
+               est_p90_c, exact_p90_c,
+               abs(est_p90_c - exact_p90_c) * 100 <= 15 * exact_p90_c AS p90_within
+        FROM est CROSS JOIN ex""")),
 
     // SQL:2016 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ordered
     // string aggregation added to the engine surface in Spark 4. The

@@ -234,6 +234,26 @@ object TextOps extends QueryPack {
       .where(col("hamming") <= 7)
   }
 
+  /** Interpolated Kneser-Ney bigram probability over columns
+    * (cxy, c1, f1, f2, tt), D = 0.75: ONE identical expression string in
+    * both dialects (explicit DOUBLE casts, source-text-fixed
+    * association, transcendental ULP contract).
+    */
+  private val KnProb: String =
+    "((CAST(cxy AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) + " +
+      "0.75 * CAST(f1 AS DOUBLE) / CAST(c1 AS DOUBLE) * " +
+      "(CAST(f2 AS DOUBLE) / CAST(tt AS DOUBLE)))"
+
+  /** NPMI of an adjacent pair, over columns (cxy, cx, cy, nb, nu): ONE
+    * identical expression string in both dialects — every operand cast
+    * to DOUBLE explicitly, association fixed by the source text, rounded
+    * once through Q.scaledLong (the transcendental ULP contract).
+    */
+  private val NpmiExpr: String =
+    "ln((CAST(cxy AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)) / " +
+      "(CAST(nb AS DOUBLE) * CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) / " +
+      "(-ln(CAST(cxy AS DOUBLE) / CAST(nb AS DOUBLE)))"
+
   // ---- shared logistic-regression machinery (quality_logreg_train) ----
 
   /** GD steps; unrolled identically in the Spark loop and the oracle's
@@ -915,6 +935,224 @@ object TextOps extends QueryPack {
                  JOIN uni u2 ON u2.w = bgr.w2
                  CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    // C4-style wordlist filter (Raffel et al. 2020 §2.2 dropped any page
+    // containing a "bad words" list hit; the list here is a stand-in
+    // drawn from the fixture vocabulary): flag documents containing ANY
+    // blocklisted token and report per-source exposure — flagged docs,
+    // total hits, exact ppm rate — the table that decides which feeds
+    // need scrubbing vs dropping. The list is a literal array inside a
+    // ROW-LOCAL set-intersection (a real 400-term list still rides the
+    // expression; nothing joins), so the corpus scan never shuffles and
+    // only the per-source aggregate exits. Integer logic end to end.
+    "text_blocklist_filter" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("source", s"${sparkWords("lower(text)")} AS ws")
+        .selectExpr("source",
+          "CASE WHEN size(array_intersect(ws, array('slow', 'dup', 'stale'))) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flagged",
+          "CAST(size(filter(ws, w -> w IN ('slow', 'dup', 'stale'))) AS BIGINT) AS hits")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("flagged")).as("n_flagged"),
+          sum(col("hits")).as("n_hits"))
+        .selectExpr("source", "n_docs", "n_flagged", "n_hits",
+          "CAST(n_flagged * 1000000 DIV n_docs AS BIGINT) AS flagged_ppm")
+        .orderBy(col("source")),
+      Some(s"""
+        WITH w AS (
+          SELECT source, ${duckWords("lower(text)")} AS ws FROM documents),
+        f AS (
+          SELECT source,
+                 CASE WHEN len(list_intersect(ws, ['slow', 'dup', 'stale'])) > 0
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flagged,
+                 CAST(len(list_filter(ws, w -> w IN ('slow', 'dup', 'stale'))) AS BIGINT) AS hits
+          FROM w)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(flagged) AS BIGINT) AS n_flagged,
+               CAST(sum(hits) AS BIGINT) AS n_hits,
+               CAST(sum(flagged) * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // Collocation mining by normalized pointwise mutual information
+    // (Church & Hanks 1990 PMI; Bouma 2009 NPMI normalization) — the
+    // phrase-discovery pass tokenizer pipelines run before deciding
+    // multi-word merge candidates, and the statistic behind word2vec's
+    // phrase pass. For adjacent word pairs with count >= 20:
+    // npmi = ln(p(xy)/(p(x)p(y))) / -ln p(xy), with p(xy) over bigram
+    // tokens and p(x) over unigram tokens. Top-15 by NPMI, exact
+    // integer counts carried alongside, ratio e6-scaled through ONE
+    // identical expression string in both dialects (the transcendental
+    // ULP contract). Scale shape: the corpus makes two vocab-bounded
+    // aggregates (bigram-type and unigram counts); all arithmetic runs
+    // over the <= |V|^2 type frame; top-15 exits via sort+limit.
+    "text_collocations_npmi" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+          .where("size(ws) >= 2")
+        val bg = docs.selectExpr(
+          "explode(transform(sequence(1, size(ws) - 1), i -> " +
+            "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))) AS b")
+          .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        val uni = docs.selectExpr("explode(ws) AS w")
+          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        val nb = bg.agg(sum(col("cxy")).as("nb"))
+        val nu = uni.agg(sum(col("cu")).as("nu"))
+        bg.where(col("cxy") >= 20)
+          .join(broadcast(uni.toDF("w1", "cx")), Seq("w1"))
+          .join(broadcast(uni.toDF("w2", "cy")), Seq("w2"))
+          .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+          .selectExpr("w1", "w2", "cxy",
+            s"${Q.scaledLong(NpmiExpr, 6)} AS npmi_e6")
+          .orderBy(col("npmi_e6").desc, col("w1"), col("w2"))
+          .limit(15)
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT ${duckWords("lower(text)")} AS ws FROM documents),
+        d2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+        bg AS (
+          SELECT ws[CAST(p AS INT)] AS w1, ws[CAST(p AS INT) + 1] AS w2,
+                 CAST(count(*) AS BIGINT) AS cxy
+          FROM d2, LATERAL unnest(range(1, len(ws))) AS u(p)
+          GROUP BY 1, 2),
+        uni AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cu
+          FROM (SELECT unnest(ws) AS w FROM d2) GROUP BY w),
+        nbt AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM bg),
+        nut AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni)
+        SELECT w1, w2, cxy, ${Q.scaledLong(NpmiExpr, 6)} AS npmi_e6
+        FROM (
+          SELECT bg.w1, bg.w2, cxy, ux.cu AS cx, uy.cu AS cy, nb, nu
+          FROM bg JOIN uni ux ON ux.w = bg.w1
+                  JOIN uni uy ON uy.w = bg.w2
+                  CROSS JOIN nbt CROSS JOIN nut
+          WHERE cxy >= 20) t
+        ORDER BY npmi_e6 DESC, w1, w2 LIMIT 15""")),
+
+    // Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995;
+    // Chen & Goodman 1999's interpolated form with fixed discount
+    // D = 0.75) — the smoothing every KenLM-style corpus-quality filter
+    // actually ships, upgrading text_bigram_logprob's naive mixture:
+    // the lower-order weight is the CONTINUATION probability (in how
+    // many distinct contexts does w2 appear) rather than raw frequency,
+    // which is what stops "francisco" outscoring "the" after unseen
+    // contexts. p(w2|w1) = (c(w1w2) - D)/c(w1)
+    //            + D * N1+(w1.)/c(w1) * N1+(.w2)/T
+    // over bigram types (every seen bigram has c >= 1 > D, so the max()
+    // is vacuous and the formula is one branch-free expression).
+    // Reports the corpus-level aggregate: token count, type count,
+    // average token logprob, perplexity. Scale shape: ONE corpus pass
+    // makes the bigram-type counts; every other frame (prefix fanouts,
+    // continuation fanouts, totals) derives from that vocab-bounded
+    // type table, and the final fold is over types weighted by counts —
+    // the corpus is never touched again.
+    "text_kn_bigram_logprob" -> QueryDef(
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+          .where("size(ws) >= 2")
+          .selectExpr(
+            "explode(transform(sequence(1, size(ws) - 1), i -> " +
+              "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))) AS b")
+          .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        val pre = bg.groupBy(col("w1"))
+          .agg(sum(col("cxy")).as("c1"), count(lit(1)).cast("bigint").as("f1"))
+        val cont = bg.groupBy(col("w2"))
+          .agg(count(lit(1)).cast("bigint").as("f2"))
+        val tots = bg.agg(count(lit(1)).cast("bigint").as("tt"),
+          sum(col("cxy")).as("nn"))
+        bg.join(broadcast(pre), Seq("w1"))
+          .join(broadcast(cont), Seq("w2"))
+          .crossJoin(broadcast(tots))
+          .agg(
+            min(col("nn")).as("n_bigrams"),
+            min(col("tt")).as("n_types"),
+            expr(s"round(sum(CAST(cxy AS DOUBLE) * ln($KnProb)) / CAST(min(nn) AS DOUBLE), 6)")
+              .as("avg_logprob"),
+            expr(Q.scaledLong(
+              s"exp(-(sum(CAST(cxy AS DOUBLE) * ln($KnProb)) / CAST(min(nn) AS DOUBLE)))", 6))
+              .as("ppl_e6"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT ${duckWords("lower(text)")} AS ws FROM documents),
+        d2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+        bg AS MATERIALIZED (
+          SELECT ws[CAST(p AS INT)] AS w1, ws[CAST(p AS INT) + 1] AS w2,
+                 CAST(count(*) AS BIGINT) AS cxy
+          FROM d2, LATERAL unnest(range(1, len(ws))) AS u(p)
+          GROUP BY 1, 2),
+        pre AS (
+          SELECT w1, CAST(sum(cxy) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS f1
+          FROM bg GROUP BY w1),
+        cont AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS f2 FROM bg GROUP BY w2),
+        tots AS (
+          SELECT CAST(count(*) AS BIGINT) AS tt,
+                 CAST(sum(cxy) AS BIGINT) AS nn FROM bg)
+        SELECT CAST(min(nn) AS BIGINT) AS n_bigrams,
+               CAST(min(tt) AS BIGINT) AS n_types,
+               round(sum(CAST(cxy AS DOUBLE) * ln($KnProb)) / CAST(min(nn) AS DOUBLE), 6) AS avg_logprob,
+               ${Q.scaledLong(
+          s"exp(-(sum(CAST(cxy AS DOUBLE) * ln($KnProb)) / CAST(min(nn) AS DOUBLE)))", 6)} AS ppl_e6
+        FROM bg JOIN pre USING (w1) JOIN cont USING (w2)
+                CROSS JOIN tots""")),
+
+    // Corpus diversity by distinct-n ratios (the Self-BLEU/"distinct-n"
+    // diversity family, Li et al. 2016): per source and n-gram order
+    // n = 1, 2, 3, the share of n-gram TOKENS that are distinct TYPES —
+    // the degenerate-repetition dashboard a synthetic-data pipeline
+    // watches (model-generated corpora collapse this ratio long before
+    // eyeballs notice). Exact distinct via the two-stage aggregate
+    // (groupBy (source, gram) then groupBy source) — one shuffle per
+    // order, the standard exact-distinct cost, map-side combinable; no
+    // windows anywhere.
+    "text_distinct_ngrams" -> QueryDef(
+      (s, d) => {
+        def level(n: Int) = {
+          val grams =
+            if (n == 1) Tables.documents(s, d)
+              .selectExpr("source", s"explode(${sparkWords("lower(text)")}) AS g")
+            else Tables.documents(s, d)
+              .selectExpr("source", s"${sparkWords("lower(text)")} AS ws")
+              .where(s"size(ws) >= $n")
+              .selectExpr("source",
+                s"explode(transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+                  s"concat_ws(' ', slice(ws, i, $n)))) AS g")
+          grams.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).cast("bigint").as("n_types"),
+              sum(col("c")).as("n_tokens"))
+            .selectExpr("source", s"CAST($n AS BIGINT) AS n", "n_types", "n_tokens",
+              s"${Q.scaledLong("CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS distinct_e6")
+        }
+        level(1).unionByName(level(2)).unionByName(level(3))
+          .orderBy(col("source"), col("n"))
+      },
+      Some(s"""
+        WITH w AS MATERIALIZED (
+          SELECT source, ${duckWords("lower(text)")} AS ws FROM documents),
+        ${(1 to 3).map { n =>
+          val grams =
+            if (n == 1) "SELECT source, unnest(ws) AS g FROM w"
+            else
+              s"""SELECT source, array_to_string(ws[CAST(p AS INT):CAST(p AS INT) + ${n - 1}], ' ') AS g
+                  FROM (SELECT source, ws FROM w WHERE len(ws) >= $n) q,
+                       LATERAL unnest(range(1, len(ws) - ${n - 2})) AS u(p)"""
+          s"""l$n AS (
+            SELECT source, CAST($n AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   ${Q.scaledLong("CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)", 6)} AS distinct_e6
+            FROM (SELECT source, g, count(*) AS c FROM ($grams) gg GROUP BY 1, 2) t
+            GROUP BY source)"""
+        }.mkString(",\n        ")}
+        SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+        ORDER BY source, n""")),
 
     // Composite document filter in the Gopher/C4 style: precedence chain
     // of cheap quality rules producing a keep/drop REASON per doc (the
