@@ -33,13 +33,39 @@ object GlobalOrder {
 
   private val Buckets = 32
 
+  /** Internal cut point: each helper consumes its keyed/windowed frame
+    * two-to-three times (min/max pass, offset aggregate, final stitch
+    * join, seam extraction), and DataFrame plans are TREES — every
+    * reference clones the whole subtree, so a chained call compounds
+    * both re-execution and Catalyst re-analysis geometrically (measured:
+    * three chained ntileCol calls cost ~10 s of pure planning on a
+    * 0.2 s query when left uncut). Two regimes:
+    *
+    *   - SHALLOW plan (<= 24 analyzed nodes): lazy persist through the
+    *     engine registry — execution runs once, the cloned subtrees are
+    *     cheap to re-analyze, and no eager job is paid (a chained
+    *     helper's input is the previous helper's already-shallow
+    *     output, so chains stay in this regime);
+    *   - DEEP plan: eager localCheckpoint (the ConnectedComponents /
+    *     suffix-array discipline) — executes once AND replaces every
+    *     downstream reference with a LogicalRDD leaf, cutting the
+    *     re-analysis. Blocks are released by the context cleaner when
+    *     the result is garbage collected.
+    */
+  private def cut(df: DataFrame): DataFrame = {
+    val nodes = df.queryExecution.analyzed.collect { case p => p }.size
+    if (nodes > 24) df.localCheckpoint()
+    else graft.engine.Persisted.add(df)
+  }
+
   /** Adds `_gb` (bucket) from the monotone span scaling of `key`, and
-    * `_gok` (the long key). One extra min/max aggregate pass.
+    * `_gok` (the long key), over a [[cut]] keyed frame (one evaluation,
+    * bounded re-analysis).
     */
   private def bucketed(df: DataFrame, key: Column): DataFrame = {
-    val mm = df.select(key.cast("long").as("_gok"))
-      .agg(min(col("_gok")).as("_gmn"), max(col("_gok")).as("_gmx"))
-    df.withColumn("_gok", key.cast("long"))
+    val keyed = cut(df.withColumn("_gok", key.cast("long")))
+    val mm = keyed.agg(min(col("_gok")).as("_gmn"), max(col("_gok")).as("_gmx"))
+    keyed
       .crossJoin(broadcast(mm))
       .withColumn("_gb",
         expr(s"((_gok - _gmn) * $Buckets) div (_gmx - _gmn + 1)"))
@@ -67,7 +93,8 @@ object GlobalOrder {
   def rowNumberWith(df: DataFrame, sort: Seq[Column],
       out: String): DataFrame = {
     val wloc = Window.partitionBy(col("_gb")).orderBy(sort: _*)
-    val local = df.withColumn("_glrn", row_number().over(wloc).cast("long"))
+    val local = cut(
+      df.withColumn("_glrn", row_number().over(wloc).cast("long")))
     val offs = local.groupBy(col("_gb")).agg(count(lit(1)).as("_gcnt"))
       .withColumn("_goff", coalesce(sum(col("_gcnt")).over(
         Window.orderBy(col("_gb"))
@@ -86,9 +113,9 @@ object GlobalOrder {
       value: Column, out: String = "_gcum"): DataFrame = {
     val wloc = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = bucketed(df, key)
+    val local = cut(bucketed(df, key)
       .withColumn("_glcs", sum(value).over(wloc).cast("long"))
-      .withColumn("_glv", value.cast("long"))
+      .withColumn("_glv", value.cast("long")))
     val offs = local.groupBy(col("_gb")).agg(sum(col("_glv")).as("_gcnt"))
       .withColumn("_goff", coalesce(sum(col("_gcnt")).over(
         Window.orderBy(col("_gb"))
@@ -133,9 +160,9 @@ object GlobalOrder {
       // sentinel marking "has an in-bucket successor" — leadCols
       // themselves may legitimately hold NULLs
       .withColumn("_ghn", lead(lit(1), 1).over(wloc))
-    val base = leadCols.foldLeft(base0) { (b, c) =>
+    val base = cut(leadCols.foldLeft(base0) { (b, c) =>
       b.withColumn(c + suffix, lead(col(c), 1).over(wloc))
-    }
+    })
     // first row of each bucket, keyed by the PREVIOUS non-empty bucket
     // (lag over the <=32-row per-bucket frame bridges empty buckets)
     val firsts = base.where(col("_grn") === 1)

@@ -99,10 +99,14 @@ object Scale {
     * more than `maxGroup` actors carries no pairwise-affinity signal.
     */
   def capHotKeys(df: DataFrame, key: Column, maxGroup: Int): DataFrame = {
-    val hot = df.groupBy(key.as("_hk")).agg(count(lit(1)).as("_hn"))
+    // the input feeds BOTH the hot-set aggregate and the anti-join —
+    // cache it through the engine registry (released at the next
+    // declared query's drain) so the upstream plan executes once
+    val keyed = graft.engine.Persisted.add(df)
+    val hot = keyed.groupBy(key.as("_hk")).agg(count(lit(1)).as("_hn"))
       .where(col("_hn") > maxGroup)
       .select(col("_hk"))
-    df.join(broadcast(hot), key === col("_hk"), "left_anti")
+    keyed.join(broadcast(hot), key === col("_hk"), "left_anti")
   }
 
   /** Two-phase salted aggregation for skewed grouping keys: spread each

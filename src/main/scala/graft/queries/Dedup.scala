@@ -176,7 +176,9 @@ object Dedup extends QueryPack {
   val MaxCoPurchaseDegree = 256
 
   /** Customer-part co-purchase incidence (c, p), hot-part capped — the
-    * shared graph both co-purchase ops analyze.
+    * shared graph both co-purchase ops analyze. Persisted (scoped): the
+    * result feeds both sides of each op's pair self-join plus its
+    * degree/label aggregates.
     */
   private def coPurchases(s: SparkSession, d: String): DataFrame =
     graft.engine.ops.Scale.capHotKeys(
@@ -187,7 +189,7 @@ object Dedup extends QueryPack {
         .selectExpr("CAST(o_custkey AS BIGINT) AS c",
           "CAST(l_partkey AS BIGINT) AS p")
         .distinct(),
-      col("p"), MaxCoPurchaseDegree)
+      col("p"), MaxCoPurchaseDegree).persistScoped()
 
   /** Oracle twin of [[coPurchases]]: `cp` = the capped incidence. */
   private val duckCoPurchases: String =
@@ -1386,10 +1388,9 @@ object Dedup extends QueryPack {
     // the top-20 exits via TakeOrderedAndProject — never a global sort.
     "graph_jaccard_links" -> QueryDef(
       (s, d) => {
-        // materialize once: the frame feeds both sides of the pair
-        // self-join AND the degree aggregate — unpersisted, the
-        // lineitem-orders join and distinct replan four times
-        val cp = coPurchases(s, d).persistScoped()
+        // coPurchases is persisted inside the helper: the frame feeds
+        // both sides of the pair self-join AND the degree aggregate
+        val cp = coPurchases(s, d)
         val sizes = cp.groupBy(col("c")).agg(count(lit(1)).as("n"))
         cp.toDF("ca", "p")
           .join(cp.toDF("cb", "p2"), col("p") === col("p2") && col("ca") < col("cb"))

@@ -28,32 +28,9 @@ trait QueryPack {
   def defs: Map[String, QueryDef]
 }
 
-/** Registry of query-scoped persisted frames (r7 judge ask: as a LIBRARY,
-  * a long-lived session must not accumulate cached frames across query
-  * builds — `spark.catalog.clearCache()` is a tool-side hammer, not a
-  * library contract).
-  *
-  * Every `.persistScoped()` inside a declared query registers the frame
-  * here; `SparkEntry` drains the registry at the START of the next query
-  * build, so a session's cache footprint is bounded by ONE query's working
-  * set. Draining under a still-referenced result DataFrame is safe —
-  * Spark recomputes the unpersisted frames on next use (semantics
-  * unchanged, only the caching is released).
-  */
-object Persisted {
-  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private[graft] def add(df: DataFrame): DataFrame = {
-    reg.add(df)
-    df.persist()
-  }
-
-  /** Unpersist (non-blocking) every frame registered since the last drain. */
-  def drain(): Unit = {
-    var f = reg.poll()
-    while (f != null) { f.unpersist(blocking = false); f = reg.poll() }
-  }
-}
+// The Persisted registry moved to graft.engine.Persisted in r9 (engine
+// ops cache their internal multi-consumer frames through it too); the
+// queries package object aliases it so existing call sites stand.
 
 /** Shared helpers for oracle-parity arithmetic. */
 object Q {
