@@ -25,14 +25,29 @@ object ExtensionsCheck {
         "size(graft_minhash(array(CAST(5 AS BIGINT)))) AS mh, " +
         "graft_simhash(array(CAST(5 AS BIGINT))) AS sim, " +
         "graft_morton(CAST(3 AS BIGINT), CAST(1 AS BIGINT)) AS z").collect().head
-    val ok = r.getAs[Long]("h") == 99162322L && r.getAs[Double]("d") == 11.0 &&
+    val ok0 = r.getAs[Long]("h") == 99162322L && r.getAs[Double]("d") == 11.0 &&
       r.getAs[Int]("sh") == 2 && r.getAs[Int]("mh") == 16 &&
       r.getAs[Long]("sim") == 5L && // single element: its bits ARE the signature
       r.getAs[Long]("z") == 7L
+    // the optimizer rule must also ride the extensions path: a pure
+    // inequality join plans banded (no nested loop) once the bin conf
+    // is set
+    spark.conf.set(graft.plans.RangeJoinRule.BinConf, "10")
+    val rj = spark.range(100).selectExpr("id AS p")
+      .join(
+        spark.range(20).selectExpr("id * 7 AS lo", "id * 7 + 5 AS hi"),
+        org.apache.spark.sql.functions.expr("p >= lo AND p <= hi"))
+    val rjPlan = rj.queryExecution.executedPlan.toString
+    // 20 intervals of 6 ints each over points 0..99: ids 0..13 fully
+    // inside (84) + id 14 contributes {98, 99} -> 86 pairs
+    val rjOk = !rjPlan.contains("BroadcastNestedLoopJoin") &&
+      rjPlan.contains("_rj_bin") && rj.count() == 86L
+    if (!rjOk) System.err.println(s"[extensions-check] range-join plan:\n$rjPlan")
+    val ok = ok0 && rjOk
     println(s"[extensions-check] graft_strhash('hello')=${r.getAs[Long]("h")} " +
       s"graft_dot=${r.getAs[Double]("d")} shingles=${r.getAs[Int]("sh")} " +
       s"minhash_k=${r.getAs[Int]("mh")} simhash=${r.getAs[Long]("sim")} " +
-      s"morton=${r.getAs[Long]("z")} " +
+      s"morton=${r.getAs[Long]("z")} rangeJoinRule=${if (rjOk) "banded" else "MISSING"} " +
       s"=> ${if (ok) "OK" else "MISMATCH"}")
     spark.stop()
     if (!ok) sys.exit(1)

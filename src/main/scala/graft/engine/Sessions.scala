@@ -95,6 +95,10 @@ object Sessions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // the library's optimizer surface (same rule GraftExtensions
+    // injects on the spark.sql.extensions path); assignment, not
+    // append, so getOrCreate-reused sessions stay idempotent
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRule)
     spark
   }
 }

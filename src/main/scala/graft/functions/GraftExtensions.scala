@@ -5,14 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: installs the engine's native
-  * expressions into any session built with
-  * `.withExtensions(new GraftExtensions)` or via
+  * expressions AND the range-join optimizer rule into any session built
+  * with `.withExtensions(new GraftExtensions)` or via
   * `spark.sql.extensions=graft.functions.GraftExtensions` — the
   * deployment path a cluster job would use instead of calling
   * GraftFunctions.register by hand.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_strhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_strhash"),

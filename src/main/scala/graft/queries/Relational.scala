@@ -3513,6 +3513,53 @@ object Relational extends QueryPack {
         SELECT CAST(rn AS BIGINT) AS rn, brand_a, brand_b, c_ab, lift_e6
         FROM scored WHERE rn <= 20 ORDER BY rn""")),
 
+    // AUTOMATIC range join — the declarative twin of join_range_bands:
+    // the user writes the naive inequality join (purchases landing in
+    // each signup's next-60s window) and graft.plans.RangeJoinRule
+    // rewrites it at OPTIMIZATION time into the banded equi-join the
+    // manual query builds by hand (bin = the window length, interval
+    // side exploded to its covering bins, original predicate kept as
+    // the residual). Without the rule Spark plans this shape as
+    // BroadcastNestedLoopJoin — every signup compared against every
+    // purchase, the 100 TB death sentence; PlanShapeSpec asserts the
+    // rewritten plan carries no nested-loop node. The oracle runs the
+    // same naive join through DuckDB's IEJoin — two engines, two
+    // different inequality-join optimizations, one result.
+    "join_range_auto" -> QueryDef(
+      (s, d) => {
+        s.conf.set(graft.plans.RangeJoinRule.BinConf, "60000000")
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), epochUs(col("ts")).as("tus"),
+            col("event_id"))
+        val sg = ev.where(col("event_type") === "signup")
+          .select(col("tus").as("s_tus"), col("event_id").as("sid"))
+        val pu = ev.where(col("event_type") === "purchase")
+          .select(col("tus").as("p_tus"))
+        sg.join(pu,
+            col("p_tus") > col("s_tus") &&
+              col("p_tus") <= col("s_tus") + lit(60000000L))
+          .groupBy(col("sid")).agg(count(lit(1)).as("n_purch"))
+          .groupBy(col("n_purch"))
+          .agg(count(lit(1)).cast("bigint").as("n_signups"))
+          .selectExpr("CAST(n_purch AS BIGINT) AS n_purch", "n_signups")
+          .orderBy(col("n_purch"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS tus, event_id FROM events),
+        sg AS (
+          SELECT tus AS s_tus, event_id AS sid FROM ev
+          WHERE event_type = 'signup'),
+        pu AS (
+          SELECT tus AS p_tus FROM ev WHERE event_type = 'purchase'),
+        per AS (
+          SELECT sid, CAST(count(*) AS BIGINT) AS n_purch
+          FROM sg JOIN pu
+            ON p_tus > s_tus AND p_tus <= s_tus + 60000000
+          GROUP BY sid)
+        SELECT n_purch, CAST(count(*) AS BIGINT) AS n_signups
+        FROM per GROUP BY n_purch ORDER BY n_purch""")),
+
     // Point-in-time (AS OF) join against the SCD2 dimension — the
     // consumer of the scd2_user_state build: each purchase event looks
     // up the user state (last non-purchase activity regime) valid AT the

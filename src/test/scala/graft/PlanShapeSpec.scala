@@ -61,6 +61,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian from scalar subqueries:\n$p")
   }
 
+  test("the automatic range join rewrites to a banded equi-join, not nested-loop") {
+    // join_range_auto writes the naive inequality join; RangeJoinRule
+    // must turn it into a banded equi-join at optimization time
+    val p = plan("join_range_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not plan as a nested loop:\n$p")
+    assert(p.contains("_rj_bin"), s"banded join key missing:\n$p")
+  }
+
   test("full-outer join plans as a shuffled equi-join, not nested-loop") {
     // FullOuter cannot use BroadcastHashJoin; the right 100 TB shape is a
     // key-partitioned join (sort-merge or shuffled-hash), never a
