@@ -26,6 +26,11 @@ import graft.engine.Tables
 object Analytics extends QueryPack {
   import Q._
 
+  /** 2*pi as ONE literal shared by both dialects (the periodogram's
+    * cos/sin arguments must be the identical expression text).
+    */
+  private val TwoPi = "6.283185307179586"
+
   def defs: Map[String, QueryDef] = Map(
 
     // EXACT two-sample Mann-Whitney U (rank-sum) between the value
@@ -717,6 +722,137 @@ object Analytics extends QueryPack {
     // (negative datediff) would land in different week buckets per
     // engine. On a positive dividend the two agree (same guard as
     // privacy_k_anonymity's bucketing).
+    // Multi-touch attribution — the credit-assignment table a marketing
+    // warehouse derives from the event stream: for each user's FIRST
+    // purchase, the preceding touch events (click/view/signup) split the
+    // conversion credit under the three standard models — first-touch
+    // (100% to the earliest), last-touch (100% to the latest), linear
+    // (1/n each). Touch identity resolves through struct-ordering
+    // aggregates (min/max of (tus, event_id, type)) — lexicographic
+    // struct comparison gives deterministic ties with NO per-user
+    // window; linear credit stays integral as 1000000 div n per touch
+    // (truncation is deterministic and engine-identical; the dropped
+    // remainder is the documented cost of exactness). Scale shape: two
+    // user-keyed aggregates of the fact and one channel-keyed rollup —
+    // no windows, no joins wider than user.
+    "events_attribution_credit" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), epochUs(col("ts")).as("tus"),
+            col("event_id"), col("event_type"))
+        val fp = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("p_us"))
+        val touches = ev
+          .where(col("event_type").isin("click", "view", "signup"))
+          .join(fp, Seq("user_id"))
+          .where(col("tus") < col("p_us"))
+        val perUser = touches
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("tus"), col("event_id"), col("event_type")))
+              .getField("event_type").as("first_ch"),
+            max(struct(col("tus"), col("event_id"), col("event_type")))
+              .getField("event_type").as("last_ch"))
+        val firsts = perUser.groupBy(col("first_ch").as("channel"))
+          .agg(count(lit(1)).as("first_touch"))
+        val lasts = perUser.groupBy(col("last_ch").as("channel"))
+          .agg(count(lit(1)).as("last_touch"))
+        val linear = touches
+          .join(perUser.select(col("user_id"), col("n")), Seq("user_id"))
+          .groupBy(col("event_type").as("channel"))
+          .agg(sum(expr("1000000 div n")).as("linear_e6"))
+        firsts.join(lasts, Seq("channel"), "full")
+          .join(linear, Seq("channel"), "full")
+          .selectExpr("channel",
+            "CAST(coalesce(first_touch, 0) AS BIGINT) AS first_touch",
+            "CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch",
+            "CAST(coalesce(linear_e6, 0) AS BIGINT) AS linear_e6")
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+          FROM events),
+        fp AS (
+          SELECT user_id, min(tus) AS p_us FROM ev
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        touches AS (
+          SELECT ev.user_id, tus, event_id, event_type
+          FROM ev JOIN fp USING (user_id)
+          WHERE event_type IN ('click', 'view', 'signup') AND tus < p_us),
+        pu AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 min(ROW(tus, event_id, event_type)) AS fr,
+                 max(ROW(tus, event_id, event_type)) AS lr
+          FROM touches GROUP BY user_id),
+        f AS (SELECT fr[3] AS channel, count(*) AS first_touch
+              FROM pu GROUP BY 1),
+        l AS (SELECT lr[3] AS channel, count(*) AS last_touch
+              FROM pu GROUP BY 1),
+        lin AS (
+          SELECT t.event_type AS channel,
+                 CAST(sum(1000000 // n) AS BIGINT) AS linear_e6
+          FROM touches t JOIN pu USING (user_id)
+          GROUP BY 1)
+        SELECT channel,
+               CAST(coalesce(first_touch, 0) AS BIGINT) AS first_touch,
+               CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch,
+               CAST(coalesce(linear_e6, 0) AS BIGINT) AS linear_e6
+        FROM f FULL JOIN l USING (channel) FULL JOIN lin USING (channel)
+        ORDER BY channel""")),
+
+    // DFT periodogram over the daily event-count series — the
+    // frequency-domain scan (Schuster 1898's periodogram; the classic
+    // seasonality detector) complementing time_stl_decompose's fixed
+    // weekly model: power at harmonics k = 1..8 of the observation
+    // window, reported as the exact-integer day-count series' spectral
+    // SHARE per harmonic (ppm of total band power), so the dominant
+    // cycle is read off the argmax row. cos/sin ride one identical
+    // literal-2-pi expression string in both dialects (the
+    // transcendental ULP contract); the ratio rounds once. Scale shape:
+    // the fact aggregates to the bounded day grid FIRST; the 8-harmonic
+    // cross join and folds run over <= 31 x 8 rows.
+    "time_fourier_periodogram" -> QueryDef(
+      (s, d) => {
+        val byDay = Tables.events(s, d)
+          .selectExpr(
+            "datediff(to_date(CAST(ts AS TIMESTAMP)), DATE '2024-01-01') AS dd")
+          .groupBy(col("dd")).agg(count(lit(1)).as("c"))
+        val span = byDay.agg(min(col("dd")).as("d0"),
+          (max(col("dd")) - min(col("dd")) + 1).as("nd"))
+        val ks = s.range(1, 9).selectExpr("CAST(id AS BIGINT) AS k")
+        val pw = byDay.crossJoin(broadcast(span)).crossJoin(broadcast(ks))
+          .selectExpr("k",
+            s"CAST(c AS DOUBLE) * cos($TwoPi * CAST(k AS DOUBLE) * CAST(dd - d0 AS DOUBLE) / CAST(nd AS DOUBLE)) AS cc",
+            s"CAST(c AS DOUBLE) * sin($TwoPi * CAST(k AS DOUBLE) * CAST(dd - d0 AS DOUBLE) / CAST(nd AS DOUBLE)) AS ss")
+          .groupBy(col("k"))
+          .agg(sum(col("cc")).as("a"), sum(col("ss")).as("b"))
+          .selectExpr("k", "a * a + b * b AS p")
+        val tot = pw.agg(sum(col("p")).as("ptot"))
+        pw.crossJoin(broadcast(tot))
+          .selectExpr("k",
+            s"${Q.scaledLong("p / ptot", 6)} AS power_ppm")
+          .orderBy(col("k"))
+      },
+      Some(s"""
+        WITH byday AS (
+          SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        span AS (
+          SELECT min(dd) AS d0, max(dd) - min(dd) + 1 AS nd FROM byday),
+        pw AS (
+          SELECT k,
+                 sum(CAST(c AS DOUBLE) * cos($TwoPi * CAST(k AS DOUBLE) * CAST(dd - d0 AS DOUBLE) / CAST(nd AS DOUBLE))) AS a,
+                 sum(CAST(c AS DOUBLE) * sin($TwoPi * CAST(k AS DOUBLE) * CAST(dd - d0 AS DOUBLE) / CAST(nd AS DOUBLE))) AS b
+          FROM byday CROSS JOIN span
+               CROSS JOIN (SELECT unnest(range(1, 9)) AS k) ks
+          GROUP BY k),
+        pp AS (SELECT k, a * a + b * b AS p FROM pw),
+        tot AS (SELECT sum(p) AS ptot FROM pp)
+        SELECT CAST(k AS BIGINT) AS k, ${Q.scaledLong("p / ptot", 6)} AS power_ppm
+        FROM pp CROSS JOIN tot ORDER BY k""")),
+
     "time_wow_growth" -> QueryDef(
       (s, d) => {
         val wk = Tables.events(s, d)
