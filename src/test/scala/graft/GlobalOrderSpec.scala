@@ -106,6 +106,36 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(collectSorted(got, "id") == collectSorted(want, "id"))
   }
 
+  test("histogram-equalized buckets stay balanced under heavy key clustering") {
+    import spark.implicits._
+    // zipf-ish: 90% of rows crowd into keys 0..9 of a [0, 1e9] span — a
+    // span-scaled bucketing puts ~90% of rows in ONE bucket (and so
+    // would single-level equalization: the whole cluster shares one
+    // fine bin); the two-level refinement must spread it
+    val n = 20000
+    val df = (1 to n).map { i =>
+      val h = (i * 2654435761L) % 1000003L
+      val k = if (i % 10 != 0) h % 10 else h % 1000000000L
+      (i.toLong, k)
+    }.toDF("id", "k")
+    // correctness under skew is unconditional
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    val got = GlobalOrder.rowNumber(df, col("k"), Seq(col("id")), "rn")
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+    // balance: hottest bucket bounded by key-VALUE granularity (the
+    // hottest single tied value holds ~9% of rows and is irreducible);
+    // assert well below the 90% cluster and a healthy bucket count
+    val counts = GlobalOrder.bucketCounts(df, col("k"))
+      .collect().map(r => r.getLong(1))
+    assert(counts.max <= n / 5,
+      s"hottest bucket ${counts.max} of $n rows — skew not equalized: ${counts.toSeq}")
+    // bucket COUNT is capped by key-value granularity here (10 hot
+    // values -> ~10 value-granular buckets + the sparse tail), so a
+    // dozen balanced buckets is the correct ceiling for this fixture
+    assert(counts.length >= 10, s"too few buckets: ${counts.toSeq}")
+  }
+
   test("rowNumberWith ranks strings lexicographically via a first-char bucket") {
     import spark.implicits._
     val words = (1 to 400).map { i =>
@@ -130,10 +160,13 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
     assert(windows.nonEmpty)
     val unpart = windows.filter(_.partitionSpec.isEmpty)
-    // every unpartitioned window sits over the bucket aggregate (_gb)
+    // every unpartitioned window sits over a bucket aggregate: the
+    // <=32-row offset frame (_gb) or the bounded fine-bin histogram
+    // (_gf1, _gf2) of the two-level equalized bucketing
     assert(unpart.forall(_.child.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-          if a.groupingExpressions.forall(_.references.forall(_.name == "_gb")) => a
-    }.isDefined), "unpartitioned window must run over the bucket-offset frame only")
+          if a.groupingExpressions.forall(_.references.forall(r =>
+            Set("_gb", "_gf1", "_gf2")(r.name))) => a
+    }.isDefined), "unpartitioned window must run over a bucket frame only")
   }
 }
