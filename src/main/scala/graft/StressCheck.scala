@@ -32,6 +32,10 @@ object StressCheck {
       streamLeg(args.lift(1).map(_.toInt).getOrElse(1000000))
       return
     }
+    if (args.headOption.contains("order")) {
+      orderLeg(args.lift(1).map(_.toInt).getOrElse(10000000))
+      return
+    }
     val spark = graft.engine.Sessions.local(32, "graft-stress")
     val src = "/root/testdata/sf0.1"
     val dir = Files.createTempDirectory("graft_stress_").toString
@@ -334,6 +338,71 @@ object StressCheck {
         sqRows == 100 && kcRows == 4 && maxBlock <= 100)
         "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+
+  /** Distributed-global-order stress leg (`runMain graft.StressCheck
+    * order [n]`, default 10M rows): the scale evidence for the r9
+    * GlobalOrder rework — rank a 10M-row ZIPF-CLUSTERED key frame (90%
+    * of rows inside 100 adjacent values of a 1e12 span, the shape that
+    * defeats span bucketing) three ways and compare:
+    *
+    *   1. the single-task global window (what the rewired queries used
+    *      to do — every row through ONE task);
+    *   2. GlobalOrder.rowNumber (bucketed two-pass, two-level
+    *      equalized);
+    *   3. GlobalOrder.ntileCol (the quintile shape RFM runs).
+    *
+    * Reports wall times, the speedup, the per-bucket balance ledger
+    * (hottest bucket share vs the 90% cluster), and asserts the
+    * distributed ranks are VALUE-IDENTICAL to the window's on a
+    * deterministic row sample.
+    */
+  private def orderLeg(n: Int): Unit = {
+    val spark = graft.engine.Sessions.local(32, "graft-stress-order")
+    def t[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[order] $name: $sec%.1f s"); (r, sec)
+    }
+    val df = spark.range(n.toLong).selectExpr("id",
+      """CASE WHEN id % 10 != 0
+           THEN (id * 2654435761) % 100
+           ELSE (id * 2654435761) % 1000000000000 END AS k""")
+      .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    // warmup: compile the codegen shapes once at 1% scale so the timed
+    // legs measure steady-state execution, not Janino
+    graft.engine.ops.GlobalOrder
+      .rowNumber(df.where(col("id") % 100 === 0), col("k"), Seq(col("id")), "rn")
+      .count()
+    val (windowSample, winSec) = t("single-task global window rank") {
+      df.withColumn("rn", row_number().over(
+          Window.orderBy(col("k"), col("id"))).cast("long"))
+        .where(col("id") % 99991 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    val (distSample, distSec) = t("GlobalOrder.rowNumber (distributed)") {
+      graft.engine.ops.GlobalOrder.rowNumber(df, col("k"), Seq(col("id")), "rn")
+        .where(col("id") % 99991 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    val identical = windowSample == distSample
+    val (_, ntileSec) = t("GlobalOrder.ntileCol(5)") {
+      graft.engine.ops.GlobalOrder
+        .ntileCol(df, 5, col("k"), Seq(col("id")), "q")
+        .groupBy(col("q")).count().collect()
+    }
+    val counts = graft.engine.ops.GlobalOrder.bucketCounts(df, col("k"))
+      .collect().map(r => r.getLong(1))
+    val maxShare = counts.max.toDouble / n
+    println(f"[order] balance: buckets=${counts.length} " +
+      f"hottest=${counts.max} (${maxShare * 100}%.1f%% of rows; the " +
+      f"zipf cluster holds 90%%)")
+    println(f"[order] n=$n window=$winSec%.1f s distributed=$distSec%.1f s " +
+      f"(${winSec / distSec}%.2fx) ntile5=$ntileSec%.1f s " +
+      s"values_identical=$identical => " +
+      (if (identical && maxShare < 0.25) "OK" else "UNEXPECTED"))
     spark.stop()
   }
 

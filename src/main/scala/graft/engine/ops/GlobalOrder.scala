@@ -10,11 +10,10 @@ import org.apache.spark.sql.functions._
   * test SF. Every helper here computes value-identical results to the
   * single-task window by the histogram-bucket two-pass scheme:
   *
-  *   1. bucket each row by a DETERMINISTIC monotone integer function of
-  *      its first sort key (histogram-equalized: span-scale into 1024
-  *      fine bins, then map each fine bin to the coarse bucket of its
-  *      cumulative row share, so buckets stay BALANCED under clustered
-  *      key distributions; equal keys land in the same bucket by
+  *   1. bucket each row by a monotone integer function of its first
+  *      sort key (quantile-equalized: the count of approx-quantile
+  *      boundaries below the key, so buckets stay BALANCED under any
+  *      key distribution; equal keys land in the same bucket by
   *      construction, so bucket boundaries never split ties of the
   *      PRIMARY key);
   *   2. run the window WITHIN each bucket in parallel
@@ -60,63 +59,39 @@ object GlobalOrder {
     else graft.engine.Persisted.add(df)
   }
 
-  private val FineBins = 1024
-
-  /** Overflow-safe monotone binning of `v` over [lo, hi] into <= 1025
-    * bins: divide by the ceil-ish bin width instead of multiplying by
-    * the bin count (a span near 2^63 would overflow the multiply).
-    */
-  private def fineBin(v: String, lo: String, hi: String): String =
-    s"($v - $lo) div ((($hi - $lo) div $FineBins) + 1)"
-
   /** Adds `_gb` (bucket) and `_gok` (the long key) over a [[cut]] keyed
     * frame (one evaluation, bounded re-analysis). Bucketing is
-    * HISTOGRAM-EQUALIZED with TWO-LEVEL adaptive refinement (r9, was
-    * plain span scaling): a clustered key distribution — scores piling
-    * near one value, zipf-ish counts — would put most rows in a few
-    * span buckets and re-create the straggler task the helpers exist to
-    * avoid. Level 1 span-scales into <= 1025 fine bins; any OVERLOADED
-    * fine bin (> 1/32 of the rows) re-bins its rows by its OWN
-    * min/max — so clusters up to ~10^6x narrower than the span still
-    * spread — and the (level1, level2) histogram's cumulative row share
-    * assigns each composite bin its coarse bucket: every bucket holds
-    * ~1/32 of the ROWS up to key-VALUE granularity (one ultra-hot tied
-    * value is irreducible: equal keys must share a bucket, or tie-break
-    * ordering would split across the seam). The composite bin is a
-    * monotone deterministic function of the key, so bucket boundaries
-    * never split the primary-key order; everything stays in-plan (three
-    * tiny broadcasts, histograms <= 33k rows worst case; no driver
-    * collect on any declared query's data path).
+    * QUANTILE-EQUALIZED (r9; plain span scaling re-creates the
+    * straggler task under clustered keys — scores piling near one
+    * value, zipf counts, one busy second inside a decade of epoch
+    * micros): ONE approx_percentile pass yields the 31 key values at
+    * the 1/32..31/32 row-share quantiles, and each row's bucket is the
+    * count of boundaries strictly below its key — a row-local 31-element
+    * fold over the broadcast boundary array. Buckets therefore hold
+    * ~1/32 of the ROWS for ANY key distribution, up to key-VALUE
+    * granularity (an ultra-hot tied value is irreducible: equal keys
+    * must share a bucket, or tie-break ordering would split across the
+    * seam — the 10M-row zipf stress leg measures 4% hottest-bucket
+    * share against a 90% value cluster).
+    *
+    * The bucket is a monotone function of the key VALUE alone, so
+    * boundaries never split ties and never reorder keys — which is the
+    * entire correctness contract: the helpers' RESULTS are provably
+    * identical for any monotone tie-preserving bucketing (the offset
+    * stitch corrects any split), so the sketch's merge-order wobble in
+    * WHERE boundaries land affects load balance only, never values
+    * (GlobalOrderSpec pins value-identity on tie-heavy, gappy,
+    * degenerate, and zipf keys).
     */
   private def bucketed(df: DataFrame, key: Column): DataFrame = {
     val keyed = cut(df.withColumn("_gok", key.cast("long")))
-    val mm = keyed.agg(min(col("_gok")).as("_gmn"), max(col("_gok")).as("_gmx"))
-    val fine = keyed
-      .crossJoin(broadcast(mm))
-      .withColumn("_gf1", expr(fineBin("_gok", "_gmn", "_gmx")))
-      .drop("_gmn", "_gmx")
-    // level-1 stats: count + local key range per fine bin (<= 1025 rows)
-    val s1 = fine.groupBy(col("_gf1"))
-      .agg(count(lit(1)).as("_gc1"),
-        min(col("_gok")).as("_gn1"), max(col("_gok")).as("_gx1"))
-    val s1t = s1.crossJoin(broadcast(s1.agg(sum(col("_gc1")).as("_gt"))))
-      .select(col("_gf1"), col("_gc1"), col("_gn1"), col("_gx1"), col("_gt"))
-    val fine2 = fine.join(broadcast(s1t), Seq("_gf1"))
-      .withColumn("_gf2",
-        expr(s"CASE WHEN _gc1 * $Buckets > _gt " +
-          s"THEN ${fineBin("_gok", "_gn1", "_gx1")} ELSE CAST(0 AS BIGINT) END"))
-      .drop("_gc1", "_gn1", "_gx1", "_gt")
-    val hist = cut(fine2.groupBy(col("_gf1"), col("_gf2"))
-      .agg(count(lit(1)).as("_gfc"))
-      .withColumn("_gcum", sum(col("_gfc")).over(
-        Window.orderBy(col("_gf1"), col("_gf2"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-    val fineToCoarse = hist
-      .crossJoin(broadcast(hist.agg(sum(col("_gfc")).as("_gt2"))))
-      .select(col("_gf1"), col("_gf2"),
-        expr(s"((_gcum - 1) * $Buckets) div _gt2").as("_gb"))
-    fine2.join(broadcast(fineToCoarse), Seq("_gf1", "_gf2"))
-      .drop("_gf1", "_gf2")
+    val qs = (1 until Buckets).map(i => i.toDouble / Buckets).mkString(", ")
+    val bnds = keyed.agg(
+      expr(s"approx_percentile(_gok, array($qs), 10000)").as("_gbnd"))
+    keyed.crossJoin(broadcast(bnds))
+      .withColumn("_gb",
+        expr("CAST(size(filter(_gbnd, b -> b < _gok)) AS BIGINT)"))
+      .drop("_gbnd")
   }
 
   /** Test/diagnostic hook: the per-bucket row counts [[bucketed]] would

@@ -110,8 +110,8 @@ class GlobalOrderSpec extends AnyFunSuite {
     import spark.implicits._
     // zipf-ish: 90% of rows crowd into keys 0..9 of a [0, 1e9] span — a
     // span-scaled bucketing puts ~90% of rows in ONE bucket (and so
-    // would single-level equalization: the whole cluster shares one
-    // fine bin); the two-level refinement must spread it
+    // would fixed-grid histogram equalization: the whole cluster shares
+    // one fine bin); the quantile boundaries must spread it
     val n = 20000
     val df = (1 to n).map { i =>
       val h = (i * 2654435761L) % 1000003L
@@ -160,13 +160,12 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
     assert(windows.nonEmpty)
     val unpart = windows.filter(_.partitionSpec.isEmpty)
-    // every unpartitioned window sits over a bucket aggregate: the
-    // <=32-row offset frame (_gb) or the bounded fine-bin histogram
-    // (_gf1, _gf2) of the two-level equalized bucketing
+    // every unpartitioned window sits over the <=32-row bucket-offset
+    // aggregate (_gb)
     assert(unpart.forall(_.child.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if a.groupingExpressions.forall(_.references.forall(r =>
-            Set("_gb", "_gf1", "_gf2")(r.name))) => a
+            r.name == "_gb")) => a
     }.isDefined), "unpartitioned window must run over a bucket frame only")
   }
 }
