@@ -1675,6 +1675,55 @@ object Similarity extends QueryPack {
                CAST((2 * CAST(sum(err_e9) AS BIGINT) + count(*)) // (2 * count(*)) AS BIGINT) AS mse_e9
         FROM se GROUP BY label ORDER BY label""")),
 
+    // Embedding-space drift monitor — linear-kernel Maximum Mean
+    // Discrepancy (Gretton et al. 2012) between two corpus slices (the
+    // even/odd label halves standing in for "last week's crawl vs this
+    // week's"): for the linear kernel, MMD^2 collapses from O(n^2)
+    // pairwise kernel sums to ||mean(A) - mean(B)||^2 — ONE
+    // per-dimension aggregate pass over each slice, the only MMD a
+    // 100 TB corpus can afford, and the embedding-space counterpart of
+    // quality_drift_psi's token-space drift. Per-dimension means ride
+    // double sums rounded once through the house rule (e9 scale: the
+    // drift of two random halves is small by construction, and the
+    // association-noise band is ~1e-13 of it). Scale shape: explode to
+    // (slice, dim, x), one map-side-combinable aggregate to 2 x 64
+    // rows, one 64-row fold — the corpus is touched once.
+    "embed_mmd_drift" -> QueryDef(
+      (s, d) => {
+        val m = Tables.embeddings(s, d)
+          .selectExpr("CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END AS grp",
+            "posexplode(embedding) AS (i, x)")
+          .groupBy(col("grp"), col("i"))
+          .agg(sum(expr("CAST(x AS DOUBLE)")).as("sx"),
+            count(lit(1)).cast("bigint").as("n"))
+          .selectExpr("grp", "i", "sx / CAST(n AS DOUBLE) AS mu")
+        m.groupBy(col("i"))
+          .agg(expr("max(CASE WHEN grp = 'a' THEN mu END)").as("ma"),
+            expr("max(CASE WHEN grp = 'b' THEN mu END)").as("mb"))
+          .agg(count(lit(1)).cast("bigint").as("n_dims"),
+            expr(Q.scaledLong("sum((ma - mb) * (ma - mb))", 9)).as("mmd2_e9"),
+            expr(Q.scaledLong("sum(ma * ma)", 6)).as("norm_a_e6"),
+            expr(Q.scaledLong("sum(mb * mb)", 6)).as("norm_b_e6"))
+      },
+      Some(s"""
+        WITH ex AS (
+          SELECT CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+                 i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings,
+               LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)),
+        m AS (
+          SELECT grp, i, sum(x) / CAST(count(*) AS DOUBLE) AS mu
+          FROM ex GROUP BY grp, i),
+        p AS (
+          SELECT i, max(CASE WHEN grp = 'a' THEN mu END) AS ma,
+                 max(CASE WHEN grp = 'b' THEN mu END) AS mb
+          FROM m GROUP BY i)
+        SELECT CAST(count(*) AS BIGINT) AS n_dims,
+               ${Q.scaledLong("sum((ma - mb) * (ma - mb))", 9)} AS mmd2_e9,
+               ${Q.scaledLong("sum(ma * ma)", 6)} AS norm_a_e6,
+               ${Q.scaledLong("sum(mb * mb)", 6)} AS norm_b_e6
+        FROM p""")),
+
     "embed_centroids" -> QueryDef(
       (s, d) => {
         val dims = (1 to 4).map(i =>

@@ -1102,6 +1102,41 @@ object TextOps extends QueryPack {
         FROM bg JOIN pre USING (w1) JOIN cont USING (w2)
                 CROSS JOIN tots""")),
 
+    // Feature-hashing collision profile (Weinberger et al. 2009, the
+    // "hashing trick" behind sklearn's HashingVectorizer and VW): map
+    // every distinct vocabulary term into k = 256 hash buckets through
+    // the portable polynomial hash and report the collision histogram —
+    // how many buckets hold 1, 2, 3... distinct terms — plus the load
+    // summary. This is the table that decides the feature width before
+    // committing to hashed features (collisions alias gradients; the
+    // histogram quantifies how much signal a width-k model gives up).
+    // Scale shape: one vocab-bounded distinct + one 256-bucket
+    // aggregate; the corpus is touched once.
+    "text_feature_hashing" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val perBucket = Tables.documents(s, d)
+          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS w")
+          .distinct()
+          .selectExpr("pmod(graft_strhash(w), 256) AS bkt")
+          .groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+        perBucket.groupBy(col("c"))
+          .agg(count(lit(1)).cast("bigint").as("n_buckets"))
+          .selectExpr("CAST(c AS BIGINT) AS n_terms", "n_buckets")
+          .orderBy(col("n_terms"))
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT DISTINCT w FROM (
+            SELECT unnest(${duckWords("lower(text)")}) AS w FROM documents) q),
+        pb AS (
+          SELECT (${duckStrHash("w")}) % 256 AS bkt,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM terms GROUP BY bkt)
+        SELECT CAST(c AS BIGINT) AS n_terms,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM pb GROUP BY c ORDER BY n_terms""")),
+
     // Corpus diversity by distinct-n ratios (the Self-BLEU/"distinct-n"
     // diversity family, Li et al. 2016): per source and n-gram order
     // n = 1, 2, 3, the share of n-gram TOKENS that are distinct TYPES —
