@@ -138,20 +138,61 @@ object GlobalOrder {
     * currentRow)` semantics). Result column: `out` (BIGINT).
     */
   def runningSum(df: DataFrame, key: Column, ties: Seq[Column],
-      value: Column, out: String = "_gcum"): DataFrame = {
+      value: Column, out: String = "_gcum"): DataFrame =
+    runningSums(df, key, ties, Seq(value -> out))
+
+  /** Multi-column [[runningSum]]: every (value -> out) pair's inclusive
+    * running sum over the SAME (key, ties...) order in one bucketed
+    * pass — one window, one offset frame, one stitch join (the
+    * two-sample EDF shape: both samples' cumulatives ride together).
+    */
+  def runningSums(df: DataFrame, key: Column, ties: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
     val wloc = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = cut(bucketed(df, key)
-      .withColumn("_glcs", sum(value).over(wloc).cast("long"))
-      .withColumn("_glv", value.cast("long")))
-    val offs = local.groupBy(col("_gb")).agg(sum(col("_glv")).as("_gcnt"))
-      .withColumn("_goff", coalesce(sum(col("_gcnt")).over(
+    val idx = values.indices
+    val local = cut(idx.foldLeft(bucketed(df, key)) { (b, i) =>
+      b.withColumn(s"_glcs$i", sum(values(i)._1).over(wloc).cast("long"))
+        .withColumn(s"_glv$i", values(i)._1.cast("long"))
+    })
+    val offs0 = local.groupBy(col("_gb"))
+      .agg(sum(col("_glv0")).as("_gbs0"),
+        idx.drop(1).map(i => sum(col(s"_glv$i")).as(s"_gbs$i")): _*)
+    val offs = idx.foldLeft(offs0) { (o, i) =>
+      o.withColumn(s"_goff$i", coalesce(sum(col(s"_gbs$i")).over(
         Window.orderBy(col("_gb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_gb"), col("_goff"))
+    }.select(col("_gb") +: idx.map(i => col(s"_goff$i")): _*)
+    val res = idx.foldLeft(local.join(broadcast(offs), Seq("_gb"))) { (r, i) =>
+      r.withColumn(values(i)._2, col(s"_glcs$i") + col(s"_goff$i"))
+    }
+    res.drop("_gok" :: "_gb" ::
+      idx.flatMap(i => Seq(s"_glcs$i", s"_glv$i", s"_goff$i")).toList: _*)
+  }
+
+  /** Distributed global running MAX of `value` over the (key, ties...)
+    * order, EXCLUSIVE of the current row (`rowsBetween(unboundedPreceding,
+    * -1)` semantics — the skyline/dominance shape); the globally first
+    * row gets NULL, exactly as the single-task window would. Result
+    * column: `out` (BIGINT).
+    */
+  def runningMaxExclusive(df: DataFrame, key: Column, ties: Seq[Column],
+      value: Column, out: String = "_gmax"): DataFrame = {
+    val wlocX = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = cut(bucketed(df, key)
+      .withColumn("_glmx", max(value).over(wlocX).cast("long"))
+      .withColumn("_glv", value.cast("long")))
+    val offs = local.groupBy(col("_gb")).agg(max(col("_glv")).as("_gbm"))
+      .withColumn("_gpm", max(col("_gbm")).over(
+        Window.orderBy(col("_gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_gb"), col("_gpm"))
+    // greatest skips NULLs (bucket-first rows, first bucket), returning
+    // NULL only when both sides are — the global first row
     local.join(broadcast(offs), Seq("_gb"))
-      .withColumn(out, col("_glcs") + col("_goff"))
-      .drop("_gok", "_gb", "_glcs", "_glv", "_goff")
+      .withColumn(out, greatest(col("_glmx"), col("_gpm")))
+      .drop("_gok", "_gb", "_glmx", "_glv", "_gpm")
   }
 
   /** Distributed global `ntile(n)` over the (key, ties...) order — exact

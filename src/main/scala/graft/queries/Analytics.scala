@@ -47,8 +47,8 @@ object Analytics extends QueryPack {
     //
     // Scale shape: one groupBy(value) of the filtered fact (values
     // quantize to cents, so the domain is bounded), then the cumulative
-    // window runs over DISTINCT values — the same contract as the KS
-    // test next to it.
+    // runs DISTRIBUTED over distinct values via GlobalOrder.runningSum
+    // — the same contract as the KS test next to it.
     "stats_mann_whitney" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -57,13 +57,14 @@ object Analytics extends QueryPack {
             (col("event_type") === "click").cast("long").as("isa"))
         val byV = ev.groupBy(col("v"))
           .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
-        val wCum = Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy(lit(1))
-        byV
-          .withColumn("call", sum(col("a") + col("b")).over(wCum))
-          .withColumn("n1", sum(col("a")).over(wAll))
-          .withColumn("n2", sum(col("b")).over(wAll))
+          .persistScoped()
+        // distributed cumulative + broadcast totals (r9, was an
+        // unpartitioned window plus a literal-partition total window
+        // over the distinct-value frame — same note as the KS twin)
+        val tot = byV.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+        graft.engine.ops.GlobalOrder
+          .runningSum(byV, col("v"), Nil, col("a") + col("b"), "call")
+          .crossJoin(broadcast(tot))
           // doubled rank-sum contribution of this tied block to sample A:
           // block spans ranks (call-a-b, call]; avg rank doubled is
           // 2*(call-a-b) + (a+b) + 1
@@ -118,18 +119,21 @@ object Analytics extends QueryPack {
     //
     // Scale shape: one groupBy(price) of parts, the window runs over the
     // distinct-price frame, and the final join back to parts is an
-    // equi-join on price — nothing quadratic anywhere; at 100 TB the
-    // sweep range-partitions by price and merges per-range max prefixes.
+    // equi-join on price — nothing quadratic anywhere; the prefix-max
+    // sweep runs range-bucketed with per-range max merges
+    // (GlobalOrder.runningMaxExclusive, r9) in the declared plan.
     "skyline_parts" -> QueryDef(
       (s, d) => {
         val p = Tables.part(s, d)
           .selectExpr("p_partkey",
             s"${Q.scaledLong("p_retailprice", 2)} AS price_c",
             "CAST(p_size AS BIGINT) AS size")
-        val wPrev = Window.orderBy(col("price_c"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val perPrice = p.groupBy(col("price_c")).agg(max(col("size")).as("mx"))
-          .withColumn("run", max(col("mx")).over(wPrev))
+          .persistScoped()
+        // distributed exclusive-prior running max (r9, was an
+        // unpartitioned window over the distinct-price frame)
+        val perPrice = graft.engine.ops.GlobalOrder.runningMaxExclusive(
+          p.groupBy(col("price_c")).agg(max(col("size")).as("mx")),
+          col("price_c"), Nil, col("mx"), "run")
         p.join(perPrice, Seq("price_c"))
           .where(coalesce(col("run"), lit(Long.MinValue)) < col("size") &&
             col("mx") <= col("size"))

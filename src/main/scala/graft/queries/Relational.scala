@@ -2082,9 +2082,12 @@ object Relational extends QueryPack {
     // EDFs jump — ties handled exactly by construction), and the
     // statistic exits as the integer numerator plus its e6-scaled ratio.
     //
-    // Scale shape: one groupBy(value) of the filtered fact, then the
-    // cumulative window runs over DISTINCT values — bounded by the value
-    // domain (50k cents here), not the event count.
+    // Scale shape: one groupBy(value) of the filtered fact, then BOTH
+    // samples' EDF cumulatives ride one distributed runningSums pass
+    // over the distinct-value frame (r9, was an unpartitioned cumulative
+    // window plus a literal-partition total window — the value domain
+    // bounds the frame, but one task still carried every distinct
+    // value); the totals join as a broadcast 1-row aggregate.
     "stats_ks_two_sample" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -2093,14 +2096,11 @@ object Relational extends QueryPack {
             (col("event_type") === "click").cast("long").as("isa"))
         val byV = ev.groupBy(col("v"))
           .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
-        val wCum = Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy(lit(1))
-        byV
-          .withColumn("c1", sum(col("a")).over(wCum))
-          .withColumn("c2", sum(col("b")).over(wCum))
-          .withColumn("n1", sum(col("a")).over(wAll))
-          .withColumn("n2", sum(col("b")).over(wAll))
+          .persistScoped()
+        val tot = byV.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+        graft.engine.ops.GlobalOrder
+          .runningSums(byV, col("v"), Nil, Seq(col("a") -> "c1", col("b") -> "c2"))
+          .crossJoin(broadcast(tot))
           .withColumn("dnum", abs(col("n2") * col("c1") - col("n1") * col("c2")))
           .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
             max(col("dnum")).as("ks_num"))

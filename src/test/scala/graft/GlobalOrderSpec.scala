@@ -60,6 +60,30 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(collectSorted(got, "id") == collectSorted(want, "id"))
   }
 
+  test("runningSums computes both samples' cumulatives in one pass") {
+    val df = frame(400)
+    val w = Window.orderBy(col("g"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cv", sum(col("v")).over(w).cast("long"))
+      .withColumn("ck", sum(col("k")).over(w).cast("long"))
+    val got = GlobalOrder.runningSums(df, col("g"), Seq(col("id")),
+      Seq(col("v") -> "cv", col("k") -> "ck"))
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+  }
+
+  test("runningMaxExclusive matches the single-task exclusive-prior max") {
+    val df = frame(400)
+    val w = Window.orderBy(col("g"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("mx", max(col("v")).over(w).cast("long"))
+    val got = GlobalOrder.runningMaxExclusive(
+      df, col("g"), Seq(col("id")), col("v"), "mx")
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+    // exactly one row (the global first) has a NULL prior max
+    assert(got.where(col("mx").isNull).count() == 1)
+  }
+
   test("runningSum over a DESCENDING order via key negation") {
     val df = frame(300)
     val w = Window.orderBy(col("v").desc, col("id"))
