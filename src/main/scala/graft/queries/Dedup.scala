@@ -1453,6 +1453,80 @@ object Dedup extends QueryPack {
     // cross join; lineage cut per round with eager localCheckpoint (the
     // CC/PageRank/suffix-array discipline). Output: top-20 communities
     // by size with exact integer tie-breaks.
+    // Single-source shortest paths over the weighted co-purchase graph —
+    // bounded synchronous Bellman-Ford (4 relaxation rounds), the
+    // remaining classic of the distributed-graph family (CC = pure
+    // reachability, PageRank/HITS = centrality, LPA = communities,
+    // k-core/triangles = density; SSSP = METRIC structure). Edge length
+    // is the inverse tie strength 1e6 div common (strong co-purchase =
+    // short hop), source = the smallest vertex id, and the report is
+    // the 20 nearest vertices. Four rounds bound the explored horizon
+    // at 4 hops — the standard frontier cap for a bounded report (a
+    // vertex further than 4 hops cannot enter a top-20 by distance on
+    // this graph's edge-length floor); unreached vertices simply never
+    // materialize a distance.
+    //
+    // Scale shape per round: one keyed join (edges x frontier, shuffles
+    // on the vertex id) + one map-side-combinable min aggregate;
+    // lineage cut per round with eager localCheckpoint (the
+    // CC/PageRank/LPA discipline); edges come from the hot-part-capped
+    // incidence, so per-part fanout is bounded. Exact integer
+    // distances; oracle mirrors the four unrolled rounds.
+    "graph_sssp" -> QueryDef(
+      (s, d) => {
+        val cp = coPurchases(s, d).select(col("c"), col("p"))
+        val pairs = cp.toDF("ca", "p").join(cp.toDF("cb", "p2"),
+            col("p") === col("p2") && col("ca") < col("cb"))
+          .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
+          .where(col("common") >= 2)
+          .selectExpr("ca", "cb", "CAST(1000000 div common AS BIGINT) AS w")
+        val edges = pairs.union(pairs.selectExpr("cb", "ca", "w"))
+          .toDF("u", "v", "w").localCheckpoint()
+        val src = edges.agg(min(col("u")).as("s"))
+        var dist = edges.crossJoin(broadcast(src))
+          .where(col("u") === col("s"))
+          .select(col("u").as("v"), lit(0L).as("dist"))
+          .distinct().localCheckpoint()
+        for (_ <- 1 to 4) {
+          val relaxed = edges.join(dist.toDF("u", "du"), Seq("u"))
+            .select(col("v"), (col("du") + col("w")).as("dist"))
+          dist = dist.unionByName(relaxed)
+            .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint()
+        }
+        dist.selectExpr("CAST(v AS BIGINT) AS cust", "dist")
+          .orderBy(col("dist"), col("cust"))
+          .limit(20)
+      },
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          val p = r - 1
+          s"""d$r AS MATERIALIZED (
+            SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+              SELECT v, dist FROM d$p
+              UNION ALL
+              SELECT e.v, d$p.dist + e.w AS dist
+              FROM edges e JOIN d$p ON e.u = d$p.v) q
+            GROUP BY v)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $duckCoPurchases,
+        pr AS MATERIALIZED (
+          SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
+          FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        wpr AS (SELECT ca, cb, CAST(1000000 // common AS BIGINT) AS w FROM pr),
+        edges AS MATERIALIZED (
+          SELECT ca AS u, cb AS v, w FROM wpr
+          UNION ALL SELECT cb, ca, w FROM wpr),
+        d0 AS (
+          SELECT CAST(min(u) AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist
+          FROM edges),
+        $roundCtes
+        SELECT CAST(v AS BIGINT) AS cust, dist
+        FROM d4 ORDER BY dist, cust LIMIT 20"""
+      }),
+
     "graph_lpa_communities" -> QueryDef(
       (s, d) => {
         val cp = coPurchases(s, d).select(col("c"), col("p"))

@@ -244,6 +244,21 @@ object TextOps extends QueryPack {
       "0.75 * CAST(f1 AS DOUBLE) / CAST(c1 AS DOUBLE) * " +
       "(CAST(f2 AS DOUBLE) / CAST(tt AS DOUBLE)))"
 
+  /** Cohen's kappa over confusion-matrix columns (n, n11, n10, n01,
+    * n00): po = (n11+n00)/n, pe = marginal chance agreement,
+    * kappa = (po - pe)/(1 - pe) — ONE identical expression string in
+    * both dialects (explicit DOUBLE casts, source-text-fixed
+    * association; nullif guards the degenerate all-agree-by-chance
+    * corpus where pe = 1).
+    */
+  private val KappaExpr: String = {
+    val po = "(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val pe = "((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) + " +
+      "CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    s"($po - $pe) / nullif(1.0 - $pe, 0.0)"
+  }
+
   /** NPMI of an adjacent pair, over columns (cxy, cx, cy, nb, nu): ONE
     * identical expression string in both dialects — every operand cast
     * to DOUBLE explicitly, association fixed by the source text, rounded
@@ -1101,6 +1116,55 @@ object TextOps extends QueryPack {
           s"exp(-(sum(CAST(cxy AS DOUBLE) * ln($KnProb)) / CAST(min(nn) AS DOUBLE)))", 6)} AS ppl_e6
         FROM bg JOIN pre USING (w1) JOIN cont USING (w2)
                 CROSS JOIN tots""")),
+
+    // Inter-labeler agreement by Cohen's kappa (Cohen 1960) between two
+    // independent heuristic quality labelers — the annotation-quality
+    // gate run before trusting any auto-labeled training set (raw
+    // percent agreement flatters labelers that both say "keep" to
+    // everything; kappa discounts chance agreement). Labeler A is the
+    // docs_quality_filter keep rule (length window + stopword
+    // presence); labeler B is a stopword-share threshold (>= 4%). One
+    // map-side-combinable aggregate builds the 2x2 confusion matrix in
+    // exact BIGINTs; po/pe/kappa evaluate through one identical
+    // expression tree, e6-scaled.
+    "quality_kappa_agreement" -> QueryDef(
+      (s, d) => {
+        Tables.documents(s, d)
+          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+          .where(expr("size(ws) > 0"))
+          .selectExpr("CAST(size(ws) AS BIGINT) AS nw",
+            s"CAST(${sparkScore(stopwords)} AS BIGINT) AS stop")
+          .selectExpr(
+            "CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN 1 ELSE 0 END AS la",
+            "CASE WHEN stop * 25 >= nw THEN 1 ELSE 0 END AS lb")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(expr("la * lb")).as("n11"),
+            sum(expr("la * (1 - lb)")).as("n10"),
+            sum(expr("(1 - la) * lb")).as("n01"),
+            sum(expr("(1 - la) * (1 - lb)")).as("n00"))
+          .selectExpr("n", "n11", "n10", "n01", "n00",
+            s"${Q.scaledLong(KappaExpr, 6)} AS kappa_e6")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT ${duckWords("lower(text)")} AS ws FROM documents),
+        f AS (
+          SELECT CAST(len(ws) AS BIGINT) AS nw,
+                 CAST(${duckScore(stopwords)} AS BIGINT) AS stop
+          FROM w WHERE len(ws) > 0),
+        l AS (
+          SELECT CASE WHEN nw >= 20 AND nw <= 90 AND stop > 0 THEN 1 ELSE 0 END AS la,
+                 CASE WHEN stop * 25 >= nw THEN 1 ELSE 0 END AS lb
+          FROM f),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(la * lb) AS BIGINT) AS n11,
+                 CAST(sum(la * (1 - lb)) AS BIGINT) AS n10,
+                 CAST(sum((1 - la) * lb) AS BIGINT) AS n01,
+                 CAST(sum((1 - la) * (1 - lb)) AS BIGINT) AS n00
+          FROM l)
+        SELECT n, n11, n10, n01, n00, ${Q.scaledLong(KappaExpr, 6)} AS kappa_e6
+        FROM m""")),
 
     // Feature-hashing collision profile (Weinberger et al. 2009, the
     // "hashing trick" behind sklearn's HashingVectorizer and VW): map
