@@ -1460,10 +1460,12 @@ object Dedup extends QueryPack {
     // k-core/triangles = density; SSSP = METRIC structure). Edge length
     // is the inverse tie strength 1e6 div common (strong co-purchase =
     // short hop), source = the smallest vertex id, and the report is
-    // the 20 nearest vertices. Four rounds bound the explored horizon
-    // at 4 hops — the standard frontier cap for a bounded report (a
-    // vertex further than 4 hops cannot enter a top-20 by distance on
-    // this graph's edge-length floor); unreached vertices simply never
+    // the 20 nearest vertices under the 4-HOP-BOUNDED metric — the
+    // k-hop SSSP variant production graph systems run when the report
+    // is local neighborhood structure, not full convergence (full
+    // Bellman-Ford is the same loop run |V|-1 rounds; the horizon is a
+    // declared parameter of the operator, mirrored exactly by the
+    // oracle's four unrolled rounds). Unreached vertices simply never
     // materialize a distance.
     //
     // Scale shape per round: one keyed join (edges x frontier, shuffles
