@@ -174,6 +174,44 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(collectSorted(got, "w") == collectSorted(want, "w"))
   }
 
+  test("property: helpers match the window on arbitrary key distributions") {
+    // raw ScalaCheck sampling (the scalatest bridge isn't in the offline
+    // dependency set): 6 generated frames from a fixed seed, sweeping
+    // size, key range (heavy ties <-> near-distinct), sign, and gaps
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val paramGen = for {
+      n <- Gen.choose(1, 300)
+      range <- Gen.oneOf(1L, 3L, 50L, 100000L, 4000000000L)
+      offset <- Gen.oneOf(-2000000000L, -7L, 0L, 1000000000L)
+      mult <- Gen.choose(1L, 1000003L)
+    } yield (n, range, offset, mult)
+    val cases = Gen.listOfN(6, paramGen)
+      .apply(Gen.Parameters.default, Seed(1729L))
+      .getOrElse(fail("generator exhausted"))
+    cases.foreach { case (n, range, offset, mult) =>
+      val df = (1 to n).map { i =>
+        val h = (i * mult) % 1000033L
+        (i.toLong, offset + (h % range + range) % range, (h % 91) + 1)
+      }.toDF("id", "k", "v")
+      val tag = s"n=$n range=$range offset=$offset mult=$mult"
+      val wRn = Window.orderBy(col("k"), col("id"))
+      val wantRn = df.withColumn("o",
+        row_number().over(wRn).cast("long"))
+      val gotRn = GlobalOrder.rowNumber(df, col("k"), Seq(col("id")), "o")
+      assert(collectSorted(gotRn, "id") == collectSorted(wantRn, "id"), s"rowNumber $tag")
+      val wCum = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wantCs = df.withColumn("o", sum(col("v")).over(wCum).cast("long"))
+      val gotCs = GlobalOrder.runningSum(df, col("k"), Seq(col("id")), col("v"), "o")
+      assert(collectSorted(gotCs, "id") == collectSorted(wantCs, "id"), s"runningSum $tag")
+      val wantLd = df.withColumn("o", lead(col("v"), 1).over(wRn))
+      val gotLd = GlobalOrder.lead1(df, col("k"), Seq(col("id")), Seq("v"), "_o")
+        .withColumnRenamed("v_o", "o")
+      assert(collectSorted(gotLd, "id") == collectSorted(wantLd, "id"), s"lead1 $tag")
+    }
+  }
+
   test("the per-bucket windows are partitioned; only the offset stitch is not") {
     // plan shape: the corpus-scale window must carry a partitionBy — the
     // only unpartitioned window runs over the <=32-row offset frame
