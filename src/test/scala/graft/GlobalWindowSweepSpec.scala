@@ -44,6 +44,15 @@ import graft.queries._
   * (cost, not laziness), their batch outputs are tiny result frames, and
   * their stateful operators are watermark/key-partitioned by construction
   * (asserted by the streaming specs, e.g. StatePartitionDialSpec).
+  *
+  * Known blind spot, covered elsewhere: plan segments that execute
+  * EAGERLY during a query's build (inside localCheckpoint lineage cuts —
+  * GlobalOrder internals, the iterative graph/suffix rounds) are not in
+  * the final optimized plan this sweep walks. Those segments are audited
+  * at their construction sites instead: GlobalOrderSpec's plan test pins
+  * "per-bucket windows partitioned, only the <=32-row offset stitch is
+  * not" on the helper itself, and the iterative ops' specs pin their
+  * per-round shapes.
   */
 class GlobalWindowSweepSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
