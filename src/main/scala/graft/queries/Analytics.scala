@@ -786,12 +786,12 @@ object Analytics extends QueryPack {
           WHERE event_type IN ('click', 'view', 'signup') AND tus < p_us),
         pu AS (
           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-                 min(ROW(tus, event_id, event_type)) AS fr,
-                 max(ROW(tus, event_id, event_type)) AS lr
+                 min(struct_pack(t := tus, e := event_id, c := event_type)) AS fr,
+                 max(struct_pack(t := tus, e := event_id, c := event_type)) AS lr
           FROM touches GROUP BY user_id),
-        f AS (SELECT fr[3] AS channel, count(*) AS first_touch
+        f AS (SELECT struct_extract(fr, 'c') AS channel, count(*) AS first_touch
               FROM pu GROUP BY 1),
-        l AS (SELECT lr[3] AS channel, count(*) AS last_touch
+        l AS (SELECT struct_extract(lr, 'c') AS channel, count(*) AS last_touch
               FROM pu GROUP BY 1),
         lin AS (
           SELECT t.event_type AS channel,
