@@ -11,6 +11,9 @@ import graft.engine.ops.Scale
   * individual operator in this library exists to serve, runnable as one
   * job:
   *
+  *   0. blocklist scrub (text_blocklist_filter's rule with the
+  *      pipeline's configured term list — the C4 discipline: a doc
+  *      containing any listed term drops outright);
   *   1. quality filter  (Gopher/C4-style rules — docs_quality_filter's
   *      verdict chain, keeping only 'ok');
   *   2. near-dup removal (MinHash-LSH pairs -> connected components ->
@@ -38,8 +41,15 @@ object CuratePipeline {
     val out = Files.createTempDirectory("graft_curated_").toString
     graft.functions.GraftFunctions.register(spark)
 
-    val docs = Tables.documents(spark, d)
-    val total = docs.count()
+    val raw = Tables.documents(spark, d)
+    val total = raw.count()
+
+    // 0. blocklist scrub (same row-local rule as text_blocklist_filter;
+    //    the demo list is one fixture term)
+    val docs = raw.where(
+      "size(array_intersect(filter(split(lower(text), ' '), w -> w <> ''), " +
+        "array('dup'))) = 0")
+    val nUnblocked = docs.count()
 
     // 1. quality filter (same rules as docs_quality_filter)
     val scored = docs
@@ -56,7 +66,10 @@ object CuratePipeline {
     val clusters = SparkEntry.queries("dedup_clusters")(spark, d)
     val dupDrops = clusters.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val deduped = kept.join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
+    // plain anti-join, NO broadcast hint: the dup-doc set is
+    // corpus-proportional at 100 TB (the dedup_rate_by_source lesson);
+    // AQE still broadcasts it at runtime while it measures small
+    val deduped = kept.join(dupDrops, Seq("doc_id"), "left_anti")
     val nDeduped = deduped.count()
 
     // 3. deterministic content-hash split (same arithmetic as
@@ -83,14 +96,24 @@ object CuratePipeline {
     //    the gated window arithmetic is what trainers receive)
     graft.engine.ops.Chunk.chunks(train)
       .write.mode("overwrite").parquet(s"$out/train_chunks")
+    // 6. diversity audit of the exported train split (text_distinct_ngrams'
+    //    distinct-1 ratio) — the degenerate-repetition tripwire a
+    //    curation run reads before handing the corpus to trainers
+    val divRow = train
+      .selectExpr("explode(filter(split(lower(text), ' '), w -> w <> '')) AS w")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("types"), sum(col("c")).as("tokens"))
+      .collect().head
+    val diversityPpm = divRow.getLong(0) * 1000000L / math.max(divRow.getLong(1), 1L)
     train.unpersist()
     val nChunks = spark.read.parquet(s"$out/train_chunks").count()
 
-    println(s"[curate] total=$total quality_kept=$nKept after_dedup=$nDeduped " +
+    println(s"[curate] total=$total unblocked=$nUnblocked quality_kept=$nKept " +
+      s"after_dedup=$nDeduped " +
       s"splits=${splitCounts.toSeq.sorted.mkString(",")} exported=$exported " +
-      s"train_chunks=$nChunks -> $out")
+      s"train_chunks=$nChunks train_distinct1_ppm=$diversityPpm -> $out")
     println(s"[curate] ${if (exported == nDeduped && nDeduped <= nKept &&
-        nKept <= total && nChunks >= nTrainDocs) "OK"
+        nKept <= nUnblocked && nUnblocked <= total && nChunks >= nTrainDocs) "OK"
       else "UNEXPECTED"}")
     spark.stop()
   }
