@@ -1468,12 +1468,18 @@ object Dedup extends QueryPack {
     // oracle's four unrolled rounds). Unreached vertices simply never
     // materialize a distance.
     //
-    // Scale shape per round: one keyed join (edges x frontier, shuffles
-    // on the vertex id) + one map-side-combinable min aggregate;
-    // lineage cut per round with eager localCheckpoint (the
-    // CC/PageRank/LPA discipline); edges come from the hot-part-capped
-    // incidence, so per-part fanout is bounded. Exact integer
-    // distances; oracle mirrors the four unrolled rounds.
+    // Scale shape per round: FRONTIER-based relaxation — only vertices
+    // whose distance improved last round join against the edge table
+    // (classic delta-stepping economy: round 1 touches the source's
+    // adjacency, not the whole graph), and the edge table is
+    // pre-partitioned on the join key and cached (persistScoped), so
+    // rounds reuse its layout instead of re-shuffling edges four times.
+    // Per round: one keyed join + one map-side-combinable min + one
+    // vertex-keyed merge; lineage cut every second round (the
+    // suffix-array discipline — the per-round frames are vertex-sized).
+    // Edges come from the hot-part-capped incidence, so per-part fanout
+    // is bounded. Exact integer distances; oracle mirrors the four
+    // unrolled rounds.
     "graph_sssp" -> QueryDef(
       (s, d) => {
         val cp = coPurchases(s, d).select(col("c"), col("p"))
@@ -1483,18 +1489,27 @@ object Dedup extends QueryPack {
           .where(col("common") >= 2)
           .selectExpr("ca", "cb", "CAST(1000000 div common AS BIGINT) AS w")
         val edges = pairs.union(pairs.selectExpr("cb", "ca", "w"))
-          .toDF("u", "v", "w").localCheckpoint()
+          .toDF("u", "v", "w").repartition(col("u")).persistScoped()
         val src = edges.agg(min(col("u")).as("s"))
         var dist = edges.crossJoin(broadcast(src))
           .where(col("u") === col("s"))
           .select(col("u").as("v"), lit(0L).as("dist"))
           .distinct().localCheckpoint()
-        for (_ <- 1 to 4) {
-          val relaxed = edges.join(dist.toDF("u", "du"), Seq("u"))
-            .select(col("v"), (col("du") + col("w")).as("dist"))
-          dist = dist.unionByName(relaxed)
-            .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-            .localCheckpoint()
+        var frontier = dist
+        for (r <- 1 to 4) {
+          val relaxed = edges.join(frontier.toDF("u", "du"), Seq("u"))
+            .select(col("v"), (col("du") + col("w")).as("nd"))
+            .groupBy(col("v")).agg(min(col("nd")).as("nd"))
+          val merged = dist.join(relaxed, Seq("v"), "full")
+            .selectExpr("v", "dist AS old",
+              """CASE WHEN dist IS NULL THEN nd
+                      WHEN nd IS NULL THEN dist
+                      ELSE least(dist, nd) END AS dist""")
+          val cutNow = r % 2 == 0
+          val m = if (cutNow) merged.localCheckpoint() else merged
+          frontier = m.where(col("old").isNull || col("dist") < col("old"))
+            .select(col("v"), col("dist"))
+          dist = m.select(col("v"), col("dist"))
         }
         dist.selectExpr("CAST(v AS BIGINT) AS cust", "dist")
           .orderBy(col("dist"), col("cust"))
