@@ -81,7 +81,12 @@ object Bench {
     // The driver archives only a ~2000-char tail of stdout, which truncated
     // the per-query map in r6 AND r7 ("parsed": null). Persist the COMPLETE
     // map to a file in the repo so every number survives the tail.
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+    // SPARK_GRAFT_ONLY-restricted dev runs go to BENCH_PARTIAL.json:
+    // BENCH_FULL.json is the canonical full-surface artifact BASELINE.md
+    // cites, and an r9 single-query probe silently clobbered it (ADVICE
+    // r9 #1) — partial runs must never overwrite the canonical file.
+    val dumpName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
+    val fullPath = java.nio.file.Paths.get(dumpName).toAbsolutePath
     try java.nio.file.Files.writeString(fullPath, fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-dump write failed: ${e.getMessage}")

@@ -102,7 +102,7 @@ object CuratePipeline {
     val divRow = train
       .selectExpr("explode(filter(split(lower(text), ' '), w -> w <> '')) AS w")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .agg(count(lit(1)).as("types"), sum(col("c")).as("tokens"))
+      .agg(count(lit(1)).as("types"), coalesce(sum(col("c")), lit(0L)).as("tokens"))
       .collect().head
     val diversityPpm = divRow.getLong(0) * 1000000L / math.max(divRow.getLong(1), 1L)
     train.unpersist()

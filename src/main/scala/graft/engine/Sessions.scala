@@ -96,9 +96,12 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     // the library's optimizer surface (same rule GraftExtensions
-    // injects on the spark.sql.extensions path); assignment, not
-    // append, so getOrCreate-reused sessions stay idempotent
-    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRule)
+    // injects on the spark.sql.extensions path); append-if-absent so a
+    // getOrCreate-reused session stays idempotent WITHOUT clobbering
+    // optimizer rules user code installed before calling us
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
     spark
   }
 }

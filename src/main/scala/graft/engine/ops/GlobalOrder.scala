@@ -201,16 +201,62 @@ object GlobalOrder {
     * rows, the rest floor(N/n). Result column: `out` (BIGINT, 1-based).
     */
   def ntileCol(df: DataFrame, n: Int, key: Column, ties: Seq[Column],
-      out: String): DataFrame = {
-    val rn = rowNumber(df, key, ties, "_gntrn")
-    val tot = rn.agg(count(lit(1)).as("_gtot"))
-    rn.crossJoin(broadcast(tot))
-      .withColumn(out, expr(
-        s"""CASE WHEN _gntrn <= (_gtot % $n) * (_gtot div $n + 1)
-              THEN (_gntrn - 1) div (_gtot div $n + 1) + 1
-              ELSE (_gtot % $n) + (_gntrn - 1 - (_gtot % $n) * (_gtot div $n + 1))
-                     div greatest(_gtot div $n, 1) + 1 END"""))
-      .drop("_gntrn", "_gtot")
+      out: String): DataFrame =
+    ntileCols(df, ties, Seq((n, key, out)))
+
+  /** Multi-metric [[ntileCol]]: every (n, key, out) spec's global ntile
+    * over the SAME tie columns, sharing the expensive corpus-scale work
+    * across metrics — ONE [[cut]] of the input, ONE aggregate producing
+    * every metric's 31-boundary array AND the total row count, ONE
+    * broadcast crossJoin attaching them (the RFM shape: three chained
+    * ntileCol calls each paid their own boundary pass, count pass, and
+    * two crossJoins — ~6 corpus passes where this makes 1 + one window
+    * per metric; the per-metric bucket window + 32-row offset stitch
+    * are irreducible because each metric orders the frame differently).
+    * Value-identical to chaining [[ntileCol]]: each spec's ntile depends
+    * only on its own (key, ties) order, never on another spec's output.
+    */
+  def ntileCols(df: DataFrame, ties: Seq[Column],
+      specs: Seq[(Int, Column, String)]): DataFrame = {
+    val idx = specs.indices
+    val keyed = cut(idx.foldLeft(df) { (b, i) =>
+      b.withColumn(s"_gok$i", specs(i)._2.cast("long"))
+    })
+    val qs = (1 until Buckets).map(i => i.toDouble / Buckets).mkString(", ")
+    // one pass: every boundary array + the global row count
+    val bnds = keyed.agg(
+      expr(s"approx_percentile(_gok0, array($qs), 10000)").as("_gbnd0"),
+      idx.drop(1).map(i =>
+        expr(s"approx_percentile(_gok$i, array($qs), 10000)").as(s"_gbnd$i")) :+
+        count(lit(1)).as("_gtot"): _*)
+    // derive every bucket column row-locally, then shed the arrays so
+    // the per-metric cut frames never persist 31-element payloads
+    val withBuckets = idx.foldLeft(keyed.crossJoin(broadcast(bnds))) { (b, i) =>
+      b.withColumn(s"_gb$i",
+        expr(s"CAST(size(filter(_gbnd$i, b -> b < _gok$i)) AS BIGINT)"))
+    }.drop(idx.map(i => s"_gbnd$i"): _*)
+    val banded = idx.foldLeft(withBuckets) { (cur, i) =>
+      val n = specs(i)._1
+      val wloc = Window.partitionBy(col(s"_gb$i"))
+        .orderBy(col(s"_gok$i") +: ties: _*)
+      val local = cut(
+        cur.withColumn("_glrn", row_number().over(wloc).cast("long")))
+      val offs = local.groupBy(col(s"_gb$i")).agg(count(lit(1)).as("_gcnt"))
+        .withColumn("_goff", coalesce(sum(col("_gcnt")).over(
+          Window.orderBy(col(s"_gb$i"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(s"_gb$i"), col("_goff"))
+      local.join(broadcast(offs), Seq(s"_gb$i"))
+        .withColumn("_gntrn", col("_glrn") + col("_goff"))
+        .withColumn(specs(i)._3, expr(
+          s"""CASE WHEN _gntrn <= (_gtot % $n) * (_gtot div $n + 1)
+                THEN (_gntrn - 1) div (_gtot div $n + 1) + 1
+                ELSE (_gtot % $n) + (_gntrn - 1 - (_gtot % $n) * (_gtot div $n + 1))
+                       div greatest(_gtot div $n, 1) + 1 END"""))
+        .drop("_glrn", "_goff", "_gntrn")
+    }
+    banded.drop("_gtot" +:
+      idx.flatMap(i => Seq(s"_gok$i", s"_gb$i")): _*)
   }
 
   /** Distributed global `lead(c, 1)` for each column in `leadCols` over

@@ -543,13 +543,13 @@ object Analytics extends QueryPack {
               .as("r_days"),
             count(lit(1)).as("f"),
             sum(expr(Q.scaledLong("value", 2))).as("m_c"))
-        val G = graft.engine.ops.GlobalOrder
-        val banded =
-          G.ntileCol(
-            G.ntileCol(
-              G.ntileCol(u, 5, col("r_days"), Seq(col("user_id")), "rq"),
-              5, -col("f"), Seq(col("user_id")), "fq"),
-            5, -col("m_c"), Seq(col("user_id")), "mq")
+        // fused r10: one boundary/count pass + one broadcast for all
+        // three quintiles (was three chained ntileCol calls, each with
+        // its own corpus passes)
+        val banded = graft.engine.ops.GlobalOrder.ntileCols(
+          u, Seq(col("user_id")),
+          Seq((5, col("r_days"), "rq"), (5, -col("f"), "fq"),
+            (5, -col("m_c"), "mq")))
         banded
           .selectExpr("CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment", "m_c")
           .groupBy(col("segment"))

@@ -1538,7 +1538,7 @@ object Dedup extends QueryPack {
           UNION ALL SELECT cb, ca, w FROM wpr),
         d0 AS (
           SELECT CAST(min(u) AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist
-          FROM edges),
+          FROM edges HAVING count(*) > 0),
         $roundCtes
         SELECT CAST(v AS BIGINT) AS cust, dist
         FROM d4 ORDER BY dist, cust LIMIT 20"""

@@ -3527,22 +3527,39 @@ object Relational extends QueryPack {
     // different inequality-join optimizations, one result.
     "join_range_auto" -> QueryDef(
       (s, d) => {
-        s.conf.set(graft.plans.RangeJoinRule.BinConf, "60000000")
-        val ev = Tables.events(s, d)
-          .select(col("event_type"), epochUs(col("ts")).as("tus"),
-            col("event_id"))
-        val sg = ev.where(col("event_type") === "signup")
-          .select(col("tus").as("s_tus"), col("event_id").as("sid"))
-        val pu = ev.where(col("event_type") === "purchase")
-          .select(col("tus").as("p_tus"))
-        sg.join(pu,
-            col("p_tus") > col("s_tus") &&
-              col("p_tus") <= col("s_tus") + lit(60000000L))
-          .groupBy(col("sid")).agg(count(lit(1)).as("n_purch"))
-          .groupBy(col("n_purch"))
-          .agg(count(lit(1)).cast("bigint").as("n_signups"))
-          .selectExpr("CAST(n_purch AS BIGINT) AS n_purch", "n_signups")
-          .orderBy(col("n_purch"))
+        // Scope the bin conf to THIS query: RangeJoinRule reads it at
+        // optimization time, so force the (Dataset-cached) optimized
+        // plan while the conf is live, then restore the previous value
+        // — otherwise every query built later on the shared session
+        // inherits a bin tuned for microsecond windows and plan shapes
+        // become build-order-dependent.
+        val binKey = graft.plans.RangeJoinRule.BinConf
+        val prevBin = s.conf.getOption(binKey)
+        s.conf.set(binKey, "60000000")
+        try {
+          val ev = Tables.events(s, d)
+            .select(col("event_type"), epochUs(col("ts")).as("tus"),
+              col("event_id"))
+          val sg = ev.where(col("event_type") === "signup")
+            .select(col("tus").as("s_tus"), col("event_id").as("sid"))
+          val pu = ev.where(col("event_type") === "purchase")
+            .select(col("tus").as("p_tus"))
+          val out = sg.join(pu,
+              col("p_tus") > col("s_tus") &&
+                col("p_tus") <= col("s_tus") + lit(60000000L))
+            .groupBy(col("sid")).agg(count(lit(1)).as("n_purch"))
+            .groupBy(col("n_purch"))
+            .agg(count(lit(1)).cast("bigint").as("n_signups"))
+            .selectExpr("CAST(n_purch AS BIGINT) AS n_purch", "n_signups")
+            .orderBy(col("n_purch"))
+          out.queryExecution.optimizedPlan // bake the rewrite in now
+          out
+        } finally {
+          prevBin match {
+            case Some(v) => s.conf.set(binKey, v)
+            case None => s.conf.unset(binKey)
+          }
+        }
       },
       Some("""
         WITH ev AS (
