@@ -28,10 +28,11 @@ object Verify {
       }
       finally {
         // release per-query persisted frames: drain the registry (the
-        // library contract) and clearCache (belt-and-braces for anything
-        // cached outside it)
+        // library contract). No clearCache here (r10): the hammer also
+        // evicted the cross-query shared tier (co-purchase frame), and
+        // every query-scoped frame is registry-tracked anyway; the
+        // shared tier + anything stray is released once at the end.
         graft.queries.Persisted.drain()
-        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +50,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.queries.Persisted.drainShared()
     spark.stop()
   }
 }

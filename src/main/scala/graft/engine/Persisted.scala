@@ -32,4 +32,48 @@ object Persisted {
     var f = reg.poll()
     while (f != null) { f.unpersist(blocking = false); f = reg.poll() }
   }
+
+  // ---- cross-query shared tier (r10) -------------------------------------
+
+  /** Session-lifetime cache of PURE-INPUT-DERIVED frames shared by several
+    * declared queries (the co-purchase incidence feeds graph_sssp,
+    * graph_lpa_communities AND graph_jaccard_links — per-query [[drain]]
+    * forced each to rebuild the identical frame). Keyed by
+    * (session UUID, caller key incl. the sf dir), so a frame never leaks
+    * across sessions or data directories. SURVIVES [[drain]] — the
+    * per-query hygiene contract bounds the QUERY-scoped footprint; this
+    * tier is opt-in, bounded by the small set of frames engine code
+    * explicitly designates (CacheHygieneSpec pins the bound), and is
+    * released by [[drainShared]] at session close (Bench/Verify call it;
+    * library users: call it when done with a session, or just stop the
+    * session — cached blocks die with the executors).
+    *
+    * If an outside `spark.catalog.clearCache()` evicted the frame, the
+    * accessor re-arms persistence (recompute happens lazily on next use);
+    * semantics are unchanged either way.
+    */
+  private val sharedReg =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def shared(session: org.apache.spark.sql.SparkSession,
+      key: String)(build: => DataFrame): DataFrame = {
+    val k = System.identityHashCode(session).toHexString + "|" + key
+    val df = sharedReg.compute(k, (_, cached) =>
+      // identityHashCode can recur after GC: accept the cached frame
+      // only if it belongs to THIS live session object
+      if (cached != null && (cached.sparkSession eq session)) cached
+      else build.persist())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
+  /** Number of live shared-tier entries (test hook for the bound). */
+  private[graft] def sharedSize: Int = sharedReg.size()
+
+  /** Unpersist and forget every shared-tier frame. */
+  def drainShared(): Unit = {
+    val it = sharedReg.values().iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
 }

@@ -176,20 +176,26 @@ object Dedup extends QueryPack {
   val MaxCoPurchaseDegree = 256
 
   /** Customer-part co-purchase incidence (c, p), hot-part capped — the
-    * shared graph both co-purchase ops analyze. Persisted (scoped): the
-    * result feeds both sides of each op's pair self-join plus its
-    * degree/label aggregates.
+    * shared graph ALL the co-purchase ops analyze (graph_jaccard_links,
+    * graph_lpa_communities, graph_sssp). Cached in the cross-query
+    * SHARED tier (r10; was persistScoped, which the per-query drain
+    * released — each graph query rebuilt the identical two-table join +
+    * distinct + cap, ~2-3 s of repeated work per bench run): the frame
+    * is a pure function of the input dir, so one build serves the whole
+    * family for the session's lifetime.
     */
   private def coPurchases(s: SparkSession, d: String): DataFrame =
-    graft.engine.ops.Scale.capHotKeys(
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .selectExpr("CAST(o_custkey AS BIGINT) AS c",
-          "CAST(l_partkey AS BIGINT) AS p")
-        .distinct(),
-      col("p"), MaxCoPurchaseDegree).persistScoped()
+    graft.engine.Persisted.shared(s, s"coPurchases|$d") {
+      graft.engine.ops.Scale.capHotKeys(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .selectExpr("CAST(o_custkey AS BIGINT) AS c",
+            "CAST(l_partkey AS BIGINT) AS p")
+          .distinct(),
+        col("p"), MaxCoPurchaseDegree)
+    }
 
   /** Oracle twin of [[coPurchases]]: `cp` = the capped incidence. */
   private val duckCoPurchases: String =

@@ -16,7 +16,9 @@ class CacheHygieneSpec extends AnyFunSuite {
 
   // the cache-heavy declared queries: the two the r7 VERDICT named as
   // leaking (graph_jaccard_links, curate_funnel) plus one per pack/helper
-  // family that routes through persistScoped
+  // family that routes through persistScoped. graph_jaccard_links also
+  // exercises the r10 SHARED tier (the co-purchase frame deliberately
+  // survives the per-query drain — released by drainShared below).
   private val cacheHeavy = Seq(
     "graph_jaccard_links", "curate_funnel", "dedup_jaccard_pairs",
     "q15_top_supplier", "funnel_user_stages", "quality_js_divergence",
@@ -26,6 +28,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     test(s"$name leaves no cached frames after build + count + drain") {
       SparkEntry.queries(name)(spark, d).count()
       queries.Persisted.drain()
+      queries.Persisted.drainShared()
       assert(GraftCacheProbe.cacheIsEmpty(spark),
         s"$name left persisted frames in the CacheManager after drain")
     }
@@ -35,8 +38,35 @@ class CacheHygieneSpec extends AnyFunSuite {
     // embedded in SparkEntry.queries is the only release mechanism
     SparkEntry.queries("graph_jaccard_links")(spark, d).count()
     SparkEntry.queries("q1_pricing_summary")(spark, d) // build only
+    queries.Persisted.drainShared()
     assert(GraftCacheProbe.cacheIsEmpty(spark),
       "the next build must release the previous query's persisted frames")
+  }
+
+  test("shared tier: bounded, reused across the graph family, released by drainShared") {
+    queries.Persisted.drainShared()
+    // each graph query materializes; the shared co-purchase frame must be
+    // built once and survive the per-query drain embedded in queries()
+    for (q <- Seq("graph_jaccard_links", "graph_lpa_communities", "graph_sssp"))
+      SparkEntry.queries(q)(spark, d).count()
+    val n = queries.Persisted.sharedSize
+    assert(n >= 1 && n <= 4,
+      s"shared tier must hold the designated pure-input frames only, got $n")
+    queries.Persisted.drainShared()
+    assert(queries.Persisted.sharedSize == 0, "drainShared must empty the tier")
+    assert(GraftCacheProbe.cacheIsEmpty(spark),
+      "after drainShared + per-query drains the CacheManager must be empty")
+  }
+
+  test("shared tier: a clearCache eviction re-arms persistence on next access") {
+    queries.Persisted.drainShared()
+    SparkEntry.queries("graph_jaccard_links")(spark, d).count()
+    spark.catalog.clearCache() // tool-side hammer outside library control
+    // next build must still work and re-arm the shared frame's caching
+    val r = SparkEntry.queries("graph_sssp")(spark, d)
+    assert(r.count() >= 0)
+    queries.Persisted.drainShared()
+    assert(GraftCacheProbe.cacheIsEmpty(spark))
   }
 
   test("no declared query uses bare .persist() (registry bypass)") {
