@@ -38,6 +38,14 @@ object Bench {
         "orders", "lineitem", "documents", "embeddings"))
       graft.engine.Tables.table(spark, sfDir, t).count()
     graft.engine.Tables.events(spark, sfDir).count()
+    // Pre-build the cross-query shared tier at the bench SF and charge it
+    // to an explicit setup line (included in the reported total): without
+    // this, the first graph query's run 1 pays the co-purchase build and
+    // min-of-2 silently excludes it — graph per-query numbers become
+    // build-order-dependent and flatter than a cold run (r10 advisor).
+    val tShared0 = System.nanoTime()
+    graft.queries.Dedup.warmShared(spark, sfDir)
+    val sharedSetupSec = (System.nanoTime() - tShared0) / 1e9
     // min of two timed runs per query: this bench box carries variable
     // background load that can inflate a single-shot timing 3-10x (the
     // r3 driver file shows 14.2s for a query whose reproducible cost is
@@ -82,8 +90,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.values.filter(_ >= 0).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"timing":"min_of_2_heal3","sf":"$sfDir"}"""
+    val total = results.values.filter(_ >= 0).sum + sharedSetupSec
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","shared_setup_sec":$sharedSetupSec,"queries":$qs,"failed":[${failed.mkString(",")}],"timing":"min_of_2_heal3","sf":"$sfDir"}"""
     println(fullLine)
     // The driver archives only a ~2000-char tail of stdout, which truncated
     // the per-query map in r6 AND r7 ("parsed": null). Persist the COMPLETE
@@ -109,7 +117,7 @@ object Bench {
     val streamSec = results.collect {
       case (k, v) if v >= 0 && (k.startsWith("stream_") || k.startsWith("ingest_e")) => v
     }.sum
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"stream_sec":${r2(streamSec)},"slowest":$slowest,"timing":"min_of_2_heal3","full_dump":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"stream_sec":${r2(streamSec)},"shared_setup_sec":${r2(sharedSetupSec)},"slowest":$slowest,"timing":"min_of_2_heal3","full_dump":"$fullPath","sf":"$sfDir"}""")
     graft.queries.Persisted.drainShared()
     spark.stop()
   }

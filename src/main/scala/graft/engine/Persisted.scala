@@ -39,7 +39,7 @@ object Persisted {
     * declared queries (the co-purchase incidence feeds graph_sssp,
     * graph_lpa_communities AND graph_jaccard_links — per-query [[drain]]
     * forced each to rebuild the identical frame). Keyed by
-    * (session UUID, caller key incl. the sf dir), so a frame never leaks
+    * (`sessionUUID`, caller key incl. the sf dir), so a frame never leaks
     * across sessions or data directories. SURVIVES [[drain]] — the
     * per-query hygiene contract bounds the QUERY-scoped footprint; this
     * tier is opt-in, bounded by the small set of frames engine code
@@ -57,12 +57,25 @@ object Persisted {
 
   private[graft] def shared(session: org.apache.spark.sql.SparkSession,
       key: String)(build: => DataFrame): DataFrame = {
-    val k = System.identityHashCode(session).toHexString + "|" + key
-    val df = sharedReg.compute(k, (_, cached) =>
-      // identityHashCode can recur after GC: accept the cached frame
-      // only if it belongs to THIS live session object
-      if (cached != null && (cached.sparkSession eq session)) cached
-      else build.persist())
+    // the frame is built OUTSIDE any map lock: Spark analysis inside a
+    // ConcurrentHashMap.compute mapping function holds the bin lock and
+    // deadlocks if the build transitively re-enters shared(); two racing
+    // builders are resolved by putIfAbsent, the loser unpersists its copy
+    val fullKey =
+      org.apache.spark.sql.GraftSessionId.uuid(session) + "|" + key
+    var df = sharedReg.get(fullKey)
+    if (df == null) {
+      // opportunistic purge: entries of STOPPED sessions are dead weight
+      // (their cached blocks died with the executors) — drop them here so
+      // a long-lived JVM cycling sessions never accumulates stale entries
+      val it = sharedReg.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+      val fresh = build.persist()
+      val prev = sharedReg.putIfAbsent(fullKey, fresh)
+      if (prev != null) { fresh.unpersist(blocking = false); df = prev }
+      else df = fresh
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df
@@ -71,8 +84,15 @@ object Persisted {
   /** Number of live shared-tier entries (test hook for the bound). */
   private[graft] def sharedSize: Int = sharedReg.size()
 
-  /** Unpersist and forget every shared-tier frame. */
+  /** Session-close release: unpersist and forget every shared-tier frame,
+    * AND drain the query-scoped registry — the LAST query's scoped frames
+    * are otherwise released only at the next `queries()` build, so without
+    * this a caller honoring the advertised contract ("call drainShared and
+    * the session is clean") would still leak one query's working set
+    * (CacheHygieneSpec pins CacheManager emptiness after this call).
+    */
   def drainShared(): Unit = {
+    drain()
     val it = sharedReg.values().iterator()
     while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }

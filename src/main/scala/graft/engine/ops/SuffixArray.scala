@@ -51,26 +51,71 @@ object SuffixArray {
     * final frame (doc_id, p, gid, rk) plus the `boundRound` frame —
     * whose rank identifies the 2^boundRound-token prefix — for
     * candidate filtering.
+    *
+    * Per-round execution discipline (r11 — the r10 bench showed this
+    * query paying ~9 s at sf0.1, mostly REDUNDANT executions of the
+    * per-round self-join): the join + in-bucket window materialize
+    * EXACTLY ONCE per round, via an eager localCheckpoint of the
+    * windowed frame; everything else that used to cost a corpus pass is
+    * driver-side arithmetic over the checkpointed result —
+    *
+    *   - the bucket divisor (the previous round's max rank) is carried
+    *     forward in the driver instead of re-aggregated from the join
+    *     output (the old `mx` agg executed the whole round a 2nd time);
+    *   - the 32-row per-bucket distinct counts are COLLECTED (a narrow
+    *     agg over cached partitions) and prefix-summed in Scala; the
+    *     stitch adds a literal lookup map — no offs window job, no
+    *     broadcast exchange (the old offs path executed the round a 3rd
+    *     time to build the broadcast);
+    *   - the next round's max rank is the counts' sum — free.
+    *
+    * Rounds stop at the prefix-doubling FIXPOINT: when a round splits no
+    * rank class (distinct count unchanged), no later round can (round
+    * k+1's refinement pairs round-k classes; an unchanged partition
+    * yields the same pairs), so remaining rounds are identity — skipping
+    * them is value-identical (Manber–Myers' standard early exit).
+    *
+    * Each round's checkpointed blocks stay referenced only by the next
+    * round's plan; the context cleaner releases them as the frames are
+    * garbage collected (same lifecycle as ConnectedComponents' rounds).
     */
   def ranks(pos0: DataFrame, rounds: Int, boundRound: Int): (DataFrame, DataFrame) = {
     var cur = pos0.localCheckpoint()
+    var curMax = Option(cur.agg(max(col("rk"))).head.get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     var bound: DataFrame = null
-    for (k <- 1 to rounds) {
+    var k = 1
+    var stable = false
+    while (k <= rounds && !stable) {
       val off = 1 << (k - 1)
       val shifted = cur.selectExpr("doc_id", s"p - $off AS p", "rk AS rkb")
       val paired = cur.join(shifted, Seq("doc_id", "p"), "left")
         .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
-      cur = rangeDenseRank(paired, "rk", "rkb")
-        .selectExpr("doc_id", "p", "gid", "_grk AS rk")
-      // each round references its predecessor twice, so an uncut plan
-      // doubles per round; cutting every SECOND round bounds the
-      // blowup at 4 copies of a checkpointed leaf while halving the
-      // eager materialization jobs (the bound round always cuts, since
-      // it is retained and re-read later)
-      if (k % 2 == 0 || k == rounds || k == boundRound)
-        cur = cur.localCheckpoint()
-      if (k == boundRound) bound = cur
+      val mx = math.max(curMax, 1L)
+      val local = paired
+        .withColumn("_b", expr(s"((rk - 1) * 32) div $mx"))
+        .withColumn("_lrk", dense_rank().over(
+          Window.partitionBy(col("_b")).orderBy(col("rk"), col("rkb")))
+          .cast("long"))
+        .localCheckpoint()
+      val cnts = local.groupBy(col("_b")).agg(max(col("_lrk")).as("_cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = cnts.map(_._1)
+        .zip(cnts.scanLeft(0L)(_ + _._2).init).toSeq
+      val newMax = cnts.map(_._2).sum
+      val offExpr =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(element_at(
+          map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
+          col("_b")), lit(0L))
+      cur = local.withColumn("rk", col("_lrk") + offExpr)
+        .select(col("doc_id"), col("p"), col("gid"), col("rk"))
+      stable = newMax == curMax
+      curMax = newMax
+      if (k == boundRound || (stable && bound == null)) bound = cur
+      k += 1
     }
+    if (bound == null) bound = cur // rounds < boundRound or stable early
     (cur, bound)
   }
 }

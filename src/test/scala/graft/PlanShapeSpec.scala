@@ -66,8 +66,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // must turn it into a banded equi-join at optimization time
     val p = plan("join_range_auto")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"range join must not plan as a nested loop:\n$p")
+      s"range join must not plan as a nested loop:\n$p"
+    )
     assert(p.contains("_rj_bin"), s"banded join key missing:\n$p")
+    // the rewrite must also reach DERIVED QueryExecutions — .count() /
+    // .write re-optimize from the logical plan, which is exactly where a
+    // build-scoped conf dies (r10 advisor finding); the bin is inferred
+    // from the predicate's constant span, so it travels with the plan
+    val derived = SparkEntry.queries("join_range_auto")(spark, d)
+      .limit(1000000).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(derived.contains("_rj_bin") &&
+      !derived.contains("BroadcastNestedLoopJoin"),
+      s"rewrite must survive re-optimization of derived plans:\n$derived")
   }
 
   test("full-outer join plans as a shuffled equi-join, not nested-loop") {
@@ -755,9 +766,14 @@ class PlanShapeSpec extends AnyFunSuite {
       .count(_.contains("text#"))
     assert(textGen <= 1,
       s"only the initial word count may explode text#, found $textGen:\n$p")
-    // each round's 1-row argmax winner reaches the vocab frame broadcast
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"the merge winner must broadcast into the re-tokenize:\n$p")
+    // the merge rounds run on the vocab-bounded table in ONE task (the
+    // HF-tokenizers shape: distributed count, local merge loop) — a
+    // single object-map stage over the coalesced word-frequency frame,
+    // with no per-round corpus work at all
+    assert(p.contains("MapPartitions"),
+      s"the merge loop must be the single vocab-local stage:\n$p")
+    assert("(?m)^\\(\\d+\\) Coalesce".r.findFirstIn(p).isDefined,
+      s"the vocab frame must collapse to one task before the merge loop:\n$p")
   }
 
   test("logreg: scoring is a narrow map — no explode, no text shuffle, weights broadcast") {

@@ -81,6 +81,23 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("constant-span predicates infer the bin with NO conf set") {
+    // the fixed-window shape (hi = lo + c): the span travels with the
+    // plan, so the rewrite fires in every QueryExecution derived from
+    // the frame — unlike a conf scoped to the build (r10 advisor finding)
+    def q = points.join(intervals.select(col("iid"), col("lo")),
+      col("p") > col("lo") && col("p") <= col("lo") + lit(40L))
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("_rj_bin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"constant span must infer the bin:\n$plan")
+    // truth: the same predicate over an explicit cartesian (no join
+    // condition, so the rule has nothing to rewrite)
+    val want = rows(points.crossJoin(intervals.select(col("iid"), col("lo")))
+      .where(col("p") > col("lo") && col("p") <= col("lo") + lit(40L)))
+    assert(want.nonEmpty)
+    assert(rows(q) == want)
+  }
+
   test("joins with an equi-conjunct are left untouched") {
     import spark.implicits._
     val dim = (1 to 10).map(i => (i.toLong, i * 10L, i * 10L + 100L)).toDF("k", "lo", "hi")
