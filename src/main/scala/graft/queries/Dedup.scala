@@ -197,15 +197,55 @@ object Dedup extends QueryPack {
         col("p"), MaxCoPurchaseDegree)
     }
 
-  /** Bench hook: build + materialize the shared co-purchase frame for
-    * the given dir OUTSIDE Bench's per-query timed region, so its cost
+  /** The distinct (doc_id, sh) shingle space in the cross-query SHARED
+    * tier (r11, the coPurchases precedent): SEVEN declared queries build
+    * the identical corpus-scale explode + distinct (the LSH family,
+    * containment, decontam, novelty, source overlap, incremental), and
+    * the per-query drain forced each to re-pay it. Pure function of the
+    * input dir; released by drainShared at session close.
+    */
+  private def sharedShingleRaw(s: SparkSession, d: String): DataFrame =
+    graft.engine.Persisted.shared(s, s"shingleRaw|$d") {
+      shingleRows(s, d).distinct()
+    }
+
+  /** The stop-shingle-capped feature space over [[sharedShingleRaw]],
+    * shared for the same reason (every consumer of shingles must go
+    * through the cap — see [[cappedShingles]]).
+    */
+  private def sharedCappedShingles(s: SparkSession, d: String): DataFrame =
+    graft.engine.Persisted.shared(s, s"cappedShingles|$d") {
+      cappedShingles(sharedShingleRaw(s, d))
+    }
+
+  /** The VERIFIED near-dup pair list in the shared tier — the single
+    * biggest cross-query rebuild before r11: dedup_minhash_pairs,
+    * dedup_clusters, dedup_keep_best, dedup_rate_by_source,
+    * split_leakage_audit, graph_pagerank_dups and dedup_jaccard_pairs'
+    * LSH branch each re-ran the full shingle → signature → band →
+    * candidate → exact-verify funnel for the identical result. The
+    * bands intermediate stays QUERY-scoped (registered inside
+    * minHashDupPairsOver) — only the final bounded pair list persists
+    * across queries.
+    */
+  private def sharedDupPairs(s: SparkSession, d: String): DataFrame =
+    graft.engine.Persisted.shared(s, s"lshDupPairs|$d") {
+      minHashDupPairsOver(s, d,
+        hotShingleArrFrom(sharedShingleRaw(s, d)),
+        sharedCappedShingles(s, d))
+    }
+
+  /** Bench hook: build + materialize the shared tier's frames for the
+    * given dir OUTSIDE Bench's per-query timed region, so their cost
     * lands on an explicit setup line instead of being silently excluded
-    * by min-of-2 timing (run 1 of the first graph query would pay it,
-    * run 2 would hit the cache, and the min would discard the build —
-    * making graph per-query numbers build-order-dependent).
+    * by min-of-2 timing (run 1 of the first consumer would pay each
+    * build, run 2 would hit the cache, and the min would discard it —
+    * making per-query numbers build-order-dependent).
     */
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
-    coPurchases(s, d).count(); ()
+    coPurchases(s, d).count()
+    sharedDupPairs(s, d).count() // pulls shingleRaw + cappedShingles too
+    ()
   }
 
   /** Oracle twin of [[coPurchases]]: `cp` = the capped incidence. */
@@ -298,10 +338,8 @@ object Dedup extends QueryPack {
     * candidate set (measured 150s -> seconds at a 50k-doc
     * 10x-duplicate stress corpus).
     */
-  private def minHashDupPairs(s: SparkSession, d: String): DataFrame = {
-    val raw = shingleRows(s, d).distinct().persistScoped()
-    minHashDupPairsOver(s, d, hotShingleArrFrom(raw), cappedShingles(raw).persistScoped())
-  }
+  private def minHashDupPairs(s: SparkSession, d: String): DataFrame =
+    sharedDupPairs(s, d)
 
   /** As minHashDupPairs, but over a caller-supplied hot-shingle row and
     * capped+persisted distinct-shingle frame, so a query that needs BOTH
@@ -390,8 +428,8 @@ object Dedup extends QueryPack {
     */
   private[graft] def incrementalVerdicts(
       s: SparkSession, d: String, inPred: String, exPred: String): DataFrame = {
-    val raw = shingleRows(s, d).distinct().persistScoped()
-    val shd = cappedShingles(raw).persistScoped()
+    val raw = sharedShingleRaw(s, d)
+    val shd = sharedCappedShingles(s, d)
     val bands = minHashBandsFrom(minHashSigOver(s, d, hotShingleArrFrom(raw))).persistScoped()
     val cand = bands.where(inPred).toDF("doc_in", "band", "key")
       .join(bands.where(exPred).toDF("doc_ex", "band2", "key2"),
@@ -959,8 +997,8 @@ object Dedup extends QueryPack {
     // the asymmetry visible in the gated output.
     "dedup_containment_pairs" -> QueryDef(
       (s, d) => {
-        val raw = shingleRows(s, d).distinct().persistScoped()
-        val shd = cappedShingles(raw).persistScoped()
+        val raw = sharedShingleRaw(s, d)
+        val shd = sharedCappedShingles(s, d)
         val bands = minHashBandsFrom(minHashSigOver(s, d, hotShingleArrFrom(raw))).persistScoped()
         val cand = bands.toDF("doc_a", "band", "key")
           .join(bands.toDF("doc_b", "band2", "key2"),
@@ -1099,9 +1137,8 @@ object Dedup extends QueryPack {
     // space, so the UNION dedups exactly.
     "dedup_jaccard_pairs" -> QueryDef(
       (s, d) => {
-        val raw = shingleRows(s, d).distinct().persistScoped()
-        val shd = cappedShingles(raw).persistScoped()
-        val lsh = minHashDupPairsOver(s, d, hotShingleArrFrom(raw), shd)
+        val shd = sharedCappedShingles(s, d)
+        val lsh = sharedDupPairs(s, d)
           .select(col("doc_a"), col("doc_b"), col("jacc"))
         val exact = jaccardOver(shd.where(s"doc_id % $ExactStratumMod = 0"))
           .where(s"jacc >= $JaccThreshold")
@@ -1133,7 +1170,7 @@ object Dedup extends QueryPack {
     // hash join + per-doc count, never shuffled on shingle.
     "dedup_decontam" -> QueryDef(
       (s, d) => {
-        val shd = cappedShingles(shingleRows(s, d).distinct())
+        val shd = sharedCappedShingles(s, d)
         val benchSh = shd.where(s"doc_id % $DecontamMod = 0")
           .select(col("sh")).distinct()
         shd.where(s"doc_id % $DecontamMod != 0")
@@ -1223,7 +1260,7 @@ object Dedup extends QueryPack {
     // definition, so excluding it is the curve you actually want.
     "dedup_ngram_novelty" -> QueryDef(
       (s, d) => {
-        val shd = cappedShingles(shingleRows(s, d).distinct()).persistScoped()
+        val shd = sharedCappedShingles(s, d)
         val firsts = shd.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
         shd.join(firsts, "sh")
           .groupBy(col("doc_id"))
@@ -1268,8 +1305,7 @@ object Dedup extends QueryPack {
     // the doc count; at production scale you keep only the sketch side.
     "dedup_source_overlap" -> QueryDef(
       (s, d) => {
-        val raw = shingleRows(s, d).distinct().persistScoped()
-        val srcSh = cappedShingles(raw)
+        val srcSh = sharedCappedShingles(s, d)
           .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
           .select(col("source"), col("sh")).distinct().persistScoped()
         val minCols = (0 until MinHashK).map(i =>
