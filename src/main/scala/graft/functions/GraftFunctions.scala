@@ -30,6 +30,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingles", es => ShingleHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashSig(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_phash", es => PHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_morton", es => MortonInterleave(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minus_sorted", es => MinusSorted(es.head, es(1)), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
@@ -88,6 +89,19 @@ object GraftFunctions {
     while (i < s.length) { acc = (acc * 31L + s.charAt(i)) % Mod; i += 1 }
     acc
   }
+
+  /** 8x8 DCT-II basis, e4-scaled to integers — the single source both the
+    * [[PHashSig]] expression and the query packs' SQL-literal twins embed,
+    * so the transform is exact BIGINT arithmetic with no per-engine cosine
+    * evaluation (basis drift between the dialects would break the gate).
+    */
+  val PhashBasis: Array[Long] = (0 until 8).flatMap { u =>
+    (0 until 8).map { i =>
+      val c = math.cos((2 * i + 1) * u * math.Pi / 16.0)
+      val norm = if (u == 0) math.sqrt(1.0 / 8.0) else math.sqrt(2.0 / 8.0)
+      math.floor(norm * c * 10000.0 + 0.5).toLong
+    }
+  }.toArray
 }
 
 /** Polynomial rolling hash mod 1e9+7 over the characters of a string —
@@ -327,6 +341,127 @@ case class SimHashSig(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** 63-bit perceptual hash of a word array in ONE generated loop — the
+  * codegen twin of the staged HOF pipeline in TextOps (bins -> 64-bin
+  * content histogram -> separable integer 2D DCT -> AC median -> sign
+  * bits), stage-for-stage and fold-for-fold, so the DuckDB oracle twin
+  * stays exact. Replaces SIX interpreted-HOF projection stages with
+  * persist barriers between them (the barriers existed only to stop
+  * CollapseProject re-evaluating the interpreted lambdas ~500,000x; a
+  * single expression has nothing to collapse): signature extraction
+  * becomes a narrow codegen'd map over the document scan, the 100 TB
+  * shape, with zero caching.
+  */
+case class PHashSig(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_phash"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_phash expects ARRAY<STRING>, got ${t.simpleString}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val bf = GraftFunctions.PhashBasis
+    val gr = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      gr((GraftFunctions.strHash(arr.getUTF8String(i).toString) % 64).toInt) += 1
+      i += 1
+    }
+    val rt = new Array[Long](64)
+    var t = 0
+    while (t < 64) {
+      var acc = 0L
+      var j = 0
+      while (j < 8) { acc += bf((t / 8) * 8 + j) * gr(j * 8 + (t % 8)); j += 1 }
+      rt(t) = acc
+      t += 1
+    }
+    val dc = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      var acc = 0L
+      var j = 0
+      while (j < 8) { acc += bf((k % 8) * 8 + j) * rt((k / 8) * 8 + j); j += 1 }
+      dc(k) = acc
+      k += 1
+    }
+    val tail = java.util.Arrays.copyOfRange(dc, 1, 64)
+    java.util.Arrays.sort(tail)
+    val med = tail(31)
+    var h = 0L
+    k = 1
+    while (k < 64) { if (dc(k) > med) h |= 1L << (k - 1); k += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bf = ctx.addReferenceObj("phashBasis", GraftFunctions.PhashBasis, "long[]")
+      val n = ctx.freshName("n")
+      val gr = ctx.freshName("gr")
+      val rt = ctx.freshName("rt")
+      val dc = ctx.freshName("dc")
+      val tail = ctx.freshName("tail")
+      val med = ctx.freshName("med")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $gr = new long[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  java.lang.String $s = $c.getUTF8String($i).toString();
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $s.length(); $j++) {
+         |    $acc = ($acc * 31L + $s.charAt($j)) % ${GraftFunctions.Mod}L;
+         |  }
+         |  $gr[(int) ($acc % 64L)] += 1L;
+         |}
+         |long[] $rt = new long[64];
+         |for (int $k = 0; $k < 64; $k++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < 8; $j++) {
+         |    $acc += $bf[($k / 8) * 8 + $j] * $gr[$j * 8 + ($k % 8)];
+         |  }
+         |  $rt[$k] = $acc;
+         |}
+         |long[] $dc = new long[64];
+         |for (int $k = 0; $k < 64; $k++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < 8; $j++) {
+         |    $acc += $bf[($k % 8) * 8 + $j] * $rt[($k / 8) * 8 + $j];
+         |  }
+         |  $dc[$k] = $acc;
+         |}
+         |long[] $tail = java.util.Arrays.copyOfRange($dc, 1, 64);
+         |java.util.Arrays.sort($tail);
+         |long $med = $tail[31];
+         |long $h = 0L;
+         |for (int $k = 1; $k < 64; $k++) {
+         |  if ($dc[$k] > $med) $h |= 1L << ($k - 1);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PHashSig =
     copy(child = newChild)
 }
 

@@ -197,6 +197,22 @@ object Dedup extends QueryPack {
         col("p"), MaxCoPurchaseDegree)
     }
 
+  /** The weighted co-purchase PAIR graph (ca, cb, common >= 2) in the
+    * shared tier (r11): graph_jaccard_links, graph_lpa_communities and
+    * graph_sssp each re-ran the identical cp self-join + count aggregate
+    * over the (already shared) incidence — the single most expensive
+    * stage of the graph family. Derived frames stay per-query (sssp's
+    * inverse weights, lpa's >= 4 strong-tie filter).
+    */
+  private def sharedCoPurchasePairs(s: SparkSession, d: String): DataFrame =
+    graft.engine.Persisted.shared(s, s"coPurchasePairs|$d") {
+      val cp = coPurchases(s, d).select(col("c"), col("p"))
+      cp.toDF("ca", "p").join(cp.toDF("cb", "p2"),
+          col("p") === col("p2") && col("ca") < col("cb"))
+        .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
+        .where(col("common") >= 2)
+    }
+
   /** The distinct (doc_id, sh) shingle space in the cross-query SHARED
     * tier (r11, the coPurchases precedent): SEVEN declared queries build
     * the identical corpus-scale explode + distinct (the LSH family,
@@ -244,6 +260,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
     coPurchases(s, d).count()
+    sharedCoPurchasePairs(s, d).count()
     sharedDupPairs(s, d).count() // pulls shingleRaw + cappedShingles too
     ()
   }
@@ -1441,14 +1458,12 @@ object Dedup extends QueryPack {
     // the top-20 exits via TakeOrderedAndProject — never a global sort.
     "graph_jaccard_links" -> QueryDef(
       (s, d) => {
-        // coPurchases is persisted inside the helper: the frame feeds
-        // both sides of the pair self-join AND the degree aggregate
+        // the incidence AND the pair graph both come from the shared
+        // tier — the degree aggregate reads the former, the link scores
+        // the latter
         val cp = coPurchases(s, d)
         val sizes = cp.groupBy(col("c")).agg(count(lit(1)).as("n"))
-        cp.toDF("ca", "p")
-          .join(cp.toDF("cb", "p2"), col("p") === col("p2") && col("ca") < col("cb"))
-          .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
-          .where(col("common") >= 2)
+        sharedCoPurchasePairs(s, d)
           // NO broadcast hint on the degree table: customers scale with
           // the corpus, so forcing it is a broadcast-OOM at 100x. The
           // pair frame is already keyed on the customer ids — plain
@@ -1535,11 +1550,7 @@ object Dedup extends QueryPack {
     // unrolled rounds.
     "graph_sssp" -> QueryDef(
       (s, d) => {
-        val cp = coPurchases(s, d).select(col("c"), col("p"))
-        val pairs = cp.toDF("ca", "p").join(cp.toDF("cb", "p2"),
-            col("p") === col("p2") && col("ca") < col("cb"))
-          .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
-          .where(col("common") >= 2)
+        val pairs = sharedCoPurchasePairs(s, d)
           .selectExpr("ca", "cb", "CAST(1000000 div common AS BIGINT) AS w")
         val edges = pairs.union(pairs.selectExpr("cb", "ca", "w"))
           .toDF("u", "v", "w").repartition(col("u")).persistScoped()
@@ -1599,10 +1610,7 @@ object Dedup extends QueryPack {
 
     "graph_lpa_communities" -> QueryDef(
       (s, d) => {
-        val cp = coPurchases(s, d).select(col("c"), col("p"))
-        val pairs = cp.toDF("ca", "p").join(cp.toDF("cb", "p2"),
-            col("p") === col("p2") && col("ca") < col("cb"))
-          .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("common"))
+        val pairs = sharedCoPurchasePairs(s, d)
           .where(col("common") >= 4)
           .select(col("ca"), col("cb"), col("common"))
         val edges = pairs.union(pairs.select(col("cb"), col("ca"), col("common")))

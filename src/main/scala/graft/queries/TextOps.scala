@@ -83,17 +83,12 @@ object TextOps extends QueryPack {
 
   // ---- shared pHash machinery (multimodal_phash_pairs) ----
 
-  /** 8x8 DCT-II basis, e4-scaled to integers ONCE here and embedded as
-    * literals in both dialects — so the transform is exact BIGINT
-    * arithmetic with no per-engine cosine evaluation.
+  /** 8x8 DCT-II basis, e4-scaled to integers — single source of truth in
+    * GraftFunctions (the codegen'd graft_phash embeds the same array),
+    * rendered as literals in both SQL dialects here.
     */
-  private val PhashBasis: Seq[Long] = (0 until 8).flatMap { u =>
-    (0 until 8).map { i =>
-      val c = math.cos((2 * i + 1) * u * math.Pi / 16.0)
-      val norm = if (u == 0) math.sqrt(1.0 / 8.0) else math.sqrt(2.0 / 8.0)
-      math.floor(norm * c * 10000.0 + 0.5).toLong
-    }
-  }
+  private val PhashBasis: Seq[Long] =
+    graft.functions.GraftFunctions.PhashBasis.toSeq
 
   /** Staged pHash expressions (grid over `ws` -> dct over `gr` ->
     * sign bits over `dc`), Spark dialect; the query chains them through
@@ -166,15 +161,28 @@ object TextOps extends QueryPack {
               THEN (CAST(1 AS BIGINT) << (CAST(k AS INT) - 1))
               ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"""
 
-  /** The staged pHash pipeline: (doc_id, h). Persist barriers between
-    * the hash stages are load-bearing: without them CollapseProject
-    * inlines the 64-bin grid expression into every one of the DCT
-    * lambda's 4096 element_at(gr, ...) references (and dc into the 126
-    * bit-stage references) — measured as a ~500,000x re-evaluation
-    * hang, not a plan-shape nicety. Exposed to the StressFunnel pHash
-    * leg, which drives the identical code path at 250k payloads.
+  /** The pHash pipeline: (doc_id, h) — ONE codegen'd expression over the
+    * document scan (r11; was six interpreted-HOF projection stages with
+    * load-bearing persist barriers between them — the barriers stopped
+    * CollapseProject inlining the grid into the DCT lambda's 4096
+    * references, a measured ~500,000x re-evaluation hang; the generated
+    * loop has nothing to collapse and nothing to cache). Narrow map, no
+    * shuffle, no persisted state: the 100 TB signature-extraction shape.
+    * Exposed to the StressFunnel pHash leg (250k payloads); FunctionsSpec
+    * pins bit-identity against [[phashHashesHof]].
     */
   private[graft] def phashHashes(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
+      .selectExpr("doc_id", "graft_phash(ws) AS h")
+  }
+
+  /** The staged HOF formulation graft_phash replaced — retained as the
+    * bit-identity twin the spec gate compares against (the same role
+    * Portable's HOF folds play for the other codegen expressions).
+    */
+  private[graft] def phashHashesHof(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val grid = Tables.documents(s, d)
       .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")

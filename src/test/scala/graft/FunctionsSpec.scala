@@ -72,6 +72,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaDf("graft_simhash(CAST(NULL AS ARRAY<BIGINT>))") == null)
   }
 
+  test("graft_phash is bit-identical to the staged HOF pipeline on real docs") {
+    val d = "/root/testdata/sf0.001"
+    val expr = graft.queries.TextOps.phashHashes(spark, d)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hof = graft.queries.TextOps.phashHashesHof(spark, d)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.queries.Persisted.drain()
+    assert(expr.nonEmpty && expr == hof,
+      s"codegen phash diverged from the HOF twin (first rows: " +
+        s"${expr.take(3)} vs ${hof.take(3)})")
+    assert(viaDf("graft_phash(CAST(NULL AS ARRAY<STRING>))") == null)
+    assert(viaDf("graft_phash(CAST(array() AS ARRAY<STRING>))") == 0L)
+  }
+
   test("graft_dot edge cases and HOF agreement") {
     assert(viaDf("graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))") == 3.0)
     assert(viaDf("graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))") == null,
