@@ -80,13 +80,19 @@ object SuffixArray {
     * garbage collected (same lifecycle as ConnectedComponents' rounds).
     */
   def ranks(pos0: DataFrame, rounds: Int, boundRound: Int): (DataFrame, DataFrame) = {
+    val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")
+    def tlog(name: String, t0: Long): Unit =
+      if (debug) println(f"[suffix-ranks] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val tInit = System.nanoTime()
     var cur = pos0.localCheckpoint()
+    tlog("pos0 checkpoint", tInit)
     var curMax = Option(cur.agg(max(col("rk"))).head.get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     var bound: DataFrame = null
     var k = 1
     var stable = false
     while (k <= rounds && !stable) {
+      val tRound = System.nanoTime()
       val off = 1 << (k - 1)
       val shifted = cur.selectExpr("doc_id", s"p - $off AS p", "rk AS rkb")
       val paired = cur.join(shifted, Seq("doc_id", "p"), "left")
@@ -113,6 +119,7 @@ object SuffixArray {
       stable = newMax == curMax
       curMax = newMax
       if (k == boundRound || (stable && bound == null)) bound = cur
+      tlog(s"round $k (ranks $newMax${if (stable) ", stable" else ""})", tRound)
       k += 1
     }
     if (bound == null) bound = cur // rounds < boundRound or stable early

@@ -1913,15 +1913,20 @@ object Similarity extends QueryPack {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
+        // norms precompute PER VECTOR (r11): inlining sqrt(dot(x,x)) in
+        // the pair projection re-ran two full dots per PAIR — 2/3 of the
+        // cross-stage FLOPs for values that are row properties of each
+        // side. Same expression tree per pair (dot / (sqrt_a * sqrt_b)),
+        // so the doubles are bit-identical; the oracle mirrors the hoist.
         val a = e.where(expr("label % 2 = 0"))
-          .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+          .selectExpr("vec_id AS a_id", "embedding AS ea",
+            s"sqrt(${sparkDot("embedding", "embedding")}) AS na")
         val b = e.where(expr("label % 2 = 1"))
-          .select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+          .selectExpr("vec_id AS b_id", "embedding AS eb",
+            s"sqrt(${sparkDot("embedding", "embedding")}) AS nb")
         val pr = b.crossJoin(broadcast(a))
           .selectExpr("a_id", "b_id",
-            s"${Q.scaledLong(
-              s"${sparkDot("ea", "eb")} / (sqrt(${sparkDot("ea", "ea")}) * sqrt(${sparkDot("eb", "eb")}))",
-              6)} AS c_e6")
+            s"${Q.scaledLong(s"${sparkDot("ea", "eb")} / (na * nb)", 6)} AS c_e6")
           .persistScoped()
         def topSum(key: String, other: String, out: String) = pr
           .withColumn("rn", row_number().over(
@@ -1951,13 +1956,15 @@ object Similarity extends QueryPack {
           .limit(20)
       },
       Some(s"""
-        WITH a AS (SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE label % 2 = 0),
-        b AS (SELECT vec_id AS b_id, embedding AS eb FROM embeddings WHERE label % 2 = 1),
+        WITH a AS (SELECT vec_id AS a_id, embedding AS ea,
+                          sqrt(${duckDot("embedding", "embedding")}) AS na
+                   FROM embeddings WHERE label % 2 = 0),
+        b AS (SELECT vec_id AS b_id, embedding AS eb,
+                     sqrt(${duckDot("embedding", "embedding")}) AS nb
+              FROM embeddings WHERE label % 2 = 1),
         pr AS MATERIALIZED (
           SELECT a_id, b_id,
-                 ${Q.scaledLong(
-          s"${duckDot("ea", "eb")} / (sqrt(${duckDot("ea", "ea")}) * sqrt(${duckDot("eb", "eb")}))",
-          6)} AS c_e6
+                 ${Q.scaledLong(s"${duckDot("ea", "eb")} / (na * nb)", 6)} AS c_e6
           FROM a CROSS JOIN b),
         sa AS (
           SELECT a_id, CAST(sum(c_e6) AS BIGINT) AS sax FROM (
