@@ -47,10 +47,19 @@ object SuffixArray {
   }
 
   /** Prefix-doubling ranks. Input: (doc_id, p, gid, rk) with `rk` the
-    * round-0 token rank (any order-isomorphic integer). Returns the
-    * final frame (doc_id, p, gid, rk) plus the `boundRound` frame —
-    * whose rank identifies the 2^boundRound-token prefix — for
-    * candidate filtering.
+    * round-0 token rank (any order-isomorphic integer) and `p` DENSE
+    * 1..n within each doc (the posexplode contract) — density is what
+    * lets each round fetch the rank at p+2^(k-1) with a per-doc
+    * `lead(rk, off)` window instead of a keyed self-join on (doc,
+    * p+off): value-identical (a missing position past the doc end is
+    * NULL either way), one fewer exchange per round, and no join
+    * build side. Returns the final frame (doc_id, p, gid, rk) plus the
+    * `boundRound` frame — whose rank identifies the 2^boundRound-token
+    * prefix — for candidate filtering. The bound ranks come back as a
+    * FROZEN COLUMN `rk_bound` riding along through the later rounds
+    * (r11; returning the round-boundRound frame separately forced the
+    * caller into a gid-keyed self-join of two corpus-position frames
+    * just to line the two ranks up again).
     *
     * Per-round execution discipline (r11 — the r10 bench showed this
     * query paying ~9 s at sf0.1, mostly REDUNDANT executions of the
@@ -79,7 +88,7 @@ object SuffixArray {
     * round's plan; the context cleaner releases them as the frames are
     * garbage collected (same lifecycle as ConnectedComponents' rounds).
     */
-  def ranks(pos0: DataFrame, rounds: Int, boundRound: Int): (DataFrame, DataFrame) = {
+  def ranks(pos0: DataFrame, rounds: Int, boundRound: Int): DataFrame = {
     val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")
     def tlog(name: String, t0: Long): Unit =
       if (debug) println(f"[suffix-ranks] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -88,15 +97,14 @@ object SuffixArray {
     tlog("pos0 checkpoint", tInit)
     var curMax = Option(cur.agg(max(col("rk"))).head.get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-    var bound: DataFrame = null
     var k = 1
     var stable = false
     while (k <= rounds && !stable) {
       val tRound = System.nanoTime()
       val off = 1 << (k - 1)
-      val shifted = cur.selectExpr("doc_id", s"p - $off AS p", "rk AS rkb")
-      val paired = cur.join(shifted, Seq("doc_id", "p"), "left")
-        .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
+      val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val paired = cur.withColumn("rkb",
+        coalesce(lead(col("rk"), off).over(wdoc), lit(-1L)))
       val mx = math.max(curMax, 1L)
       val local = paired
         .withColumn("_b", expr(s"((rk - 1) * 32) div $mx"))
@@ -114,15 +122,20 @@ object SuffixArray {
         else coalesce(element_at(
           map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
           col("_b")), lit(0L))
+      // drop-based projection keeps carried columns (rk_bound) in place
       cur = local.withColumn("rk", col("_lrk") + offExpr)
-        .select(col("doc_id"), col("p"), col("gid"), col("rk"))
+        .drop("rkb", "_b", "_lrk")
       stable = newMax == curMax
       curMax = newMax
-      if (k == boundRound || (stable && bound == null)) bound = cur
+      if (k == boundRound)
+        cur = cur.withColumn("rk_bound", col("rk"))
       tlog(s"round $k (ranks $newMax${if (stable) ", stable" else ""})", tRound)
       k += 1
     }
-    if (bound == null) bound = cur // rounds < boundRound or stable early
-    (cur, bound)
+    // stable-early (ranks final, so the bound rank equals the final
+    // rank) or rounds < boundRound: freeze now
+    if (!cur.columns.contains("rk_bound"))
+      cur = cur.withColumn("rk_bound", col("rk"))
+    cur
   }
 }

@@ -1727,12 +1727,13 @@ object Dedup extends QueryPack {
         val pos0 = pos.join(broadcast(wr), "w")
           .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
         // 2^7 = 128 > the generator's 99-word max; the bound round is the
-        // MinRepeatSpanWords-word-prefix rank for candidate filtering
-        val (cur, r16) = graft.engine.ops.SuffixArray.ranks(
-          pos0, rounds = 7, boundRound = MinRepeatSpanLog2)
-        val sa = cur.join(r16.selectExpr("gid AS gid2", "rk AS rk16"),
-          col("gid") === col("gid2"))
-          .select(col("doc_id"), col("p"), col("gid"), col("rk"), col("rk16"))
+        // MinRepeatSpanWords-word-prefix rank for candidate filtering —
+        // frozen as a column riding through the later rounds (r11; the
+        // separate bound frame forced a gid-keyed self-join of two
+        // corpus-position frames just to realign the ranks)
+        val sa = graft.engine.ops.SuffixArray.ranks(
+            pos0, rounds = 7, boundRound = MinRepeatSpanLog2)
+          .selectExpr("doc_id", "p", "gid", "rk", "rk_bound AS rk16")
         // suffix-order adjacency WITHOUT a single-task global window
         // (r9): GlobalOrder.lead1 range-buckets by rk (a dense rank, so
         // the monotone bucketing is contiguous), runs lead() within each
