@@ -1,25 +1,28 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Suffix-array stress leg: replicate the sf0.1 corpus (marker-tokened
   * per replica, the StressFunnel recipe, so suffix structure within a
   * replica is preserved while replicas stay distinct) and run the FULL
-  * prefix-doubling construction from engine/ops/SuffixArray.scala over
-  * the combined position space, logging per-round wall time and the
-  * per-round distinct-rank growth.
+  * production prefix-doubling construction — `SuffixArray.ranks`, the
+  * exact code path `dedup_suffix_repeats` declares (r11: this main
+  * previously carried its own copy of the round loop, which silently
+  * stopped exercising the production rounds when they moved to the
+  * per-doc lead-window formulation; it now drives `ranks` directly
+  * with GRAFT_SUFFIX_DEBUG per-round logging).
   *
   * What linearity means here: position count and per-round cost must
-  * scale ~linearly in the replica count — each round is one keyed
-  * self-join plus the bucketed distributed dense_rank, both linear in
-  * positions. The distinct-rank column shows the resolution process:
-  * rank cardinality approaches the position count as suffixes resolve,
-  * and the verbatim replicas (0-2) keep exact ties to the end — the
-  * suffix array correctly refuses to distinguish identical suffixes.
+  * scale ~linearly in the replica count — each round is one per-doc
+  * lead window plus the bucketed distributed dense_rank, both linear in
+  * positions. The per-round distinct-rank log (debug env) shows the
+  * resolution process: rank cardinality approaches the position count
+  * as suffixes resolve, and the verbatim replicas (0-2) keep exact
+  * ties to the end — the suffix array correctly refuses to distinguish
+  * identical suffixes.
   *
-  * Usage: sbt "runMain graft.StressSuffix [reps]" (default 10 -> ~2.8M
-  * positions; not part of the bench contract).
+  * Usage: GRAFT_SUFFIX_DEBUG=1 sbt "runMain graft.StressSuffix [reps]"
+  * (default 10 -> ~2.8M positions; not part of the bench contract).
   */
 object StressSuffix {
   def main(args: Array[String]): Unit = {
@@ -43,30 +46,24 @@ object StressSuffix {
     val pos = ws0
       .select(col("doc_id"), posexplode(col("ws")))
       .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p", "col AS w")
-    val wr = pos.select(col("w")).distinct()
-      .select(col("w"),
-        row_number().over(Window.orderBy(col("w"))).cast("long").as("rk"))
-    var cur = t("round 0: positions + token ranks") {
+    // the production word-rank shape (first-character-bucketed
+    // distributed rank, as the declared query builds it)
+    val wr = graft.engine.ops.GlobalOrder
+      .rowNumberWith(
+        pos.select(col("w")).distinct()
+          .withColumn("_gb", expr("ascii(substring(w, 1, 1))")),
+        Seq(col("w")), "rk")
+      .select(col("w"), col("rk"))
+    val pos0 = t("round 0: positions + token ranks") {
       pos.join(broadcast(wr), "w")
         .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
-        .localCheckpoint()
+    }
+    val cur = t(s"ranks: 7 production doubling rounds") {
+      val r = graft.engine.ops.SuffixArray.ranks(pos0, rounds = 7, boundRound = 4)
+      r.count(); r
     }
     val nPos = cur.count()
     println(s"[suffix] positions: $nPos (${reps}x replicas)")
-
-    for (k <- 1 to 7) {
-      val off = 1 << (k - 1)
-      cur = t(s"round $k (off $off)") {
-        val shifted = cur.selectExpr("doc_id", s"p - $off AS p", "rk AS rkb")
-        val paired = cur.join(shifted, Seq("doc_id", "p"), "left")
-          .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
-        graft.engine.ops.SuffixArray.rangeDenseRank(paired, "rk", "rkb")
-          .selectExpr("doc_id", "p", "gid", "_grk AS rk")
-          .localCheckpoint()
-      }
-      val dr = cur.agg(max(col("rk"))).head().getLong(0)
-      println(s"[suffix]   distinct ranks: $dr / $nPos")
-    }
 
     // the verbatim replica triples (rep 0-2) must still tie exactly:
     // identical suffixes get identical final ranks

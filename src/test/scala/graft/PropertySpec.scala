@@ -71,4 +71,43 @@ class PropertySpec extends AnyFunSuite {
       } finally routed.unpersist()
     }
   }
+
+  test("suffix-array ranks equal brute-force suffix dense ranks on random corpora") {
+    // SuffixArray.ranks against ground truth: the final rank of every
+    // position must be the dense rank of its suffix's word-rank sequence
+    // under plain lexicographic order (past-end = shorter sorts first,
+    // exactly the -1 sentinel's effect); verbatim duplicate docs force
+    // permanent ties, random text forces early splits — both regimes of
+    // the prefix-doubling fixpoint logic
+    import spark.implicits._
+    import scala.math.Ordering.Implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "ab", "ba", "bb", "ca", "cb", "da", "db")
+    for (trial <- 1 to 4) {
+      val base = (1 to 12).map { i =>
+        (i.toLong, Vector.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val docs = base ++ Seq((100L, base.head._2), (101L, base(1)._2))
+      val wordRank: Map[String, Long] = docs.flatMap(_._2).distinct.sorted
+        .zipWithIndex.map { case (w, i) => w -> (i + 1L) }.toMap
+      val rows = docs.flatMap { case (id, ws) =>
+        ws.zipWithIndex.map { case (w, i) =>
+          (id, (i + 1).toLong, id * 128 + i + 1, wordRank(w))
+        }
+      }
+      val got = graft.engine.ops.SuffixArray
+        .ranks(rows.toDF("doc_id", "p", "gid", "rk"), rounds = 7, boundRound = 4)
+        .select("doc_id", "p", "rk").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val sufs = docs.flatMap { case (id, ws) =>
+        (1 to ws.length).map(p => ((id, p.toLong), ws.drop(p - 1).map(wordRank)))
+      }
+      val rankOf: Map[Vector[Long], Long] = sufs.map(_._2).distinct.sorted
+        .zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+      assert(got.size == sufs.size, s"trial $trial: row count")
+      sufs.foreach { case (key, seq) =>
+        assert(got(key) == rankOf(seq), s"trial $trial position $key")
+      }
+    }
+  }
 }
