@@ -1342,17 +1342,21 @@ object TextOps extends QueryPack {
     "quality_nb_langid" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // per-doc term counts (multiplicity) — the one corpus-scale shuffle
+        // per-doc term counts (multiplicity) — the one corpus-scale
+        // shuffle, persisted (r11): it feeds the vocabulary pass AND the
+        // vocab-restricted frame, which itself feeds three consumers —
+        // uncached, the explode + groupBy re-ran four times
         val dt = docs
           .selectExpr("doc_id", "lang", s"explode(${sparkWords("lower(text)")}) AS term")
           .groupBy(col("doc_id"), col("lang"), col("term"))
           .agg(count(lit(1)).as("tc"))
+          .persistScoped()
         // df-top-256 vocabulary (dt is distinct at (doc_id, term), so
         // count(*) per term IS the document frequency)
         val vocab = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("term")).limit(256)
           .select("term")
-        val dtv = dt.join(broadcast(vocab), "term")
+        val dtv = dt.join(broadcast(vocab), "term").persistScoped()
         val vs = vocab.agg(count(lit(1)).cast("long").as("v"))
         val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
         val ndall = langs.agg(sum(col("nd")).as("ndall"))
