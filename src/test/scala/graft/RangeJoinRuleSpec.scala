@@ -98,6 +98,18 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(rows(q) == want)
   }
 
+  test("the subtract form (lo = hi - c) infers the same bin") {
+    def q = points.join(intervals.select(col("iid"), col("hi")),
+      col("p") >= col("hi") - lit(25L) && col("p") < col("hi"))
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("_rj_bin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"hi - c span must infer the bin:\n$plan")
+    val want = rows(points.crossJoin(intervals.select(col("iid"), col("hi")))
+      .where(col("p") >= col("hi") - lit(25L) && col("p") < col("hi")))
+    assert(want.nonEmpty)
+    assert(rows(q) == want)
+  }
+
   test("joins with an equi-conjunct are left untouched") {
     import spark.implicits._
     val dim = (1 to 10).map(i => (i.toLong, i * 10L, i * 10L + 100L)).toDF("k", "lo", "hi")
