@@ -97,20 +97,20 @@ object SuffixArray {
     tlog("pos0 checkpoint", tInit)
     var curMax = Option(cur.agg(max(col("rk"))).head.get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-    var k = 1
     var stable = false
-    while (k <= rounds && !stable) {
-      val tRound = System.nanoTime()
-      val off = 1 << (k - 1)
-      val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val paired = cur.withColumn("rkb",
-        coalesce(lead(col("rk"), off).over(wdoc), lit(-1L)))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+
+    // One ranking pass: bucket by the current rank, dense-rank by
+    // (rk, extra sort columns) within buckets in parallel, stitch with
+    // driver-side offsets (32-row collect, literal-map lookup), update
+    // curMax/stable. `extraSort` columns are consumed and dropped.
+    def pass(input: DataFrame, extraSort: Seq[String]): DataFrame = {
       val mx = math.max(curMax, 1L)
-      val local = paired
+      val local = input
         .withColumn("_b", expr(s"((rk - 1) * 32) div $mx"))
         .withColumn("_lrk", dense_rank().over(
-          Window.partitionBy(col("_b")).orderBy(col("rk"), col("rkb")))
-          .cast("long"))
+          Window.partitionBy(col("_b"))
+            .orderBy(col("rk") +: extraSort.map(col): _*)).cast("long"))
         .localCheckpoint()
       val cnts = local.groupBy(col("_b")).agg(max(col("_lrk")).as("_cnt"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -122,14 +122,48 @@ object SuffixArray {
         else coalesce(element_at(
           map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
           col("_b")), lit(0L))
-      // drop-based projection keeps carried columns (rk_bound) in place
-      cur = local.withColumn("rk", col("_lrk") + offExpr)
-        .drop("rkb", "_b", "_lrk")
       stable = newMax == curMax
       curMax = newMax
+      // drop-based projection keeps carried columns (rk_bound) in place
+      local.withColumn("rk", col("_lrk") + offExpr)
+        .drop(extraSort ++ Seq("_b", "_lrk"): _*)
+    }
+
+    // WIDE BASE PASS (r11): rank 2^start-word prefixes directly — the
+    // leads at offsets 1..2^start-1 all come from the SAME per-doc
+    // window, so an 8-word base costs one pass and replaces `start`
+    // doubling rounds (the classic larger-base-radix construction).
+    // The fixpoint argument extends: if the span-2^start partition
+    // equals the word partition, tied positions match word-for-word
+    // under every shift by induction, so the suffixes are identical
+    // and no later round can split them.
+    val start = math.min(3, math.min(rounds, boundRound))
+    var spanLog = 0
+    if (start > 0 && !stable) {
+      val t0 = System.nanoTime()
+      val nLead = (1 << start) - 1
+      var paired = cur
+      for (i <- 1 to nLead)
+        paired = paired.withColumn(s"_rkb$i",
+          coalesce(lead(col("rk"), i).over(wdoc), lit(-1L)))
+      cur = pass(paired, (1 to nLead).map(i => s"_rkb$i"))
+      spanLog = start
+      if (spanLog == boundRound) cur = cur.withColumn("rk_bound", col("rk"))
+      tlog(s"base pass span ${1 << start} (ranks $curMax" +
+        s"${if (stable) ", stable" else ""})", t0)
+    }
+
+    // doubling rounds continue from span 2^spanLog
+    var k = spanLog + 1
+    while (k <= rounds && !stable) {
+      val tRound = System.nanoTime()
+      val off = 1 << (k - 1)
+      val paired = cur.withColumn("_rkb1",
+        coalesce(lead(col("rk"), off).over(wdoc), lit(-1L)))
+      cur = pass(paired, Seq("_rkb1"))
       if (k == boundRound)
         cur = cur.withColumn("rk_bound", col("rk"))
-      tlog(s"round $k (ranks $newMax${if (stable) ", stable" else ""})", tRound)
+      tlog(s"round $k (ranks $curMax${if (stable) ", stable" else ""})", tRound)
       k += 1
     }
     // stable-early (ranks final, so the bound rank equals the final
