@@ -3457,24 +3457,37 @@ object Relational extends QueryPack {
     // pairs by support, full tie-breaks.
     "mine_brand_lift" -> QueryDef(
       (s, d) => {
-        // persistScoped (r11): items feeds FOUR consumers (nOrders, the
-        // singles marginals, and both sides of the pair self-join) —
-        // uncached, each re-ran the lineitem⋈part join + distinct +
-        // hot-key anti-join (the curate_funnel staged-intermediate
-        // discipline; judge-measured ~3.2s of which most was rebuilds)
+        // Basket-array shape (r11): the old pair stage self-joined the
+        // 550k-row (ok, brand) frame on the order key — two more
+        // exchanges of the corpus plus separate shuffles for the
+        // nOrders distinct and the singles marginals. Collapsing each
+        // order into ONE sorted basket array first (a single exchange;
+        // the array is provably ≤ MaxBasketBrands elements because
+        // capHotKeys dropped bigger baskets and items is distinct at
+        // (ok, brand), so collect_list state is bounded) lets every
+        // downstream read the 150k-row basket frame: nOrders is its
+        // count, the marginals explode it, and the within-order pairs
+        // come from a per-row array comprehension over the SORTED
+        // array — identical (a < b) pair set, no join.
         val items = graft.engine.ops.Scale.capHotKeys(
           Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
             .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
               col("l_partkey") === col("p_partkey"))
             .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
             .distinct(),
-          col("ok"), MaxBasketBrands).persistScoped()
-        val nOrders = items.select(col("ok")).distinct()
-          .agg(count(lit(1)).as("n_orders"))
-        val singles = items.groupBy(col("brand")).agg(count(lit(1)).as("c"))
-        val pairs = items.toDF("ok", "brand_a")
-          .join(items.toDF("ok2", "brand_b"),
-            col("ok") === col("ok2") && col("brand_a") < col("brand_b"))
+          col("ok"), MaxBasketBrands)
+        val baskets = items.groupBy(col("ok"))
+          .agg(sort_array(collect_list(col("brand"))).as("bs"))
+          .persistScoped()
+        val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+        val singles = baskets.select(explode(col("bs")).as("brand"))
+          .groupBy(col("brand")).agg(count(lit(1)).as("c"))
+        val pairs = baskets.select(explode(expr(
+            """flatten(transform(bs, (a, i) ->
+               transform(slice(bs, i + 2, size(bs)),
+                         b -> named_struct('brand_a', a, 'brand_b', b))))"""))
+            .as("pr"))
+          .select(col("pr.brand_a"), col("pr.brand_b"))
           .groupBy(col("brand_a"), col("brand_b"))
           .agg(count(lit(1)).as("c_ab"))
         pairs
