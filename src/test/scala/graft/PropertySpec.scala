@@ -72,13 +72,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("suffix-array ranks equal brute-force suffix dense ranks on random corpora") {
+  test("suffix-array ranks equal brute-force suffix count ranks on random corpora") {
     // SuffixArray.ranks against ground truth: the final rank of every
-    // position must be the dense rank of its suffix's word-rank sequence
-    // under plain lexicographic order (past-end = shorter sorts first,
-    // exactly the -1 sentinel's effect); verbatim duplicate docs force
-    // permanent ties, random text forces early splits — both regimes of
-    // the prefix-doubling fixpoint logic
+    // position must be the POSITION-COUNT rank of its suffix's
+    // word-rank sequence under plain lexicographic order — the number
+    // of strictly smaller suffix occurrences plus one (SQL rank(), the
+    // split-stable class-head semantics ranks() documents; past-end =
+    // shorter sorts first, exactly the -1 sentinel's effect); verbatim
+    // duplicate docs force permanent ties, random text forces early
+    // splits — both regimes of the prefix-doubling fixpoint logic
     import spark.implicits._
     import scala.math.Ordering.Implicits._
     val rnd = new scala.util.Random(7)
@@ -102,8 +104,8 @@ class PropertySpec extends AnyFunSuite {
       val sufs = docs.flatMap { case (id, ws) =>
         (1 to ws.length).map(p => ((id, p.toLong), ws.drop(p - 1).map(wordRank)))
       }
-      val rankOf: Map[Vector[Long], Long] = sufs.map(_._2).distinct.sorted
-        .zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+      val allSeqs = sufs.map(_._2)
+      def rankOf(s: Vector[Long]): Long = allSeqs.count(_ < s) + 1L
       assert(got.size == sufs.size, s"trial $trial: row count")
       sufs.foreach { case (key, seq) =>
         assert(got(key) == rankOf(seq), s"trial $trial position $key")
