@@ -1924,9 +1924,16 @@ object Similarity extends QueryPack {
         val b = e.where(expr("label % 2 = 1"))
           .selectExpr("vec_id AS b_id", "embedding AS eb",
             s"sqrt(${sparkDot("embedding", "embedding")}) AS nb")
+        // cache the pair frame PRE-PARTITIONED on a_id (r11): the a-side
+        // top-4 window, the per-a argmax window, and the final joins all
+        // cluster on a_id, so hash-partitioning once at build time lets
+        // three of the six pair-frame exchanges read straight from cache
+        // (window ClusteredDistribution is satisfied by the cached
+        // partitioning); only the b-side window and argmax re-shuffle
         val pr = b.crossJoin(broadcast(a))
           .selectExpr("a_id", "b_id",
             s"${Q.scaledLong(s"${sparkDot("ea", "eb")} / (na * nb)", 6)} AS c_e6")
+          .repartition(col("a_id"))
           .persistScoped()
         def topSum(key: String, other: String, out: String) = pr
           .withColumn("rn", row_number().over(
