@@ -45,6 +45,7 @@ object Bench {
     // build-order-dependent and flatter than a cold run (r10 advisor).
     val tShared0 = System.nanoTime()
     graft.queries.Dedup.warmShared(spark, sfDir)
+    graft.queries.TextOps.warmShared(spark, sfDir)
     val sharedSetupSec = (System.nanoTime() - tShared0) / 1e9
     // min of two timed runs per query: this bench box carries variable
     // background load that can inflate a single-shot timing 3-10x (the

@@ -58,6 +58,22 @@ class CacheHygieneSpec extends AnyFunSuite {
       "after drainShared + per-query drains the CacheManager must be empty")
   }
 
+  test("shared tier: classifier family reuses features + GD steps, bounded, drained") {
+    queries.Persisted.drainShared()
+    // the r11 tier: lr_feats + lr_steps serve train AND calibration —
+    // the second query must reuse the trained chain, and the tier must
+    // not grow past those two entries
+    for (q <- Seq("quality_logreg_train", "quality_calibration_bins"))
+      SparkEntry.queries(q)(spark, d).count()
+    val n = queries.Persisted.sharedSize
+    assert(n >= 1 && n <= 2,
+      s"classifier family must designate exactly the feats/steps frames, got $n")
+    queries.Persisted.drainShared()
+    assert(queries.Persisted.sharedSize == 0)
+    assert(GraftCacheProbe.cacheIsEmpty(spark),
+      "after drainShared + per-query drains the CacheManager must be empty")
+  }
+
   test("shared tier: dedup family reuses the shingle space and pair list, bounded, drained") {
     queries.Persisted.drainShared()
     // the r11 tier: shingleRaw + cappedShingles + lshDupPairs serve the
