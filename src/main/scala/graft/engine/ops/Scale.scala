@@ -75,12 +75,19 @@ object Scale {
       fact: DataFrame,
       dim: DataFrame,
       key: String,
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8,
+      saltFrom: Seq[String] = Nil): DataFrame = {
     val salts = dim.sparkSession.range(saltBuckets)
       .select(col("id").cast("int").as("_salt"))
     val dimR = dim.crossJoin(salts)
+    // the salt only needs content-determinism (stable under retries and
+    // repartitioning), not full-row entropy: callers that know a compact
+    // unique key pass it via saltFrom — hashing the whole row forces the
+    // scan to READ every column, defeating column pruning (a full-width
+    // fact scan just to compute a salt the projection then discards)
+    val saltCols = if (saltFrom.nonEmpty) saltFrom else fact.columns.toSeq
     val factS = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(struct(saltCols.map(col): _*)), lit(saltBuckets)).cast("int"))
     factS.join(dimR, Seq(key, "_salt")).drop("_salt")
   }
 

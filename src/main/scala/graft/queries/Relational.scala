@@ -942,7 +942,11 @@ object Relational extends QueryPack {
         graft.engine.ops.Scale
           .saltedJoin(Tables.lineitem(s, d),
             Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey"),
-            "l_partkey")
+            "l_partkey",
+            // salt from the lineitem PK: content-deterministic and it
+            // keeps column pruning alive (full-row salting forced the
+            // scan to read all 16 lineitem columns)
+            saltFrom = Seq("l_orderkey", "l_linenumber"))
           .groupBy(col("p_brand"))
           .agg(sum(expr(Q.scaledLong("l_extendedprice", 2))).as("revenue_cents"),
             count(lit(1)).as("n_items"))
