@@ -46,6 +46,7 @@ object Bench {
     val tShared0 = System.nanoTime()
     graft.queries.Dedup.warmShared(spark, sfDir)
     graft.queries.TextOps.warmShared(spark, sfDir)
+    graft.queries.Similarity.warmShared(spark, sfDir)
     val sharedSetupSec = (System.nanoTime() - tShared0) / 1e9
     // min of two timed runs per query: this bench box carries variable
     // background load that can inflate a single-shot timing 3-10x (the
