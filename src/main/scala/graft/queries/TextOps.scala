@@ -379,6 +379,7 @@ object TextOps extends QueryPack {
   private[graft] def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     lrSteps(s, d).count() // pulls lrFeats too
     docTermCounts(s, d).count()
+    bpeMergesFrame(s, d).count()
     ()
   }
 
@@ -473,7 +474,12 @@ object TextOps extends QueryPack {
   /** Merge table: one broadcastable row holding the top-[[BpeMerges]]
     * pairs in priority order. */
   private val BpeMerges = 8
-  private def bpeMergesFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def bpeMergesFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    // shared tier (r11): both BPE consumers (encode, token-fertility)
+    // re-ran the corpus char-pair count to rebuild this one-row table
+    graft.engine.Persisted.shared(s, s"bpe_merges|$d")(bpeMergesBody(s, d))
+
+  private def bpeMergesBody(s: org.apache.spark.sql.SparkSession, d: String) = {
     val w = Window.orderBy(col("n").desc, col("pair"))
     Tables.documents(s, d)
       .selectExpr(s"explode(${sparkWords("lower(text)")}) AS wd")
