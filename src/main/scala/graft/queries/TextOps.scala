@@ -1401,12 +1401,13 @@ object TextOps extends QueryPack {
     // between near-indistinguishable classes.
     //
     // Scale shape: the ONLY corpus-scale shuffle is the (doc_id, term)
-    // count (map-side combinable); vocabulary (top-256 by df), the
-    // (lang x term) L-table grid (<= 5*256 rows) and the priors are
-    // bounded frames that broadcast into the scoring joins; per-doc
-    // scores aggregate by (doc_id, slang) — fanout |langs| — and the
-    // argmax is a doc-partitioned window on the docs x langs frame. At
-    // 100 TB the model is still < 2k rows; only the term counts scale.
+    // count (map-side combinable, session-shared); vocabulary (top-256
+    // by df), the (lang x term) L-table grid (<= 5*256 rows) and the
+    // priors are bounded frames that broadcast into the scoring joins;
+    // the grid pivots wide so per-doc scores for ALL langs come from
+    // one doc-keyed aggregation, and the argmax is a row-local
+    // struct-array min — no window, no row fanout. At 100 TB the model
+    // is still < 2k rows; only the term counts scale.
     "quality_nb_langid" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1439,24 +1440,45 @@ object TextOps extends QueryPack {
         val prior = langs.crossJoin(broadcast(ndall))
           .selectExpr("lang AS slang",
             s"${Q.scaledLong("ln(CAST(nd AS DOUBLE) / CAST(ndall AS DOUBLE))", 6)} AS lp")
-        // per-(doc, candidate-lang) term-score sums; docs with only-OOV
-        // terms fall back to the prior via the left join below
-        val tsco = dtv.select("doc_id", "term", "tc")
-          .join(broadcast(grid), Seq("term"))
-          .groupBy(col("doc_id"), col("slang"))
-          .agg(sum(col("tc") * col("lw")).as("ts"))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("slang"))
-        docs.select("doc_id", "lang")
-          .crossJoin(broadcast(prior))
-          .join(tsco, Seq("doc_id", "slang"), "left")
-          .selectExpr("doc_id", "lang", "slang",
-            "lp + coalesce(ts, CAST(0 AS BIGINT)) AS score")
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") === 1)
-          .groupBy(col("lang"), col("slang").as("pred_lang"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("lang"), col("pred_lang"))
+        // WIDE L-table + row-local argmax (r11): scoring per (doc, lang)
+        // ROW fanned the vocab-restricted frame x|langs| through an
+        // exchange and then a per-doc window. The model is
+        // driver-bounded by construction (|langs| x 256 cells), so the
+        // lang list and priors COLLECT, the grid pivots to one row per
+        // term (positional toDF rename — immune to a lang value
+        // colliding with a column name), all langs score in ONE
+        // doc-keyed integer aggregation, and the argmax is array_min
+        // over a per-row struct array — no window, no row fanout.
+        // Scores stay exact BIGINT sums of tc*lw; ties break
+        // (score DESC, slang ASC) exactly as the window did via the
+        // (-score, slang) struct order; docs with only-OOV terms fall
+        // back to the prior via the left join's null -> 0 coalesce.
+        val langList = langs.select("lang").collect().map(_.getString(0)).sorted
+        if (langList.isEmpty)
+          docs.selectExpr("lang", "lang AS pred_lang",
+              "CAST(0 AS BIGINT) AS n_docs")
+            .where(lit(false))
+        else {
+          val gridW = grid.groupBy(col("term"))
+            .pivot("slang", langList).agg(first(col("lw")))
+            .toDF("term" +: langList.map(l => s"_lw_$l"): _*)
+          val sums = langList.map(l =>
+            sum(col("tc") * col(s"_lw_$l")).as(s"_ts_$l"))
+          val sco = dtv.select("doc_id", "term", "tc")
+            .join(broadcast(gridW), Seq("term"))
+            .groupBy(col("doc_id"))
+            .agg(sums.head, sums.tail: _*)
+          val lp = prior.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val cand = array(langList.map(l => struct(
+            (-(lit(lp(l)) + coalesce(col(s"_ts_$l"), lit(0L)))).as("ns"),
+            lit(l).as("slang"))): _*)
+          docs.select("doc_id", "lang")
+            .join(sco, Seq("doc_id"), "left")
+            .withColumn("pred_lang", array_min(cand).getField("slang"))
+            .groupBy(col("lang"), col("pred_lang"))
+            .agg(count(lit(1)).as("n_docs"))
+            .orderBy(col("lang"), col("pred_lang"))
+        }
       },
       Some(s"""
         WITH dt AS (
