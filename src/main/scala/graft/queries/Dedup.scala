@@ -258,12 +258,17 @@ object Dedup extends QueryPack {
     * build, run 2 would hit the cache, and the min would discard it —
     * making per-query numbers build-order-dependent).
     */
-  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
-    coPurchases(s, d).count()
-    sharedCoPurchasePairs(s, d).count()
-    sharedDupPairs(s, d).count() // pulls shingleRaw + cappedShingles too
-    ()
-  }
+  private[graft] def warmShared(s: SparkSession, d: String): Unit =
+    warmItems(s, d).foreach(_())
+
+  /** Independent warm chains, exposed so Bench can run them as
+    * concurrent Spark jobs (the co-purchase graph and the shingle-LSH
+    * funnel share nothing).
+    */
+  private[graft] def warmItems(s: SparkSession, d: String): Seq[() => Unit] = Seq(
+    () => { coPurchases(s, d).count(); sharedCoPurchasePairs(s, d).count(); () },
+    () => { sharedDupPairs(s, d).count(); () } // pulls shingleRaw + cappedShingles
+  )
 
   /** Oracle twin of [[coPurchases]]: `cp` = the capped incidence. */
   private val duckCoPurchases: String =

@@ -376,12 +376,15 @@ object TextOps extends QueryPack {
     * family's and the unigram family's shared frames outside the timed
     * region.
     */
-  private[graft] def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    lrSteps(s, d).count() // pulls lrFeats too
-    docTermCounts(s, d).count()
-    bpeMergesFrame(s, d).count()
-    ()
-  }
+  private[graft] def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    warmItems(s, d).foreach(_())
+
+  /** Independent warm chains (see Dedup.warmItems). */
+  private[graft] def warmItems(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[() => Unit] = Seq(
+    () => { lrSteps(s, d).count(); () }, // pulls lrFeats too
+    () => { docTermCounts(s, d).count(); () },
+    () => { bpeMergesFrame(s, d).count(); () })
 
   /** The [[LrSteps]] GD step frames: each carries (step, n_correct,
     * mean_nll_e6, w0_e6..w4_e6) with the weights AFTER that step's
