@@ -43,23 +43,16 @@ object StressSuffix {
     val ws0 = docs
       .selectExpr("doc_id", "filter(split(text, ' '), w -> w <> '') AS ws")
       .where("size(ws) > 0 AND size(ws) <= 127")
+    // the production shape: word-keyed round 0 inside the op (r11 —
+    // ranksFromWords folds the word rank into the first pass, exactly
+    // as the declared query builds it)
     val pos = ws0
       .select(col("doc_id"), posexplode(col("ws")))
-      .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p", "col AS w")
-    // the production word-rank shape (first-character-bucketed
-    // distributed rank, as the declared query builds it)
-    val wr = graft.engine.ops.GlobalOrder
-      .rowNumberWith(
-        pos.select(col("w")).distinct()
-          .withColumn("_gb", expr("ascii(substring(w, 1, 1))")),
-        Seq(col("w")), "rk")
-      .select(col("w"), col("rk"))
-    val pos0 = t("round 0: positions + token ranks") {
-      pos.join(broadcast(wr), "w")
-        .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
-    }
-    val cur = t(s"ranks: 7 production doubling rounds") {
-      val r = graft.engine.ops.SuffixArray.ranks(pos0, rounds = 7, boundRound = 4)
+      .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p",
+        "doc_id * 128 + CAST(pos + 1 AS BIGINT) AS gid", "col AS w")
+    val cur = t(s"ranks: production radix-16 passes") {
+      val r = graft.engine.ops.SuffixArray
+        .ranksFromWords(pos, rounds = 7, boundRound = 4)
       r.count(); r
     }
     val nPos = cur.count()

@@ -83,25 +83,75 @@ object SuffixArray {
     * identical tie classes.
     */
   def ranks(pos0: DataFrame, rounds: Int, boundRound: Int): DataFrame = {
-    val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")
-    def tlog(name: String, t0: Long): Unit =
-      if (debug) println(f"[suffix-ranks] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val tlog = mkTlog()
     val tInit = System.nanoTime()
-    var cur = pos0.localCheckpoint()
+    val cur = pos0.localCheckpoint()
     tlog("pos0 checkpoint", tInit)
-    val bnd = math.min(math.max(boundRound, 0), rounds)
-    var curMax = Option(cur.agg(max(col("rk"))).head.get(0))
+    if (rounds <= 0)
+      return cur.withColumn("rk_bound", col("rk"))
+    val curMax = Option(cur.agg(max(col("rk"))).head.get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     // distinct classes after round 0 = distinct token ranks = curMax
     // (round-0 ranks are dense over the vocabulary)
-    var prevClasses = curMax
-    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    passes(cur, rounds, boundRound, firstKey = "rk",
+      firstBucket = None, firstSentinel = lit(-1L),
+      initClasses = curMax, initMax = curMax, tlog)
+  }
 
+  /** As [[ranks]], but round 0 is the WORD COLUMN itself: input
+    * (doc_id, p, gid, w) with non-empty words and dense per-doc p. The
+    * first pass sorts its 16-tuple of word STRINGS directly (the empty
+    * string is the past-end sentinel — it sorts before every real word,
+    * exactly the −1 effect) and buckets by the first character's code
+    * point, a monotone prefix of the binary string order (the same
+    * bucketing the separate word-rank frame used; for ASCII corpora
+    * UTF-8 byte order equals code-point order on the first character).
+    * This folds the old round-0 machinery — distinct-word frame,
+    * distributed word rank, broadcast join back to positions, and the
+    * positions checkpoint — into pass 1; output is identical because
+    * any order-isomorphic round-0 key yields the same rank() values.
+    */
+  def ranksFromWords(pos: DataFrame, rounds: Int, boundRound: Int): DataFrame = {
+    val tlog = mkTlog()
+    if (rounds <= 0)
+      return pos.localCheckpoint()
+        .withColumn("rk", lit(0L)).withColumn("rk_bound", col("rk"))
+    passes(pos, rounds, boundRound, firstKey = "w",
+      firstBucket = Some(expr("CAST(ascii(substring(w, 1, 1)) AS BIGINT)")),
+      firstSentinel = lit(""),
+      initClasses = -1L, initMax = 0L, tlog)
+  }
+
+  private def mkTlog(): (String, Long) => Unit = {
+    val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")
+    (name, t0) =>
+      if (debug) println(f"[suffix-ranks] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  /** The shared pass loop: pass 1 may key on a caller-supplied column
+    * (string mode) with its own monotone bucket and sentinel; every
+    * later pass keys on the numeric `rk`. `initClasses` < 0 skips the
+    * fixpoint comparison for the first pass (class count of a raw key
+    * column is unknown without an extra aggregate).
+    */
+  private def passes(cur0: DataFrame, rounds: Int, boundRound: Int,
+      firstKey: String, firstBucket: Option[org.apache.spark.sql.Column],
+      firstSentinel: org.apache.spark.sql.Column,
+      initClasses: Long, initMax: Long,
+      tlog: (String, Long) => Unit): DataFrame = {
+    val bnd = math.min(math.max(boundRound, 0), rounds)
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    var cur = cur0
+    var curMax = initMax
+    var prevClasses = initClasses
     var spanLog = 0
     var frozen = false
     var stable = false
     while (spanLog < rounds && !stable) {
       val tPass = System.nanoTime()
+      val isFirst = spanLog == 0
+      val key = if (isFirst) firstKey else "rk"
+      val sentinel = if (isFirst) firstSentinel else lit(-1L)
       // advance up to ×16 per pass, but land exactly on the bound span
       // so rk_bound is the tuple-prefix rank of this same pass
       val stepLog = math.min(4,
@@ -111,12 +161,14 @@ object SuffixArray {
       var paired = cur
       for (i <- 1 to nLead)
         paired = paired.withColumn(s"_rkb$i",
-          coalesce(lead(col("rk"), (i * step).toInt).over(wdoc), lit(-1L)))
-      val keys = col("rk") +: (1 to nLead).map(i => col(s"_rkb$i"))
+          coalesce(lead(col(key), (i * step).toInt).over(wdoc), sentinel))
+      val keys = col(key) +: (1 to nLead).map(i => col(s"_rkb$i"))
       val freezeNow = !frozen && spanLog + stepLog == bnd
       val mx = math.max(curMax, 1L)
+      val bucket = firstBucket.filter(_ => isFirst)
+        .getOrElse(expr(s"((rk - 1) * 32) div $mx"))
       val local = paired
-        .withColumn("_b", expr(s"((rk - 1) * 32) div $mx"))
+        .withColumn("_b", bucket)
         .withColumn("_lrk", rank().over(
           Window.partitionBy(col("_b")).orderBy(keys: _*)).cast("long"))
         .localCheckpoint()
@@ -137,15 +189,17 @@ object SuffixArray {
           map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
           col("_b")), lit(0L))
       // drop-based projection keeps carried columns (rk_bound) in place
+      val dropCols = (1 to nLead).map(i => s"_rkb$i") ++ Seq("_b", "_lrk") ++
+        (if (isFirst && firstKey != "rk") Seq(firstKey) else Nil)
       cur = local.withColumn("rk", col("_lrk") + offExpr)
-        .drop((1 to nLead).map(i => s"_rkb$i") ++ Seq("_b", "_lrk"): _*)
+        .drop(dropCols: _*)
       if (freezeNow) {
         // the bound span ends exactly at this pass (stepLog lands on
         // it), so the bound rank IS this pass's full-tuple rank
         cur = cur.withColumn("rk_bound", col("rk"))
         frozen = true
       }
-      stable = newClasses == prevClasses
+      stable = prevClasses >= 0 && newClasses == prevClasses
       prevClasses = newClasses
       curMax = cnts.map(_._2).sum // rank() max bound = total rows
       spanLog += stepLog

@@ -1714,34 +1714,21 @@ object Dedup extends QueryPack {
           .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
           .where(expr("size(ws) > 0 AND size(ws) <= 127"))
           .persistScoped()
+        // word-keyed round 0 (r11): the first ranking pass sorts its
+        // word-string tuple directly (SuffixArray.ranksFromWords), so
+        // the old separate machinery — distinct-word frame, distributed
+        // word rank, broadcast join back to positions, positions
+        // checkpoint — is gone; the first-char bucketing and its ASCII
+        // caveat live inside the op now. 2^7 = 128 > the generator's
+        // 99-word max; the bound round is the MinRepeatSpanWords-word-
+        // prefix rank for candidate filtering, frozen as a column
+        // riding through the later passes.
         val pos = ws0
           .select(col("doc_id"), posexplode(col("ws")))
-          .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p", "col AS w")
-        // distributed lexicographic word rank (r9, was a single-task
-        // global row_number over the distinct-word frame — vocab grows
-        // sublinearly but unboundedly with the corpus): bucket by the
-        // first character's code point, a monotone prefix of the binary
-        // string order (fixture words are ASCII; UTF-8 byte order equals
-        // code-point order for the first character), rank within
-        // buckets, stitch with per-bucket offsets. Distinct words make
-        // row_number == dense_rank, and any order-isomorphic integer
-        // works as the round-0 rank — this one matches the oracle's
-        // ORDER BY w exactly.
-        val wr = graft.engine.ops.GlobalOrder
-          .rowNumberWith(
-            pos.select(col("w")).distinct()
-              .withColumn("_gb", expr("ascii(substring(w, 1, 1))")),
-            Seq(col("w")), "rk")
-          .select(col("w"), col("rk"))
-        val pos0 = pos.join(broadcast(wr), "w")
-          .selectExpr("doc_id", "p", "doc_id * 128 + p AS gid", "rk")
-        // 2^7 = 128 > the generator's 99-word max; the bound round is the
-        // MinRepeatSpanWords-word-prefix rank for candidate filtering —
-        // frozen as a column riding through the later rounds (r11; the
-        // separate bound frame forced a gid-keyed self-join of two
-        // corpus-position frames just to realign the ranks)
-        val sa = graft.engine.ops.SuffixArray.ranks(
-            pos0, rounds = 7, boundRound = MinRepeatSpanLog2)
+          .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS p",
+            "doc_id * 128 + CAST(pos + 1 AS BIGINT) AS gid", "col AS w")
+        val sa = graft.engine.ops.SuffixArray.ranksFromWords(
+            pos, rounds = 7, boundRound = MinRepeatSpanLog2)
           .selectExpr("doc_id", "p", "gid", "rk", "rk_bound AS rk16")
         // suffix-order adjacency WITHOUT a single-task global window
         // (r9): GlobalOrder.lead1 range-buckets by rk (a dense rank, so

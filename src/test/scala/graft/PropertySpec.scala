@@ -101,6 +101,20 @@ class PropertySpec extends AnyFunSuite {
         .ranks(rows.toDF("doc_id", "p", "gid", "rk"), rounds = 7, boundRound = 4)
         .select("doc_id", "p", "rk").collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // the word-keyed entry must agree exactly: the word strings are an
+      // order-isomorphic round-0 key (Scala string order == Spark UTF8
+      // binary order on this ASCII vocab), so rank() values coincide
+      val wrows = docs.flatMap { case (id, ws) =>
+        ws.zipWithIndex.map { case (w, i) =>
+          (id, (i + 1).toLong, id * 128 + i + 1, w)
+        }
+      }
+      val gotW = graft.engine.ops.SuffixArray
+        .ranksFromWords(wrows.toDF("doc_id", "p", "gid", "w"),
+          rounds = 7, boundRound = 4)
+        .select("doc_id", "p", "rk").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(gotW == got, s"trial $trial: ranksFromWords must match ranks")
       val sufs = docs.flatMap { case (id, ws) =>
         (1 to ws.length).map(p => ((id, p.toLong), ws.drop(p - 1).map(wordRank)))
       }
