@@ -1578,8 +1578,7 @@ object Dedup extends QueryPack {
               """CASE WHEN dist IS NULL THEN nd
                       WHEN nd IS NULL THEN dist
                       ELSE least(dist, nd) END AS dist""")
-          val cutNow = r % 2 == 0
-          val m = if (cutNow) merged.localCheckpoint() else merged
+          val m = merged.localCheckpoint()
           frontier = m.where(col("old").isNull || col("dist") < col("old"))
             .select(col("v"), col("dist"))
           dist = m.select(col("v"), col("dist"))
