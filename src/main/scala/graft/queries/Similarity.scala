@@ -1125,31 +1125,44 @@ object Similarity extends QueryPack {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val xi = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
-        def d2(a: String, b: String) =
-          s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        def assign(v: DataFrame, cents: DataFrame): DataFrame =
-          v.crossJoin(broadcast(cents))
-            .withColumn("_d2", expr(d2("xi", "cv")))
-            .withColumn("_rn", row_number().over(
-              Window.partitionBy(col("vec_id")).orderBy(col("_d2"), col("cent_id"))))
-            .where(col("_rn") === 1)
-            .select(v.columns.map(col) :+ col("cent_id").as("cell"): _*)
-        def means(a: DataFrame): DataFrame =
-          a.select(col("cell"), posexplode(col("xi")).as(Seq("pos", "v")))
-            .groupBy(col("cell"), col("pos"))
-            .agg(expr("sum(v) div count(1)").as("m"))
-            .groupBy(col("cell"))
-            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
-            .select(col("cell").as("cent_id"), col("cv"))
+        // DRIVER-SIDE codebook rounds (r11): the model is NList x Dim
+        // integers — driver-bounded by construction (the nb-langid
+        // precedent) — so each round's centroids COLLECT and the next
+        // assignment is a row-local array_min over literal-vector
+        // distances instead of a broadcast crossJoin + per-vector
+        // window; the means are ONE wide cell-keyed aggregation (Dim
+        // integer-division sums) instead of a posexplode + two
+        // aggregations. Distances, integer divisions and the (d2,
+        // cent_id) tie-break are expression-for-expression what the
+        // window form computed, so values are identical and the oracle
+        // is untouched.
+        def assign(v: DataFrame, cents: Array[(Long, Array[Long])]): DataFrame = {
+          val cand = array(cents.sortBy(_._1).map { case (id, cv) =>
+            struct(
+              expr(s"""aggregate(zip_with(xi, array(${cv.mkString(",")}),
+                       (p, q) -> (p - q) * (p - q)),
+                       CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("d2"),
+              lit(id).as("cid"))
+          }: _*)
+          v.withColumn("cell", array_min(cand).getField("cid"))
+        }
+        def means(a: DataFrame): Array[(Long, Array[Long])] = {
+          val sums = (1 to Dim).map(i =>
+            expr(s"sum(element_at(xi, $i)) div count(1)").as(s"_m$i"))
+          a.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+            .collect()
+            .map(r => r.getLong(0) -> (1 to Dim).map(i => r.getLong(i)).toArray)
+        }
         val e = Tables.embeddings(s, d)
           .selectExpr("vec_id", "embedding", s"$xi AS xi").persistScoped()
         val c0 = e.filter(col("vec_id") < NList)
-          .select(col("vec_id").as("cent_id"), col("xi").as("cv"))
-        val a1 = assign(e, c0).persistScoped()           // round 1: assign
-        val c1 = means(a1)                         // round 1: update
-        val a2 = assign(a1.drop("cell"), c1).persistScoped() // round 2: assign
-        val c2 = means(a2)                         // round 2: update (codebook)
-        val af = assign(a2.drop("cell"), c2)       // final inverted lists
+          .select(col("vec_id"), col("xi")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        val a1 = assign(e, c0)                 // round 1: assign
+        val c1 = means(a1)                     // round 1: update
+        val a2 = assign(e, c1)                 // round 2: assign
+        val c2 = means(a2)                     // round 2: update (codebook)
+        val af = assign(e, c2)                 // final inverted lists
         val q = af.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
         val n = af.select(col("vec_id").as("vid"), col("embedding").as("nv"),
