@@ -1588,21 +1588,11 @@ object Similarity extends QueryPack {
         val cellStats = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"))
           .persistScoped() // feeds the 2_cells and 3_max_cell stage rows
-        val bandRows = bucketed(s, d).selectExpr("vec_id",
-          "explode(array(named_struct('band', 0, 'key', bucket % 16), " +
-            "named_struct('band', 1, 'key', bucket div 16))) AS bk")
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = bandRows.toDF("vid_a", "band", "key")
-          .join(bandRows.toDF("vid_b", "band2", "key2"),
-            col("band") === col("band2") && col("key") === col("key2") &&
-              col("vid_a") < col("vid_b"))
-          .select(col("vid_a"), col("vid_b")).distinct()
-        val dupPairs = cosine(
-          cand
-            .join(e.select(col("vec_id").as("vid_a"), col("embedding").as("ea")), "vid_a")
-            .join(e.select(col("vec_id").as("vid_b"), col("embedding").as("eb")), "vid_b"),
-          "ea", "eb")
-          .where("cos >= 0.4")
+        // the pair stage IS the shared scored-candidate frame (r11):
+        // bandScored's plane-fold keys equal the bucket%16 / bucket div
+        // 16 halves bit-for-bit at (4, 2), so this reuses the same
+        // session-cached frame the embed-LSH family reads
+        val dupPairs = bandCandidatesScored(s, d).where("cos >= 0.4")
         e.agg(count(lit(1)).as("n"))
           .select(lit("1_total").as("stage"), col("n"))
           .unionByName(cellStats
