@@ -50,13 +50,15 @@ object Bench {
     // sum — each family's own small stages underuse the 32 cores alone
     locally {
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.DurationInt
+      import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val warms: Seq[() => Unit] =
         graft.queries.Dedup.warmItems(spark, sfDir) ++
           graft.queries.TextOps.warmItems(spark, sfDir) :+
           (() => graft.queries.Similarity.warmShared(spark, sfDir))
-      Await.result(Future.sequence(warms.map(f => Future(f()))), 15.minutes)
+      // no deadline: the sequential warm had none either, and a loaded
+      // box or bigger SF must slow the setup line down, not kill the run
+      Await.result(Future.sequence(warms.map(f => Future(f()))), Duration.Inf)
     }
     val sharedSetupSec = (System.nanoTime() - tShared0) / 1e9
     // min of two timed runs per query: this bench box carries variable

@@ -5,18 +5,15 @@ import org.apache.spark.sql.functions._
 /** Suffix-array stress leg: replicate the sf0.1 corpus (marker-tokened
   * per replica, the StressFunnel recipe, so suffix structure within a
   * replica is preserved while replicas stay distinct) and run the FULL
-  * production prefix-doubling construction — `SuffixArray.ranks`, the
-  * exact code path `dedup_suffix_repeats` declares (r11: this main
-  * previously carried its own copy of the round loop, which silently
-  * stopped exercising the production rounds when they moved to the
-  * per-doc lead-window formulation; it now drives `ranks` directly
-  * with GRAFT_SUFFIX_DEBUG per-round logging).
+  * production construction — `SuffixArray.ranksFromWords`, the exact
+  * code path `dedup_suffix_repeats` declares (word-keyed first pass,
+  * radix-16 passes, GRAFT_SUFFIX_DEBUG per-pass logging).
   *
-  * What linearity means here: position count and per-round cost must
-  * scale ~linearly in the replica count — each round is one per-doc
-  * lead window plus the bucketed distributed dense_rank, both linear in
-  * positions. The per-round distinct-rank log (debug env) shows the
-  * resolution process: rank cardinality approaches the position count
+  * What linearity means here: position count and per-pass cost must
+  * scale ~linearly in the replica count — each pass is one per-doc
+  * lead window plus the bucketed distributed rank(), both linear in
+  * positions. The per-pass class-count log (debug env) shows the
+  * resolution process: class cardinality approaches the position count
   * as suffixes resolve, and the verbatim replicas (0-2) keep exact
   * ties to the end — the suffix array correctly refuses to distinguish
   * identical suffixes.

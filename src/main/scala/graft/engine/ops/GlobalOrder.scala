@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *      global-window plan sweep whitelists exactly this `_gb`/`_grn`
   *      shape).
   *
-  * Companion of [[SuffixArray.rangeDenseRank]] (which buckets by a
+  * Companion of [[SuffixArray.ranks]]'s internal pass (which buckets by a
   * previous dense rank); these generalize to any long-typed sort key.
   * Degenerate distributions (all keys equal) collapse to one bucket —
   * the data has no order information to parallelize over; callers with

@@ -43,32 +43,6 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** Distributed global dense_rank over (c1, c2): bucket by a
-    * DETERMINISTIC monotone function of c1 (c1 must be a previous dense
-    * rank, so ((c1−1)·32) div max(c1) yields 32 contiguous blocks of the
-    * global order; equal keys share a bucket by construction — no
-    * range-sampling, no partition ids), rank each bucket in parallel,
-    * then add the cumulative distinct count of the buckets before it.
-    * The rank VALUES are identical to a single-task global window; the
-    * work is spread across buckets. Result column: `_grk`.
-    */
-  def rangeDenseRank(df: DataFrame, c1: String, c2: String): DataFrame = {
-    val mx = df.agg(max(col(c1)).as("_mx"))
-    val local = df.crossJoin(broadcast(mx))
-      .withColumn("_b", expr(s"(($c1 - 1) * 32) div _mx"))
-      .withColumn("_lrk", dense_rank().over(
-        Window.partitionBy(col("_b")).orderBy(col(c1), col(c2))).cast("long"))
-    val offs = local.groupBy(col("_b"))
-      .agg(max(col("_lrk")).as("_cnt"))
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(
-        Window.orderBy(col("_b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_b"), col("_off"))
-    local.join(broadcast(offs), Seq("_b"))
-      .withColumn("_grk", col("_lrk") + col("_off"))
-      .drop("_b", "_lrk", "_off", "_mx")
-  }
-
   /** Prefix-doubling ranks. Input: (doc_id, p, gid, rk) with `rk` the
     * round-0 token rank (any order-isomorphic integer) and `p` DENSE
     * 1..n within each doc (the posexplode contract) — density is what
@@ -91,11 +65,15 @@ object SuffixArray {
       return cur.withColumn("rk_bound", col("rk"))
     val curMax = Option(cur.agg(max(col("rk"))).head.get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-    // distinct classes after round 0 = distinct token ranks = curMax
-    // (round-0 ranks are dense over the vocabulary)
+    // initClasses = -1: the contract allows ANY order-isomorphic
+    // round-0 integer, so max(rk) is not necessarily the round-0 class
+    // count and must not seed the fixpoint comparison (a sparse rank
+    // set could alias the pass-1 class count and declare stability
+    // spuriously); pass 1 therefore never early-exits on the fixpoint,
+    // only on the all-singletons row-count check inside the loop
     passes(cur, rounds, boundRound, firstKey = "rk",
       firstBucket = None, firstSentinel = lit(-1L),
-      initClasses = curMax, initMax = curMax, tlog)
+      initClasses = -1L, initMax = curMax, tlog)
   }
 
   /** As [[ranks]], but round 0 is the WORD COLUMN itself: input
@@ -113,9 +91,9 @@ object SuffixArray {
     */
   def ranksFromWords(pos: DataFrame, rounds: Int, boundRound: Int): DataFrame = {
     val tlog = mkTlog()
-    if (rounds <= 0)
-      return pos.localCheckpoint()
-        .withColumn("rk", lit(0L)).withColumn("rk_bound", col("rk"))
+    // no meaningful zero-pass result exists in word mode (ranks() can
+    // hand back its numeric round-0 rk; a word column cannot be one)
+    require(rounds >= 1, "ranksFromWords needs at least one pass")
     passes(pos, rounds, boundRound, firstKey = "w",
       firstBucket = Some(expr("CAST(ascii(substring(w, 1, 1)) AS BIGINT)")),
       firstSentinel = lit(""),
@@ -199,9 +177,15 @@ object SuffixArray {
         cur = cur.withColumn("rk_bound", col("rk"))
         frozen = true
       }
-      stable = prevClasses >= 0 && newClasses == prevClasses
+      val totalRows = cnts.map(_._2).sum
+      // fixpoint: no class split since the previous pass (sound from
+      // pass 2 on — prevClasses is then a true class count); OR every
+      // class is a singleton, where the ranks are final regardless of
+      // how round 0 was keyed — both read the already-collected counts
+      stable = (prevClasses >= 0 && newClasses == prevClasses) ||
+        newClasses == totalRows
       prevClasses = newClasses
-      curMax = cnts.map(_._2).sum // rank() max bound = total rows
+      curMax = totalRows // rank() max bound = total rows
       spanLog += stepLog
       tlog(s"pass to span ${1L << spanLog} ($newClasses classes" +
         s"${if (stable) ", stable" else ""})", tPass)

@@ -1680,11 +1680,12 @@ object Dedup extends QueryPack {
     // complement to the probabilistic family (MinHash finds near-dups;
     // the suffix array finds every literal cross-document span).
     // Word-level suffixes (Lee et al. dedup token spans, not chars),
-    // built by PREFIX DOUBLING (Manber-Myers): round k ranks each
-    // suffix by its 2^k-word prefix as the pair (rank of self, rank at
-    // p + 2^(k-1), -1 past end); 7 rounds fully resolve docs <= 127
-    // words. Candidates = suffix-order-ADJACENT pairs from DIFFERENT
-    // docs sharing the full round-4 rank (>= 16-word common prefix):
+    // built by GENERALIZED PREFIX DOUBLING (Manber-Myers at radix 16,
+    // SuffixArray.ranksFromWords): a pass ranks each suffix by the
+    // 16-tuple of current-span ranks at p, p+s, .., p+15s (sentinel
+    // past the end), so two passes fully resolve docs <= 127 words.
+    // Candidates = suffix-order-ADJACENT pairs from DIFFERENT
+    // docs sharing the full span-16 rank (>= 16-word common prefix):
     // for any two docs sharing an L-word span (L >= 16), every suffix
     // between their two span-suffixes shares >= L words of prefix, and
     // the doc id changes somewhere in that interval — so some ADJACENT
@@ -1694,11 +1695,12 @@ object Dedup extends QueryPack {
     // top-15 with the span's rolling-hash fingerprint so both engines
     // must agree on the repeated words byte-for-byte.
     //
-    // Scale shape: positions shuffle as (doc, p, rank) integer triples —
-    // never text (plan-asserted); each doubling round is one keyed
-    // self-join on (doc, p + off) plus a DISTRIBUTED global dense_rank
-    // (SuffixArray.rangeDenseRank: bucketed per-partition rank + offset
-    // merge). Candidate extraction is likewise distributed (r9):
+    // Scale shape: positions travel as (doc, p, rank) integer triples —
+    // never text (plan-asserted); each pass is one per-doc lead window
+    // plus a DISTRIBUTED bucketed rank with a driver-side row-count
+    // stitch (rank() class-head semantics — order-isomorphic to the
+    // dense rank with identical tie classes, see the op's Scaladoc).
+    // Candidate extraction is likewise distributed (r9):
     // GlobalOrder.lead1 runs lead() within rank-range buckets and
     // exchanges one boundary row per bucket — no single task ever holds
     // the full position frame. The exact-LCP explode touches only the
@@ -1706,9 +1708,10 @@ object Dedup extends QueryPack {
     "dedup_suffix_repeats" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        // construction lives in engine/ops/SuffixArray.scala (prefix
-        // doubling + distributed dense_rank + per-round lineage cut);
-        // this query adds candidate extraction and the exact-LCP report
+        // construction lives in engine/ops/SuffixArray.scala (radix-16
+        // prefix doubling, distributed bucketed rank() + per-pass
+        // lineage cut); this query adds candidate extraction and the
+        // exact-LCP report
         val ws0 = Tables.documents(s, d)
           .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
           .where(expr("size(ws) > 0 AND size(ws) <= 127"))
@@ -1730,8 +1733,9 @@ object Dedup extends QueryPack {
             pos, rounds = 7, boundRound = MinRepeatSpanLog2)
           .selectExpr("doc_id", "p", "gid", "rk", "rk_bound AS rk16")
         // suffix-order adjacency WITHOUT a single-task global window
-        // (r9): GlobalOrder.lead1 range-buckets by rk (a dense rank, so
-        // the monotone bucketing is contiguous), runs lead() within each
+        // (r9): GlobalOrder.lead1 quantile-buckets by rk (a monotone
+        // key; gappy class-head ranks are explicitly supported — the
+        // bucketing never splits ties), runs lead() within each
         // bucket in parallel, and exchanges ONE boundary row per bucket
         // for the seams — value-identical to lead() over the global
         // (rk, gid) order at any corpus size

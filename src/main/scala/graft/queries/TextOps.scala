@@ -1456,7 +1456,13 @@ object TextOps extends QueryPack {
         // (score DESC, slang ASC) exactly as the window did via the
         // (-score, slang) struct order; docs with only-OOV terms fall
         // back to the prior via the left join's null -> 0 coalesce.
-        val langList = langs.select("lang").collect().map(_.getString(0)).sorted
+        // NULL langs are dropped from the CANDIDATE set only (a null
+        // class label is meaningless to predict, and pivot/sorted would
+        // otherwise NPE); null-lang docs still score and group under
+        // their own (null) truth key, and the priors' denominators are
+        // unchanged
+        val langList = langs.select("lang").collect()
+          .map(_.getString(0)).filter(_ != null).sorted
         if (langList.isEmpty)
           docs.selectExpr("lang", "lang AS pred_lang",
               "CAST(0 AS BIGINT) AS n_docs")
