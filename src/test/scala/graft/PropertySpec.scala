@@ -84,8 +84,15 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     import scala.math.Ordering.Implicits._
     val rnd = new scala.util.Random(7)
-    val vocab = Vector("aa", "ab", "ba", "bb", "ca", "cb", "da", "db")
-    for (trial <- 1 to 4) {
+    val ascii = Vector("aa", "ab", "ba", "bb", "ca", "cb", "da", "db")
+    // trial 5 pins the word-keyed first pass beyond ASCII: BMP
+    // code points, where UTF-8 byte order (Spark string comparison and
+    // the first-char code-point bucketing) equals UTF-16 code-unit
+    // order (this brute force's Scala string sort) — both are plain
+    // code-point order below the surrogate range
+    val unicode = Vector("aa", "é", "ζz", "αb", "~x", "Zq", "ño", "日a")
+    for (trial <- 1 to 5) {
+      val vocab = if (trial == 5) unicode else ascii
       val base = (1 to 12).map { i =>
         (i.toLong, Vector.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
       }
