@@ -267,7 +267,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def warmItems(s: SparkSession, d: String): Seq[() => Unit] = Seq(
     () => { coPurchases(s, d).count(); sharedCoPurchasePairs(s, d).count(); () },
-    () => { sharedDupPairs(s, d).count(); () } // pulls shingleRaw + cappedShingles
+    () => { sharedDupLabels(s, d).count(); () } // pulls dupPairs + shingle frames
   )
 
   /** Oracle twin of [[coPurchases]]: `cp` = the capped incidence. */
@@ -362,6 +362,23 @@ object Dedup extends QueryPack {
     */
   private def minHashDupPairs(s: SparkSession, d: String): DataFrame =
     sharedDupPairs(s, d)
+
+  /** Min-label connected components over the verified dup pairs —
+    * shared (r11): four declared queries (clusters, keep_best,
+    * rate_by_source, leakage_audit) each re-ran the same eager label
+    * propagation over the same shared pair list. Deterministic (min
+    * vertex id per component), so memoizing the labels is pure reuse.
+    */
+  private def sharedDupLabels(s: SparkSession, d: String): DataFrame =
+    graft.engine.Persisted.shared(s, s"dup_labels|$d") {
+      // truncate lineage before iterating (the graph_kcore_dups
+      // discipline): the iterative op re-plans its input per round, and
+      // the LSH pipeline's plan is deep — persist alone leaves the
+      // planning cost in every round
+      graft.engine.ops.ConnectedComponents.run(
+        minHashDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint())
+    }
 
   /** As minHashDupPairs, but over a caller-supplied hot-shingle row and
     * capped+persisted distinct-shingle frame, so a query that needs BOTH
@@ -719,13 +736,7 @@ object Dedup extends QueryPack {
     // transitive closure.
     "dedup_clusters" -> QueryDef(
       (s, d) => {
-        // truncate lineage before iterating (the graph_kcore_dups
-        // discipline): the iterative op re-plans its input per round, and
-        // the LSH pipeline's plan is deep — persist alone leaves the
-        // planning cost in every round
-        val pairs = minHashDupPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        graft.engine.ops.ConnectedComponents.run(pairs)
+        sharedDupLabels(s, d)
           .selectExpr("CAST(v AS BIGINT) AS doc_id",
             "CAST(lbl AS BIGINT) AS cluster_id")
           .orderBy(col("doc_id"))
@@ -755,9 +766,7 @@ object Dedup extends QueryPack {
     // single-row integer fold — no text shuffles, no floats.
     "split_leakage_audit" -> QueryDef(
       (s, d) => {
-        val pairs = minHashDupPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        val labels = graft.engine.ops.ConnectedComponents.run(pairs)
+        val labels = sharedDupLabels(s, d)
           .selectExpr("CAST(v AS BIGINT) AS doc_id",
             "CAST(lbl AS BIGINT) AS cluster_id")
         Tables.documents(s, d).select(col("doc_id"))
@@ -823,13 +832,7 @@ object Dedup extends QueryPack {
     // transitive closure dedup_clusters checks.
     "dedup_rate_by_source" -> QueryDef(
       (s, d) => {
-        // truncate lineage before iterating (the graph_kcore_dups
-        // discipline): the iterative op re-plans its input per round, and
-        // the LSH pipeline's plan is deep — persist alone leaves the
-        // planning cost in every round
-        val pairs = minHashDupPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        val dupDocs = graft.engine.ops.ConnectedComponents.run(pairs)
+        val dupDocs = sharedDupLabels(s, d)
           .selectExpr("CAST(v AS BIGINT) AS doc_id")
           .withColumn("isdup", lit(1L))
         Tables.documents(s, d).select(col("doc_id"), col("source"))
@@ -864,13 +867,7 @@ object Dedup extends QueryPack {
     // recursive transitive closure and picks the same representative.
     "dedup_keep_best" -> QueryDef(
       (s, d) => {
-        // truncate lineage before iterating (the graph_kcore_dups
-        // discipline): the iterative op re-plans its input per round, and
-        // the LSH pipeline's plan is deep — persist alone leaves the
-        // planning cost in every round
-        val pairs = minHashDupPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        val labels = graft.engine.ops.ConnectedComponents.run(pairs)
+        val labels = sharedDupLabels(s, d)
           .selectExpr("CAST(v AS BIGINT) AS doc_id",
             "CAST(lbl AS BIGINT) AS cluster_id")
         val scored = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
@@ -909,10 +906,6 @@ object Dedup extends QueryPack {
     // PageRank.scala).
     "graph_pagerank_dups" -> QueryDef(
       (s, d) => {
-        // truncate lineage before iterating (the graph_kcore_dups
-        // discipline): the iterative op re-plans its input per round, and
-        // the LSH pipeline's plan is deep — persist alone leaves the
-        // planning cost in every round
         val pairs = minHashDupPairs(s, d)
           .select(col("doc_a"), col("doc_b")).localCheckpoint()
         graft.engine.ops.PageRank.run(pairs, iters = 3)
