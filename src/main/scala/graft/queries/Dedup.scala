@@ -248,7 +248,20 @@ object Dedup extends QueryPack {
     graft.engine.Persisted.shared(s, s"lshDupPairs|$d") {
       minHashDupPairsOver(s, d,
         hotShingleArrFrom(sharedShingleRaw(s, d)),
-        sharedCappedShingles(s, d))
+        sharedCappedShingles(s, d),
+        bandsPre = Some(sharedBands(s, d)))
+    }
+
+  /** The standard (doc_id, band, key) LSH band rows — shared (r11):
+    * the pair funnel, the incremental verdicts and the containment
+    * pairs each re-ran the corpus signature stage to rebuild the same
+    * band frame. Diagnostic/stress paths with caller-supplied hot rows
+    * keep building their own.
+    */
+  private def sharedBands(s: SparkSession, d: String): DataFrame =
+    graft.engine.Persisted.shared(s, s"mh_bands|$d") {
+      minHashBandsFrom(minHashSigOver(s, d,
+        hotShingleArrFrom(sharedShingleRaw(s, d))))
     }
 
   /** Bench hook: build + materialize the shared tier's frames for the
@@ -387,8 +400,10 @@ object Dedup extends QueryPack {
     * pipeline once, not twice.
     */
   private def minHashDupPairsOver(
-      s: SparkSession, d: String, hot: DataFrame, shd: DataFrame): DataFrame = {
-    val bands = minHashBandsFrom(minHashSigOver(s, d, hot)).persistScoped()
+      s: SparkSession, d: String, hot: DataFrame, shd: DataFrame,
+      bandsPre: Option[DataFrame] = None): DataFrame = {
+    val bands = bandsPre.getOrElse(
+      minHashBandsFrom(minHashSigOver(s, d, hot)).persistScoped())
     val cand = bands.toDF("doc_a", "band", "key")
       .join(bands.toDF("doc_b", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") &&
@@ -467,9 +482,8 @@ object Dedup extends QueryPack {
     */
   private[graft] def incrementalVerdicts(
       s: SparkSession, d: String, inPred: String, exPred: String): DataFrame = {
-    val raw = sharedShingleRaw(s, d)
     val shd = sharedCappedShingles(s, d)
-    val bands = minHashBandsFrom(minHashSigOver(s, d, hotShingleArrFrom(raw))).persistScoped()
+    val bands = sharedBands(s, d)
     val cand = bands.where(inPred).toDF("doc_in", "band", "key")
       .join(bands.where(exPred).toDF("doc_ex", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
@@ -1012,9 +1026,8 @@ object Dedup extends QueryPack {
     // the asymmetry visible in the gated output.
     "dedup_containment_pairs" -> QueryDef(
       (s, d) => {
-        val raw = sharedShingleRaw(s, d)
         val shd = sharedCappedShingles(s, d)
-        val bands = minHashBandsFrom(minHashSigOver(s, d, hotShingleArrFrom(raw))).persistScoped()
+        val bands = sharedBands(s, d)
         val cand = bands.toDF("doc_a", "band", "key")
           .join(bands.toDF("doc_b", "band2", "key2"),
             col("band") === col("band2") && col("key") === col("key2") &&

@@ -76,16 +76,16 @@ class CacheHygieneSpec extends AnyFunSuite {
 
   test("shared tier: dedup family reuses the shingle space and pair list, bounded, drained") {
     queries.Persisted.drainShared()
-    // the r11 tier: shingleRaw + cappedShingles + lshDupPairs + the
-    // component labels serve the whole LSH-consumer family; building
-    // four of its queries must not grow the tier past those four (plus
-    // nothing else — no graph queries here)
+    // the r11 tier: shingleRaw + cappedShingles + the band rows +
+    // lshDupPairs + the component labels serve the whole LSH-consumer
+    // family; building four of its queries must not grow the tier past
+    // those five (plus nothing else — no graph queries here)
     for (q <- Seq("dedup_minhash_pairs", "dedup_clusters",
         "dedup_ngram_novelty", "dedup_decontam"))
       SparkEntry.queries(q)(spark, d).count()
     val n = queries.Persisted.sharedSize
-    assert(n >= 1 && n <= 4,
-      s"dedup family must designate exactly the raw/capped/pairs/labels frames, got $n")
+    assert(n >= 1 && n <= 5,
+      s"dedup family must designate exactly the raw/capped/bands/pairs/labels frames, got $n")
     queries.Persisted.drainShared()
     assert(queries.Persisted.sharedSize == 0)
     assert(GraftCacheProbe.cacheIsEmpty(spark),
