@@ -640,32 +640,50 @@ object Similarity extends QueryPack {
               col("qid") === col("qid2") && col("va") =!= col("vb")),
           "ea", "eb")
           .select(col("qid"), col("va"), col("vb"), col("cos").as("sim"))
-          .persistScoped()
-        def argmax(df: DataFrame, scoreCol: String): DataFrame =
-          df.withColumn("_r", row_number().over(
-              Window.partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("vid"))))
-            .where("_r = 1")
-        def simTo(sel: DataFrame): DataFrame =
-          pairs.join(sel.select(col("qid"), col("vid").as("selv")), Seq("qid"))
-            .where(col("vb") === col("selv"))
-            .select(col("qid"), col("va").as("vid"), col("sim"))
-        val s1 = argmax(cand, "rel").select(col("qid"), col("vid"), col("rel").as("score"))
-        val r1 = cand.select(col("qid"), col("vid"), col("rel"))
-          .join(simTo(s1).withColumnRenamed("sim", "ms"), Seq("qid", "vid"))
-          .withColumn("mmr", expr("0.7 * rel - 0.3 * ms"))
-        val s2 = argmax(r1, "mmr").select(col("qid"), col("vid"), col("mmr").as("score"))
-        val r2 = r1.drop("mmr")
-          .join(s2.select(col("qid"), col("vid").as("sel2")), Seq("qid"))
-          .where(col("vid") =!= col("sel2"))
-          .join(simTo(s2).withColumnRenamed("sim", "ms2"), Seq("qid", "vid"))
-          .withColumn("ms", greatest(col("ms"), col("ms2")))
-          .withColumn("mmr", expr("0.7 * rel - 0.3 * ms"))
-        val s3 = argmax(r2, "mmr").select(col("qid"), col("vid"), col("mmr").as("score"))
-        s1.withColumn("step", lit(1L))
-          .unionByName(s2.withColumn("step", lit(2L)))
-          .unionByName(s3.withColumn("step", lit(3L)))
+        // DRIVER-SIDE greedy (r11, the nb-langid/ivf precedent): the
+        // selection state is 10 queries x 8 candidates — driver-bounded
+        // by construction — and the old 3-step argmax/join chain paid
+        // ~8 fixed-latency jobs to walk it. The rel/sim values COLLECT
+        // exactly as Spark computed them (the shared cosine fold stays
+        // distributed and bit-identical); the greedy recurrence applies
+        // the same 0.7*rel - 0.3*ms doubles and the same (score DESC,
+        // vid ASC) tie-break, and the final round(…, 6) still runs in
+        // Spark so the emitted rounding is engine-identical.
+        val rels = cand.select(col("qid"), col("vid"), col("rel")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val sims = pairs.collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+          .toMap
+        // Spark's descending double order treats NaN as largest;
+        // java.lang.Double.compare agrees, so sortBy matches the window
+        val byQ = rels.groupBy(_._1).toSeq.sortBy(_._1)
+        val picked = byQ.flatMap { case (qid, cs0) =>
+          val cs = cs0.map { case (_, vid, rel) => (vid, rel) }
+          // max score first (java.lang.Double.compare puts NaN above
+          // every value, exactly Spark's descending-order semantics),
+          // ties to the smaller vid — the window's (desc, vid) order
+          def best(xs: Seq[(Long, Double)]): (Long, Double) =
+            xs.reduceLeft { (a, b) =>
+              val c = java.lang.Double.compare(a._2, b._2)
+              if (c > 0 || (c == 0 && a._1 <= b._1)) a else b
+            }
+          val (v1, sc1) = best(cs.toSeq)
+          val r1 = cs.filter(_._1 != v1).map { case (vid, rel) =>
+            val ms = sims((qid, vid, v1))
+            (vid, rel, ms, 0.7 * rel - 0.3 * ms)
+          }
+          val (v2, sc2) = best(r1.map(t => (t._1, t._4)).toSeq)
+          val r2 = r1.filter(_._1 != v2).map { case (vid, rel, ms, _) =>
+            val ms2 = math.max(ms, sims((qid, vid, v2)))
+            (vid, 0.7 * rel - 0.3 * ms2)
+          }
+          val (v3, sc3) = best(r2.toSeq)
+          Seq((qid, 1L, v1, sc1), (qid, 2L, v2, sc2), (qid, 3L, v3, sc3))
+        }
+        import s.implicits._
+        picked.toDF("qid", "step", "vid", "score0")
           .selectExpr("qid", "CAST(step AS BIGINT) AS step", "vid",
-            "round(score, 6) AS score")
+            "round(score0, 6) AS score")
           .orderBy(col("qid"), col("step"))
       },
       Some(s"""
