@@ -57,8 +57,16 @@ object Bench {
           graft.queries.TextOps.warmItems(spark, sfDir) :+
           (() => graft.queries.Similarity.warmShared(spark, sfDir))
       // no deadline: the sequential warm had none either, and a loaded
-      // box or bigger SF must slow the setup line down, not kill the run
-      Await.result(Future.sequence(warms.map(f => Future(f()))), Duration.Inf)
+      // box or bigger SF must slow the setup line down, not kill the run.
+      // Per-warm Try (r11 advisor): one transient warm failure must not
+      // abort the whole bench before a single query runs — the failed
+      // family's first consumer then pays and surfaces the build cost
+      // per-query, which min_of_2_heal3 already absorbs.
+      val outcomes = Await.result(
+        Future.sequence(warms.map(f => Future(scala.util.Try(f())))), Duration.Inf)
+      outcomes.zipWithIndex.collect { case (scala.util.Failure(e), i) =>
+        System.err.println(s"[bench] shared-tier warm #$i failed (continuing): $e")
+      }
     }
     val sharedSetupSec = (System.nanoTime() - tShared0) / 1e9
     // min of two timed runs per query: this bench box carries variable
@@ -102,11 +110,39 @@ object Bench {
         } else math.min(a, b)
       name -> best
     }
+    // Perf-regression gate (r11 VERDICT #1): compare each query against
+    // the PRIOR full-surface run before overwriting it, and flag >2x
+    // moves that also cost >0.3s absolute (the fixed job-latency floor
+    // makes pure ratios on sub-0.3s queries noise). Flagged queries are
+    // printed loudly and carried in the JSON so an untouched query that
+    // silently triples (the r11 sim_pq_adc failure mode) is caught the
+    // round it happens, not one judge cycle later.
+    val priorQueries: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")))
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = m.readTree(txt).path("queries")
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      } catch { case _: Throwable => Map.empty }
+    val regressions = results.toSeq.collect {
+      case (k, v) if v >= 0 && priorQueries.get(k).exists(p =>
+        p >= 0 && v > 2.0 * p && v - p > 0.3) =>
+        k -> (priorQueries(k), v)
+    }.sortBy { case (_, (p, v)) => p - v }
+    regressions.foreach { case (k, (p, v)) =>
+      System.err.println(f"[bench] PERF REGRESSION: $k $p%.2fs -> $v%.2fs (${v / p}%.1fx)")
+    }
+    val regJson = regressions.map { case (k, (p, v)) =>
+      s"""\"$k\":{"prior":$p,"now":$v}""" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum + sharedSetupSec
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","shared_setup_sec":$sharedSetupSec,"queries":$qs,"failed":[${failed.mkString(",")}],"timing":"min_of_2_heal3","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","shared_setup_sec":$sharedSetupSec,"queries":$qs,"failed":[${failed.mkString(",")}],"perf_regressions":$regJson,"timing":"min_of_2_heal3","sf":"$sfDir"}"""
     println(fullLine)
     // The driver archives only a ~2000-char tail of stdout, which truncated
     // the per-query map in r6 AND r7 ("parsed": null). Persist the COMPLETE
@@ -132,7 +168,7 @@ object Bench {
     val streamSec = results.collect {
       case (k, v) if v >= 0 && (k.startsWith("stream_") || k.startsWith("ingest_e")) => v
     }.sum
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"stream_sec":${r2(streamSec)},"shared_setup_sec":${r2(sharedSetupSec)},"slowest":$slowest,"timing":"min_of_2_heal3","full_dump":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_perf_regressions":${regressions.size},"stream_sec":${r2(streamSec)},"shared_setup_sec":${r2(sharedSetupSec)},"slowest":$slowest,"timing":"min_of_2_heal3","full_dump":"$fullPath","sf":"$sfDir"}""")
     graft.queries.Persisted.drainShared()
     spark.stop()
   }

@@ -73,7 +73,17 @@ object Persisted {
         if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
       val fresh = build.persist()
       val prev = sharedReg.putIfAbsent(fullKey, fresh)
-      if (prev != null) { fresh.unpersist(blocking = false); df = prev }
+      if (prev != null) {
+        // Race loser: DON'T unpersist when the winner's plan sameResults
+        // ours — CacheManager keys entries by sameResult, so both racers
+        // share ONE cache entry and the loser's unpersist would evict the
+        // winner's data out from under concurrent consumers (r11 advisor).
+        // Different plans under the same key would be a build bug; the
+        // unpersist there keeps the leak bounded anyway.
+        if (!prev.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed))
+          fresh.unpersist(blocking = false)
+        df = prev
+      }
       else df = fresh
     }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)

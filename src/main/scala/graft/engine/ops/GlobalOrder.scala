@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *      PRIMARY key);
   *   2. run the window WITHIN each bucket in parallel
   *      (`Window.partitionBy(_gb)`);
-  *   3. stitch buckets with a per-bucket offset frame — at most 32 rows,
-  *      one per non-empty bucket — which is the only place an
+  *   3. stitch buckets with a per-bucket offset frame — at most `fan`
+  *      rows, one per non-empty bucket — which is the only place an
   *      unpartitioned window remains (bounded by construction; the
   *      global-window plan sweep whitelists exactly this `_gb`/`_grn`
   *      shape).
@@ -32,7 +32,25 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
-  private val Buckets = 32
+  /** Conf override for the bucket fan (tests pin it; unset/<=0 falls
+    * back to `spark.sql.shuffle.partitions`).
+    */
+  val FanConf = "spark.graft.order.fan"
+
+  /** Bucket fan (r12, r11 VERDICT #2): proportional to the session's
+    * shuffle parallelism instead of a fixed 32 — a fixed fan means
+    * per-task volume grows linearly with corpus size. The offset/stitch
+    * frames stay bounded at `fan` rows (thousands at cluster scale —
+    * still trivially driver/broadcast-sized). Values are identical for
+    * ANY fan: every helper's correctness argument only needs the
+    * bucketing to be a monotone tie-preserving function of the key
+    * (GlobalOrderSpec pins value-identity at fan 32 and 256).
+    */
+  private[ops] def fanOf(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.conf
+    val o = conf.getConfString(FanConf, "0").toInt
+    if (o > 0) o else math.max(2, conf.numShufflePartitions)
+  }
 
   /** Internal cut point: each helper consumes its keyed/windowed frame
     * two-to-three times (min/max pass, offset aggregate, final stitch
@@ -64,11 +82,11 @@ object GlobalOrder {
     * QUANTILE-EQUALIZED (r9; plain span scaling re-creates the
     * straggler task under clustered keys — scores piling near one
     * value, zipf counts, one busy second inside a decade of epoch
-    * micros): ONE approx_percentile pass yields the 31 key values at
-    * the 1/32..31/32 row-share quantiles, and each row's bucket is the
-    * count of boundaries strictly below its key — a row-local 31-element
-    * fold over the broadcast boundary array. Buckets therefore hold
-    * ~1/32 of the ROWS for ANY key distribution, up to key-VALUE
+    * micros): ONE approx_percentile pass yields the fan-1 key values at
+    * the i/fan row-share quantiles, and each row's bucket is the
+    * count of boundaries strictly below its key — a row-local
+    * (fan-1)-element fold over the broadcast boundary array. Buckets
+    * therefore hold ~1/fan of the ROWS for ANY key distribution, up to key-VALUE
     * granularity (an ultra-hot tied value is irreducible: equal keys
     * must share a bucket, or tie-break ordering would split across the
     * seam — the 10M-row zipf stress leg measures 4% hottest-bucket
@@ -84,8 +102,9 @@ object GlobalOrder {
     * degenerate, and zipf keys).
     */
   private def bucketed(df: DataFrame, key: Column): DataFrame = {
+    val buckets = fanOf(df)
     val keyed = cut(df.withColumn("_gok", key.cast("long")))
-    val qs = (1 until Buckets).map(i => i.toDouble / Buckets).mkString(", ")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
     val bnds = keyed.agg(
       expr(s"approx_percentile(_gok, array($qs), 10000)").as("_gbnd"))
     keyed.crossJoin(broadcast(bnds))
@@ -211,7 +230,7 @@ object GlobalOrder {
     * broadcast crossJoin attaching them (the RFM shape: three chained
     * ntileCol calls each paid their own boundary pass, count pass, and
     * two crossJoins — ~6 corpus passes where this makes 1 + one window
-    * per metric; the per-metric bucket window + 32-row offset stitch
+    * per metric; the per-metric bucket window + fan-row offset stitch
     * are irreducible because each metric orders the frame differently).
     * Value-identical to chaining [[ntileCol]]: each spec's ntile depends
     * only on its own (key, ties) order, never on another spec's output.
@@ -219,10 +238,11 @@ object GlobalOrder {
   def ntileCols(df: DataFrame, ties: Seq[Column],
       specs: Seq[(Int, Column, String)]): DataFrame = {
     val idx = specs.indices
+    val buckets = fanOf(df)
     val keyed = cut(idx.foldLeft(df) { (b, i) =>
       b.withColumn(s"_gok$i", specs(i)._2.cast("long"))
     })
-    val qs = (1 until Buckets).map(i => i.toDouble / Buckets).mkString(", ")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
     // one pass: every boundary array + the global row count
     val bnds = keyed.agg(
       expr(s"approx_percentile(_gok0, array($qs), 10000)").as("_gbnd0"),
@@ -279,7 +299,7 @@ object GlobalOrder {
       b.withColumn(c + suffix, lead(col(c), 1).over(wloc))
     })
     // first row of each bucket, keyed by the PREVIOUS non-empty bucket
-    // (lag over the <=32-row per-bucket frame bridges empty buckets)
+    // (lag over the <=fan-row per-bucket frame bridges empty buckets)
     val firsts = base.where(col("_grn") === 1)
       .select(col("_gb") +: leadCols.map(c => col(c).as(c + "_gfx")): _*)
       .withColumn("_gpb", lag(col("_gb"), 1).over(Window.orderBy(col("_gb"))))

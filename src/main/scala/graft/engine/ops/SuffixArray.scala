@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * (the 127-word doc cap) therefore build in TWO passes: words → 16,
   * then 16 → 128. Each pass buckets by the previous rank (a monotone
   * key, so classes never span buckets), ranks each bucket in parallel,
-  * and stitches with driver-side row-count offsets (a 32-row collect
-  * and a literal-map lookup — no second corpus job). Pass widths are
+  * and stitches with driver-side row-count offsets (a fan-row collect
+  * and a literal-map lookup — no second corpus job; the fan follows
+  * `spark.sql.shuffle.partitions`, see [[GlobalOrder.fanOf]]). Pass widths are
   * chosen so the `boundRound` span lands exactly on a pass boundary,
   * where the bound rank is simply that pass's output rank.
   * Passes stop at the prefix-doubling FIXPOINT: a pass that splits no
@@ -37,7 +38,7 @@ import org.apache.spark.sql.functions._
   * Scale notes: positions travel as (doc, p, rank) integer triples —
   * never text. A pass is one per-doc window exchange plus one bucketed
   * rank exchange over the corpus; no single task ever holds the global
-  * order (the buckets are 32 contiguous rank ranges), and each pass
+  * order (the buckets are `fan` contiguous rank ranges), and each pass
   * cuts lineage with an eager `localCheckpoint` (the
   * ConnectedComponents discipline).
   */
@@ -80,10 +81,9 @@ object SuffixArray {
     * (doc_id, p, gid, w) with non-empty words and dense per-doc p. The
     * first pass sorts its 16-tuple of word STRINGS directly (the empty
     * string is the past-end sentinel — it sorts before every real word,
-    * exactly the −1 effect) and buckets by the first character's code
-    * point, a monotone prefix of the binary string order (the same
-    * bucketing the separate word-rank frame used; for ASCII corpora
-    * UTF-8 byte order equals code-point order on the first character).
+    * exactly the −1 effect) and buckets by quantile-equalized
+    * boundaries over the packed two-code-point prefix, a monotone
+    * prefix of the code-point string order (see the inline note).
     * This folds the old round-0 machinery — distinct-word frame,
     * distributed word rank, broadcast join back to positions, and the
     * positions checkpoint — into pass 1; output is identical because
@@ -94,8 +94,33 @@ object SuffixArray {
     // no meaningful zero-pass result exists in word mode (ranks() can
     // hand back its numeric round-0 rk; a word column cannot be one)
     require(rounds >= 1, "ranksFromWords needs at least one pass")
+    // QUANTILE-EQUALIZED pass-1 bucketing (r12, r11 VERDICT #2): the old
+    // first-character-code bucket is monotone but Zipf-skewed on real
+    // text (natural-language first letters concentrate on a dozen
+    // values). Equalize like GlobalOrder: pack the first TWO code points
+    // into one long — `cp1 * 2^21 + cp2`, exactly monotone wrt Spark's
+    // code-point string order because ascii()/substring are
+    // code-point-based (verified incl. supplementary planes; absent
+    // chars pack as 0, matching the '' sentinel sorting first) — take
+    // approx_percentile boundaries over it, and bucket each row by the
+    // count of boundaries strictly below its packed key. Equal words
+    // share a packed key, so classes never split across buckets; any
+    // monotone tie-preserving bucketing yields identical ranks (the
+    // GlobalOrder correctness argument), so values are unchanged.
+    val packedSql =
+      "(CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 2097152 + " +
+        "CAST(ascii(substring(w, 2, 1)) AS BIGINT))"
     passes(pos, rounds, boundRound, firstKey = "w",
-      firstBucket = Some(expr("CAST(ascii(substring(w, 1, 1)) AS BIGINT)")),
+      firstBucket = Some { df =>
+        val fan = GlobalOrder.fanOf(df)
+        val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
+        val bndRow = df.agg(
+          expr(s"approx_percentile($packedSql, array($qs), 10000)")).head
+        val bnds = if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Long](0)
+        if (bnds.isEmpty) lit(0L)
+        else expr(s"CAST(size(filter(array(${bnds.mkString(",")}), " +
+          s"b -> b < $packedSql)) AS BIGINT)")
+      },
       firstSentinel = lit(""),
       initClasses = -1L, initMax = 0L, tlog)
   }
@@ -113,7 +138,8 @@ object SuffixArray {
     * column is unknown without an extra aggregate).
     */
   private def passes(cur0: DataFrame, rounds: Int, boundRound: Int,
-      firstKey: String, firstBucket: Option[org.apache.spark.sql.Column],
+      firstKey: String,
+      firstBucket: Option[DataFrame => org.apache.spark.sql.Column],
       firstSentinel: org.apache.spark.sql.Column,
       initClasses: Long, initMax: Long,
       tlog: (String, Long) => Unit): DataFrame = {
@@ -143,8 +169,15 @@ object SuffixArray {
       val keys = col(key) +: (1 to nLead).map(i => col(s"_rkb$i"))
       val freezeNow = !frozen && spanLog + stepLog == bnd
       val mx = math.max(curMax, 1L)
-      val bucket = firstBucket.filter(_ => isFirst)
-        .getOrElse(expr(s"((rk - 1) * 32) div $mx"))
+      // later passes: fan scales with the session's shuffle parallelism
+      // (r12; a fixed 32 meant per-task volume grew with corpus size).
+      // The previous pass's position-count ranks are near-uniform over
+      // 1..totalRows by construction, so plain span scaling equalizes.
+      // The pass-1 boundary closure runs against `cur` (pre-pairing) so
+      // its aggregate never re-executes the lead-window shuffle
+      val fan = GlobalOrder.fanOf(paired)
+      val bucket = firstBucket.filter(_ => isFirst).map(_(cur))
+        .getOrElse(expr(s"((rk - 1) * $fan) div $mx"))
       val local = paired
         .withColumn("_b", bucket)
         .withColumn("_lrk", rank().over(

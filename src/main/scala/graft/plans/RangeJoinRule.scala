@@ -61,11 +61,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
+  /** Bin-size dial: unset/0 = automatic constant-span inference; a
+    * positive long overrides the bin for data-dependent spans; **-1
+    * disables the rule entirely** (conf path AND automatic inference) —
+    * the escape hatch for debugging a planning issue or A/B-comparing
+    * plans, since r11's automatic inference otherwise fires on every
+    * qualifying join whether or not the user opted in.
+    */
   val BinConf = "spark.graft.rangeJoin.binSize"
+  val BinDisabled = -1L
   private val BinCol = "_rj_bin"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val confBin = conf.getConfString(BinConf, "0").toLong
+    if (confBin == BinDisabled) return plan
     plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) if j.resolved =>
         rewrite(j, cond, confBin).getOrElse(j)

@@ -667,18 +667,34 @@ object Similarity extends QueryPack {
               val c = java.lang.Double.compare(a._2, b._2)
               if (c > 0 || (c == 0 && a._1 <= b._1)) a else b
             }
-          val (v1, sc1) = best(cs.toSeq)
-          val r1 = cs.filter(_._1 != v1).map { case (vid, rel) =>
-            val ms = sims((qid, vid, v1))
-            (vid, rel, ms, 0.7 * rel - 0.3 * ms)
+          // pair sims were computed for every (qid, va, vb) candidate
+          // pair; a miss is a build bug, so fail with the pair's name
+          // instead of a bare NoSuchElementException
+          def simOf(vid: Long, sel: Long): Double =
+            sims.getOrElse((qid, vid, sel),
+              sys.error(s"sim_mmr_rerank: missing pair sim ($qid, $vid, $sel)"))
+          // iterative greedy, bounded at 3 steps but tolerant of a tiny
+          // corpus (r11 advisor): a query with k < 3 candidates emits
+          // only the steps that exist — the old plan-based argmax chain
+          // did the same by construction
+          val steps = Seq.newBuilder[(Long, Long, Long, Double)]
+          // (vid, rel, maxSimToSelected)
+          var remaining = cs.toSeq.map { case (vid, rel) => (vid, rel, 0.0) }
+          var step = 1L
+          var first = true
+          while (step <= 3 && remaining.nonEmpty) {
+            val scored = remaining.map { case (vid, rel, ms) =>
+              (vid, if (first) rel else 0.7 * rel - 0.3 * ms)
+            }
+            val (v, sc) = best(scored)
+            steps += ((qid, step, v, sc))
+            remaining = remaining.filter(_._1 != v).map { case (vid, rel, ms) =>
+              (vid, rel, if (first) simOf(vid, v) else math.max(ms, simOf(vid, v)))
+            }
+            first = false
+            step += 1
           }
-          val (v2, sc2) = best(r1.map(t => (t._1, t._4)).toSeq)
-          val r2 = r1.filter(_._1 != v2).map { case (vid, rel, ms, _) =>
-            val ms2 = math.max(ms, sims((qid, vid, v2)))
-            (vid, 0.7 * rel - 0.3 * ms2)
-          }
-          val (v3, sc3) = best(r2.toSeq)
-          Seq((qid, 1L, v1, sc1), (qid, 2L, v2, sc2), (qid, 3L, v3, sc3))
+          steps.result()
         }
         import s.implicits._
         picked.toDF("qid", "step", "vid", "score0")
@@ -1253,51 +1269,101 @@ object Similarity extends QueryPack {
     // approximate distance is just 4 table lookups summed — the ADC
     // trick. Everything stays in the scaled-integer space, so distances
     // are exact BIGINTs and the oracle needs no float tolerance.
-    // Scale shape: codebook fit shuffles (sub, code, pos) partial sums
-    // once per round; encoding is a broadcast-codebook equi-join on sub;
-    // the search joins corpus CODES to the broadcast per-query distance
-    // table on (sub, code) and sums — the corpus side ships 4 BIGINT
+    // Scale shape: codebook fit shuffles one (sub, code)-keyed wide mean
+    // per round; encoding and search are a single corpus pass of
+    // row-local expressions against the collected (NSub x NCodes,
+    // driver-bounded) model — the corpus side materializes 4 BIGINT
     // codes per vector, never raw vectors, which is the entire point of
     // PQ at 100 TB.
     "sim_pq_adc" -> QueryDef(
       (s, d) => {
         val xi = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
-        def d2(a: String, b: String) =
-          s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        // per-vector subvectors: (vec_id, sub 0..3, v: 16 ints)
-        val sub = Tables.embeddings(s, d)
-          .selectExpr("vec_id", s"$xi AS xi")
-          .select(col("vec_id"), explode(expr(
-            "transform(sequence(0, 3), s -> struct(s AS sub, slice(xi, s * 16 + 1, 16) AS v))")).as("t"))
-          .select(col("vec_id"), col("t.sub").as("sub"), col("t.v").as("v"))
-          .persistScoped()
-        def assign(cb: DataFrame): DataFrame =
-          sub.join(broadcast(cb), "sub")
-            .withColumn("_d2", expr(d2("v", "cv")))
-            .withColumn("_rn", row_number().over(
-              Window.partitionBy(col("vec_id"), col("sub"))
-                .orderBy(col("_d2"), col("code"))))
-            .where(col("_rn") === 1)
-            .select(col("vec_id"), col("sub"), col("v"), col("code"), col("_d2"))
-        val seeds = sub.where(col("vec_id") < 8)
-          .select(col("sub"), col("vec_id").as("code"), col("v").as("cv"))
-        val cb1 = assign(seeds)                       // Lloyd's round: assign
-          .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("sub"), col("code"), col("pos"))
-          .agg(expr("sum(x) div count(1)").as("m"))   // update (integer-exact)
+        // DRIVER-SIDE PQ model (r12, the sim_ivf_trained precedent): the
+        // codebook is NSub(4) x NCodes(8) x SubDim(16) integers and the
+        // query set is 10 vectors — both bounded by construction, never
+        // corpus-sized — so the model collects and every per-vector step
+        // becomes row-local expression work. The old plan re-evaluated
+        // the cb1 subtree (a join + per-(vec_id,sub) window + two
+        // aggregations) once per consumer because Catalyst does not dedup
+        // common subtrees across a plan, and the codes-x-dist equi-join +
+        // (qid,vid) groupBy added two more corpus shuffles; that, not
+        // plan shape, was the r11 bench regression. The whole search is
+        // now: ONE bounded head collect, ONE (sub, code)-keyed mean
+        // aggregation (Lloyd's update), then a single corpus pass that
+        // computes the 4 codes row-locally and sums each query's ADC
+        // distance by literal-table lookup — the classic ADC inner loop,
+        // with one window shuffle for top-k. Distances, integer
+        // divisions and the (d2, code) tie-break are
+        // expression-for-expression what the window form computed, so
+        // values are identical and the oracle is untouched.
+        // No persist: the model fit and the search are each ONE pass, so
+        // the corpus is scanned exactly twice (plus a pushed-filter head
+        // probe) — cheaper than a cache-build barrier locally and the
+        // right call at 100 TB, where you would never pin the corpus
+        val xf = Tables.embeddings(s, d).selectExpr("vec_id", s"$xi AS xi")
+        // bounded head collect: seeds (vec_id < 8) and queries (vec_id < 10)
+        val head = xf.where(col("vec_id") < 10).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+        def subv(v: Array[Long], sIdx: Int) = v.slice(sIdx * 16, sIdx * 16 + 16)
+        // model: per sub, codes sorted ascending with their centroids
+        type Model = Map[Int, Seq[(Long, Array[Long])]]
+        val seeds: Model = (0 to 3).map(sIdx =>
+          sIdx -> head.filter(_._1 < 8).toSeq.map { case (id, v) => id -> subv(v, sIdx) }).toMap
+        // best code for subspace sIdx: row-local (d2, code) struct-min
+        // over the 8 literal centroids — the window's ORDER BY d2, code
+        def bestCode(cb: Model, sIdx: Int) = array_min(array(cb(sIdx).sortBy(_._1).map {
+          case (code, cv) =>
+            struct(
+              expr(s"""aggregate(zip_with(slice(xi, ${sIdx * 16 + 1}, 16),
+                       array(${cv.mkString(",")}),
+                       (p, q) -> (p - q) * (p - q)),
+                       CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("d2"),
+              lit(code).as("code"))
+        }: _*)).getField("code")
+        // Lloyd's round: row-local assign + ONE wide (sub, code)-keyed
+        // integer-exact mean aggregation, collected as the refined codebook
+        val meanCols = (1 to 16).map(i =>
+          expr(s"sum(element_at(v, $i)) div count(1)").as(s"_m$i"))
+        val assigned = (0 to 3).map(sIdx => struct(
+          lit(sIdx).as("sub"), bestCode(seeds, sIdx).as("code"),
+          expr(s"slice(xi, ${sIdx * 16 + 1}, 16)").as("v")))
+        val cb1: Model = xf.select(explode(array(assigned: _*)).as("t"))
+          .select(col("t.sub").as("sub"), col("t.code").as("code"), col("t.v").as("v"))
           .groupBy(col("sub"), col("code"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
-        val codes = assign(cb1)                       // corpus -> 4 codes each
-          .select(col("vec_id").as("vid"), col("sub"), col("code"))
-        val dist = sub.where(col("vec_id") < 10)      // query ADC tables (4x8)
-          .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
-          .join(broadcast(cb1), "sub")
-          .select(col("qid"), col("sub"), col("code"), expr(d2("qv", "cv")).as("pd2"))
+          .agg(meanCols.head, meanCols.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), (2 until 18).map(r.getLong).toArray))
+          .groupBy(_._1).map { case (sIdx, rows) =>
+            sIdx -> rows.toSeq.map(t => t._2 -> t._3) }
+        // query ADC tables: pd2[qid][sub][code] as exact Longs on the
+        // driver (10 x 4 x 8) — missing codes hold 0, unreachable because
+        // assignment only ever picks codes present in the model
+        val pd2: Map[Long, Array[Array[Long]]] = head.filter(_._1 < 10).map {
+          case (qid, qv) =>
+            qid -> Array.tabulate(4) { sIdx =>
+              val row = Array.fill(8)(0L)
+              cb1(sIdx).foreach { case (code, cv) =>
+                row(code.toInt) = subv(qv, sIdx).zip(cv)
+                  .map { case (p, q) => (p - q) * (p - q) }.sum
+              }
+              row
+            }
+        }.toMap
+        // single corpus pass: 4 row-local codes, then each query's ADC
+        // distance = 4 literal-table lookups summed; explode the bounded
+        // query set, window for top-3
+        val codeCols = (0 to 3).map(sIdx => bestCode(cb1, sIdx).as(s"_c$sIdx"))
+        val adcStructs = pd2.keys.toSeq.sorted.map { qid =>
+          val sumExpr = (0 to 3).map { sIdx =>
+            s"element_at(array(${pd2(qid)(sIdx).mkString(",")}), CAST(_c$sIdx AS INT) + 1)"
+          }.mkString(" + ")
+          struct(lit(qid).as("qid"), expr(sumExpr).as("adc_d2"))
+        }
         val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vid"))
-        codes.join(broadcast(dist), Seq("sub", "code"))
+        xf.select(col("vec_id").as("vid") +: codeCols: _*)
+          .select(col("vid"), explode(array(adcStructs: _*)).as("t"))
+          .select(col("t.qid").as("qid"), col("vid"), col("t.adc_d2").as("adc_d2"))
           .where(col("qid") =!= col("vid"))
-          .groupBy(col("qid"), col("vid"))
-          .agg(sum(col("pd2")).as("adc_d2"))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") <= 3)
           .selectExpr("qid", "CAST(rn AS BIGINT) AS rn", "vid", "adc_d2")

@@ -13,7 +13,15 @@ import graft.engine.ops.GlobalOrder
   * buckets between populated ones), and the all-equal degenerate key.
   */
 class GlobalOrderSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+  lazy val spark: SparkSession = {
+    val s = graft.engine.Sessions.local(4, "graft-test")
+    // the fan now follows spark.sql.shuffle.partitions (r12) — pin the
+    // historical 32 so the balance/bucket-count expectations stay
+    // meaningful on this 4-core test session; the fan-sweep test below
+    // overrides it per-phase
+    s.conf.set(GlobalOrder.FanConf, "32")
+    s
+  }
 
   /** Deterministic pseudo-random frame: id, a skewed tie-heavy key k
     * (hash-derived, clustered near 0), a gappy key g (three far-apart
@@ -229,5 +237,50 @@ class GlobalOrderSpec extends AnyFunSuite {
           if a.groupingExpressions.forall(_.references.forall(r =>
             r.name == "_gb")) => a
     }.isDefined), "unpartitioned window must run over a bucket frame only")
+  }
+
+  test("fan sweep: fan 32 and fan 256 produce value-identical output (r12)") {
+    // the fan is a load-balance dial only — results must be invariant
+    // (the monotone tie-preserving bucketing argument). Sweep the three
+    // window-replacement helpers AND the suffix-array word pass across
+    // two fans an order of magnitude apart
+    import spark.implicits._
+    val df = frame(800)
+    def atFan[A](fan: Int)(f: => A): A = {
+      val old = spark.conf.get(GlobalOrder.FanConf, "0")
+      spark.conf.set(GlobalOrder.FanConf, fan.toString)
+      try f finally spark.conf.set(GlobalOrder.FanConf, old)
+    }
+    for (key <- Seq("k", "g")) {
+      val rn32 = atFan(32)(collectSorted(
+        GlobalOrder.rowNumber(df, col(key), Seq(col("id")), "rn"), "id"))
+      val rn256 = atFan(256)(collectSorted(
+        GlobalOrder.rowNumber(df, col(key), Seq(col("id")), "rn"), "id"))
+      assert(rn32 == rn256, s"rowNumber fan variance on $key")
+      val cs32 = atFan(32)(collectSorted(GlobalOrder.runningSum(
+        df, col(key), Seq(col("id")), col("v"), "o"), "id"))
+      val cs256 = atFan(256)(collectSorted(GlobalOrder.runningSum(
+        df, col(key), Seq(col("id")), col("v"), "o"), "id"))
+      assert(cs32 == cs256, s"runningSum fan variance on $key")
+      val nt32 = atFan(32)(collectSorted(GlobalOrder.ntileCol(
+        df, 7, col(key), Seq(col("id")), "o"), "id"))
+      val nt256 = atFan(256)(collectSorted(GlobalOrder.ntileCol(
+        df, 7, col(key), Seq(col("id")), "o"), "id"))
+      assert(nt32 == nt256, s"ntileCol fan variance on $key")
+    }
+    // suffix-array word pass: multilingual words, dense per-doc p
+    val docs = Seq(
+      (1L, Seq("the", "cat", "sat", "on", "the", "mat", "the", "cat")),
+      (2L, Seq("übung", "macht", "den", "meister", "übung", "macht")),
+      (3L, Seq("数据", "清洗", "数据", "管道", "清洗")),
+      (4L, Seq("the", "cat", "sat", "on", "another", "mat")))
+    val pos = docs.toDF("doc_id", "ws")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+      .withColumn("p", col("p0") + 1).withColumn("gid", col("doc_id") * 1000 + col("p"))
+      .select("doc_id", "p", "gid", "w")
+    def suffixAt(fan: Int) = atFan(fan)(collectSorted(
+      graft.engine.ops.SuffixArray.ranksFromWords(pos, 3, 1)
+        .select("doc_id", "p", "rk", "rk_bound"), "doc_id", "p"))
+    assert(suffixAt(32) == suffixAt(256), "suffix-array fan variance")
   }
 }

@@ -415,15 +415,19 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), s"no join belongs in this plan:\n$p")
   }
 
-  test("PQ search joins codes to broadcast distance tables; raw vectors never shuffle") {
-    // every join in the PQ plan (codebook to subvectors for encoding, the
-    // per-query ADC table to corpus codes for search) must be broadcast —
-    // a sort-merge join would mean vector or code data shuffled by key,
-    // which defeats the compress-then-search point of PQ at scale
+  test("PQ search is join-free: codes and ADC lookups are row-local, vectors never shuffle") {
+    // r12 driver-model shape: the bounded codebook and per-query ADC
+    // tables ride as literals, so the final search plan has NO join of
+    // any kind — encoding and distance summation are row-local
+    // expressions over the corpus scan, and the only exchanges are the
+    // top-k window (on the exploded (qid, vid, d2) triples — 8-byte
+    // codes and sums, never raw vectors) plus the output sort
     val p = plan("sim_pq_adc")
-    assert(p.contains("BroadcastHashJoin"), s"PQ joins must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"no shuffle join belongs in the PQ plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"no join belongs in the PQ search plan:\n$p")
+    // raw vectors must not reach an exchange: the window input carries
+    // only qid/vid/adc_d2 (the explode projects the embedding away)
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the PQ plan:\n$p")
   }
 
   test("scd2 build shuffles on user_id once; both windows reuse the partitioning") {

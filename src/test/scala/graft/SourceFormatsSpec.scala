@@ -32,4 +32,19 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(row.getBoolean(row.fieldIndex("within_bound")),
       s"HLL union estimate out of its published 5% bound (exact=$exact)")
   }
+
+  test("binaryFile fixture collect is hard-capped independent of corpus size") {
+    // the fixture-collect contract (r12): the driver-side file write is
+    // bounded by BinFixtureCap rows no matter how large the documents
+    // table grows — the roundtrip result itself can therefore never
+    // exceed the cap, and at test SF it matches the full 1-in-50 subset
+    // (cap not binding), proving the cap doesn't distort small-SF results
+    val rows = SparkEntry.queries("source_binaryfile_roundtrip")(spark, d).collect()
+    assert(rows.length <= queries.SourceFormats.BinFixtureCap,
+      s"fixture collect exceeded the cap: ${rows.length}")
+    val subset = graft.engine.Tables.documents(spark, d)
+      .where("doc_id % 50 = 0").count()
+    assert(rows.length == math.min(subset, queries.SourceFormats.BinFixtureCap.toLong),
+      "cap must keep the smallest-doc_id prefix of the subset")
+  }
 }
