@@ -781,6 +781,46 @@ object Relational extends QueryPack {
                ${Portable.duckZ("(user_id & 65535)", "(event_id & 65535)")} AS z
         FROM events WHERE event_id < 500 ORDER BY z, event_id""")),
 
+    // The data-skipping ledger end-to-end (r12, the layout_zorder
+    // follow-through): events re-written z-ordered on (user_id,
+    // event_id) with a per-file min/max stats manifest at sink time
+    // (engine/ops/StatsManifest — the Spark-expressible equivalent of
+    // the Iceberg manifests the reference's sink gets implicitly,
+    // data_sinks.py:134-147), then a selective box predicate is
+    // answered by a manifest-planned read that opens ONLY overlapping
+    // files. The aggregate values are oracle-exact (proving skipped
+    // files contained no matching rows), and `files_pruned` puts the
+    // pruning ITSELF under the gate: the oracle says TRUE, so a layout
+    // or manifest change that stops skipping files fails correctness,
+    // not just perf. Scale shape: the sink-time stats pass is one
+    // aggregation over the hot just-written data; planning reads one
+    // sidecar object and collects only the |files| file list.
+    "layout_stats_prune" -> QueryDef(
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_zstats_")
+        graft.engine.util.Fs.deleteOnExit(out)
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          expr(Q.scaledLong("value", 2)).as("v_c"))
+        graft.engine.ops.StatsManifest.writeZOrderedWithStats(
+          ev, "user_id", "event_id", out.toString)
+        val scan = graft.engine.ops.StatsManifest.prunedRead(s, out.toString,
+          Seq(("user_id", 0L, 39L), ("event_id", 0L, 3999L)))
+        scan.df.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("v_c")).cast("long").as("sum_cents"),
+          sum(col("user_id")).cast("long").as("sum_user"),
+          sum(col("event_id")).cast("long").as("sum_event"))
+          .withColumn("files_pruned", lit(scan.filesRead < scan.filesTotal))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${Q.scaledLong("value", 2)}) AS BIGINT) AS sum_cents,
+               CAST(sum(user_id) AS BIGINT) AS sum_user,
+               CAST(sum(event_id) AS BIGINT) AS sum_event,
+               TRUE AS files_pruned
+        FROM events
+        WHERE user_id BETWEEN 0 AND 39 AND event_id BETWEEN 0 AND 3999""")),
+
     "distinct_segments" -> QueryDef(
       (s, d) => Tables.customer(s, d).select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment")),

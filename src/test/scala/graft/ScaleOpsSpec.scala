@@ -279,4 +279,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!"(?m)^\\(\\d+\\) Window".r.findFirstIn(plan).isDefined,
       s"cap must not use a window operator:\n$plan")
   }
+
+  test("stats manifest prunes files under a selective box and preserves values") {
+    import graft.engine.ops.StatsManifest
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_manifest_")
+    graft.engine.util.Fs.deleteOnExit(out)
+    // two clustered dimensions so z-order gives each file narrow bounds
+    val df = (1 to 4000).map { i =>
+      val h = (i * 2654435761L) % 1000003L
+      (h % 256L, (h / 7) % 256L, i.toLong)
+    }.toDF("a", "b", "v")
+    StatsManifest.writeZOrderedWithStats(df, "a", "b", out.toString, files = 8)
+    // the manifest covers every file with both columns' bounds
+    val m = StatsManifest.manifest(spark, out.toString)
+    assert(m.count() == 8)
+    assert(m.columns.toSet ==
+      Set("file", "n", "a_min", "a_max", "b_min", "b_max"))
+    // selective box: values equal the full-scan filter, and the planner
+    // provably opened fewer files than the table holds
+    val scan = StatsManifest.prunedRead(spark, out.toString,
+      Seq(("a", 0L, 31L), ("b", 0L, 31L)))
+    assert(scan.filesTotal == 8)
+    assert(scan.filesRead < scan.filesTotal,
+      s"selective box must skip files: read ${scan.filesRead} of ${scan.filesTotal}")
+    val got = scan.df.orderBy("v").collect().map(_.toSeq).toSeq
+    val want = spark.read.parquet(out.toString)
+      .where(col("a").between(0, 31) && col("b").between(0, 31))
+      .orderBy("v").collect().map(_.toSeq).toSeq
+    assert(got == want, "pruned read must be value-identical to the full scan")
+    assert(got.nonEmpty, "fixture must select something or the test is vacuous")
+    // out-of-range box: zero files read, empty result, schema preserved
+    val none = StatsManifest.prunedRead(spark, out.toString,
+      Seq(("a", 10000L, 20000L)))
+    assert(none.filesRead == 0 && none.df.count() == 0)
+    assert(none.df.columns.toSeq == Seq("a", "b", "v"))
+  }
 }
