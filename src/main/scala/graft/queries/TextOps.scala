@@ -64,7 +64,7 @@ object TextOps extends QueryPack {
     s"CASE ${whens.mkString(" ")} END"
   }
 
-  private val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private[graft] val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val PunctPattern = "[^.,!?;:]"
 
   /** PII patterns for text_pii_redact, written in the common subset of

@@ -91,13 +91,33 @@ class PropertySpec extends AnyFunSuite {
     // order (this brute force's Scala string sort) — both are plain
     // code-point order below the surrogate range
     val unicode = Vector("aa", "é", "ζz", "αb", "~x", "Zq", "ño", "日a")
-    for (trial <- 1 to 5) {
-      val vocab = if (trial == 5) unicode else ascii
+    // trial 6 (r12, permanent multilingual property): SUPPLEMENTARY
+    // plane + high-BMP vocab — the one regime where UTF-16 code-unit
+    // order (Scala's default String sort) DISAGREES with code-point /
+    // UTF-8 byte order (Spark's): a surrogate pair (U+1D11E, U+1F600)
+    // sorts below U+E000..U+FFFF in UTF-16 but above in code-point
+    // order. The brute force therefore sorts by CODE POINTS explicitly;
+    // if the engine's word pass (or its packed-prefix bucketing) ever
+    // keyed on UTF-16 units, this trial catches the inversion
+    val astral = Vector("𝄞a", "😀x", "q", "�z", "日a", "éb", "aa", "~c")
+    // lexicographic code-point ordering == Spark's UTF8 binary order
+    val cpOrdering: Ordering[String] = (a: String, b: String) => {
+      val ai = a.codePoints.toArray; val bi = b.codePoints.toArray
+      val n = math.min(ai.length, bi.length)
+      var i = 0
+      while (i < n && ai(i) == bi(i)) i += 1
+      if (i < n) Integer.compare(ai(i), bi(i))
+      else Integer.compare(ai.length, bi.length)
+    }
+    for (trial <- 1 to 6) {
+      val vocab =
+        if (trial == 6) astral else if (trial == 5) unicode else ascii
       val base = (1 to 12).map { i =>
         (i.toLong, Vector.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
       }
       val docs = base ++ Seq((100L, base.head._2), (101L, base(1)._2))
-      val wordRank: Map[String, Long] = docs.flatMap(_._2).distinct.sorted
+      val wordRank: Map[String, Long] = docs.flatMap(_._2).distinct
+        .sorted(cpOrdering)
         .zipWithIndex.map { case (w, i) => w -> (i + 1L) }.toMap
       val rows = docs.flatMap { case (id, ws) =>
         ws.zipWithIndex.map { case (w, i) =>
@@ -132,5 +152,41 @@ class PropertySpec extends AnyFunSuite {
         assert(got(key) == rankOf(seq), s"trial $trial position $key")
       }
     }
+  }
+
+  test("tokenizers are code-point-faithful on multilingual text") {
+    // the whitespace splitter (Portable.sparkWords, the unigram root's
+    // tokenizer) and the TokenPattern regex counter must agree with
+    // plain JVM references on text spanning Latin-1, Greek, CJK,
+    // private-use/high-BMP, and SUPPLEMENTARY code points — pinning
+    // that the UTF8String->String bridge never re-encodes or splits a
+    // surrogate pair (the silent-CommonCrawl-breakage class from the
+    // r11 verdict). The regex reference uses the same Java Pattern the
+    // engine compiles, so any divergence is a transport bug, not a
+    // semantics choice.
+    import spark.implicits._
+    val texts = Seq(
+      "the \ud834\udd1e clef and \ud83d\ude00 emoji",
+      "\u00fcbung macht den meister",
+      "\u6570\u636e \u6e05\u6d17 \u7ba1\u9053",
+      "mixed \ud834\udd1e\ud83d\ude00 run 123 !?",
+      "  double  spaces\tand\ttabs x",
+      "\u00f1and\u00fa \u00e9t\u00e9 \ue000private \ufffdreplacement",
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.selectExpr("id",
+        s"${queries.Portable.sparkWords("text")} AS ws",
+        s"CAST(size(regexp_extract_all(text, '${queries.TextOps.TokenPattern}', 0)) AS BIGINT) AS n")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
+      .sortBy(_._1).toList
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").filter(_.nonEmpty).toList
+      val m = java.util.regex.Pattern.compile(queries.TextOps.TokenPattern).matcher(t)
+      var n = 0L
+      while (m.find()) n += 1
+      (i.toLong, ws, n)
+    }.toList
+    assert(got == want, s"tokenizer divergence:\n got=$got\nwant=$want")
   }
 }
