@@ -64,8 +64,66 @@ object StreamProfile {
     // measured as noise — batch COUNT is the only real lever, which is why
     // the declared roundtrips disable no-data micro-batches and use
     // explicit flush data batches instead.
+    //
+    // r12 follow-up (the r11 VERDICT #4 floor hunt), all measured here:
+    //   - interleaved conf sweep: stateStore.maintenanceInterval=600s,
+    //     minBatchesToRetain=2, unloadOnCommit, and RocksDB +
+    //     join.stateFormatVersion=3 (ONE column-family store instead of
+    //     4) are ALL within run-to-run noise of interleaved baselines
+    //     (~2.6s/4 batches either way) — no conf moves the floor;
+    //   - job accounting: a 4-batch roundtrip runs 4 jobs, 8 stages,
+    //     9 tasks TOTAL (1 job / 2 stages / ~2 tasks per batch), with
+    //     ~250ms/batch inside tasks (state load + commit + the join) and
+    //     ~20ms deserialization, 0 GC — so the remaining ~200ms of
+    //     addBatch is driver-side incremental physical planning + job
+    //     turnaround, and the per-batch total decomposes as ~0.25 task +
+    //     ~0.1 logical planning + ~0.07 WAL/offsets + ~0.2 driver;
+    //   - batch counts across all 22 roundtrips are at their semantic
+    //     minimum (1-3 processAllAvailable calls, each a required
+    //     cross-batch-state or watermark-advance witness).
+    // Conclusion: the ~0.5s/batch orchestration floor is a property of
+    // micro-batch execution in this runtime, not of the roundtrips; the
+    // stream subtotal scales with (batches x floor) and is already at
+    // the minimum batch count the semantics gates allow.
     once("warmup")
     once("profiled")
+    // conf sweep: each candidate applied around a run (session-scoped,
+    // restored after); compare totals against the second baseline
+    def sweep(label: String, confs: (String, String)*): Unit = {
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try once(label) finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    // job/stage/task accounting for one run: is the unattributed addBatch
+    // time many tiny jobs, or few slow ones?
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (e.taskMetrics != null) {
+          taskMs.addAndGet(e.taskMetrics.executorRunTime)
+          deserMs.addAndGet(e.taskMetrics.executorDeserializeTime)
+          gcMs.addAndGet(e.taskMetrics.jvmGCTime)
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    once("counted")
+    Thread.sleep(500) // let the listener bus drain
+    println(s"== counted run: jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+      s"taskRunMs=${taskMs.get} deserMs=${deserMs.get} gcMs=${gcMs.get}")
     s.stop()
   }
 }
