@@ -110,16 +110,34 @@ object SuffixArray {
     val packedSql =
       "(CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 2097152 + " +
         "CAST(ascii(substring(w, 2, 1)) AS BIGINT))"
-    passes(pos, rounds, boundRound, firstKey = "w",
+    // the positions frame now has TWO consumers (the boundary aggregate
+    // and pass 1's window) — checkpoint it once so the boundary pass
+    // reads materialized integer/word triples instead of re-running the
+    // caller's tokenize lineage (r11 removed this checkpoint when pass 1
+    // was the only consumer; the equalizer brings it back)
+    val pos0 = pos.localCheckpoint()
+    passes(pos0, rounds, boundRound, firstKey = "w",
       firstBucket = Some { df =>
-        val fan = GlobalOrder.fanOf(df)
-        val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
-        val bndRow = df.agg(
-          expr(s"approx_percentile($packedSql, array($qs), 10000)")).head
-        val bnds = if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Long](0)
-        if (bnds.isEmpty) lit(0L)
-        else expr(s"CAST(size(filter(array(${bnds.mkString(",")}), " +
-          s"b -> b < $packedSql)) AS BIGINT)")
+        locally {
+          val t0 = System.nanoTime()
+          val fan = GlobalOrder.fanOf(df)
+          val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
+          val bndRow = df.agg(
+            expr(s"approx_percentile($packedSql, array($qs), 10000)")).head
+          val bnds = if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Long](0)
+          tlog("pass-1 boundary aggregate", t0)
+          // codegen-friendly boundary count (NOT the filter-HOF
+          // GlobalOrder uses): this expression evaluates on the
+          // pre-shuffle map side, where the positions frame often sits
+          // in only a couple of input partitions — an interpreted
+          // lambda there is a serial hot spot (measured ~0.9s at
+          // sf0.1), while a straight-line sum of literal comparisons
+          // whole-stage-compiles to nothing
+          if (bnds.isEmpty) lit(0L)
+          else expr("CAST(" + bnds.map(b =>
+            s"(CASE WHEN $packedSql > $b THEN 1 ELSE 0 END)")
+            .mkString(" + ") + " AS BIGINT)")
+        }
       },
       firstSentinel = lit(""),
       initClasses = -1L, initMax = 0L, tlog)
