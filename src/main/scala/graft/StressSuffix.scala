@@ -61,6 +61,37 @@ object StressSuffix {
       .where(col("n") >= 3).count()
     println(s"[suffix] rank groups with >=3 members (verbatim triples): $tied")
     require(tied > 0, "verbatim replicas must produce exact rank ties")
+
+    // r12 (VERDICT #2 done-criterion): pass-1 bucket balance on
+    // Zipfian natural-language words. The OLD first-character bucket
+    // concentrates (English first letters are Zipf: 's','t','c'...);
+    // the equalized packed-two-code-point boundaries must bound the
+    // hottest bucket near the irreducible tie granularity (the hottest
+    // single packed prefix — e.g. 'th' — cannot split across buckets).
+    val fan = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val packedSql =
+      "(CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 2097152 + " +
+        "CAST(ascii(substring(w, 2, 1)) AS BIGINT))"
+    def hottestShare(bucket: String): Double = {
+      val counts = pos.selectExpr(s"$bucket AS _b")
+        .groupBy(col("_b")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head
+      counts.getLong(0).toDouble / counts.getLong(1)
+    }
+    val oldShare = hottestShare("ascii(substring(w, 1, 1))")
+    val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
+    val bnds = pos.agg(
+      expr(s"approx_percentile($packedSql, array($qs), 10000)")).head.getSeq[Long](0)
+    val eqShare = hottestShare(
+      bnds.map(b => s"(CASE WHEN $packedSql > $b THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")"))
+    val tieShare = hottestShare(packedSql) // irreducible: one packed value
+    println(f"[suffix] pass-1 hottest-bucket share: first-char=$oldShare%.3f " +
+      f"equalized=$eqShare%.3f (fan=$fan, irreducible tie=$tieShare%.3f)")
+    require(eqShare < oldShare,
+      "equalized pass-1 buckets must beat first-char bucketing under zipf")
+    require(eqShare <= tieShare + 2.0 / fan,
+      f"equalized hottest bucket $eqShare%.3f exceeds tie granularity + 2/fan")
     spark.stop()
   }
 }
