@@ -122,9 +122,27 @@ object SuffixArray {
           val t0 = System.nanoTime()
           val fan = GlobalOrder.fanOf(df)
           val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
-          val bndRow = df.agg(
-            expr(s"approx_percentile($packedSql, array($qs), 10000)")).head
-          val bnds = if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Long](0)
+          // boundaries only steer LOAD BALANCE (any monotone boundary
+          // set yields identical values — the GlobalOrder argument), so
+          // a fixed-seed 10% sample feeds the sketch: the aggregate
+          // stays one cheap pass as the corpus grows, and a sample's
+          // quantile wobble moves bucket WIDTHS, never results. Small
+          // frames (< ~50k positions) sketch exactly — sampling noise
+          // on tiny inputs isn't worth the saved work
+          val base = df.select(expr(s"$packedSql AS _pk"))
+          val sampled = base.sample(withReplacement = false, 0.1, seed = 42L)
+          val bndRow = sampled.agg(
+            expr(s"approx_percentile(_pk, array($qs), 10000)")).head
+          val bndsSampled = if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Long](0)
+          // empty/tiny sample (a small corpus can sample to nothing):
+          // fall back to the exact full-frame sketch
+          val bnds =
+            if (bndsSampled.nonEmpty) bndsSampled
+            else {
+              val full = base.agg(
+                expr(s"approx_percentile(_pk, array($qs), 10000)")).head
+              if (full.isNullAt(0)) Nil else full.getSeq[Long](0)
+            }
           tlog("pass-1 boundary aggregate", t0)
           // codegen-friendly boundary count (NOT the filter-HOF
           // GlobalOrder uses): this expression evaluates on the
