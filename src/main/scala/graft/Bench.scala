@@ -122,11 +122,18 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_FULL.json")))
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = m.readTree(txt).path("queries")
-        val it = node.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-        b.result()
+        val root = m.readTree(txt)
+        // gate only against a prior run at the SAME scale factor: a
+        // dev run at another SF would flood the gate with spurious 2x
+        // moves (or mask real ones after overwriting the file)
+        if (root.path("sf").asText("") != sfDir) Map.empty
+        else {
+          val node = root.path("queries")
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
       } catch { case _: Throwable => Map.empty }
     val regressions = results.toSeq.collect {
       case (k, v) if v >= 0 && priorQueries.get(k).exists(p =>

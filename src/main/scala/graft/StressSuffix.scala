@@ -68,24 +68,21 @@ object StressSuffix {
     // the equalized packed-two-code-point boundaries must bound the
     // hottest bucket near the irreducible tie granularity (the hottest
     // single packed prefix — e.g. 'th' — cannot split across buckets).
-    val fan = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val packedSql =
-      "(CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 2097152 + " +
-        "CAST(ascii(substring(w, 2, 1)) AS BIGINT))"
-    def hottestShare(bucket: String): Double = {
-      val counts = pos.selectExpr(s"$bucket AS _b")
+    // production path exactly: fanOf + the sampled wordBoundaries +
+    // wordBucket the real pass 1 uses — the leg must validate what
+    // ships, not its own exact-boundary derivation
+    import graft.engine.ops.SuffixArray
+    val fan = graft.engine.ops.GlobalOrder.fanOf(pos)
+    def hottestShareCol(bucket: org.apache.spark.sql.Column): Double = {
+      val counts = pos.select(bucket.as("_b"))
         .groupBy(col("_b")).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head
       counts.getLong(0).toDouble / counts.getLong(1)
     }
-    val oldShare = hottestShare("ascii(substring(w, 1, 1))")
-    val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
-    val bnds = pos.agg(
-      expr(s"approx_percentile($packedSql, array($qs), 10000)")).head.getSeq[Long](0)
-    val eqShare = hottestShare(
-      bnds.map(b => s"(CASE WHEN $packedSql > $b THEN 1 ELSE 0 END)")
-        .mkString("(", " + ", ")"))
-    val tieShare = hottestShare(packedSql) // irreducible: one packed value
+    val oldShare = hottestShareCol(expr("ascii(substring(w, 1, 1))"))
+    val bnds = SuffixArray.wordBoundaries(pos, fan)
+    val eqShare = hottestShareCol(SuffixArray.wordBucket(bnds))
+    val tieShare = hottestShareCol(expr(SuffixArray.PackedPrefixSql))
     println(f"[suffix] pass-1 hottest-bucket share: first-char=$oldShare%.3f " +
       f"equalized=$eqShare%.3f (fan=$fan, irreducible tie=$tieShare%.3f)")
     require(eqShare < oldShare,

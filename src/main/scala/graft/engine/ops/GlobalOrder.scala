@@ -46,7 +46,7 @@ object GlobalOrder {
     * bucketing to be a monotone tie-preserving function of the key
     * (GlobalOrderSpec pins value-identity at fan 32 and 256).
     */
-  private[ops] def fanOf(df: DataFrame): Int = {
+  private[graft] def fanOf(df: DataFrame): Int = {
     val conf = df.sparkSession.sessionState.conf
     val o = conf.getConfString(FanConf, "0").toInt
     if (o > 0) o else math.max(2, conf.numShufflePartitions)

@@ -52,11 +52,25 @@ object StatsManifest {
     * <c>_max ...)`, coalesced to a single sidecar file.
     */
   def writeStats(spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
+    val data = spark.read.parquet(path)
+    // enforce the integral contract loudly: a silently-truncating cast
+    // on a DOUBLE column would record bounds that EXCLUDE matching rows
+    // (e.g. min -0.5 recorded as 0), breaking prunedRead's
+    // value-identity guarantee with silently missing rows
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    statsCols.foreach { c =>
+      val dt = data.schema(c).dataType
+      require(integral(dt),
+        s"StatsManifest stats column '$c' must be integral, got $dt — " +
+          "long bounds on non-integral types would truncate and mis-prune")
+    }
     val aggs = count(lit(1)).as("n") +:
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("long").as(s"${c}_min"),
         max(col(c)).cast("long").as(s"${c}_max")))
-    spark.read.parquet(path)
+    data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)

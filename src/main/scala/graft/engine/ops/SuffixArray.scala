@@ -107,9 +107,6 @@ object SuffixArray {
     // share a packed key, so classes never split across buckets; any
     // monotone tie-preserving bucketing yields identical ranks (the
     // GlobalOrder correctness argument), so values are unchanged.
-    val packedSql =
-      "(CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 2097152 + " +
-        "CAST(ascii(substring(w, 2, 1)) AS BIGINT))"
     // the positions frame now has TWO consumers (the boundary aggregate
     // and pass 1's window) — checkpoint it once so the boundary pass
     // reads materialized integer/word triples instead of re-running the
@@ -118,48 +115,63 @@ object SuffixArray {
     val pos0 = pos.localCheckpoint()
     passes(pos0, rounds, boundRound, firstKey = "w",
       firstBucket = Some { df =>
-        locally {
-          val t0 = System.nanoTime()
-          val fan = GlobalOrder.fanOf(df)
-          val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
-          // boundaries only steer LOAD BALANCE (any monotone boundary
-          // set yields identical values — the GlobalOrder argument), so
-          // a fixed-seed 10% sample feeds the sketch: the aggregate
-          // stays one cheap pass as the corpus grows, and a sample's
-          // quantile wobble moves bucket WIDTHS, never results. Small
-          // frames (< ~50k positions) sketch exactly — sampling noise
-          // on tiny inputs isn't worth the saved work
-          val base = df.select(expr(s"$packedSql AS _pk"))
-          val sampled = base.sample(withReplacement = false, 0.1, seed = 42L)
-          val bndRow = sampled.agg(
-            expr(s"approx_percentile(_pk, array($qs), 10000)")).head
-          val bndsSampled = if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Long](0)
-          // empty/tiny sample (a small corpus can sample to nothing):
-          // fall back to the exact full-frame sketch
-          val bnds =
-            if (bndsSampled.nonEmpty) bndsSampled
-            else {
-              val full = base.agg(
-                expr(s"approx_percentile(_pk, array($qs), 10000)")).head
-              if (full.isNullAt(0)) Nil else full.getSeq[Long](0)
-            }
-          tlog("pass-1 boundary aggregate", t0)
-          // codegen-friendly boundary count (NOT the filter-HOF
-          // GlobalOrder uses): this expression evaluates on the
-          // pre-shuffle map side, where the positions frame often sits
-          // in only a couple of input partitions — an interpreted
-          // lambda there is a serial hot spot (measured ~0.9s at
-          // sf0.1), while a straight-line sum of literal comparisons
-          // whole-stage-compiles to nothing
-          if (bnds.isEmpty) lit(0L)
-          else expr("CAST(" + bnds.map(b =>
-            s"(CASE WHEN $packedSql > $b THEN 1 ELSE 0 END)")
-            .mkString(" + ") + " AS BIGINT)")
-        }
+        val t0 = System.nanoTime()
+        val bnds = wordBoundaries(df, GlobalOrder.fanOf(df))
+        tlog("pass-1 boundary aggregate", t0)
+        wordBucket(bnds)
       },
       firstSentinel = lit(""),
       initClasses = -1L, initMax = 0L, tlog)
   }
+
+  /** The packed two-code-point prefix of `w` as a long — exactly
+    * monotone wrt Spark's code-point string order (see the
+    * [[ranksFromWords]] note).
+    */
+  private[graft] val PackedPrefixSql =
+    "(CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 2097152 + " +
+      "CAST(ascii(substring(w, 2, 1)) AS BIGINT))"
+
+  /** Pass-1 quantile boundaries over the packed word prefix. Boundaries
+    * only steer LOAD BALANCE (any monotone boundary set yields
+    * identical ranks — the GlobalOrder argument), so a fixed-seed 10%
+    * sample feeds the sketch: the aggregate stays one cheap pass as the
+    * corpus grows, and a sample's quantile wobble moves bucket WIDTHS,
+    * never results. A tiny sample (< ~5k rows — small corpora) falls
+    * back to the exact full-frame sketch, where sampling noise could
+    * otherwise collapse most rows into a couple of buckets. Exposed
+    * `private[graft]` so the stress leg measures the boundaries the
+    * production pass actually uses.
+    */
+  private[graft] def wordBoundaries(df: DataFrame, fan: Int): Seq[Long] = {
+    val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
+    val base = df.select(expr(s"$PackedPrefixSql AS _pk"))
+    val sampled = base.sample(withReplacement = false, 0.1, seed = 42L)
+    val row = sampled.agg(
+      expr(s"approx_percentile(_pk, array($qs), 10000)").as("b"),
+      count(lit(1)).as("n")).head
+    val bndsSampled = if (row.isNullAt(0)) Nil else row.getSeq[Long](0)
+    if (bndsSampled.nonEmpty && row.getLong(1) >= 5000) bndsSampled
+    else {
+      val full = base.agg(
+        expr(s"approx_percentile(_pk, array($qs), 10000)")).head
+      if (full.isNullAt(0)) Nil else full.getSeq[Long](0)
+    }
+  }
+
+  /** The row-local bucket column for [[wordBoundaries]] output.
+    * Codegen-friendly boundary count (NOT the filter-HOF GlobalOrder
+    * uses): this expression evaluates on the pre-shuffle map side,
+    * where the positions frame often sits in only a couple of input
+    * partitions — an interpreted lambda there is a serial hot spot
+    * (measured ~0.9s at sf0.1), while a straight-line sum of literal
+    * comparisons whole-stage-compiles to nothing.
+    */
+  private[graft] def wordBucket(bnds: Seq[Long]): org.apache.spark.sql.Column =
+    if (bnds.isEmpty) lit(0L)
+    else expr("CAST(" + bnds.map(b =>
+      s"(CASE WHEN $PackedPrefixSql > $b THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)")
 
   private def mkTlog(): (String, Long) => Unit = {
     val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")

@@ -97,6 +97,23 @@ object StreamProfile {
         case (k, None) => s.conf.unset(k)
       }
     }
+    // the interleaved sweep that established "no conf moves the floor"
+    // (baselines re-run BETWEEN candidates so session warmth can't
+    // masquerade as a conf win) — kept executable so the documented
+    // evidence reproduces from HEAD
+    once("baseline-a")
+    sweep("maintenance-off",
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s")
+    once("baseline-b")
+    sweep("wal-retain-2",
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+      "spark.sql.streaming.minBatchesToRetain" -> "2")
+    once("baseline-c")
+    sweep("statefmt3-rocksdb",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.join.stateFormatVersion" -> "3")
+    once("baseline-d")
     // job/stage/task accounting for one run: is the unattributed addBatch
     // time many tiny jobs, or few slow ones?
     val jobs = new java.util.concurrent.atomic.AtomicInteger

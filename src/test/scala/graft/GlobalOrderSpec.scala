@@ -13,14 +13,16 @@ import graft.engine.ops.GlobalOrder
   * buckets between populated ones), and the all-equal degenerate key.
   */
 class GlobalOrderSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = graft.engine.Sessions.local(4, "graft-test")
-    // the fan now follows spark.sql.shuffle.partitions (r12) — pin the
-    // historical 32 so the balance/bucket-count expectations stay
-    // meaningful on this 4-core test session; the fan-sweep test below
-    // overrides it per-phase
-    s.conf.set(GlobalOrder.FanConf, "32")
-    s
+  // NOTE: Sessions.local getOrCreates a JVM-shared session — a
+  // class-level conf.set of the fan would leak into every other suite
+  // (and leave the default numShufflePartitions fanOf path untested).
+  // Tests that need a specific fan wrap themselves in [[atFan]].
+  lazy val spark: SparkSession = graft.engine.Sessions.local(4, "graft-test")
+
+  private def atFan[A](fan: Int)(f: => A): A = {
+    val old = spark.conf.get(GlobalOrder.FanConf, "0")
+    spark.conf.set(GlobalOrder.FanConf, fan.toString)
+    try f finally spark.conf.set(GlobalOrder.FanConf, old)
   }
 
   /** Deterministic pseudo-random frame: id, a skewed tie-heavy key k
@@ -139,6 +141,7 @@ class GlobalOrderSpec extends AnyFunSuite {
   }
 
   test("histogram-equalized buckets stay balanced under heavy key clustering") {
+    atFan(32) {
     import spark.implicits._
     // zipf-ish: 90% of rows crowd into keys 0..9 of a [0, 1e9] span — a
     // span-scaled bucketing puts ~90% of rows in ONE bucket (and so
@@ -166,6 +169,7 @@ class GlobalOrderSpec extends AnyFunSuite {
     // values -> ~10 value-granular buckets + the sparse tail), so a
     // dozen balanced buckets is the correct ceiling for this fixture
     assert(counts.length >= 10, s"too few buckets: ${counts.toSeq}")
+    }
   }
 
   test("rowNumberWith ranks strings lexicographically via a first-char bucket") {
@@ -246,11 +250,6 @@ class GlobalOrderSpec extends AnyFunSuite {
     // two fans an order of magnitude apart
     import spark.implicits._
     val df = frame(800)
-    def atFan[A](fan: Int)(f: => A): A = {
-      val old = spark.conf.get(GlobalOrder.FanConf, "0")
-      spark.conf.set(GlobalOrder.FanConf, fan.toString)
-      try f finally spark.conf.set(GlobalOrder.FanConf, old)
-    }
     for (key <- Seq("k", "g")) {
       val rn32 = atFan(32)(collectSorted(
         GlobalOrder.rowNumber(df, col(key), Seq(col("id")), "rn"), "id"))

@@ -425,9 +425,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("sim_pq_adc")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"no join belongs in the PQ search plan:\n$p")
-    // raw vectors must not reach an exchange: the window input carries
-    // only qid/vid/adc_d2 (the explode projects the embedding away)
-    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the PQ plan:\n$p")
+    // raw vectors must not reach the shuffle: the only exchange is the
+    // top-k window's, and its input (the Window node's child) must
+    // carry only the (qid, vid, adc_d2) triples — the explode projects
+    // the embedding/xi arrays away first. Checked on the optimized
+    // logical plan (the physical plan hides inside AQE's adaptive
+    // wrapper until execution).
+    graft.queries.Persisted.drainShared()
+    val windows = SparkEntry.queries("sim_pq_adc")(spark, d)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.child.output.map(_.name)
+      }
+    assert(windows.nonEmpty, "expected the top-k window")
+    windows.foreach { cols =>
+      assert(!cols.exists(c => c.contains("embedding") || c.contains("xi")),
+        s"raw vectors reach the window shuffle: $cols")
+    }
   }
 
   test("scd2 build shuffles on user_id once; both windows reuse the partitioning") {
