@@ -81,6 +81,66 @@ object StatsManifest {
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$ManifestDir")
 
+  // ---- incremental long-format ledger (appending sinks) -----------------
+
+  /** Per-batch stats for an APPENDING, schema-EVOLVING sink
+    * (EvolvingTableSink): rows are LONG format `(file, col, n, mn, mx)`
+    * — schema-stable as columns come and go across appends, exactly why
+    * Iceberg manifests store per-column bound MAPS, not wide columns.
+    * Written under `<root>/_manifest/<batchDir>` with overwrite, so a
+    * replayed batch (crash recovery wipes and rewrites its data dir)
+    * atomically replaces its own stats instead of accumulating stale
+    * file rows.
+    */
+  def appendBatchStats(spark: SparkSession, scanPath: String,
+      manifestRoot: String, batchDir: String, statsCols: Seq[String]): Unit = {
+    // an empty micro-batch leaves no parquet files under its dir —
+    // nothing to stat (the reader cannot even infer a schema there)
+    val data =
+      try spark.read.parquet(scanPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val present = statsCols.filter(data.columns.contains)
+    if (present.isEmpty) return
+    // ONE scan of the batch for every column's bounds (a per-column
+    // union would re-read the files once per column), unpivoted to the
+    // long rows row-locally
+    val aggs = count(lit(1)).as("n") +: present.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"__mn_$c"),
+      max(col(c)).cast("long").as(s"__mx_$c")))
+    val stackExpr = "stack(" + present.size + ", " + present.map(c =>
+      s"'$c', `__mn_$c`, `__mx_$c`").mkString(", ") + ") AS (col, mn, mx)"
+    data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("file", "n", stackExpr)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$manifestRoot/$ManifestDir/$batchDir")
+  }
+
+  /** Files of a long-format ledger whose bounds overlap EVERY range.
+    * A file with NO row for a predicate column predates that column
+    * (schema evolution) — its bound is UNKNOWN, so it is conservatively
+    * KEPT (Iceberg's missing-stats behavior); a file whose row carries
+    * NULL bounds holds only NULLs for the column, which no range
+    * predicate matches, so it is skipped. Returns (filesTotal, kept).
+    */
+  def prunedFilesLong(spark: SparkSession, manifestRoot: String,
+      ranges: Seq[(String, Long, Long)]): (Long, Seq[String]) = {
+    require(ranges.nonEmpty, "prunedFilesLong needs at least one column range")
+    val rows = spark.read.parquet(s"$manifestRoot/$ManifestDir")
+      .select(col("file"), col("col"), col("mn"), col("mx")).collect()
+    val byFile = rows.groupBy(_.getString(0))
+    val keep = byFile.collect { case (file, frs)
+      if ranges.forall { case (c, lo, hi) =>
+        frs.find(_.getString(1) == c) match {
+          case None => true // column unknown to this file: must read
+          case Some(r) => !r.isNullAt(2) && !r.isNullAt(3) &&
+            r.getLong(2) <= hi && r.getLong(3) >= lo
+        }
+      } => file
+    }.toSeq.sorted
+    (byFile.size.toLong, keep)
+  }
+
   /** Result of a manifest-planned read: the data frame (already filtered
     * by the residual predicate), plus the file accounting that proves
     * skipping happened.

@@ -137,6 +137,20 @@ final class EvolvingTableSink(
       .withColumn(PartitionCol, to_date(col(timestampCol)))
       .withColumn(BatchCol, lit(effectiveId))
       .write.mode("append").partitionBy(BatchCol, PartitionCol).parquet(path)
+    // File-stats ledger per committed batch (r12, the data-skipping
+    // follow-through): Iceberg's commit records per-file column bounds
+    // in its manifests; this sink records the same for every INTEGRAL
+    // top-level column of the evolved schema, long-format so the ledger
+    // survives schema evolution, keyed by batch dir so a crash-replay's
+    // rewrite atomically replaces its own stats. Runs over the
+    // just-written (hot) batch only — never a table rescan.
+    val integralCols = merged.fields.collect {
+      case f if Set[DataType](ByteType, ShortType, IntegerType, LongType)(f.dataType) =>
+        f.name
+    }.toSeq
+    graft.engine.ops.StatsManifest.appendBatchStats(df.sparkSession,
+      Paths.get(path, s"$BatchCol=$effectiveId").toString, path,
+      s"$BatchCol=$effectiveId", integralCols)
     writeMeta(Meta(merged,
       lastBatchId = if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L),
       nextBackfillId = if (batchId >= 0) meta.map(_.nextBackfillId).getOrElse(-1L)
@@ -158,6 +172,39 @@ final class EvolvingTableSink(
       .add(PartitionCol, DateType, nullable = true)
     spark.read.schema(schema).parquet(path)
       .where(col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId))
+  }
+
+  /** Manifest-planned read for the box predicate
+    * `AND_i (lo_i <= col_i <= hi_i)` over integral columns: plans the
+    * file list from the per-batch stats ledger (files whose recorded
+    * bounds cannot overlap are never opened; files predating a column
+    * are conservatively read — the Iceberg missing-stats rule), applies
+    * the predicate as the residual filter, and keeps [[read]]'s
+    * committed-only visibility. Returns the frame plus (filesTotal,
+    * filesRead) accounting. Value-identical to
+    * `read(spark).where(predicate)` for any data.
+    */
+  def prunedRead(spark: SparkSession,
+      ranges: Seq[(String, Long, Long)]): (DataFrame, Long, Long) = {
+    val meta = readMeta()
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    val schema = meta.schema
+      .add(BatchCol, LongType, nullable = true)
+      .add(PartitionCol, DateType, nullable = true)
+    val (total, keep) =
+      graft.engine.ops.StatsManifest.prunedFilesLong(spark, path, ranges)
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _) &&
+      col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId)
+    val df =
+      if (keep.isEmpty)
+        spark.read.schema(schema).parquet(path).where(residual).limit(0)
+      else
+        // basePath recovers the _batch_id/_event_date partition columns
+        // from the selected files' directory segments
+        spark.read.option("basePath", path).schema(schema)
+          .parquet(keep: _*).where(residual)
+    (df, total, keep.size.toLong)
   }
 
   def tableSchema: Option[StructType] = readMeta().map(_.schema)

@@ -136,4 +136,50 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     assert(sink.write(df(v1, row), batchId = 6))
     assert(sink.read(spark).count() == 2)
   }
+
+  test("per-batch stats ledger prunes files and survives schema evolution") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    // batch 0: qty 1..2; batch 1: qty 100..200 — disjoint ranges so a
+    // selective predicate can prove file skipping
+    assert(sink.write(df(v1,
+      Row("a", Integer.valueOf(1), ts("2024-01-01 10:00:00")),
+      Row("b", Integer.valueOf(2), ts("2024-01-01 11:00:00"))), batchId = 0))
+    assert(sink.write(df(v1,
+      Row("c", Integer.valueOf(100), ts("2024-01-02 10:00:00")),
+      Row("d", Integer.valueOf(200), ts("2024-01-02 11:00:00"))), batchId = 1))
+    // batch 2 EVOLVES the schema with a new integral column
+    val v2 = v1.add(StructField("score", LongType, nullable = true))
+    assert(sink.write(df(v2,
+      Row("e", Integer.valueOf(300), ts("2024-01-03 10:00:00"),
+        java.lang.Long.valueOf(7L))), batchId = 2))
+
+    // selective qty box: only batch 1's file overlaps [100, 250]
+    val (pruned, total, kept) = sink.prunedRead(spark, Seq(("qty", 100L, 250L)))
+    assert(total >= 3, s"expected >=3 ledgered files, got $total")
+    assert(kept < total, s"selective qty box must skip files ($kept of $total)")
+    val got = pruned.select("id", "qty").collect().map(r =>
+      (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(got == Seq(("c", 100), ("d", 200)))
+    // value identity vs the full committed read + filter
+    val want = sink.read(spark).where("qty BETWEEN 100 AND 250")
+      .select("id", "qty").collect().map(r =>
+        (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(got == want)
+
+    // evolution conservatism: predicate on the NEW column must still
+    // READ the pre-evolution files (their bounds are unknown — the
+    // Iceberg missing-stats rule) and return the value-correct result
+    val (byScore, total2, kept2) = sink.prunedRead(spark, Seq(("score", 7L, 7L)))
+    assert(kept2 == total2,
+      s"files predating 'score' must be conservatively read ($kept2 of $total2)")
+    assert(byScore.select("id").collect().map(_.getString(0)).toSeq == Seq("e"))
+
+    // replay rewrite replaces the batch's ledger rows, not duplicates
+    assert(!sink.write(df(v2,
+      Row("e2", Integer.valueOf(999), ts("2024-01-03 10:00:00"),
+        java.lang.Long.valueOf(8L))), batchId = 2)) // committed: skipped
+    val (_, total3, _) = sink.prunedRead(spark, Seq(("qty", 100L, 250L)))
+    assert(total3 == total, "ledger must not grow on a skipped replay")
+  }
 }
