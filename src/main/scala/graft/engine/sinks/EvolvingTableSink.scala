@@ -43,6 +43,7 @@ final class EvolvingTableSink(
   private val PartitionCol = "_event_date"
   private val BatchCol = "_batch_id"
   private def metaPath: Path = Paths.get(path, "_graft_meta.json")
+  private def commitLogPath: Path = Paths.get(path, "_graft_commits.log")
 
   // ---- metadata sidecar -------------------------------------------------
 
@@ -155,7 +156,45 @@ final class EvolvingTableSink(
       lastBatchId = if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L),
       nextBackfillId = if (batchId >= 0) meta.map(_.nextBackfillId).getOrElse(-1L)
         else effectiveId - 1))
+    // Snapshot commit log (r12): one `<seq> <effectiveId>` line per
+    // COMMITTED write, the Iceberg-snapshot stand-in that makes as-of
+    // reads real (backfills interleave with streaming ids in COMMIT
+    // order, which batch ids alone cannot express). Appended after the
+    // sidecar commit by the single writer this sink is documented for;
+    // a crash before this point replays the batch, which re-appends
+    // exactly once.
+    val seq = snapshots.lastOption.map(_._1 + 1).getOrElse(1L)
+    Files.write(commitLogPath, s"$seq $effectiveId\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     true
+  }
+
+  /** Committed snapshots in commit order: (snapshot seq, batch dir id). */
+  def snapshots: Seq[(Long, Long)] =
+    if (!Files.exists(commitLogPath)) Nil
+    else new String(Files.readAllBytes(commitLogPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(s, id) = line.split(" ", 2)
+        (s.toLong, id.toLong)
+      }
+
+  /** Snapshot (as-of) read: the table as it stood after commit `seq` —
+    * exactly the batch dirs committed by then, in COMMIT order (a
+    * backfill committed after a streaming batch is excluded from
+    * earlier snapshots even though its id is lower). One honest delta
+    * from real Iceberg: rows come back under the CURRENT evolved
+    * schema (old files up-cast/null-fill), not the snapshot's
+    * historical schema — the sidecar stores only the latest schema.
+    */
+  def readAsOf(spark: SparkSession, seq: Long): DataFrame = {
+    val meta = readMeta()
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    val visible = snapshots.filter(_._1 <= seq).map(_._2)
+    val schema = meta.schema
+      .add(BatchCol, LongType, nullable = true)
+      .add(PartitionCol, DateType, nullable = true)
+    spark.read.schema(schema).parquet(path)
+      .where(col(BatchCol).isin(visible: _*))
   }
 
   /** Read the table back under the evolved schema (old narrow/absent

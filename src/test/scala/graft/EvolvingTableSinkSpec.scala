@@ -182,4 +182,30 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     val (_, total3, _) = sink.prunedRead(spark, Seq(("qty", 100L, 250L)))
     assert(total3 == total, "ledger must not grow on a skipped replay")
   }
+
+  test("snapshot as-of reads follow COMMIT order, backfills included") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    def row(id: String, h: Int) =
+      Row(id, Integer.valueOf(h), ts("2024-01-01 10:00:00"))
+    assert(sink.write(df(v1, row("a", 1)), batchId = 0)) // snapshot 1
+    assert(sink.write(df(v1, row("b", 2)), batchId = 1)) // snapshot 2
+    assert(sink.write(df(v1, row("z", 9))))              // backfill: snapshot 3
+    assert(sink.write(df(v1, row("c", 3)), batchId = 2)) // snapshot 4
+    assert(sink.snapshots.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    def ids(seq: Long) = sink.readAsOf(spark, seq)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids(1) == Seq("a"))
+    assert(ids(2) == Seq("a", "b"))
+    // the backfill has a NEGATIVE batch id but a LATER commit — batch-id
+    // visibility alone could not express this snapshot boundary
+    assert(ids(3) == Seq("a", "b", "z"))
+    assert(ids(4) == Seq("a", "b", "c", "z"))
+    // as-of the latest snapshot equals the committed read
+    assert(ids(4) == sink.read(spark)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq)
+    // a replayed (skipped) batch adds no snapshot
+    assert(!sink.write(df(v1, row("c", 3)), batchId = 2))
+    assert(sink.snapshots.size == 4)
+  }
 }
