@@ -1558,8 +1558,9 @@ object Dedup extends QueryPack {
     // pre-partitioned on the join key and cached (persistScoped), so
     // rounds reuse its layout instead of re-shuffling edges four times.
     // Per round: one keyed join + one map-side-combinable min + one
-    // vertex-keyed merge; lineage cut every second round (the
-    // suffix-array discipline — the per-round frames are vertex-sized).
+    // vertex-keyed merge; lineage cut every round (the suffix-array
+    // discipline — the per-round frames are vertex-sized and each
+    // round's output has two consumers).
     // Edges come from the hot-part-capped incidence, so per-part fanout
     // is bounded. Exact integer distances; oracle mirrors the four
     // unrolled rounds.
@@ -1584,6 +1585,12 @@ object Dedup extends QueryPack {
               """CASE WHEN dist IS NULL THEN nd
                       WHEN nd IS NULL THEN dist
                       ELSE least(dist, nd) END AS dist""")
+          // cut EVERY round: both the frontier filter and the next
+          // round's full-join consume `m`, so a lazy persist would
+          // re-execute the round per consumer before the cache
+          // materializes (measured 1.6 -> 23 s when tried — the bench
+          // perf gate caught it); the eager vertex-sized checkpoint is
+          // the cheap side of that trade
           val m = merged.localCheckpoint()
           frontier = m.where(col("old").isNull || col("dist") < col("old"))
             .select(col("v"), col("dist"))
