@@ -37,6 +37,13 @@ object StatsManifest {
 
   private val ManifestDir = "_manifest"
 
+  /** Types the ledger can bound exactly as longs. Shared with the sink's
+    * stats-column selection so the two can never drift (r12 self-review).
+    */
+  val IntegralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
   /** Write `df` to `path` z-ordered on (keyA, keyB), then write the
     * per-file stats manifest for the two keys (plus row counts). Stats
     * columns must be integral (the ledger tracks long bounds).
@@ -57,12 +64,9 @@ object StatsManifest {
     // on a DOUBLE column would record bounds that EXCLUDE matching rows
     // (e.g. min -0.5 recorded as 0), breaking prunedRead's
     // value-identity guarantee with silently missing rows
-    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
     statsCols.foreach { c =>
       val dt = data.schema(c).dataType
-      require(integral(dt),
+      require(IntegralTypes(dt),
         s"StatsManifest stats column '$c' must be integral, got $dt — " +
           "long bounds on non-integral types would truncate and mis-prune")
     }
@@ -95,23 +99,38 @@ object StatsManifest {
   def appendBatchStats(spark: SparkSession, scanPath: String,
       manifestRoot: String, batchDir: String, statsCols: Seq[String]): Unit = {
     // an empty micro-batch leaves no parquet files under its dir —
-    // nothing to stat (the reader cannot even infer a schema there)
-    val data =
-      try spark.read.parquet(scanPath)
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    // nothing to stat. Checked EXPLICITLY (r12 self-review): a blanket
+    // AnalysisException catch would also swallow real scan failures,
+    // silently committing a batch whose files the ledger never lists
+    val hasParquet = {
+      val dir = java.nio.file.Paths.get(scanPath)
+      java.nio.file.Files.isDirectory(dir) && {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+    }
+    if (!hasParquet) return
+    val data = spark.read.parquet(scanPath)
     val present = statsCols.filter(data.columns.contains)
     if (present.isEmpty) return
     // ONE scan of the batch for every column's bounds (a per-column
     // union would re-read the files once per column), unpivoted to the
-    // long rows row-locally
-    val aggs = count(lit(1)).as("n") +: present.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"__mn_$c"),
-      max(col(c)).cast("long").as(s"__mx_$c")))
-    val stackExpr = "stack(" + present.size + ", " + present.map(c =>
-      s"'$c', `__mn_$c`, `__mx_$c`").mkString(", ") + ") AS (col, mn, mx)"
+    // long rows row-locally. Built with the Column API and INDEX-based
+    // working aliases — no column name is ever spliced into SQL text,
+    // so names with quotes/backticks/dots cannot break the write
+    val idx = present.indices
+    val aggs = count(lit(1)).as("n") +: idx.flatMap(i => Seq(
+      min(col(present(i))).cast("long").as(s"__mn_$i"),
+      max(col(present(i))).cast("long").as(s"__mx_$i")))
+    val entries = array(idx.map(i => struct(
+      lit(present(i)).as("col"),
+      col(s"__mn_$i").as("mn"), col(s"__mx_$i").as("mx"))): _*)
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .selectExpr("file", "n", stackExpr)
+      .select(col("file"), col("n"), explode(entries).as("e"))
+      .select(col("file"), col("n"), col("e.col").as("col"),
+        col("e.mn").as("mn"), col("e.mx").as("mx"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$manifestRoot/$ManifestDir/$batchDir")
   }

@@ -146,26 +146,36 @@ final class EvolvingTableSink(
     // rewrite atomically replaces its own stats. Runs over the
     // just-written (hot) batch only — never a table rescan.
     val integralCols = merged.fields.collect {
-      case f if Set[DataType](ByteType, ShortType, IntegerType, LongType)(f.dataType) =>
+      case f if graft.engine.ops.StatsManifest.IntegralTypes(f.dataType) =>
         f.name
     }.toSeq
     graft.engine.ops.StatsManifest.appendBatchStats(df.sparkSession,
       Paths.get(path, s"$BatchCol=$effectiveId").toString, path,
       s"$BatchCol=$effectiveId", integralCols)
+    // Snapshot commit log (r12): one `<seq> <effectiveId>` line per
+    // COMMITTED write, the Iceberg-snapshot stand-in that makes as-of
+    // reads real (backfills interleave with streaming ids in COMMIT
+    // order, which batch ids alone cannot express). ORDER MATTERS (r12
+    // self-review): the line lands BEFORE the sidecar commit — replay
+    // detection keys off the sidecar, so a crash between the two
+    // replays the batch and the log REPLACES this id's line (the
+    // atomic rewrite below); the reverse order would permanently drop
+    // a committed batch from every snapshot. An uncommitted log line
+    // is harmless: [[readAsOf]] intersects with committed visibility.
+    val seq = snapshots.filterNot(_._2 == effectiveId)
+      .lastOption.map(_._1 + 1).getOrElse(1L)
+    val kept = snapshots.filterNot(_._2 == effectiveId)
+      .map { case (s0, id) => s"$s0 $id" }
+    val tmp = Paths.get(path, "_graft_commits.log.tmp")
+    Files.write(tmp, (kept :+ s"$seq $effectiveId").mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, commitLogPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeMeta(Meta(merged,
       lastBatchId = if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L),
       nextBackfillId = if (batchId >= 0) meta.map(_.nextBackfillId).getOrElse(-1L)
         else effectiveId - 1))
-    // Snapshot commit log (r12): one `<seq> <effectiveId>` line per
-    // COMMITTED write, the Iceberg-snapshot stand-in that makes as-of
-    // reads real (backfills interleave with streaming ids in COMMIT
-    // order, which batch ids alone cannot express). Appended after the
-    // sidecar commit by the single writer this sink is documented for;
-    // a crash before this point replays the batch, which re-appends
-    // exactly once.
-    val seq = snapshots.lastOption.map(_._1 + 1).getOrElse(1L)
-    Files.write(commitLogPath, s"$seq $effectiveId\n".getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     true
   }
 
@@ -190,11 +200,13 @@ final class EvolvingTableSink(
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
     val visible = snapshots.filter(_._1 <= seq).map(_._2)
-    val schema = meta.schema
-      .add(BatchCol, LongType, nullable = true)
-      .add(PartitionCol, DateType, nullable = true)
-    spark.read.schema(schema).parquet(path)
-      .where(col(BatchCol).isin(visible: _*))
+    // intersect with COMMITTED visibility: the log line lands before
+    // the sidecar commit, so a crash window can leave a logged-but-
+    // uncommitted id — its rows must stay invisible until the replay
+    // commits (the same guarantee read() gives partial batch dirs)
+    spark.read.schema(fullSchema(meta)).parquet(path)
+      .where(col(BatchCol).isin(visible: _*) &&
+        col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId))
   }
 
   /** Read the table back under the evolved schema (old narrow/absent
@@ -203,13 +215,18 @@ final class EvolvingTableSink(
     * (data appended, sidecar not yet updated) is filtered out until its
     * replay rewrites it.
     */
+  /** The read schema: the evolved data schema plus the two hidden
+    * partition columns (single source of truth for read/readAsOf/
+    * prunedRead).
+    */
+  private def fullSchema(meta: Meta): StructType = meta.schema
+    .add(BatchCol, LongType, nullable = true)
+    .add(PartitionCol, DateType, nullable = true)
+
   def read(spark: SparkSession): DataFrame = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
-    val schema = meta.schema
-      .add(BatchCol, LongType, nullable = true)
-      .add(PartitionCol, DateType, nullable = true)
-    spark.read.schema(schema).parquet(path)
+    spark.read.schema(fullSchema(meta)).parquet(path)
       .where(col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId))
   }
 
@@ -227,23 +244,54 @@ final class EvolvingTableSink(
       ranges: Seq[(String, Long, Long)]): (DataFrame, Long, Long) = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
-    val schema = meta.schema
-      .add(BatchCol, LongType, nullable = true)
-      .add(PartitionCol, DateType, nullable = true)
-    val (total, keep) =
-      graft.engine.ops.StatsManifest.prunedFilesLong(spark, path, ranges)
+    // ledger coverage is per BATCH DIR: any committed batch dir WITHOUT
+    // a ledger entry (pre-ledger table, empty-batch skip, or a missing
+    // _manifest dir entirely) is conservatively read WHOLE — the same
+    // missing-stats rule applied at dir granularity; without this, an
+    // unledgered batch's rows would silently vanish from pruned results
+    def subDirs(p: Path, prefix: String): Seq[String] =
+      if (!Files.isDirectory(p)) Nil
+      else {
+        val s = Files.list(p)
+        try {
+          val it = s.iterator()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            if (Files.isDirectory(f) && f.getFileName.toString.startsWith(prefix))
+              b += f.getFileName.toString
+          }
+          b.result()
+        } finally s.close()
+      }
+    val batchDirs = subDirs(Paths.get(path), s"$BatchCol=")
+    val ledgered = subDirs(Paths.get(path, "_manifest"), "").toSet
+    val (total, keep0) =
+      if (ledgered.isEmpty) (0L, Seq.empty[String])
+      else graft.engine.ops.StatsManifest.prunedFilesLong(spark, path, ranges)
+    // a crash between a replay's data rewrite and its ledger overwrite
+    // can leave rows naming deleted files (the batch is then
+    // uncommitted, so correctness is safe either way) — don't hand a
+    // stale path to the reader
+    val keep = keep0.filter { f =>
+      val local = f.stripPrefix("file:")
+      Files.exists(Paths.get(local))
+    }
+    val unledgeredDirs = batchDirs.filterNot(ledgered.contains)
+      .map(d => s"$path/$d")
     val residual = ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _) &&
       col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId)
+    val paths = keep ++ unledgeredDirs
     val df =
-      if (keep.isEmpty)
-        spark.read.schema(schema).parquet(path).where(residual).limit(0)
+      if (paths.isEmpty)
+        spark.read.schema(fullSchema(meta)).parquet(path).where(residual).limit(0)
       else
         // basePath recovers the _batch_id/_event_date partition columns
         // from the selected files' directory segments
-        spark.read.option("basePath", path).schema(schema)
-          .parquet(keep: _*).where(residual)
-    (df, total, keep.size.toLong)
+        spark.read.option("basePath", path).schema(fullSchema(meta))
+          .parquet(paths: _*).where(residual)
+    (df, total + unledgeredDirs.size, (keep.size + unledgeredDirs.size).toLong)
   }
 
   def tableSchema: Option[StructType] = readMeta().map(_.schema)
