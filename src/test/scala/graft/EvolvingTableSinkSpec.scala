@@ -208,4 +208,33 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     assert(!sink.write(df(v1, row("c", 3)), batchId = 2))
     assert(sink.snapshots.size == 4)
   }
+
+  test("a logged-but-uncommitted batch stays invisible until its replay commits") {
+    // simulate the crash window the commit-log ordering creates: data +
+    // ledger + log line written, sidecar commit NOT yet — by rewinding
+    // the sidecar to its pre-batch state after a successful write
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    def row(id: String, h: Int) =
+      Row(id, Integer.valueOf(h), ts("2024-01-01 10:00:00"))
+    assert(sink.write(df(v1, row("a", 1)), batchId = 0))
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_meta.json")
+    val preCrash = Files.readAllBytes(sidecar)
+    assert(sink.write(df(v1, row("b", 2)), batchId = 1))
+    Files.write(sidecar, preCrash) // "crash" before the sidecar commit
+    // batch 1's dir, ledger and log line all exist, but it is NOT
+    // committed: every read path must exclude it
+    assert(sink.read(spark).count() == 1)
+    assert(sink.readAsOf(spark, Long.MaxValue)
+      .select("id").collect().map(_.getString(0)).toSeq == Seq("a"))
+    val (pruned, _, _) = sink.prunedRead(spark, Seq(("qty", 0L, 10L)))
+    assert(pruned.select("id").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // the replay rewrites and commits batch 1; consistency restored
+    assert(sink.write(df(v1, row("b", 2)), batchId = 1))
+    assert(sink.read(spark).count() == 2)
+    assert(sink.readAsOf(spark, Long.MaxValue).count() ==
+      sink.read(spark).count())
+    // the replay REPLACED batch 1's log line (no duplicate id entries)
+    assert(sink.snapshots.map(_._2).count(_ == 1L) == 1)
+  }
 }
