@@ -315,4 +315,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(none.filesRead == 0 && none.df.count() == 0)
     assert(none.df.columns.toSeq == Seq("a", "b", "v"))
   }
+
+  test("property: manifest-pruned reads equal full-scan filters on random boxes") {
+    // randomized value-identity sweep: for arbitrary data (negative
+    // keys, ties, NULL stripes) and arbitrary boxes — including empty,
+    // point, and everything boxes — the pruned read must return exactly
+    // the full scan's rows; skipping is load shedding, never semantics
+    import graft.engine.ops.StatsManifest
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val out = java.nio.file.Files.createTempDirectory("graft_manifest_p_")
+    graft.engine.util.Fs.deleteOnExit(out)
+    val df = (1 to 3000).map { i =>
+      val h = (i * 2654435761L) % 1000003L
+      val a = (h % 400L) - 200L                       // negative + ties
+      val b = if (h % 11 == 0) null
+              else java.lang.Long.valueOf((h / 3) % 500L) // NULL stripe
+      (a, b, i.toLong)
+    }.toDF("a", "b", "v")
+    StatsManifest.writeZOrderedWithStats(df, "a", "v", out.toString, files = 6)
+    val full = spark.read.parquet(out.toString)
+    for (trial <- 1 to 8) {
+      val (lo, hi) = {
+        val x = rnd.nextLong() % 500L; val y = rnd.nextLong() % 500L
+        (math.min(x, y), math.max(x, y))
+      }
+      val ranges =
+        if (trial % 3 == 0) Seq(("a", lo, hi), ("v", 1L, 1500L))
+        else Seq(("a", lo, hi))
+      val scan = StatsManifest.prunedRead(spark, out.toString, ranges)
+      val residual = ranges.map { case (c, l, h) =>
+        col(c) >= l && col(c) <= h }.reduce(_ && _)
+      val got = scan.df.orderBy("v").collect().map(_.toSeq).toSeq
+      val want = full.where(residual).orderBy("v").collect().map(_.toSeq).toSeq
+      assert(got == want, s"trial $trial box $ranges: pruned != full")
+      assert(scan.filesRead <= scan.filesTotal)
+    }
+  }
 }
