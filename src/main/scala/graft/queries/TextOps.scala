@@ -384,7 +384,48 @@ object TextOps extends QueryPack {
       s: org.apache.spark.sql.SparkSession, d: String): Seq[() => Unit] = Seq(
     () => { lrSteps(s, d).count(); () }, // pulls lrFeats too
     () => { docTermCounts(s, d).count(); () },
+    () => { docBigramCounts(s, d).count(); d2UnigramCounts(s, d).count(); () },
     () => { bpeMergesFrame(s, d).count(); () })
+
+  /** The BIGRAM ROOT of the adjacency family (r12, the docTermCounts
+    * precedent for unigrams): `(w1, w2, cxy)` counts over size>=2 docs.
+    * Four declared queries (top_bigrams, bigram_logprob, kn_bigram,
+    * collocations_npmi) each re-ran the identical corpus tokenize +
+    * adjacent-pair explode + count — adjacency that per-doc unigram
+    * counts cannot express IS expressible as a corpus-level bigram
+    * count, so the root lives in the shared tier (vocab^2-bounded by
+    * observed bigrams, far smaller than the positions it summarizes).
+    * Queries needing per-doc bigram ROWS (bigram_logprob's scoring
+    * side) still tokenize their per-doc frame; only the corpus-level
+    * count aggregates ride the root.
+    */
+  private[graft] def docBigramCounts(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.engine.Persisted.shared(s, s"bigramCounts|$d") {
+      Tables.documents(s, d)
+        .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+        .where("size(ws) >= 2")
+        .selectExpr(
+          "explode(transform(sequence(1, size(ws) - 1), i -> " +
+            "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))) AS b")
+        .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    }
+
+  /** Unigram counts over the SAME size>=2 doc subset the bigram root
+    * uses — shared by bigram_logprob and collocations_npmi (NOT
+    * derivable from [[docTermCounts]], whose counts cover all docs, nor
+    * from the bigram root, which misses each doc's last word).
+    */
+  private[graft] def d2UnigramCounts(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.engine.Persisted.shared(s, s"d2UnigramCounts|$d") {
+      Tables.documents(s, d)
+        .selectExpr(s"${sparkWords("lower(text)")} AS ws")
+        .where("size(ws) >= 2")
+        .selectExpr("explode(ws) AS w")
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    }
 
   /** The [[LrSteps]] GD step frames: each carries (step, n_correct,
     * mean_nll_e6, w0_e6..w4_e6) with the weights AFTER that step's
@@ -743,14 +784,10 @@ object TextOps extends QueryPack {
 
     "text_top_bigrams" -> QueryDef(
       (s, d) => {
-        // word bigram frequencies: arrays_zip of the word array against
-        // its own tail keeps the pairing row-local (no window shuffle)
-        Tables.documents(s, d)
-          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
-          .where("size(ws) >= 2")
-          .selectExpr("explode(arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))) AS p")
-          .selectExpr("concat_ws(' ', p['0'], p['1']) AS bigram")
-          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        // derives from the shared bigram root (r12): the pair string is
+        // just concat of the root's keys and the frequency is its count
+        docBigramCounts(s, d)
+          .selectExpr("concat(w1, ' ', w2) AS bigram", "cxy AS n")
           .orderBy(col("n").desc, col("bigram"))
           .limit(20)
       },
@@ -994,10 +1031,11 @@ object TextOps extends QueryPack {
           "explode(transform(sequence(1, size(ws) - 1), i -> " +
             "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))) AS bg")
           .selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
-        val uni = docs.selectExpr("explode(ws) AS w")
-          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-        val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        val tot = docs.selectExpr("explode(ws) AS w").agg(count(lit(1)).as("n"))
+        // corpus-level count sides ride the shared roots (r12); only
+        // the per-doc scoring rows above re-tokenize
+        val uni = d2UnigramCounts(s, d)
+        val bg = docBigramCounts(s, d).withColumnRenamed("cxy", "cb")
+        val tot = uni.agg(sum(col("cu")).as("n"))
         bigrams
           .join(broadcast(bg), Seq("w1", "w2"))
           .join(broadcast(uni.toDF("w1", "cprefix")), Seq("w1"))
@@ -1081,16 +1119,8 @@ object TextOps extends QueryPack {
     // over the <= |V|^2 type frame; top-15 exits via sort+limit.
     "text_collocations_npmi" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
-          .where("size(ws) >= 2")
-        val bg = docs.selectExpr(
-          "explode(transform(sequence(1, size(ws) - 1), i -> " +
-            "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))) AS b")
-          .selectExpr("b.w1 AS w1", "b.w2 AS w2")
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
-        val uni = docs.selectExpr("explode(ws) AS w")
-          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        val bg = docBigramCounts(s, d)
+        val uni = d2UnigramCounts(s, d)
         val nb = bg.agg(sum(col("cxy")).as("nb"))
         val nu = uni.agg(sum(col("cu")).as("nu"))
         bg.where(col("cxy") >= 20)
@@ -1144,14 +1174,7 @@ object TextOps extends QueryPack {
     // the corpus is never touched again.
     "text_kn_bigram_logprob" -> QueryDef(
       (s, d) => {
-        val bg = Tables.documents(s, d)
-          .selectExpr(s"${sparkWords("lower(text)")} AS ws")
-          .where("size(ws) >= 2")
-          .selectExpr(
-            "explode(transform(sequence(1, size(ws) - 1), i -> " +
-              "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))) AS b")
-          .selectExpr("b.w1 AS w1", "b.w2 AS w2")
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        val bg = docBigramCounts(s, d)
         val pre = bg.groupBy(col("w1"))
           .agg(sum(col("cxy")).as("c1"), count(lit(1)).cast("bigint").as("f1"))
         val cont = bg.groupBy(col("w2"))

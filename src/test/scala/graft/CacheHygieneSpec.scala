@@ -92,6 +92,23 @@ class CacheHygieneSpec extends AnyFunSuite {
       "after drainShared + per-query drains the CacheManager must be empty")
   }
 
+  test("shared tier: bigram family reuses the bigram/unigram roots, bounded, drained") {
+    queries.Persisted.drainShared()
+    // the r12 tier: docBigramCounts + d2UnigramCounts serve
+    // top_bigrams, bigram_logprob, kn_bigram and collocations_npmi —
+    // four consumers, at most two designated entries
+    for (q <- Seq("text_top_bigrams", "text_bigram_logprob",
+        "text_kn_bigram_logprob", "text_collocations_npmi"))
+      SparkEntry.queries(q)(spark, d).count()
+    val n = queries.Persisted.sharedSize
+    assert(n >= 1 && n <= 2,
+      s"bigram family must designate exactly the bigram/unigram roots, got $n")
+    queries.Persisted.drainShared()
+    assert(queries.Persisted.sharedSize == 0)
+    assert(GraftCacheProbe.cacheIsEmpty(spark),
+      "after drainShared + per-query drains the CacheManager must be empty")
+  }
+
   test("shared tier: a clearCache eviction re-arms persistence on next access") {
     queries.Persisted.drainShared()
     SparkEntry.queries("graph_jaccard_links")(spark, d).count()
