@@ -65,9 +65,17 @@ final class EvolvingTableSink(
 
   private def writeMeta(m: Meta): Unit = {
     Files.createDirectories(Paths.get(path))
-    Files.write(metaPath,
+    // atomic tmp+move (r12): the sidecar IS the commit point — a kill
+    // mid-write would otherwise leave a truncated file that bricks
+    // every subsequent read AND write (readMeta throws before the
+    // replay path can run), the one crash window with no recovery
+    val tmp = Paths.get(path, "_graft_meta.json.tmp")
+    Files.write(tmp,
       (m.lastBatchId.toString + "\n" + m.nextBackfillId.toString + "\n" +
         m.schema.json).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   // ---- evolution rules --------------------------------------------------
@@ -158,20 +166,17 @@ final class EvolvingTableSink(
     // order, which batch ids alone cannot express). ORDER MATTERS (r12
     // self-review): the line lands BEFORE the sidecar commit — replay
     // detection keys off the sidecar, so a crash between the two
-    // replays the batch and the log REPLACES this id's line (the
-    // atomic rewrite below); the reverse order would permanently drop
-    // a committed batch from every snapshot. An uncommitted log line
-    // is harmless: [[readAsOf]] intersects with committed visibility.
-    val seq = snapshots.filterNot(_._2 == effectiveId)
-      .lastOption.map(_._1 + 1).getOrElse(1L)
-    val kept = snapshots.filterNot(_._2 == effectiveId)
-      .map { case (s0, id) => s"$s0 $id" }
-    val tmp = Paths.get(path, "_graft_commits.log.tmp")
-    Files.write(tmp, (kept :+ s"$seq $effectiveId").mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, commitLogPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // replays the batch and appends a fresh line for the same id
+    // (the [[snapshots]] reader is last-line-wins per id, keeping this
+    // append O(1) instead of rewriting the whole log per commit); the
+    // reverse order would permanently drop a committed batch from
+    // every snapshot. An uncommitted log line is harmless: [[readAsOf]]
+    // intersects with committed visibility.
+    val seq = rawLogLines.lastOption.map(_._1 + 1).getOrElse(1L)
+    Files.write(commitLogPath,
+      s"$seq $effectiveId\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     writeMeta(Meta(merged,
       lastBatchId = if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L),
       nextBackfillId = if (batchId >= 0) meta.map(_.nextBackfillId).getOrElse(-1L)
@@ -179,14 +184,22 @@ final class EvolvingTableSink(
     true
   }
 
-  /** Committed snapshots in commit order: (snapshot seq, batch dir id). */
-  def snapshots: Seq[(Long, Long)] =
+  private def rawLogLines: Seq[(Long, Long)] =
     if (!Files.exists(commitLogPath)) Nil
     else new String(Files.readAllBytes(commitLogPath), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty).map { line =>
         val Array(s, id) = line.split(" ", 2)
         (s.toLong, id.toLong)
       }
+
+  /** Committed snapshots in commit order: (snapshot seq, batch dir id).
+    * Last line WINS per batch id: a crash-replayed batch appends a
+    * fresh line, superseding the failed attempt's — the same id never
+    * legitimately commits twice (the sidecar guard), so earlier lines
+    * for it are by construction failed attempts.
+    */
+  def snapshots: Seq[(Long, Long)] =
+    rawLogLines.groupBy(_._2).values.map(_.last).toSeq.sortBy(_._1)
 
   /** Snapshot (as-of) read: the table as it stood after commit `seq` —
     * exactly the batch dirs committed by then, in COMMIT order (a
@@ -209,12 +222,6 @@ final class EvolvingTableSink(
         col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId))
   }
 
-  /** Read the table back under the evolved schema (old narrow/absent
-    * columns up-cast/null-filled by the parquet reader). Only COMMITTED
-    * batches are visible: an uncommitted partial dir left by a crash
-    * (data appended, sidecar not yet updated) is filtered out until its
-    * replay rewrites it.
-    */
   /** The read schema: the evolved data schema plus the two hidden
     * partition columns (single source of truth for read/readAsOf/
     * prunedRead).
@@ -223,6 +230,12 @@ final class EvolvingTableSink(
     .add(BatchCol, LongType, nullable = true)
     .add(PartitionCol, DateType, nullable = true)
 
+  /** Read the table back under the evolved schema (old narrow/absent
+    * columns up-cast/null-filled by the parquet reader). Only COMMITTED
+    * batches are visible: an uncommitted partial dir left by a crash
+    * (data appended, sidecar not yet updated) is filtered out until its
+    * replay rewrites it.
+    */
   def read(spark: SparkSession): DataFrame = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
@@ -270,15 +283,39 @@ final class EvolvingTableSink(
       if (ledgered.isEmpty) (0L, Seq.empty[String])
       else graft.engine.ops.StatsManifest.prunedFilesLong(spark, path, ranges)
     // a crash between a replay's data rewrite and its ledger overwrite
-    // can leave rows naming deleted files (the batch is then
-    // uncommitted, so correctness is safe either way) — don't hand a
-    // stale path to the reader
+    // can leave rows naming deleted files. Only an UNCOMMITTED batch
+    // can be in that state (the ledger overwrite happens before the
+    // sidecar commit), so the existence check is restricted to files
+    // of uncommitted batch dirs — zero driver syscalls on the steady
+    // path, never one per planned file (r12 self-review: planning must
+    // stay one-object, the reason the ledger exists)
+    val batchIdRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(BatchCol) + "=(-?\\d+)/")
+    def committed(f: String): Boolean = {
+      val m = batchIdRe.matcher(f)
+      m.find() && {
+        val id = m.group(1).toLong
+        id >= meta.nextBackfillId + 1 && id <= meta.lastBatchId
+      }
+    }
     val keep = keep0.filter { f =>
-      val local = f.stripPrefix("file:")
-      Files.exists(Paths.get(local))
+      committed(f) || Files.exists(Paths.get(f.stripPrefix("file:")))
     }
     val unledgeredDirs = batchDirs.filterNot(ledgered.contains)
       .map(d => s"$path/$d")
+    // accounting stays in FILE units on both sides (r12 self-review):
+    // unledgered dirs contribute their actual parquet file counts, so
+    // the (filesTotal, filesRead) ratio never overstates skipping on a
+    // mixed table. The walk touches only the rare unledgered dirs.
+    val unledgeredFiles = unledgeredDirs.map { dir =>
+      val p = Paths.get(dir)
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val w = Files.walk(p)
+        try w.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
+        finally w.close()
+      }
+    }.sum
     val residual = ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _) &&
       col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId)
@@ -291,7 +328,7 @@ final class EvolvingTableSink(
         // from the selected files' directory segments
         spark.read.option("basePath", path).schema(fullSchema(meta))
           .parquet(paths: _*).where(residual)
-    (df, total + unledgeredDirs.size, (keep.size + unledgeredDirs.size).toLong)
+    (df, total + unledgeredFiles, keep.size + unledgeredFiles)
   }
 
   def tableSchema: Option[StructType] = readMeta().map(_.schema)

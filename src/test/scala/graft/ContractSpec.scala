@@ -77,10 +77,12 @@ class ContractSpec extends AnyFunSuite {
     // second and carry every declared oracle, parseable as JSON
     val out = java.nio.file.Files.createTempDirectory("graft_sqlonly_")
     graft.engine.util.Fs.deleteOnExit(out)
-    val t0 = System.nanoTime()
+    // the actual contract is "no Spark session" — a wall-clock bound
+    // would flake under the box's documented background-load swings
+    val before = org.apache.spark.sql.SparkSession.getDefaultSession
     Verify.main(Array("--sql-only", out.toString))
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    assert(elapsed < 5.0, f"sql-only dump took $elapsed%.1f s — it must not start Spark")
+    assert(org.apache.spark.sql.SparkSession.getDefaultSession == before,
+      "sql-only mode must not create (or replace) a Spark session")
     val txt = new String(java.nio.file.Files.readAllBytes(
       out.resolve("oracle_sql.json")))
     // strict JSON check via Jackson (the driver json.loads the file)
