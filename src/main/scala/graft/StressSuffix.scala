@@ -72,9 +72,13 @@ object StressSuffix {
     // wordBucket the real pass 1 uses — the leg must validate what
     // ships, not its own exact-boundary derivation
     import graft.engine.ops.SuffixArray
-    val fan = graft.engine.ops.GlobalOrder.fanOf(pos)
+    // the 512 cap mirrors the shipped pass-1 fan (r13: codegen method
+    // limit), and wordBucket now binds the pre-projected _pk column
+    val fan = math.min(512, graft.engine.ops.GlobalOrder.fanOf(pos))
     def hottestShareCol(bucket: org.apache.spark.sql.Column): Double = {
-      val counts = pos.select(bucket.as("_b"))
+      val counts = pos
+        .withColumn("_pk", expr(SuffixArray.PackedPrefixSql))
+        .select(bucket.as("_b"))
         .groupBy(col("_b")).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head
       counts.getLong(0).toDouble / counts.getLong(1)

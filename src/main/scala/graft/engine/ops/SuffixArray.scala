@@ -114,11 +114,28 @@ object SuffixArray {
     // was the only consumer; the equalizer brings it back)
     val pos0 = pos.localCheckpoint()
     passes(pos0, rounds, boundRound, firstKey = "w",
-      firstBucket = Some { df =>
+      firstBucket = Some { (boundarySrc, paired) =>
         val t0 = System.nanoTime()
-        val bnds = wordBoundaries(df, GlobalOrder.fanOf(df))
+        // pass-1 fan capped at 512 (r12 ADVICE #3): the bucket column is
+        // a straight-line sum of `fan-1` literal comparisons, and at
+        // cluster-scale session fans (thousands) the generated
+        // whole-stage method would exceed the 64KB JVM limit and fall
+        // back to interpreted evaluation — recreating the serial
+        // map-side hot spot the straight-line form exists to avoid. 512
+        // buckets equalize pass 1 far beyond this corpus's skew; later
+        // passes keep the uncapped session fan (their bucket expression
+        // is one div, fan-independent).
+        val fan = math.min(512, GlobalOrder.fanOf(boundarySrc))
+        val bnds = wordBoundaries(boundarySrc, fan)
         tlog("pass-1 boundary aggregate", t0)
-        wordBucket(bnds)
+        // the packed prefix is PROJECTED ONCE and each comparison binds
+        // the materialized column (r12 ADVICE #3: the inlined form
+        // re-evaluated PackedPrefixSql twice per CASE term). The
+        // multi-use non-cheap alias blocks CollapseProject from
+        // re-inlining it, so codegen evaluates the prefix once per row.
+        paired.withColumn("_pk", expr(PackedPrefixSql))
+          .withColumn("_b", wordBucket(bnds))
+          .drop("_pk")
       },
       firstSentinel = lit(""),
       initClasses = -1L, initMax = 0L, tlog)
@@ -159,18 +176,20 @@ object SuffixArray {
     }
   }
 
-  /** The row-local bucket column for [[wordBoundaries]] output.
+  /** The row-local bucket column for [[wordBoundaries]] output, over a
+    * pre-projected `_pk` packed-prefix column (see [[ranksFromWords]]).
     * Codegen-friendly boundary count (NOT the filter-HOF GlobalOrder
     * uses): this expression evaluates on the pre-shuffle map side,
     * where the positions frame often sits in only a couple of input
     * partitions — an interpreted lambda there is a serial hot spot
     * (measured ~0.9s at sf0.1), while a straight-line sum of literal
-    * comparisons whole-stage-compiles to nothing.
+    * comparisons over one materialized column whole-stage-compiles to
+    * nothing.
     */
   private[graft] def wordBucket(bnds: Seq[Long]): org.apache.spark.sql.Column =
     if (bnds.isEmpty) lit(0L)
     else expr("CAST(" + bnds.map(b =>
-      s"(CASE WHEN $PackedPrefixSql > $b THEN 1 ELSE 0 END)")
+      s"(CASE WHEN _pk > $b THEN 1 ELSE 0 END)")
       .mkString(" + ") + " AS BIGINT)")
 
   private def mkTlog(): (String, Long) => Unit = {
@@ -180,14 +199,16 @@ object SuffixArray {
   }
 
   /** The shared pass loop: pass 1 may key on a caller-supplied column
-    * (string mode) with its own monotone bucket and sentinel; every
+    * (string mode) with its own monotone bucketing stage and sentinel
+    * (the stage receives (boundary source = pre-pairing frame, paired
+    * frame) and must return the paired frame with `_b` added); every
     * later pass keys on the numeric `rk`. `initClasses` < 0 skips the
     * fixpoint comparison for the first pass (class count of a raw key
     * column is unknown without an extra aggregate).
     */
   private def passes(cur0: DataFrame, rounds: Int, boundRound: Int,
       firstKey: String,
-      firstBucket: Option[DataFrame => org.apache.spark.sql.Column],
+      firstBucket: Option[(DataFrame, DataFrame) => DataFrame],
       firstSentinel: org.apache.spark.sql.Column,
       initClasses: Long, initMax: Long,
       tlog: (String, Long) => Unit): DataFrame = {
@@ -224,10 +245,11 @@ object SuffixArray {
       // The pass-1 boundary closure runs against `cur` (pre-pairing) so
       // its aggregate never re-executes the lead-window shuffle
       val fan = GlobalOrder.fanOf(paired)
-      val bucket = firstBucket.filter(_ => isFirst).map(_(cur))
-        .getOrElse(expr(s"((rk - 1) * $fan) div $mx"))
-      val local = paired
-        .withColumn("_b", bucket)
+      val bucketed = firstBucket.filter(_ => isFirst) match {
+        case Some(fb) => fb(cur, paired)
+        case None => paired.withColumn("_b", expr(s"((rk - 1) * $fan) div $mx"))
+      }
+      val local = bucketed
         .withColumn("_lrk", rank().over(
           Window.partitionBy(col("_b")).orderBy(keys: _*)).cast("long"))
         .localCheckpoint()

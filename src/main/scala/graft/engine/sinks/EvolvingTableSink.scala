@@ -30,7 +30,21 @@ import org.apache.spark.sql.types._
   *     data is written;
   *   - batch-level exactly-once (reference README.md:41): the sidecar
   *     records the last committed batchId; a replayed foreachBatch id
-  *     (checkpoint recovery) is skipped instead of double-appended.
+  *     (checkpoint recovery) is skipped instead of double-appended;
+  *   - snapshots with per-snapshot SCHEMA history (r13): every commit
+  *     appends a commit-log line, schema-changing commits also log the
+  *     schema, so [[readAsOf]] returns both the rows AND the schema the
+  *     table had at that snapshot (Iceberg snapshot + schema-id
+  *     semantics);
+  *   - maintenance (r13, the gap the reference README names explicitly
+  *     at /root/reference/README.md:74-80): [[compactBatches]] rewrites
+  *     many small committed batch dirs into one (Iceberg
+  *     rewrite_data_files — old dirs stay readable for as-of until
+  *     expiry), [[expireSnapshots]] truncates history and deletes dirs
+  *     no retained snapshot references (Iceberg expire_snapshots). At
+  *     100 TB stream lifetime these bound the small-files and
+  *     metadata-growth failure modes a per-micro-batch append otherwise
+  *     guarantees.
   *
   * At 100 TB the day-partitioned append is the same layout Iceberg
   * produces underneath; the sidecar plays the metadata role for this
@@ -44,6 +58,7 @@ final class EvolvingTableSink(
   private val BatchCol = "_batch_id"
   private def metaPath: Path = Paths.get(path, "_graft_meta.json")
   private def commitLogPath: Path = Paths.get(path, "_graft_commits.log")
+  private def schemaLogPath: Path = Paths.get(path, "_graft_schemas.log")
 
   // ---- metadata sidecar -------------------------------------------------
 
@@ -124,23 +139,12 @@ final class EvolvingTableSink(
   def isCommitted(batchId: Long): Boolean =
     batchId >= 0 && readMeta().exists(batchId <= _.lastBatchId)
 
-  /** Append one micro-batch. Returns false when the batchId was already
-    * committed (checkpoint replay) and nothing was written.
-    *
-    * Idempotence: data lands under a per-batch partition directory
-    * (`_batch_id=N`) which is wiped before writing, so a crash between
-    * the data append and the sidecar commit leaves a partial dir that the
-    * replay deletes and rewrites — no double-append (the sidecar marker
-    * alone could not guarantee that; SURVEY.md §7.4's idempotent
-    * per-batch overwrite). Backfills (no batchId) write under negative
-    * ids from their own sequence, never touching the streaming marker.
+  /** The shared physical append: wipe the target batch dir (idempotent
+    * replay unit), write the aligned day-partitioned data, append the
+    * per-batch file-stats ledger. Used by [[write]] and
+    * [[compactBatches]] so the two can never drift on layout.
     */
-  def write(df: DataFrame, batchId: Long = -1L): Boolean = {
-    val meta = readMeta()
-    if (meta.exists(m => batchId >= 0 && batchId <= m.lastBatchId)) return false
-    val merged = meta.map(m => evolve(m.schema, df.schema)).getOrElse(df.schema)
-    val effectiveId =
-      if (batchId >= 0) batchId else meta.map(_.nextBackfillId).getOrElse(-1L)
+  private def appendDir(df: DataFrame, merged: StructType, effectiveId: Long): Unit = {
     graft.engine.util.Fs.deleteRecursively(Paths.get(path, s"$BatchCol=$effectiveId"))
     align(df, merged)
       .withColumn(PartitionCol, to_date(col(timestampCol)))
@@ -160,6 +164,26 @@ final class EvolvingTableSink(
     graft.engine.ops.StatsManifest.appendBatchStats(df.sparkSession,
       Paths.get(path, s"$BatchCol=$effectiveId").toString, path,
       s"$BatchCol=$effectiveId", integralCols)
+  }
+
+  /** Append one micro-batch. Returns false when the batchId was already
+    * committed (checkpoint replay) and nothing was written.
+    *
+    * Idempotence: data lands under a per-batch partition directory
+    * (`_batch_id=N`) which is wiped before writing, so a crash between
+    * the data append and the sidecar commit leaves a partial dir that the
+    * replay deletes and rewrites — no double-append (the sidecar marker
+    * alone could not guarantee that; SURVEY.md §7.4's idempotent
+    * per-batch overwrite). Backfills (no batchId) write under negative
+    * ids from their own sequence, never touching the streaming marker.
+    */
+  def write(df: DataFrame, batchId: Long = -1L): Boolean = {
+    val meta = readMeta()
+    if (meta.exists(m => batchId >= 0 && batchId <= m.lastBatchId)) return false
+    val merged = meta.map(m => evolve(m.schema, df.schema)).getOrElse(df.schema)
+    val effectiveId =
+      if (batchId >= 0) batchId else meta.map(_.nextBackfillId).getOrElse(-1L)
+    appendDir(df, merged, effectiveId)
     // Snapshot commit log (r12): one `<seq> <effectiveId>` line per
     // COMMITTED write, the Iceberg-snapshot stand-in that makes as-of
     // reads real (backfills interleave with streaming ids in COMMIT
@@ -170,13 +194,17 @@ final class EvolvingTableSink(
     // (the [[snapshots]] reader is last-line-wins per id, keeping this
     // append O(1) instead of rewriting the whole log per commit); the
     // reverse order would permanently drop a committed batch from
-    // every snapshot. An uncommitted log line is harmless: [[readAsOf]]
-    // intersects with committed visibility.
-    val seq = rawLogLines.lastOption.map(_._1 + 1).getOrElse(1L)
-    Files.write(commitLogPath,
-      s"$seq $effectiveId\n".getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    // every snapshot. An uncommitted log line is harmless: every read
+    // path intersects with committed visibility.
+    val seq = nextSeq()
+    // Schema history (r13, the r12 honest delta): schema-changing
+    // commits log the NEW merged schema under this snapshot seq, BEFORE
+    // the commit line (a schema line whose commit never lands is
+    // superseded by the replay's re-append at the same seq — the reader
+    // is last-entry-wins per seq), so [[schemaAt]]/[[readAsOf]] can
+    // return the historical schema, not just historical rows.
+    if (meta.forall(_.schema != merged)) appendSchemaLine(seq, merged)
+    appendCommitLine(seq, effectiveId, Nil)
     writeMeta(Meta(merged,
       lastBatchId = if (batchId >= 0) batchId else meta.map(_.lastBatchId).getOrElse(-1L),
       nextBackfillId = if (batchId >= 0) meta.map(_.nextBackfillId).getOrElse(-1L)
@@ -184,42 +212,199 @@ final class EvolvingTableSink(
     true
   }
 
-  private def rawLogLines: Seq[(Long, Long)] =
+  // ---- snapshot log -----------------------------------------------------
+
+  /** One commit-log entry: snapshot `seq` added batch dir `id`;
+    * compaction entries also list the dir ids the new dir `replaces`.
+    */
+  private case class LogEntry(seq: Long, id: Long, replaces: Seq[Long])
+
+  private val LogLineRe =
+    "^(\\d+) (-?\\d+)( replaces=(-?\\d+(,-?\\d+)*))?$".r
+
+  private def nextSeq(): Long =
+    rawLogLines.map(_.seq).maxOption.map(_ + 1).getOrElse(1L)
+
+  /** Append one line, healing a torn predecessor first: a crash
+    * mid-append leaves a line WITHOUT its newline, and a plain append
+    * would then concatenate the new line onto the torn one — losing a
+    * COMMITTED entry to the tolerant reader's skip (worse than the torn
+    * line itself, which is by construction uncommitted). One terminal
+    * byte is checked per append; the log stays O(1) per commit.
+    */
+  private def appendLogLine(p: Path, line: String): Unit = {
+    val needsNl = Files.exists(p) && Files.size(p) > 0 && {
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1)
+        ch.read(buf, Files.size(p) - 1)
+        buf.get(0) != '\n'.toByte
+      } finally ch.close()
+    }
+    Files.write(p,
+      ((if (needsNl) "\n" else "") + line + "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  private def appendCommitLine(seq: Long, id: Long, replaces: Seq[Long]): Unit = {
+    val suffix =
+      if (replaces.isEmpty) "" else replaces.mkString(" replaces=", ",", "")
+    appendLogLine(commitLogPath, s"$seq $id$suffix")
+  }
+
+  /** Tolerant log read (r12 ADVICE): a crash mid-append can tear the
+    * LAST line (`7` / `7 ` / half a digit). A torn line is by
+    * construction an uncommitted attempt — its sidecar commit never ran
+    * — so skipping every non-matching line is safe and self-healing
+    * (the replay re-appends a whole line); throwing would brick every
+    * subsequent write/read with no recovery path, the exact failure
+    * class the r12 tmp+atomic-move fixed for the meta sidecar.
+    */
+  private def rawLogLines: Seq[LogEntry] =
     if (!Files.exists(commitLogPath)) Nil
     else new String(Files.readAllBytes(commitLogPath), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(s, id) = line.split(" ", 2)
-        (s.toLong, id.toLong)
+      .split("\n").toSeq.collect {
+        case LogLineRe(s, id, _, reps, _) =>
+          LogEntry(s.toLong, id.toLong,
+            Option(reps).map(_.split(",").toSeq.map(_.toLong)).getOrElse(Nil))
       }
 
-  /** Committed snapshots in commit order: (snapshot seq, batch dir id).
-    * Last line WINS per batch id: a crash-replayed batch appends a
-    * fresh line, superseding the failed attempt's — the same id never
-    * legitimately commits twice (the sidecar guard), so earlier lines
-    * for it are by construction failed attempts.
+  /** Effective entries: last line WINS per batch id (a crash-replayed
+    * batch appends a fresh line superseding the failed attempt's — the
+    * same id never legitimately commits twice, the sidecar guard), in
+    * seq order. Stable within equal seqs (expiry's baseline lines share
+    * one seq; they are all adds, so their relative order is free).
     */
-  def snapshots: Seq[(Long, Long)] =
-    rawLogLines.groupBy(_._2).values.map(_.last).toSeq.sortBy(_._1)
+  private def effectiveEntries: Seq[LogEntry] = {
+    val lines = rawLogLines
+    val last = lines.zipWithIndex.groupBy(_._1.id).values.map(_.last).toSeq
+    last.sortBy { case (e, i) => (e.seq, i) }.map(_._1)
+  }
+
+  /** Entries whose own dir id is COMMITTED. The commit line lands before
+    * the sidecar commit, so a crash window can leave a logged-but-
+    * uncommitted entry — neither its ADD nor its REPLACES may take
+    * effect until the replay commits (an uncommitted compaction's
+    * `replaces` would otherwise hide committed rows — data loss).
+    */
+  private def committedEntries(m: Meta): Seq[LogEntry] =
+    effectiveEntries.filter(e =>
+      e.id >= m.nextBackfillId + 1 && e.id <= m.lastBatchId)
+
+  private def visibleFold(entries: Seq[LogEntry]): Seq[Long] = {
+    val vis = scala.collection.mutable.LinkedHashSet[Long]()
+    entries.foreach { e => vis += e.id; e.replaces.foreach(vis -= _) }
+    vis.toSeq
+  }
+
+  /** Committed snapshots in commit order: (snapshot seq, batch dir id
+    * that commit added).
+    */
+  def snapshots: Seq[(Long, Long)] = readMeta() match {
+    case None => Nil
+    case Some(m) => committedEntries(m).map(e => (e.seq, e.id))
+  }
+
+  /** Committed snapshot seqs, ascending (the catalog's time-travel
+    * surface enumerates these).
+    */
+  def snapshotSeqs: Seq[Long] = snapshots.map(_._1).distinct
+
+  /** Batch dir ids visible in snapshot `seq` (committed adds minus
+    * committed replaces, folded in commit order).
+    */
+  def visibleIdsAsOf(seq: Long): Seq[Long] = readMeta() match {
+    case None => Nil
+    case Some(m) => visibleFold(committedEntries(m).filter(_.seq <= seq))
+  }
+
+  /** Dir ids replaced by committed compactions — excluded from the
+    * CURRENT table but kept on disk for as-of reads until
+    * [[expireSnapshots]] deletes them.
+    */
+  def replacedBatchIds: Seq[Long] = readMeta() match {
+    case None => Nil
+    case Some(m) => committedEntries(m).flatMap(_.replaces).distinct
+  }
+
+  // ---- schema history ---------------------------------------------------
+
+  private def appendSchemaLine(seq: Long, schema: StructType): Unit = {
+    Files.createDirectories(Paths.get(path))
+    appendLogLine(schemaLogPath, s"$seq ${schema.json}")
+  }
+
+  /** Tolerant schema-log read: (seq, schema) in file order. Torn or
+    * unparseable lines are skipped for the same reason as
+    * [[rawLogLines]] — a torn line's commit never landed, and its
+    * replay re-appends a whole line at the same seq (last wins).
+    */
+  private def schemaLogEntries: Seq[(Long, StructType)] =
+    if (!Files.exists(schemaLogPath)) Nil
+    else new String(Files.readAllBytes(schemaLogPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.flatMap { line =>
+        val cut = line.indexOf(' ')
+        if (cut <= 0) None
+        else scala.util.Try {
+          (line.substring(0, cut).toLong,
+            DataType.fromJson(line.substring(cut + 1)).asInstanceOf[StructType])
+        }.toOption
+      }
+
+  /** The table schema as of snapshot `seq`: the last schema logged at or
+    * before it. Tables created before the schema log existed fall back
+    * to the current schema (the pre-r13 behavior, now confined to
+    * pre-upgrade history).
+    */
+  def schemaAt(seq: Long): StructType = {
+    val m = readMeta().getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    schemaLogEntries.filter(_._1 <= seq).lastOption.map(_._2).getOrElse(m.schema)
+  }
+
+  // ---- read paths ---------------------------------------------------------
 
   /** Snapshot (as-of) read: the table as it stood after commit `seq` —
-    * exactly the batch dirs committed by then, in COMMIT order (a
-    * backfill committed after a streaming batch is excluded from
-    * earlier snapshots even though its id is lower). One honest delta
-    * from real Iceberg: rows come back under the CURRENT evolved
-    * schema (old files up-cast/null-fill), not the snapshot's
-    * historical schema — the sidecar stores only the latest schema.
+    * exactly the batch dirs visible then, in COMMIT order (a backfill
+    * committed after a streaming batch is excluded from earlier
+    * snapshots even though its id is lower), under the HISTORICAL
+    * schema (r13): rows are read under the current evolved schema —
+    * every visible file conforms to it — then projected/down-cast to
+    * the schema logged at `seq`. Evolution is monotone (adds + widens
+    * only), so every visible row fits the historical schema exactly and
+    * the down-cast is value-exact.
     */
   def readAsOf(spark: SparkSession, seq: Long): DataFrame = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
-    val visible = snapshots.filter(_._1 <= seq).map(_._2)
-    // intersect with COMMITTED visibility: the log line lands before
-    // the sidecar commit, so a crash window can leave a logged-but-
-    // uncommitted id — its rows must stay invisible until the replay
-    // commits (the same guarantee read() gives partial batch dirs)
-    spark.read.schema(fullSchema(meta)).parquet(path)
-      .where(col(BatchCol).isin(visible: _*) &&
-        col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId))
+    if (!Files.exists(commitLogPath)) {
+      // pre-log table (r12 ADVICE): committed data, no commit log —
+      // `snapshots` is empty, so every seq would silently read zero
+      // rows. The latest snapshot is still well-defined (the committed
+      // read); any historical seq is unanswerable.
+      if (seq == Long.MaxValue) return read(spark)
+      throw new IllegalStateException(
+        s"no snapshot history at $path (table predates the commit log); " +
+          "only readAsOf(Long.MaxValue) is answerable")
+    }
+    val entries = committedEntries(meta)
+    val firstSeq = entries.headOption.map(_.seq).getOrElse(1L)
+    if (seq < firstSeq && firstSeq > 1)
+      throw new IllegalStateException(
+        s"snapshot $seq at $path has been expired (earliest retained: $firstSeq)")
+    val visible = visibleFold(entries.filter(_.seq <= seq))
+    val hist = schemaAt(seq)
+    val projection = hist.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq ++
+      Seq(col(BatchCol), col(PartitionCol))
+    if (visible.isEmpty)
+      spark.read.schema(fullSchema(meta)).parquet(path)
+        .where(lit(false)).select(projection: _*)
+    else
+      spark.read.schema(fullSchema(meta)).parquet(path)
+        .where(col(BatchCol).isin(visible: _*)).select(projection: _*)
   }
 
   /** The read schema: the evolved data schema plus the two hidden
@@ -234,13 +419,19 @@ final class EvolvingTableSink(
     * columns up-cast/null-filled by the parquet reader). Only COMMITTED
     * batches are visible: an uncommitted partial dir left by a crash
     * (data appended, sidecar not yet updated) is filtered out until its
-    * replay rewrites it.
+    * replay rewrites it; dirs a committed compaction replaced are
+    * excluded too (their rows live on in the compacted dir). The
+    * replaced-id exclusion is empty for never-compacted tables, so the
+    * steady-path plan is the same cheap range filter as before.
     */
   def read(spark: SparkSession): DataFrame = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
-    spark.read.schema(fullSchema(meta)).parquet(path)
+    val base = spark.read.schema(fullSchema(meta)).parquet(path)
       .where(col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId))
+    val replaced = replacedBatchIds
+    if (replaced.isEmpty) base
+    else base.where(!col(BatchCol).isin(replaced: _*))
   }
 
   /** Manifest-planned read for the box predicate
@@ -249,14 +440,18 @@ final class EvolvingTableSink(
     * bounds cannot overlap are never opened; files predating a column
     * are conservatively read — the Iceberg missing-stats rule), applies
     * the predicate as the residual filter, and keeps [[read]]'s
-    * committed-only visibility. Returns the frame plus (filesTotal,
-    * filesRead) accounting. Value-identical to
+    * committed-only visibility (including the replaced-dir exclusion
+    * after compaction). Returns the frame plus (filesTotal, filesRead)
+    * accounting; until expiry deletes them, a replaced dir's ledger
+    * rows still count toward filesTotal (they are planned over and
+    * skipped for visibility, not by bounds). Value-identical to
     * `read(spark).where(predicate)` for any data.
     */
   def prunedRead(spark: SparkSession,
       ranges: Seq[(String, Long, Long)]): (DataFrame, Long, Long) = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    val replaced = replacedBatchIds.toSet
     // ledger coverage is per BATCH DIR: any committed batch dir WITHOUT
     // a ledger entry (pre-ledger table, empty-batch skip, or a missing
     // _manifest dir entirely) is conservatively read WHOLE — the same
@@ -291,17 +486,22 @@ final class EvolvingTableSink(
     // stay one-object, the reason the ledger exists)
     val batchIdRe = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(BatchCol) + "=(-?\\d+)/")
-    def committed(f: String): Boolean = {
+    def dirId(f: String): Option[Long] = {
       val m = batchIdRe.matcher(f)
-      m.find() && {
-        val id = m.group(1).toLong
-        id >= meta.nextBackfillId + 1 && id <= meta.lastBatchId
+      if (m.find()) Some(m.group(1).toLong) else None
+    }
+    def inRange(id: Long): Boolean =
+      id >= meta.nextBackfillId + 1 && id <= meta.lastBatchId
+    val keep = keep0.filter { f =>
+      dirId(f) match {
+        case Some(id) if inRange(id) => !replaced.contains(id)
+        case _ => Files.exists(Paths.get(f.stripPrefix("file:")))
       }
     }
-    val keep = keep0.filter { f =>
-      committed(f) || Files.exists(Paths.get(f.stripPrefix("file:")))
-    }
     val unledgeredDirs = batchDirs.filterNot(ledgered.contains)
+      .filterNot { d =>
+        dirId(d + "/").exists(replaced.contains)
+      }
       .map(d => s"$path/$d")
     // accounting stays in FILE units on both sides (r12 self-review):
     // unledgered dirs contribute their actual parquet file counts, so
@@ -316,9 +516,12 @@ final class EvolvingTableSink(
         finally w.close()
       }
     }.sum
-    val residual = ranges.map { case (c, lo, hi) =>
+    val residualBase = ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _) &&
       col(BatchCol).between(meta.nextBackfillId + 1, meta.lastBatchId)
+    val residual =
+      if (replaced.isEmpty) residualBase
+      else residualBase && !col(BatchCol).isin(replaced.toSeq: _*)
     val paths = keep ++ unledgeredDirs
     val df =
       if (paths.isEmpty)
@@ -336,8 +539,121 @@ final class EvolvingTableSink(
   /** Inclusive `_batch_id` range of COMMITTED data (backfills use the
     * negative id sequence below the low bound, streaming batches the
     * non-negative ids up to the high bound). Catalog registration uses
-    * this to publish the same committed-only visibility `read` enforces.
+    * this (plus [[replacedBatchIds]]) to publish the same committed-only
+    * visibility `read` enforces.
     */
   def committedBatchRange: Option[(Long, Long)] =
     readMeta().map(m => (m.nextBackfillId + 1, m.lastBatchId))
+
+  // ---- maintenance (r13) --------------------------------------------------
+
+  /** Compaction (Iceberg rewrite_data_files; the maintenance gap the
+    * reference names at README.md:74-80): rewrite every batch dir
+    * visible in the CURRENT table whose commit seq is <= `upToSeq` into
+    * ONE new committed dir of `files`-ish parquet files per day. The
+    * old dirs stay on disk — every pre-compaction snapshot remains
+    * as-of-readable — until [[expireSnapshots]] drops them; the current
+    * read excludes them via the commit line's `replaces` list. The
+    * logical table is unchanged (same rows, same schema — `_batch_id`
+    * values move to the new dir's id), so callers' value-identity
+    * holds on every data column.
+    *
+    * Returns the new snapshot seq, or None when fewer than two dirs
+    * qualify (nothing to compact). Crash-safe like [[write]]: the new
+    * dir + ledger + log line land before the sidecar commit, and an
+    * uncommitted compaction line's add AND replaces are both ignored
+    * by every reader until a retry commits under a fresh backfill id.
+    */
+  def compactBatches(spark: SparkSession, upToSeq: Long = Long.MaxValue,
+      files: Int = 4): Option[Long] = {
+    val meta = readMeta()
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    val entries = committedEntries(meta)
+    val visibleNow = visibleFold(entries).toSet
+    val targets = entries.collect {
+      case e if e.seq <= upToSeq && visibleNow(e.id) => e.id
+    }
+    if (targets.size < 2) return None
+    val newId = meta.nextBackfillId
+    // coalesce (narrow, no shuffle) bounds output files at `files` per
+    // task-held day partition — the whole point is fewer, bigger files
+    val rows = read(spark)
+      .where(col(BatchCol).isin(targets: _*))
+      .drop(BatchCol, PartitionCol)
+      .coalesce(math.max(1, files))
+    appendDir(rows, meta.schema, newId)
+    val seq = nextSeq()
+    // no schema line: compaction rewrites DATA under the unchanged
+    // current schema (schemaAt(seq) resolves to the latest logged one)
+    appendCommitLine(seq, newId, targets)
+    writeMeta(meta.copy(nextBackfillId = newId - 1))
+    Some(seq)
+  }
+
+  /** Snapshot expiry (Iceberg expire_snapshots): retain only the last
+    * `keepLast` snapshots. The commit log is truncated to a BASELINE —
+    * the oldest retained snapshot's visible set materialized as adds at
+    * its seq — plus the younger entries verbatim, so every retained
+    * snapshot folds to exactly the same visible set as before; batch
+    * dirs (and their ledger entries) no retained snapshot references
+    * are deleted. [[readAsOf]] of an expired seq then THROWS (earliest
+    * retained seq is in the message) instead of answering wrong.
+    * Uncommitted dirs are left alone: they belong to an in-flight
+    * replay that will wipe and rewrite them itself.
+    *
+    * Returns the deleted batch dir ids.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val meta = readMeta()
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    val entries = committedEntries(meta)
+    val seqs = entries.map(_.seq).distinct.sorted
+    if (seqs.size <= keepLast) return Nil
+    val cut = seqs(seqs.size - keepLast) // oldest retained snapshot seq
+    // baseline = the visible set AT the cut snapshot (the cut entry is
+    // subsumed into it); younger entries replay verbatim on top. Live =
+    // exactly the union of every retained snapshot's visible set: the
+    // retained seqs are the contiguous suffix >= cut, so that union is
+    // visible-at-cut plus the ids the younger entries add — an id only
+    // a pre-cut snapshot could see is provably unreachable and its dir
+    // is deleted.
+    val baseline = visibleFold(entries.filter(_.seq <= cut))
+    val kept = entries.filter(_.seq > cut)
+    val live = (baseline ++ kept.map(_.id)).toSet
+    // rewrite the log atomically (tmp+move, the sidecar discipline)
+    val lines = baseline.map(id => s"$cut $id") ++ kept.map { e =>
+      val suffix =
+        if (e.replaces.isEmpty) "" else e.replaces.mkString(" replaces=", ",", "")
+      s"${e.seq} ${e.id}$suffix"
+    }
+    val tmp = Paths.get(path, "_graft_commits.log.tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, commitLogPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // delete orphaned committed dirs + their ledger entries
+    val dirRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(BatchCol) + "=(-?\\d+)$")
+    val deleted = Seq.newBuilder[Long]
+    val listing = Files.list(Paths.get(path))
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val d = it.next()
+        val m = dirRe.matcher(d.getFileName.toString)
+        if (Files.isDirectory(d) && m.matches()) {
+          val id = m.group(1).toLong
+          val committed = id >= meta.nextBackfillId + 1 && id <= meta.lastBatchId
+          if (committed && !live.contains(id)) {
+            graft.engine.util.Fs.deleteRecursively(d)
+            graft.engine.util.Fs.deleteRecursively(
+              Paths.get(path, "_manifest", d.getFileName.toString))
+            deleted += id
+          }
+        }
+      }
+    } finally listing.close()
+    deleted.result()
+  }
 }

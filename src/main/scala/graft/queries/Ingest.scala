@@ -365,6 +365,24 @@ object Ingest extends QueryPack {
         }
         run() // first pass: parse -> route -> bronze + dead letters
         run() // restart on the same checkpoint: replay must be a no-op
+        // Maintenance leg (r13, the gap the reference README names at
+        // README.md:74-80): two tiny BACKFILL appends guarantee >= 3
+        // snapshots regardless of how AvailableNow batched the files,
+        // then the full compaction + snapshot-expiry cycle runs UNDER
+        // THE ORACLE GATE — the compacted+expired table must read back
+        // value-identical (the oracle re-derives the same rows with no
+        // idea maintenance happened), so a compaction that dropped,
+        // doubled, or mutated a row fails the driver's hash compare.
+        val extra = s.sql(
+          """SELECT user_id, event_id, CAST(ts_s AS TIMESTAMP) AS event_timestamp,
+            |       event_type, product_id
+            |FROM VALUES ('u9', 'e90', '2024-02-01 08:00:00', 'page_view', CAST(NULL AS STRING)),
+            |            ('u9', 'e91', '2024-02-01 09:00:00', 'purchase', 'p9')
+            |  AS t(user_id, event_id, ts_s, event_type, product_id)""".stripMargin)
+        sink.write(extra.where(col("event_id") === "e90"))
+        sink.write(extra.where(col("event_id") === "e91"))
+        sink.compactBatches(s)
+        sink.expireSnapshots(keepLast = 1)
         val bronze = sink.read(s)
           .select(lit("bronze").as("kind"),
             concat_ws("|", col("user_id"), col("event_id"), col("event_type"),
@@ -386,6 +404,10 @@ object Ingest extends QueryPack {
                  coalesce(json_extract_string(rec, '$$.product_id'), '-')) AS k,
                epoch_us(TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP)) AS v
         FROM cls WHERE reason = 'valid'
+        UNION ALL
+        SELECT 'bronze' AS kind, k, v FROM (VALUES
+          ('u9|e90|page_view|-', epoch_us(TIMESTAMP '2024-02-01 08:00:00')),
+          ('u9|e91|purchase|p9', epoch_us(TIMESTAMP '2024-02-01 09:00:00'))) AS bf(k, v)
         UNION ALL
         SELECT 'dead:' || reason AS kind, reason AS k,
                CAST(count(*) AS BIGINT) AS v
@@ -432,27 +454,57 @@ object Ingest extends QueryPack {
           }
         land("v1", evoBatchesV1)
         run(v1Schema)        // generation 1: table created WITHOUT product_id
+        val gen1Seq = sink.snapshotSeqs.max // last gen-1 snapshot
         land("v2", evoBatchesV2)
         run(EventSchema.schema) // generation 2: evolve adds product_id
         run(EventSchema.schema) // restart: replay must be a no-op
-        sink.read(s)
-          .select(col("user_id"), col("event_id"), col("event_type"),
+        val current = sink.read(s)
+          .select(lit("current").as("kind"),
+            col("user_id"), col("event_id"), col("event_type"),
             coalesce(col("product_id"), lit("-")).as("product_id"),
             Q.epochUs(col("event_timestamp")).as("ts_us"))
-          .orderBy(col("event_id"))
+        // As-of leg (r13, schema history under the oracle gate): the
+        // gen-1 snapshot must return ONLY gen-1 rows AND the gen-1
+        // SCHEMA — if product_id leaks into the historical read, the
+        // sentinel literal flips and the driver's hash compare fails
+        // (the oracle pins '-' for every as-of row).
+        val asOf = sink.readAsOf(s, gen1Seq)
+        val histSentinel =
+          if (asOf.columns.contains("product_id")) "SCHEMA_LEAK" else "-"
+        val asOfRows = asOf
+          .select(lit("asof_gen1").as("kind"),
+            col("user_id"), col("event_id"), col("event_type"),
+            lit(histSentinel).as("product_id"),
+            Q.epochUs(col("event_timestamp")).as("ts_us"))
+        current.unionByName(asOfRows)
+          .orderBy(col("kind"), col("event_id"))
       },
       Some {
-        val vals = (evoBatchesV1 ++ evoBatchesV2)
-          .map(b => s"('${b}')").mkString(", ")
+        def recsSql(name: String, bs: Seq[String]) = {
+          val vals = bs.map(b => s"('${b}')").mkString(", ")
+          s"""$name AS (SELECT unnest(TRY_CAST(value AS JSON[])) AS rec
+             |FROM (VALUES $vals) AS r(value))""".stripMargin
+        }
         s"""
-        WITH raw(value) AS (VALUES $vals),
-        recs AS (SELECT unnest(TRY_CAST(value AS JSON[])) AS rec FROM raw)
-        SELECT json_extract_string(rec, '$$.user_id') AS user_id,
+        WITH ${recsSql("recs1", evoBatchesV1)},
+             ${recsSql("recs2", evoBatchesV2)},
+        allrecs AS (SELECT rec FROM recs1 UNION ALL SELECT rec FROM recs2)
+        SELECT 'current' AS kind,
+               json_extract_string(rec, '$$.user_id') AS user_id,
                json_extract_string(rec, '$$.event_id') AS event_id,
                json_extract_string(rec, '$$.event_type') AS event_type,
                coalesce(json_extract_string(rec, '$$.product_id'), '-') AS product_id,
                epoch_us(TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP)) AS ts_us
-        FROM recs ORDER BY event_id"""
+        FROM allrecs
+        UNION ALL
+        SELECT 'asof_gen1' AS kind,
+               json_extract_string(rec, '$$.user_id') AS user_id,
+               json_extract_string(rec, '$$.event_id') AS event_id,
+               json_extract_string(rec, '$$.event_type') AS event_type,
+               '-' AS product_id,
+               epoch_us(TRY_CAST(json_extract_string(rec, '$$.event_timestamp') AS TIMESTAMP)) AS ts_us
+        FROM recs1
+        ORDER BY kind, event_id"""
       }),
 
     // Event-time tumbling windows through the REAL streaming runtime

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Load-robust perf-regression gate (r12 VERDICT #1): a REAL slowdown
+  * must survive the serial re-measure; a load artifact (fast on
+  * re-measure) must be demoted; the r12 false-positive shape — every
+  * flag returning to baseline — must report zero regressions.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private def timeIt(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  test("flag rule: >2x AND >0.3s absolute; sub-floor ratios are noise") {
+    assert(BenchGate.isRegression(prior = 1.0, now = 2.5))
+    assert(!BenchGate.isRegression(prior = 1.0, now = 1.9)) // < 2x
+    assert(!BenchGate.isRegression(prior = 0.05, now = 0.2)) // 4x but sub-floor
+    assert(!BenchGate.isRegression(prior = -1.0, now = 5.0)) // failed prior
+    assert(!BenchGate.isRegression(prior = 1.0, now = -1.0)) // failed run
+  }
+
+  test("an injected REAL slowdown still trips after re-measure") {
+    // the query genuinely got slow: prior 0.1s, and the re-measure
+    // actually TAKES ~0.6s of wall clock (a real injected delay, not a
+    // stub number) — adjudication must confirm the flag
+    val prior = Map("q_slow" -> 0.1)
+    val results = Map("q_slow" -> 0.65)
+    val flags = BenchGate.adjudicate(results, prior,
+      remeasure = _ => timeIt(Thread.sleep(600)))
+    assert(flags.size == 1)
+    assert(flags.head.confirmed, s"real slowdown was demoted: ${flags.head}")
+    assert(flags.head.now > 0.5, "re-measured timing must be the real delay")
+  }
+
+  test("a load artifact is demoted when the serial re-measure returns to baseline") {
+    // the r12 failure shape: main pass inflated 9x by box load, serial
+    // re-measure lands back at the committed baseline
+    val prior = Map("events_rfm" -> 0.86, "attribution" -> 0.51)
+    val results = Map("events_rfm" -> 7.16, "attribution" -> 2.84)
+    val flags = BenchGate.adjudicate(results, prior,
+      remeasure = Map("events_rfm" -> 0.88, "attribution" -> 0.53))
+    assert(flags.size == 2)
+    assert(flags.forall(!_.confirmed), s"load artifacts not demoted: $flags")
+    // the artifact reports the adjudicated (re-measured) number, not
+    // the inflated main-pass one
+    assert(flags.forall(f => f.now < 1.0))
+    // and the demotion keeps the evidence: first + remeasured recorded
+    assert(flags.forall(f => f.first > 2.0 && f.remeasured < 1.0))
+  }
+
+  test("a failed re-measure cannot demote (keeps the main-pass flag)") {
+    val flags = BenchGate.adjudicate(
+      Map("q" -> 5.0), Map("q" -> 1.0), remeasure = _ => -1.0)
+    assert(flags.size == 1 && flags.head.confirmed)
+    assert(flags.head.now == 5.0)
+  }
+
+  test("candidates are ordered worst absolute move first") {
+    val prior = Map("a" -> 1.0, "b" -> 0.5, "c" -> 1.0)
+    val results = Map("a" -> 3.0, "b" -> 4.0, "c" -> 1.1)
+    assert(BenchGate.candidates(results, prior).map(_._1) == Seq("b", "a"))
+  }
+}

@@ -54,4 +54,61 @@ class CatalogsSpec extends AnyFunSuite {
     spark.sql("DROP VIEW graft_bronze.events")
     spark.sql("DROP TABLE graft_bronze.events_files")
   }
+
+  test("SQL time travel: per-snapshot views carry historical rows AND schema") {
+    val dir = Files.createTempDirectory("graft_cat_tt").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    val v1 = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("qty", IntegerType, nullable = true),
+      StructField("event_timestamp", TimestampType, nullable = false)))
+    sink.write(spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", Integer.valueOf(1),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))), v1), batchId = 0)
+    // snapshot 2 widens qty and adds a column
+    val v2 = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("qty", LongType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("event_timestamp", TimestampType, nullable = false)))
+    sink.write(spark.createDataFrame(java.util.Arrays.asList(
+      Row("b", java.lang.Long.valueOf(2L), "web",
+        java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))), v2), batchId = 1)
+
+    Catalogs.ensureNamespace(spark, "graft_tt")
+    Catalogs.registerTable(spark, "graft_tt.events", sink)
+    val views = Catalogs.registerSnapshots(spark, "graft_tt.events", sink)
+    assert(views == Seq("graft_tt.events_at_1", "graft_tt.events_at_2"))
+
+    // two different snapshots read back through plain spark.sql
+    val at1 = spark.table("graft_tt.events_at_1")
+    assert(!at1.columns.contains("source"),
+      "snapshot-1 view must carry the historical schema")
+    assert(at1.schema("qty").dataType == IntegerType)
+    assert(spark.sql("SELECT id FROM graft_tt.events_at_1 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(spark.sql(
+      "SELECT id, source FROM graft_tt.events_at_2 ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", null), ("b", "web")))
+    assert(spark.table("graft_tt.events_at_2").schema("qty").dataType == LongType)
+
+    // after a compaction, re-registration keeps both current and as-of
+    // SQL surfaces consistent with the sink's own readers
+    assert(sink.compactBatches(spark).isDefined)
+    Catalogs.registerTable(spark, "graft_tt.events", sink)
+    Catalogs.registerSnapshots(spark, "graft_tt.events", sink)
+    assert(spark.sql("SELECT count(*) FROM graft_tt.events")
+      .collect().head.getLong(0) == 2,
+      "replaced dirs leaked through the current view after compaction")
+    assert(spark.sql("SELECT id FROM graft_tt.events_at_1")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(spark.sql("SELECT count(*) FROM graft_tt.events_at_3")
+      .collect().head.getLong(0) == 2)
+
+    views.foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+    spark.sql("DROP VIEW IF EXISTS graft_tt.events_at_3")
+    spark.sql("DROP VIEW graft_tt.events")
+    spark.sql("DROP TABLE graft_tt.events_files")
+  }
 }

@@ -237,4 +237,153 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     // the replay REPLACED batch 1's log line (no duplicate id entries)
     assert(sink.snapshots.map(_._2).count(_ == 1L) == 1)
   }
+
+  private def row3(id: String, h: Int) =
+    Row(id, Integer.valueOf(h), java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+
+  test("a torn trailing commit-log line is tolerated, not a brick (r12 ADVICE)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    assert(sink.write(df(v1, row3("b", 2)), batchId = 1))
+    // crash mid-append: half a line at the end of the commit log
+    val log = java.nio.file.Paths.get(dir, "_graft_commits.log")
+    Files.write(log, "3 ".getBytes, java.nio.file.StandardOpenOption.APPEND)
+    // every path must still work: read, snapshots, as-of, AND write
+    assert(sink.read(spark).count() == 2)
+    assert(sink.snapshots.map(_._1) == Seq(1L, 2L))
+    assert(sink.readAsOf(spark, 1).count() == 1)
+    assert(sink.write(df(v1, row3("c", 3)), batchId = 2))
+    // the new commit supersedes the torn line's seq slot cleanly
+    assert(sink.snapshots.map(_._1) == Seq(1L, 2L, 3L))
+    assert(sink.read(spark).count() == 3)
+  }
+
+  test("pre-log tables: readAsOf falls back for latest, throws for history (r12 ADVICE)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    // simulate a table created before the commit log existed
+    Files.delete(java.nio.file.Paths.get(dir, "_graft_commits.log"))
+    assert(sink.readAsOf(spark, Long.MaxValue).count() == 1) // = committed read
+    val e = intercept[IllegalStateException] { sink.readAsOf(spark, 1) }
+    assert(e.getMessage.contains("no snapshot history"))
+  }
+
+  test("as-of reads return the HISTORICAL schema (r12 verdict #3)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0)) // snapshot 1: int qty, no product_id
+    val v2 = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("qty", LongType, nullable = true),
+      StructField("product_id", StringType, nullable = true),
+      StructField("event_timestamp", TimestampType, nullable = false)))
+    assert(sink.write(df(v2, Row("b", java.lang.Long.valueOf(2L), "p1",
+      ts("2024-01-02 09:00:00"))), batchId = 1))       // snapshot 2: widened + added
+    val asOf1 = sink.readAsOf(spark, 1)
+    assert(!asOf1.columns.contains("product_id"),
+      "column added after snapshot 1 must be absent from its as-of read")
+    assert(asOf1.schema("qty").dataType == IntegerType,
+      "as-of read must carry the pre-widening type")
+    assert(asOf1.select("id").collect().map(_.getString(0)).toSeq == Seq("a"))
+    val asOf2 = sink.readAsOf(spark, 2)
+    assert(asOf2.columns.contains("product_id"))
+    assert(asOf2.schema("qty").dataType == LongType)
+    assert(asOf2.count() == 2)
+    assert(sink.schemaAt(1).fieldNames.toSeq == v1.fieldNames.toSeq)
+  }
+
+  test("compaction rewrites visible dirs, preserves values and old snapshots") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    assert(sink.write(df(v1, row3("b", 2)), batchId = 1))
+    assert(sink.write(df(v1, row3("c", 3))))             // backfill interleaved
+    val before = sink.read(spark).select("id", "qty").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val seq = sink.compactBatches(spark)
+    assert(seq.contains(4L), s"expected snapshot seq 4, got $seq")
+    // value identity on the data columns
+    val after = sink.read(spark).select("id", "qty").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(after == before)
+    // the current table reads ONLY the compacted dir
+    assert(sink.read(spark).select("_batch_id").distinct().count() == 1)
+    assert(sink.replacedBatchIds.toSet == Set(0L, 1L, -1L))
+    // pre-compaction snapshots still as-of readable (dirs retained)
+    assert(sink.readAsOf(spark, 2).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // as-of the compaction snapshot equals the current read
+    assert(sink.readAsOf(spark, 4).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+    // the pruned read stays value-identical (no double rows from the
+    // replaced dirs' still-present ledger entries)
+    val (pruned, _, _) = sink.prunedRead(spark, Seq(("qty", 0L, 10L)))
+    assert(pruned.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "b", "c"))
+    // a second compaction right away is a no-op (only one visible dir)
+    assert(sink.compactBatches(spark).isEmpty)
+    // streaming replay detection is untouched: batch 2 commits normally
+    assert(sink.write(df(v1, row3("d", 4)), batchId = 2))
+    assert(sink.read(spark).count() == 4)
+  }
+
+  test("an uncommitted compaction's replaces are ignored (crash window)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    assert(sink.write(df(v1, row3("b", 2)), batchId = 1))
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_meta.json")
+    val preCrash = Files.readAllBytes(sidecar)
+    assert(sink.compactBatches(spark).isDefined)
+    Files.write(sidecar, preCrash) // "crash" before the sidecar commit
+    // the compacted dir is uncommitted: its add AND its replaces must
+    // both be ignored — the old dirs stay visible, no rows lost or doubled
+    assert(sink.read(spark).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    assert(sink.replacedBatchIds.isEmpty)
+    // the retry commits under a fresh backfill id and heals
+    assert(sink.compactBatches(spark).isDefined)
+    assert(sink.read(spark).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    assert(sink.read(spark).select("_batch_id").distinct().count() == 1)
+  }
+
+  test("snapshot expiry deletes orphaned dirs and truncates history") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    for (i <- 0 to 3)
+      assert(sink.write(df(v1, row3(s"r$i", i)), batchId = i)) // snapshots 1..4
+    assert(sink.compactBatches(spark, upToSeq = 3).contains(5L)) // replaces dirs 0..2
+    // keep the last 2 snapshots: snapshot 4 still SEES dirs 0..2 (the
+    // compaction landed after it), so nothing may be deleted yet
+    assert(sink.expireSnapshots(keepLast = 2).isEmpty)
+    assert(sink.readAsOf(spark, 4).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("r0", "r1", "r2", "r3"))
+    val e2 = intercept[IllegalStateException] { sink.readAsOf(spark, 3) }
+    assert(e2.getMessage.contains("expired"))
+    // keep only the compaction snapshot: dirs 0..2 become unreachable
+    val deleted = sink.expireSnapshots(keepLast = 1)
+    assert(deleted.sorted == Seq(0L, 1L, 2L), s"deleted $deleted")
+    // current read identical: batch 3 + the compacted dir
+    assert(sink.read(spark).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("r0", "r1", "r2", "r3"))
+    // the retained snapshot still answers; expired ones throw, not lie
+    assert(sink.readAsOf(spark, 5).count() == 4)
+    val e = intercept[IllegalStateException] { sink.readAsOf(spark, 4) }
+    assert(e.getMessage.contains("expired"))
+    // deleted dirs are gone from disk, ledger entries too
+    val dirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_batch_id=")).toSet
+    assert(!dirs.contains("_batch_id=0") && dirs.contains("_batch_id=3"))
+    assert(!new java.io.File(s"$dir/_manifest/_batch_id=0").exists())
+    // pruned read over the survivors stays value-correct
+    val (pruned, _, _) = sink.prunedRead(spark, Seq(("qty", 0L, 10L)))
+    assert(pruned.count() == 4)
+    // the stream continues committing after maintenance
+    assert(sink.write(df(v1, row3("r4", 9)), batchId = 4))
+    assert(sink.read(spark).count() == 5)
+    assert(sink.readAsOf(spark, Long.MaxValue).count() == 5)
+  }
 }
