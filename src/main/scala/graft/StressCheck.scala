@@ -36,6 +36,10 @@ object StressCheck {
       orderLeg(args.lift(1).map(_.toInt).getOrElse(10000000))
       return
     }
+    if (args.headOption.contains("compact")) {
+      compactLeg(args.lift(1).map(_.toInt).getOrElse(240))
+      return
+    }
     val spark = graft.engine.Sessions.local(32, "graft-stress")
     val src = "/root/testdata/sf0.1"
     val dir = Files.createTempDirectory("graft_stress_").toString
@@ -403,6 +407,84 @@ object StressCheck {
       f"(${winSec / distSec}%.2fx) ntile5=$ntileSec%.1f s " +
       s"values_identical=$identical => " +
       (if (identical && maxShare < 0.25) "OK" else "UNEXPECTED"))
+    spark.stop()
+  }
+
+  /** Bronze-maintenance leg (`runMain graft.StressCheck compact
+    * [nBatches]`, default 240): the small-files death a per-micro-batch
+    * append guarantees at stream lifetime (the maintenance gap the
+    * reference README names at /root/reference/README.md:74-80), and
+    * the r13 fix measured. Writes `nBatches` tiny committed batches
+    * (each one commit: data dir + ledger + log line + sidecar),
+    * measures the full-read and manifest-planned-read cost over the
+    * fragmented table, runs compactBatches + expireSnapshots(1), and
+    * re-measures. Asserts: checksum-identical rows before/after, file
+    * count collapses, and the expired history throws instead of lying.
+    */
+  private def compactLeg(nBatches: Int): Unit = {
+    val spark = graft.engine.Sessions.local(32, "graft-stress-compact")
+    val root = Files.createTempDirectory("graft_compact_")
+    val dir = root.toString + "/bronze"
+    val sink = new graft.engine.sinks.EvolvingTableSink(dir)
+    def t[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[compact] $name: $sec%.1f s"); (r, sec)
+    }
+    t(s"write $nBatches tiny committed batches") {
+      for (i <- 0 until nBatches)
+        sink.write(spark.range(i * 10L, i * 10L + 10L).selectExpr(
+          "id",
+          "CAST(timestamp'2024-01-01 00:00:00' + make_dt_interval(0, CAST(id % 72 AS INT), 0, 0) AS timestamp) AS event_timestamp",
+          "CAST(id % 1000 AS BIGINT) AS qty").coalesce(1), batchId = i)
+    }
+    def parquetFiles(): Long = {
+      val w = Files.walk(java.nio.file.Paths.get(dir))
+      try w.filter(f => f.getFileName.toString.endsWith(".parquet") &&
+        !f.toString.contains("_manifest")).count()
+      finally w.close()
+    }
+    def checksum(): (Long, Long) = {
+      val r = sink.read(spark)
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(id, qty))")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val filesBefore = parquetFiles()
+    // min-of-2: first read pays footer/listing caches either side would
+    val (before, _) = t("full read over fragmented table (run 2)") {
+      checksum(); checksum()
+    }
+    val (planBefore, _) = t("manifest-planned read (fragmented)") {
+      val (df, total, kept) = sink.prunedRead(spark, Seq(("qty", 100L, 199L)))
+      (df.count(), total, kept)
+    }
+    val (_, compactSec) = t("compactBatches + expireSnapshots(1)") {
+      sink.compactBatches(spark)
+      sink.expireSnapshots(keepLast = 1)
+    }
+    val filesAfter = parquetFiles()
+    val (after, readAfterSec) = t("full read over compacted table (run 2)") {
+      checksum(); checksum()
+    }
+    val (planAfter, planAfterSec) = t("manifest-planned read (compacted)") {
+      val (df, total, kept) = sink.prunedRead(spark, Seq(("qty", 100L, 199L)))
+      (df.count(), total, kept)
+    }
+    val expiredThrows =
+      try { sink.readAsOf(spark, 2); false }
+      catch { case _: IllegalStateException => true }
+    println(s"[compact] files: $filesBefore -> $filesAfter; " +
+      s"ledgered plan rows: ${planBefore._1} -> ${planAfter._1} " +
+      s"(files ${planBefore._3}/${planBefore._2} -> ${planAfter._3}/${planAfter._2}); " +
+      f"maintenance cost $compactSec%.1f s, post read $readAfterSec%.1f s, " +
+      f"post plan $planAfterSec%.1f s")
+    val ok = before == after && planBefore._1 == planAfter._1 &&
+      filesAfter * 5 <= filesBefore && expiredThrows
+    println(s"[compact] rows_identical=${before == after} " +
+      s"pruned_identical=${planBefore._1 == planAfter._1} " +
+      s"files_collapsed=${filesAfter * 5 <= filesBefore} " +
+      s"expired_throws=$expiredThrows => " + (if (ok) "OK" else "UNEXPECTED"))
+    graft.engine.util.Fs.deleteRecursively(root)
     spark.stop()
   }
 
