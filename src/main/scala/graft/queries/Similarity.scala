@@ -113,7 +113,14 @@ object Similarity extends QueryPack {
     */
   private def bandCandidatesScored(s: SparkSession, d: String): DataFrame =
     graft.engine.Persisted.shared(s, s"embed_band_scored|$d") {
+      // project to (vid_a, vid_b, cos) BEFORE the persist (r13 10x scale
+      // audit): the cosine helper carries BOTH candidate embedding
+      // arrays through, and caching them bloated each pair row ~20x —
+      // at the 10x corpus the tier hit 2.4-5.5 GiB per partition and
+      // spilled (the dedup_threshold_curve bench failure). Every
+      // consumer reads only the ids and the score.
       bandScored(Tables.embeddings(s, d), planesPerBand = 4, bands = 2)
+        .select(col("vid_a"), col("vid_b"), col("cos"))
     }
 
   /** Bench hook, mirroring Dedup.warmShared: materialize the embedding
