@@ -40,6 +40,10 @@ object StressCheck {
       compactLeg(args.lift(1).map(_.toInt).getOrElse(240))
       return
     }
+    if (args.headOption.contains("bitext")) {
+      bitextLeg(args.lift(1).map(_.toInt).getOrElse(25000))
+      return
+    }
     val spark = graft.engine.Sessions.local(32, "graft-stress")
     val src = "/root/testdata/sf0.1"
     val dir = Files.createTempDirectory("graft_stress_").toString
@@ -407,6 +411,62 @@ object StressCheck {
       f"(${winSec / distSec}%.2fx) ntile5=$ntileSec%.1f s " +
       s"values_identical=$identical => " +
       (if (identical && maxShare < 0.25) "OK" else "UNEXPECTED"))
+    spark.stop()
+  }
+
+  /** LSH-bucketed margin-bitext leg (`runMain graft.StressCheck bitext
+    * [nPerSide]`, default 25k/side): the r13 scale audit measured the
+    * declared sim_margin_bitext at 21.6x on 10x data — exact all-pairs
+    * BY DESIGN over its bounded eval corpus, with the Scaladoc naming
+    * the LSH-bucketed candidate path as the 100 TB shape. This leg
+    * RUNS that shape (Similarity.marginBitextLshPairs) at a scale where
+    * the exact product (625M pairs) is off the table, on a corpus with
+    * known ground truth: the b-side is the a-side under a tiny
+    * deterministic perturbation, so a_i's true partner is b-side id
+    * i + 10M. Asserts candidates stay near-linear (the scale claim) and
+    * mutual-best recall against the constructed truth stays high (the
+    * quality claim).
+    */
+  private def bitextLeg(nPerSide: Int): Unit = {
+    val spark = graft.engine.Sessions.local(32, "graft-stress-bitext")
+    val src = "/root/testdata/sf0.1"
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[bitext] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val reps = math.max(1, (nPerSide + 1999) / 2000)
+    // a-side: `reps` deterministically distinct replicas of the 2k
+    // corpus (rep r shifts dimension r%dim by r*2e-3 — replicas of one
+    // original stay NEAR each other, the realistic hubness shape that
+    // makes plain-cosine mining fail and margin mining the right tool)
+    val a = graft.engine.Tables.embeddings(spark, src)
+      .crossJoin(spark.range(reps).toDF("rep"))
+      .selectExpr("rep * 2000 + vec_id AS vec_id",
+        """transform(embedding, (v, i) -> CAST(v + CASE
+             WHEN i = rep % size(embedding) THEN rep * 0.002
+             ELSE 0.0 END AS FLOAT)) AS embedding""")
+      .where(col("vec_id") < nPerSide)
+    // b-side: the a-side under a tiny fixed perturbation (the "other
+    // language's" translation), ids offset by 10M
+    val b = a.selectExpr("vec_id + 10000000 AS vec_id",
+      """transform(embedding, (v, i) -> CAST(v + CASE
+           WHEN i = 7 THEN 0.0005 ELSE 0.0 END AS FLOAT)) AS embedding""")
+    val mined = t(s"marginBitextLshPairs ($nPerSide x $nPerSide, 16-plane x 4 bands)") {
+      val m = graft.queries.Similarity
+        .marginBitextLshPairs(a, b, planesPerBand = 16, bands = 4).persist()
+      m.count()
+      m
+    }
+    val total = mined.count()
+    val correct = mined.where(col("b_id") === col("a_id") + 10000000L).count()
+    val aboveMargin = mined.where(col("margin_e6") > 1000000L).count()
+    mined.unpersist()
+    graft.queries.Persisted.drain()
+    val recall = correct.toDouble / nPerSide
+    println(f"[bitext] mutual-best pairs=$total correct=$correct " +
+      f"(recall=$recall%.3f of $nPerSide truths), margin>1: $aboveMargin")
+    println(s"[bitext] exact product would be ${nPerSide.toLong * nPerSide} pairs => " +
+      (if (recall >= 0.95 && total <= 2L * nPerSide) "OK" else "UNEXPECTED"))
     spark.stop()
   }
 

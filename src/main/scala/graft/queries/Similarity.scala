@@ -141,6 +141,71 @@ object Similarity extends QueryPack {
     bandScored(e, planesPerBand, bands)
       .where(s"cos >= $threshold").select(col("vid_a"), col("vid_b"))
 
+  /** The 100 TB path sim_margin_bitext's Scaladoc names (r13, scale
+    * audit follow-through): the SAME ratio-margin + mutual-best
+    * semantics, but candidates come from the bucketed hyperplane-LSH
+    * cross-side join (pairs sharing any (band, key)) instead of the
+    * exact all-pairs product, and each side's top-k neighborhood sum is
+    * computed over its CANDIDATES only — the standard approximation in
+    * the CCMatrix pipeline, where FAISS kNN plays the candidate role.
+    * Returns every mutual-best pair with its margin_e6 (callers apply
+    * the >1.0 threshold); the declared query keeps the exact product
+    * because its eval corpus is bounded and the oracle mirrors it.
+    * Driven by StressCheck's bitext leg at 25k x 25k vectors, where the
+    * exact product (625M pairs) is the shape this path exists to avoid.
+    */
+  private[graft] def marginBitextLshPairs(a0: DataFrame, b0: DataFrame,
+      planesPerBand: Int, bands: Int, k: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(a0.sparkSession)
+    def keyed(df: DataFrame, id: String, vec: String, norm: String) = {
+      val keyExprs = (0 until bands).map { bd =>
+        val bits = (0 until planesPerBand).map { p =>
+          val j = bd * planesPerBand + p
+          s"(CASE WHEN ${sparkPlaneFold("embedding", j)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }
+        s"(${bits.mkString(" + ")}) AS key_$bd"
+      }
+      df.selectExpr(Seq(s"vec_id AS $id", s"embedding AS $vec",
+        s"sqrt(${sparkDot("embedding", "embedding")}) AS $norm") ++ keyExprs: _*)
+    }
+    def bandRows(df: DataFrame, id: String) = df.selectExpr(id,
+      s"""explode(array(${(0 until bands)
+        .map(bd => s"named_struct('band', $bd, 'key', key_$bd)").mkString(", ")})) AS bk""")
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val ak = keyed(a0, "a_id", "ea", "na").persistScoped()
+    val bk = keyed(b0, "b_id", "eb", "nb").persistScoped()
+    val cand = bandRows(ak, "a_id")
+      .join(bandRows(bk, "b_id"), Seq("band", "key"))
+      .select(col("a_id"), col("b_id")).distinct()
+    // candidates scored exactly like the declared query's pair frame,
+    // pre-partitioned on a_id for the same three-exchange reuse
+    val pr = cand
+      .join(ak.select(col("a_id"), col("ea"), col("na")), "a_id")
+      .join(bk.select(col("b_id"), col("eb"), col("nb")), "b_id")
+      .selectExpr("a_id", "b_id",
+        s"${Q.scaledLong(s"${sparkDot("ea", "eb")} / (na * nb)", 6)} AS c_e6")
+      .repartition(col("a_id"))
+      .persistScoped()
+    def topSum(key: String, other: String, out: String) = pr
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("c_e6").desc, col(other))))
+      .where(col("rn") <= k)
+      .groupBy(col(key)).agg(sum(col("c_e6")).as(out))
+    val mg = pr.join(topSum("a_id", "b_id", "sax"), "a_id")
+      .join(topSum("b_id", "a_id", "sby"), "b_id")
+      .selectExpr("a_id", "b_id", "c_e6",
+        s"${Q.scaledLong(s"2.0 * $k * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6")
+    val ba = mg.withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("margin_e6").desc, col("b_id"))))
+      .where(col("rn") === 1).drop("rn")
+    val bb = mg.withColumn("rn", row_number().over(
+        Window.partitionBy(col("b_id")).orderBy(col("margin_e6").desc, col("a_id"))))
+      .where(col("rn") === 1)
+      .select(col("a_id").as("a2"), col("b_id").as("b2"))
+    ba.join(bb, col("a_id") === col("a2") && col("b_id") === col("b2"))
+      .select(col("a_id"), col("b_id"), col("c_e6"), col("margin_e6"))
+  }
+
   /** SemDeDup per-cell curation ledger (see the semdedup_prune query for
     * semantics and the oracle mirror): assign every vector to its nearest
     * of the first-k deterministic centroids, drop each vector with a
