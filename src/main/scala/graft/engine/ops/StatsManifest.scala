@@ -140,10 +140,13 @@ object StatsManifest {
     * (schema evolution) — its bound is UNKNOWN, so it is conservatively
     * KEPT (Iceberg's missing-stats behavior); a file whose row carries
     * NULL bounds holds only NULLs for the column, which no range
-    * predicate matches, so it is skipped. Returns (filesTotal, kept).
+    * predicate matches, so it is skipped. Returns (allFiles, kept) so
+    * callers with their own visibility rules (the evolving sink's
+    * replaced-dir exclusion after compaction) can filter BOTH sides and
+    * keep the (total, read) accounting honest.
     */
   def prunedFilesLong(spark: SparkSession, manifestRoot: String,
-      ranges: Seq[(String, Long, Long)]): (Long, Seq[String]) = {
+      ranges: Seq[(String, Long, Long)]): (Seq[String], Seq[String]) = {
     require(ranges.nonEmpty, "prunedFilesLong needs at least one column range")
     val rows = spark.read.parquet(s"$manifestRoot/$ManifestDir")
       .select(col("file"), col("col"), col("mn"), col("mx")).collect()
@@ -157,7 +160,7 @@ object StatsManifest {
         }
       } => file
     }.toSeq.sorted
-    (byFile.size.toLong, keep)
+    (byFile.keys.toSeq.sorted, keep)
   }
 
   /** Result of a manifest-planned read: the data frame (already filtered

@@ -442,9 +442,9 @@ final class EvolvingTableSink(
     * the predicate as the residual filter, and keeps [[read]]'s
     * committed-only visibility (including the replaced-dir exclusion
     * after compaction). Returns the frame plus (filesTotal, filesRead)
-    * accounting; until expiry deletes them, a replaced dir's ledger
-    * rows still count toward filesTotal (they are planned over and
-    * skipped for visibility, not by bounds). Value-identical to
+    * accounting, both counted over VISIBLE files only — a replaced
+    * dir's not-yet-expired ledger rows appear on neither side, so the
+    * skip ratio reflects bounds-based pruning alone. Value-identical to
     * `read(spark).where(predicate)` for any data.
     */
   def prunedRead(spark: SparkSession,
@@ -474,8 +474,8 @@ final class EvolvingTableSink(
       }
     val batchDirs = subDirs(Paths.get(path), s"$BatchCol=")
     val ledgered = subDirs(Paths.get(path, "_manifest"), "").toSet
-    val (total, keep0) =
-      if (ledgered.isEmpty) (0L, Seq.empty[String])
+    val (all0, keep0) =
+      if (ledgered.isEmpty) (Seq.empty[String], Seq.empty[String])
       else graft.engine.ops.StatsManifest.prunedFilesLong(spark, path, ranges)
     // a crash between a replay's data rewrite and its ledger overwrite
     // can leave rows naming deleted files. Only an UNCOMMITTED batch
@@ -492,12 +492,16 @@ final class EvolvingTableSink(
     }
     def inRange(id: Long): Boolean =
       id >= meta.nextBackfillId + 1 && id <= meta.lastBatchId
-    val keep = keep0.filter { f =>
-      dirId(f) match {
-        case Some(id) if inRange(id) => !replaced.contains(id)
-        case _ => Files.exists(Paths.get(f.stripPrefix("file:")))
-      }
+    // the visibility predicate filters BOTH the total and the kept side
+    // (r13): after a compaction the replaced dirs' ledger rows survive
+    // until expiry, and counting them in filesTotal would overstate the
+    // skip ratio — they are excluded by VISIBILITY, not by bounds
+    def visibleFile(f: String): Boolean = dirId(f) match {
+      case Some(id) if inRange(id) => !replaced.contains(id)
+      case _ => Files.exists(Paths.get(f.stripPrefix("file:")))
     }
+    val all = all0.filter(visibleFile)
+    val keep = keep0.filter(visibleFile)
     val unledgeredDirs = batchDirs.filterNot(ledgered.contains)
       .filterNot { d =>
         dirId(d + "/").exists(replaced.contains)
@@ -531,7 +535,7 @@ final class EvolvingTableSink(
         // from the selected files' directory segments
         spark.read.option("basePath", path).schema(fullSchema(meta))
           .parquet(paths: _*).where(residual)
-    (df, total + unledgeredFiles, keep.size + unledgeredFiles)
+    (df, all.size + unledgeredFiles, keep.size + unledgeredFiles)
   }
 
   def tableSchema: Option[StructType] = readMeta().map(_.schema)
