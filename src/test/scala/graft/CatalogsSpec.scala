@@ -106,7 +106,22 @@ class CatalogsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_tt.events_at_3")
       .collect().head.getLong(0) == 2)
 
-    views.foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+    // after EXPIRY, registerSnapshots enumerates only the retained
+    // snapshots — no view is (re)published for an expired seq, and the
+    // retained one still answers through SQL after dirs were deleted
+    assert(sink.expireSnapshots(keepLast = 1).nonEmpty)
+    spark.sql("DROP VIEW IF EXISTS graft_tt.events_at_1")
+    spark.sql("DROP VIEW IF EXISTS graft_tt.events_at_2")
+    Catalogs.registerTable(spark, "graft_tt.events", sink)
+    val retained = Catalogs.registerSnapshots(spark, "graft_tt.events", sink)
+    assert(retained == Seq("graft_tt.events_at_3"))
+    assert(spark.sql("SELECT count(*) FROM graft_tt.events_at_3")
+      .collect().head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM graft_tt.events")
+      .collect().head.getLong(0) == 2)
+    assert(!Catalogs.tableExists(spark, "graft_tt.events_at_1"))
+
+    retained.foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
     spark.sql("DROP VIEW IF EXISTS graft_tt.events_at_3")
     spark.sql("DROP VIEW graft_tt.events")
     spark.sql("DROP TABLE graft_tt.events_files")

@@ -96,7 +96,7 @@ class SinkLifecyclePropertySpec extends AnyFunSuite {
       apply()
     }
 
-    for (step <- 1 to 22) {
+    for (step <- 1 to 40) {
       val crash = rng.nextInt(3) == 0 && Files.exists(sidecar)
       rng.nextInt(10) match {
         case r if r <= 4 => // streaming write
