@@ -150,6 +150,11 @@ final class EvolvingTableSink(
       .withColumn(PartitionCol, to_date(col(timestampCol)))
       .withColumn(BatchCol, lit(effectiveId))
       .write.mode("append").partitionBy(BatchCol, PartitionCol).parquet(path)
+    // an EMPTY batch writes no partition dirs at all — create the batch
+    // dir explicitly so "committed id => dir exists" is an invariant
+    // readAsOf's partial-expiry guard can rely on (an empty dir reads
+    // as zero rows under the explicit schema either way)
+    Files.createDirectories(Paths.get(path, s"$BatchCol=$effectiveId"))
     // File-stats ledger per committed batch (r12, the data-skipping
     // follow-through): Iceberg's commit records per-file column bounds
     // in its manifests; this sink records the same for every INTEGRAL
@@ -395,6 +400,19 @@ final class EvolvingTableSink(
       throw new IllegalStateException(
         s"snapshot $seq at $path has been expired (earliest retained: $firstSeq)")
     val visible = visibleFold(entries.filter(_.seq <= seq))
+    // partial-expiry guard (r13 self-review): a crash between expiry's
+    // dir deletes and its log truncation leaves DOOMED snapshots still
+    // logged but missing dirs — answer with a throw, never with
+    // silently-partial rows. O(|visible|) existence probes on the
+    // as-of path only; the current-table read never pays them (every
+    // orphan is replaced-excluded there).
+    val missing = visible.filterNot(id =>
+      Files.isDirectory(Paths.get(path, s"$BatchCol=$id")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot $seq at $path has been partially expired (batch dirs " +
+          s"${missing.mkString(", ")} deleted); retry expireSnapshots to " +
+          "truncate the log")
     val hist = schemaAt(seq)
     val projection = hist.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq ++
@@ -595,15 +613,29 @@ final class EvolvingTableSink(
   }
 
   /** Snapshot expiry (Iceberg expire_snapshots): retain only the last
-    * `keepLast` snapshots. The commit log is truncated to a BASELINE —
-    * the oldest retained snapshot's visible set materialized as adds at
-    * its seq — plus the younger entries verbatim, so every retained
-    * snapshot folds to exactly the same visible set as before; batch
-    * dirs (and their ledger entries) no retained snapshot references
-    * are deleted. [[readAsOf]] of an expired seq then THROWS (earliest
-    * retained seq is in the message) instead of answering wrong.
-    * Uncommitted dirs are left alone: they belong to an in-flight
-    * replay that will wipe and rewrite them itself.
+    * `keepLast` snapshots. Batch dirs (and their ledger entries) no
+    * retained snapshot references are deleted, then the commit log is
+    * truncated to a BASELINE — the oldest retained snapshot's visible
+    * set materialized as adds at its seq — plus the younger entries
+    * verbatim, so every retained snapshot folds to exactly the same
+    * visible set as before. [[readAsOf]] of an expired seq then THROWS
+    * (earliest retained seq is in the message) instead of answering
+    * wrong. Uncommitted dirs are left alone: they belong to an
+    * in-flight replay that will wipe and rewrite them itself.
+    *
+    * Crash ordering (r13 self-review): deletes run BEFORE the log
+    * rewrite. Every orphan is by construction a REPLACED id (it was
+    * removed from visibility by some committed compaction), so the
+    * current table and every retained snapshot exclude it already —
+    * deleting it early changes no retained answer. The reverse order
+    * had a real window: the rewrite subsumes the `replaces` info, so a
+    * kill before the deletes left the orphans inside the committed
+    * range with NO exclusion — the current read double-counted their
+    * rows permanently. The remaining window (kill between deletes and
+    * rewrite) affects only the DOOMED snapshots, whose as-of reads now
+    * detect the missing dirs and throw "partially expired" (see
+    * [[readAsOf]]) until an expiry retry truncates the log; the retry
+    * is idempotent.
     *
     * Returns the deleted batch dir ids.
     */
@@ -625,18 +657,7 @@ final class EvolvingTableSink(
     val baseline = visibleFold(entries.filter(_.seq <= cut))
     val kept = entries.filter(_.seq > cut)
     val live = (baseline ++ kept.map(_.id)).toSet
-    // rewrite the log atomically (tmp+move, the sidecar discipline)
-    val lines = baseline.map(id => s"$cut $id") ++ kept.map { e =>
-      val suffix =
-        if (e.replaces.isEmpty) "" else e.replaces.mkString(" replaces=", ",", "")
-      s"${e.seq} ${e.id}$suffix"
-    }
-    val tmp = Paths.get(path, "_graft_commits.log.tmp")
-    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, commitLogPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // delete orphaned committed dirs + their ledger entries
+    // phase 1: delete orphaned committed dirs + their ledger entries
     val dirRe = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(BatchCol) + "=(-?\\d+)$")
     val deleted = Seq.newBuilder[Long]
@@ -658,6 +679,18 @@ final class EvolvingTableSink(
         }
       }
     } finally listing.close()
+    // phase 2: rewrite the log atomically (tmp+move, the sidecar
+    // discipline)
+    val lines = baseline.map(id => s"$cut $id") ++ kept.map { e =>
+      val suffix =
+        if (e.replaces.isEmpty) "" else e.replaces.mkString(" replaces=", ",", "")
+      s"${e.seq} ${e.id}$suffix"
+    }
+    val tmp = Paths.get(path, "_graft_commits.log.tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, commitLogPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     deleted.result()
   }
 }

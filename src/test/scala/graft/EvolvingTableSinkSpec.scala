@@ -386,4 +386,44 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 5)
     assert(sink.readAsOf(spark, Long.MaxValue).count() == 5)
   }
+
+  test("a crash between expiry's deletes and its log rewrite stays safe") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0)) // snapshot 1
+    assert(sink.write(df(v1, row3("b", 2)), batchId = 1)) // snapshot 2
+    assert(sink.compactBatches(spark).contains(3L))       // replaces 0, 1
+    // simulate the crash window: expiry deleted the orphaned (replaced)
+    // dirs but was killed before truncating the log
+    for (id <- Seq(0L, 1L)) {
+      graft.engine.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir, s"_batch_id=$id"))
+      graft.engine.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(dir, "_manifest", s"_batch_id=$id"))
+    }
+    // the CURRENT table is untouched (orphans were replaced-excluded)
+    assert(sink.read(spark).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    assert(sink.readAsOf(spark, 3).count() == 2)
+    // a DOOMED snapshot answers with a throw, never partial rows
+    val e = intercept[IllegalStateException] { sink.readAsOf(spark, 1) }
+    assert(e.getMessage.contains("partially expired"))
+    // the expiry retry is idempotent and truncates the log
+    sink.expireSnapshots(keepLast = 1)
+    val e2 = intercept[IllegalStateException] { sink.readAsOf(spark, 1) }
+    assert(e2.getMessage.contains("expired"))
+    assert(sink.read(spark).count() == 2)
+  }
+
+  test("an empty committed batch keeps its dir (the as-of guard invariant)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    assert(sink.write(df(v1), batchId = 1)) // zero rows, still a commit
+    assert(new java.io.File(s"$dir/_batch_id=1").isDirectory,
+      "empty batch must leave its dir so missing-dir means expired")
+    assert(sink.read(spark).count() == 1)
+    assert(sink.readAsOf(spark, 2).count() == 1) // no partial-expiry throw
+    assert(sink.snapshots.map(_._1) == Seq(1L, 2L))
+  }
 }
