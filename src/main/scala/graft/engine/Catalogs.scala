@@ -88,7 +88,15 @@ object Catalogs {
   def registerSnapshots(spark: SparkSession, name: String,
       sink: EvolvingTableSink): Seq[String] = {
     val filesTable = s"${name}_files"
-    sink.snapshotSeqs.map { seq =>
+    // skip partially-expired snapshots (a crash between expiry's dir
+    // deletes and its log truncation): readAsOf THROWS for them, and
+    // the SQL surface must not answer with silently-partial rows either
+    val publishable = sink.snapshotSeqs.filter { seq =>
+      sink.visibleIdsAsOf(seq).forall(id =>
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(sink.path, s"_batch_id=$id")))
+    }
+    publishable.map { seq =>
       val viewName = s"${name}_at_$seq"
       val hist = sink.schemaAt(seq)
       val cols = hist.fields
