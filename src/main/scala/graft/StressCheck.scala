@@ -518,8 +518,10 @@ object StressCheck {
       val (df, total, kept) = sink.prunedRead(spark, Seq(("qty", 100L, 199L)))
       (df.count(), total, kept)
     }
-    val (_, compactSec) = t("compactBatches + expireSnapshots(1)") {
-      sink.compactBatches(spark)
+    val (_, compactSec) = t("compactBatches(clusterBy=qty) + expireSnapshots(1)") {
+      // clustered rewrite (Iceberg sort-order): per-file qty bounds stay
+      // narrow, so the ledger keeps skipping files AFTER compaction too
+      sink.compactBatches(spark, clusterBy = Seq("qty"))
       sink.expireSnapshots(keepLast = 1)
     }
     val filesAfter = parquetFiles()
@@ -539,11 +541,14 @@ object StressCheck {
       f"maintenance cost $compactSec%.1f s, post read $readAfterSec%.1f s, " +
       f"post plan $planAfterSec%.1f s")
     val ok = before == after && planBefore._1 == planAfter._1 &&
-      filesAfter * 5 <= filesBefore && expiredThrows
+      filesAfter * 5 <= filesBefore && expiredThrows &&
+      planAfter._3 < planAfter._2
     println(s"[compact] rows_identical=${before == after} " +
       s"pruned_identical=${planBefore._1 == planAfter._1} " +
       s"files_collapsed=${filesAfter * 5 <= filesBefore} " +
-      s"expired_throws=$expiredThrows => " + (if (ok) "OK" else "UNEXPECTED"))
+      s"expired_throws=$expiredThrows " +
+      s"still_skips_after_compaction=${planAfter._3 < planAfter._2} => " +
+      (if (ok) "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(root)
     spark.stop()
   }

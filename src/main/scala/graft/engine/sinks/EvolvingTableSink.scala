@@ -580,6 +580,13 @@ final class EvolvingTableSink(
     * values move to the new dir's id), so callers' value-identity
     * holds on every data column.
     *
+    * `clusterBy` (Iceberg rewrite's sort-order): when set, the rewrite
+    * range-partitions on those columns instead of coalescing, so each
+    * output file's ledger bounds stay NARROW on the clustering keys and
+    * manifest-planned reads keep skipping files after compaction — a
+    * plain coalesce mixes every input range into every output file and
+    * widens the bounds to useless. Costs the rewrite one shuffle.
+    *
     * Returns the new snapshot seq, or None when fewer than two dirs
     * qualify (nothing to compact). Crash-safe like [[write]]: the new
     * dir + ledger + log line land before the sidecar commit, and an
@@ -587,7 +594,7 @@ final class EvolvingTableSink(
     * by every reader until a retry commits under a fresh backfill id.
     */
   def compactBatches(spark: SparkSession, upToSeq: Long = Long.MaxValue,
-      files: Int = 4): Option[Long] = {
+      files: Int = 4, clusterBy: Seq[String] = Nil): Option[Long] = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
     val entries = committedEntries(meta)
@@ -598,11 +605,16 @@ final class EvolvingTableSink(
     if (targets.size < 2) return None
     val newId = meta.nextBackfillId
     // coalesce (narrow, no shuffle) bounds output files at `files` per
-    // task-held day partition — the whole point is fewer, bigger files
-    val rows = read(spark)
+    // task-held day partition — the whole point is fewer, bigger files;
+    // clusterBy trades that narrowness for one range shuffle that keeps
+    // per-file stats bounds selective
+    val base = read(spark)
       .where(col(BatchCol).isin(targets: _*))
       .drop(BatchCol, PartitionCol)
-      .coalesce(math.max(1, files))
+    val rows =
+      if (clusterBy.isEmpty) base.coalesce(math.max(1, files))
+      else base.repartitionByRange(math.max(1, files),
+        clusterBy.map(col): _*)
     appendDir(rows, meta.schema, newId)
     val seq = nextSeq()
     // no schema line: compaction rewrites DATA under the unchanged

@@ -387,6 +387,30 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     assert(sink.readAsOf(spark, Long.MaxValue).count() == 5)
   }
 
+  test("clustered compaction keeps per-file bounds selective") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    // four batches with interleaved qty ranges: a plain coalesce rewrite
+    // mixes them into every output file (bounds widen to the full range)
+    for (i <- 0 until 4)
+      assert(sink.write(df(v1,
+        Row(s"lo$i", Integer.valueOf(i), ts("2024-01-01 10:00:00")),
+        Row(s"hi$i", Integer.valueOf(1000 + i), ts("2024-01-01 11:00:00"))),
+        batchId = i))
+    assert(sink.compactBatches(spark, files = 4, clusterBy = Seq("qty")).isDefined)
+    assert(sink.expireSnapshots(keepLast = 1).nonEmpty)
+    // value identity survives the clustered rewrite
+    assert(sink.read(spark).count() == 8)
+    // and a selective box still SKIPS files inside the compacted dir:
+    // range partitioning on qty puts the lo and hi rows in different
+    // files with narrow bounds
+    val (pruned, total, kept) = sink.prunedRead(spark, Seq(("qty", 0L, 10L)))
+    assert(pruned.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("lo0", "lo1", "lo2", "lo3"))
+    assert(kept < total,
+      s"clustered compaction must keep pruning selective ($kept of $total)")
+  }
+
   test("a crash between expiry's deletes and its log rewrite stays safe") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
     val sink = new EvolvingTableSink(dir)
