@@ -33,7 +33,9 @@ final class StreamProcessor(
     deadLetterSink: ParquetAppendSink,
     schema: StructType = EventSchema.schema,
     checkpointLocation: String,
-    trigger: Trigger = Trigger.ProcessingTime("30 seconds")) {
+    trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+    maintenanceEvery: Int = 0,
+    maintenanceKeepSnapshots: Int = 10) {
 
   private val parser = new JsonArrayBatchParser(schema)
 
@@ -69,6 +71,20 @@ final class StreamProcessor(
       if (m.nonEmpty)
         lastCounts = (m("valid_rows").asInstanceOf[Long], m("dead_letter_rows").asInstanceOf[Long])
     } finally observed.unpersist()
+    // In-line bronze maintenance (r13; the scheduled Iceberg
+    // rewrite/expire the reference README names as missing,
+    // /root/reference/README.md:74-80): every `maintenanceEvery`
+    // committed batches, compact the visible batch dirs and expire all
+    // but the newest `maintenanceKeepSnapshots` snapshots. Runs AFTER
+    // the batch's commit (the sidecar marker), so a crash inside
+    // maintenance never affects exactly-once replay — both ops are
+    // crash-safe and idempotent on their own logs. Default OFF: a
+    // deployment that schedules maintenance out-of-band (the usual
+    // Iceberg pattern) leaves it 0.
+    if (maintenanceEvery > 0 && batchId >= 0 && batchId % maintenanceEvery == 0) {
+      validSink.compactBatches(batch.sparkSession)
+      validSink.expireSnapshots(maintenanceKeepSnapshots)
+    }
   }
 
   /** Start the streaming query over a raw text stream (column `value`). */

@@ -68,6 +68,42 @@ class StreamProcessorSpec extends AnyFunSuite {
     assert(deadCount == expected2.filter(s"${EventSchema.DeadLetterReason} IS NOT NULL").count())
   }
 
+  test("in-line maintenance compacts and expires without touching results") {
+    val root = Files.createTempDirectory("graft_stream_maint")
+    val inDir = root.resolve("in")
+    val gen = new EventGen(seed = 23L, corruptionChance = 0.2, invalidSchemaChance = 0.1)
+    gen.writeBatchFiles(inDir, nBatches = 6, eventsPerBatch = 15)
+
+    val bronze = new EvolvingTableSink(root.resolve("bronze").toString)
+    val dead = new ParquetAppendSink(root.resolve("dead").toString)
+    val proc = new StreamProcessor(
+      bronze, dead,
+      checkpointLocation = root.resolve("ckpt").toString,
+      trigger = Trigger.ProcessingTime("100 milliseconds"),
+      maintenanceEvery = 2, maintenanceKeepSnapshots = 1)
+    // one file per micro-batch so maintenance actually fires mid-stream
+    val q = proc.start(spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(inDir.toString))
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = Router.withReason(
+      new JsonArrayBatchParser().parse(Sources.textDir(spark, inDir.toString)))
+      .filter(s"${EventSchema.DeadLetterReason} IS NULL").count()
+    assert(bronze.read(spark).count() == expected,
+      "maintenance must never change the visible rows")
+    // compaction + expiry actually ran: far fewer live dirs than batches
+    val dirs = new java.io.File(root.resolve("bronze").toString).listFiles()
+      .map(_.getName).count(_.startsWith("_batch_id="))
+    assert(dirs < 6, s"expected compacted dir count, got $dirs")
+    // replay safety is untouched: a restart appends nothing
+    val q2 = proc.start(spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(inDir.toString))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(bronze.read(spark).count() == expected)
+  }
+
   test("schema evolution flows through the streaming sink (purchase adds product_id)") {
     val root = Files.createTempDirectory("graft_stream_evo")
     val bronze = new EvolvingTableSink(root.resolve("bronze").toString)
