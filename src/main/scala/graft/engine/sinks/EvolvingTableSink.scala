@@ -705,4 +705,46 @@ final class EvolvingTableSink(
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     deleted.result()
   }
+
+  /** Orphan cleanup (Iceberg remove_orphan_files, completing the
+    * maintenance trio with [[compactBatches]] and [[expireSnapshots]]):
+    * delete UNCOMMITTED batch dirs older than `graceMs`. An
+    * uncommitted dir is either a crashed streaming attempt whose
+    * replay will wipe-and-rewrite it, or a crashed backfill/compaction
+    * whose id the next backfill reuses — both self-heal IF the
+    * pipeline resumes, but a retired stream leaves them as permanent
+    * dead bytes. The grace window (default 24h, Iceberg's
+    * older_than default shape) is what separates "in-flight" from
+    * "dead": never run with a grace shorter than the longest possible
+    * in-flight write. Committed dirs are NEVER touched — expiry owns
+    * those. Returns the deleted dir ids.
+    */
+  def removeOrphanDirs(graceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    val meta = readMeta()
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dirRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(BatchCol) + "=(-?\\d+)$")
+    val deleted = Seq.newBuilder[Long]
+    val listing = Files.list(Paths.get(path))
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val d = it.next()
+        val m = dirRe.matcher(d.getFileName.toString)
+        if (Files.isDirectory(d) && m.matches()) {
+          val id = m.group(1).toLong
+          val committed = id >= meta.nextBackfillId + 1 && id <= meta.lastBatchId
+          if (!committed &&
+              Files.getLastModifiedTime(d).toMillis < cutoff) {
+            graft.engine.util.Fs.deleteRecursively(d)
+            graft.engine.util.Fs.deleteRecursively(
+              Paths.get(path, "_manifest", d.getFileName.toString))
+            deleted += id
+          }
+        }
+      }
+    } finally listing.close()
+    deleted.result()
+  }
 }

@@ -439,6 +439,26 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 2)
   }
 
+  test("orphan cleanup deletes only stale UNCOMMITTED dirs past the grace window") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    // a dead uncommitted attempt: data dir exists, never committed
+    val orphan = java.nio.file.Paths.get(dir, "_batch_id=7")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-dead.parquet"), Array[Byte](1, 2, 3))
+    // fresh orphan survives the grace window (could be in-flight)
+    assert(sink.removeOrphanDirs(graceMs = 60000L).isEmpty)
+    assert(Files.isDirectory(orphan))
+    // aged past the grace: deleted; the committed dir is never touched
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    assert(sink.removeOrphanDirs(graceMs = 60000L) == Seq(7L))
+    assert(!Files.exists(orphan))
+    assert(sink.read(spark).count() == 1)
+    assert(sink.readAsOf(spark, 1).count() == 1)
+  }
+
   test("an empty committed batch keeps its dir (the as-of guard invariant)") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
     val sink = new EvolvingTableSink(dir)
