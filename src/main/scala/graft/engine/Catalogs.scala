@@ -83,6 +83,13 @@ object Catalogs {
     * rejects `$`-style identifiers and Spark's parser has no extension
     * hook for time-travel syntax over plain views.
     *
+    * Expiry propagates to the SQL surface (r14): views published by an
+    * earlier call whose seq is no longer publishable — expired, or
+    * caught mid-expiry — are DROPPED, so a stale `_at_` view can never
+    * answer with the silently-partial rows `readAsOf` throws to
+    * prevent (after MSCK drops the deleted partitions, a pinned view
+    * would return zero/partial rows without error).
+    *
     * Returns the view names, oldest snapshot first.
     */
   def registerSnapshots(spark: SparkSession, name: String,
@@ -95,6 +102,25 @@ object Catalogs {
       sink.visibleIdsAsOf(seq).forall(id =>
         java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(sink.path, s"_batch_id=$id")))
+    }
+    // drop views of UNpublishable seqs left by a previous registration
+    val cut = name.lastIndexOf('.')
+    val (nsPrefix, base) =
+      if (cut < 0) ("", name) else (name.substring(0, cut), name.substring(cut + 1))
+    val showViews =
+      if (nsPrefix.isEmpty) s"SHOW VIEWS LIKE '${base}_at_*'"
+      else s"SHOW VIEWS IN `$nsPrefix` LIKE '${base}_at_*'"
+    val atSeqRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(base) + "_at_(\\d+)",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    val publishableSet = publishable.toSet
+    spark.sql(showViews).collect().foreach { row =>
+      val v = row.getAs[String]("viewName")
+      val m = atSeqRe.matcher(v)
+      if (m.matches() && !publishableSet.contains(m.group(1).toLong)) {
+        val qualified = if (nsPrefix.isEmpty) s"`$v`" else s"`$nsPrefix`.`$v`"
+        spark.sql(s"DROP VIEW IF EXISTS $qualified")
+      }
     }
     publishable.map { seq =>
       val viewName = s"${name}_at_$seq"

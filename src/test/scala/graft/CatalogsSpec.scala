@@ -107,11 +107,13 @@ class CatalogsSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2)
 
     // after EXPIRY, registerSnapshots enumerates only the retained
-    // snapshots — no view is (re)published for an expired seq, and the
-    // retained one still answers through SQL after dirs were deleted
+    // snapshots — no view is (re)published for an expired seq, the
+    // retained one still answers through SQL after dirs were deleted,
+    // and the STALE views from the pre-expiry registration are DROPPED
+    // (r14): a pinned view over deleted batch dirs would silently
+    // return zero/partial rows after MSCK, the exact failure readAsOf
+    // throws for. Querying an expired snapshot must fail loudly.
     assert(sink.expireSnapshots(keepLast = 1).nonEmpty)
-    spark.sql("DROP VIEW IF EXISTS graft_tt.events_at_1")
-    spark.sql("DROP VIEW IF EXISTS graft_tt.events_at_2")
     Catalogs.registerTable(spark, "graft_tt.events", sink)
     val retained = Catalogs.registerSnapshots(spark, "graft_tt.events", sink)
     assert(retained == Seq("graft_tt.events_at_3"))
@@ -119,7 +121,13 @@ class CatalogsSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2)
     assert(spark.sql("SELECT count(*) FROM graft_tt.events")
       .collect().head.getLong(0) == 2)
-    assert(!Catalogs.tableExists(spark, "graft_tt.events_at_1"))
+    assert(!Catalogs.tableExists(spark, "graft_tt.events_at_1"),
+      "expired snapshot view must be dropped by re-registration")
+    assert(!Catalogs.tableExists(spark, "graft_tt.events_at_2"),
+      "expired snapshot view must be dropped by re-registration")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count(*) FROM graft_tt.events_at_1").collect()
+    }
 
     retained.foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
     spark.sql("DROP VIEW IF EXISTS graft_tt.events_at_3")
