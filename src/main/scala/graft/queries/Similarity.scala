@@ -55,6 +55,15 @@ object Similarity extends QueryPack {
     (0 until Planes).map(j => s"(CASE WHEN ${duckPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** DuckDB mirror of one banded LSH key: planes `bd*ppb .. bd*ppb+ppb-1`
+    * packed little-endian by sign (the oracle twin of the key exprs in
+    * [[bandScored]] / [[marginBitextLshPairs]]).
+    */
+  private def duckBandKey(v: String, bd: Int, ppb: Int): String =
+    (0 until ppb).map(p =>
+      s"(CASE WHEN ${duckPlaneFold(v, bd * ppb + p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+
   /** Cosine from three shared dot folds; both engines compute
     * dot / (sqrt(na) * sqrt(nb)) on bit-identical inputs.
     */
@@ -141,18 +150,21 @@ object Similarity extends QueryPack {
     bandScored(e, planesPerBand, bands)
       .where(s"cos >= $threshold").select(col("vid_a"), col("vid_b"))
 
-  /** The 100 TB path sim_margin_bitext's Scaladoc names (r13, scale
-    * audit follow-through): the SAME ratio-margin + mutual-best
-    * semantics, but candidates come from the bucketed hyperplane-LSH
-    * cross-side join (pairs sharing any (band, key)) instead of the
-    * exact all-pairs product, and each side's top-k neighborhood sum is
-    * computed over its CANDIDATES only — the standard approximation in
-    * the CCMatrix pipeline, where FAISS kNN plays the candidate role.
-    * Returns every mutual-best pair with its margin_e6 (callers apply
-    * the >1.0 threshold); the declared query keeps the exact product
-    * because its eval corpus is bounded and the oracle mirrors it.
-    * Driven by StressCheck's bitext leg at 25k x 25k vectors, where the
-    * exact product (625M pairs) is the shape this path exists to avoid.
+  /** THE margin-mining plan (gated as sim_margin_bitext since r14):
+    * ratio-margin + mutual-best semantics with candidates from the
+    * bucketed hyperplane-LSH cross-side join (pairs sharing any
+    * (band, key)) instead of the exact all-pairs product, and each
+    * side's top-k neighborhood sum computed over its CANDIDATES only —
+    * the standard approximation in the CCMatrix pipeline, where FAISS
+    * kNN plays the candidate role. Returns every mutual-best pair with
+    * its margin_e6 (callers apply the >1.0 threshold). The declared
+    * query runs it at (4 planes x 2 bands) — the bench-corpus dial,
+    * mirrored key-for-key by the DuckDB oracle; StressCheck's bitext
+    * leg drives the SAME code at (16 x 4) over 25k x 25k vectors
+    * (recall 1.000 vs constructed truth), where the exact product
+    * (625M pairs) is the shape this path exists to avoid. The band
+    * width is the corpus-size dial: raise planesPerBand with corpus
+    * growth to keep per-key candidates linear.
     */
   private[graft] def marginBitextLshPairs(a0: DataFrame, b0: DataFrame,
       planesPerBand: Int, bands: Int, k: Int = 4): DataFrame = {
@@ -2076,75 +2088,50 @@ object Similarity extends QueryPack {
     // (shared dot folds, the embedding-family discipline); avg_k sums
     // are exact top-4 BIGINT sums with (cos desc, id) tie-break, so the
     // margin is one integer ratio 8*c/(sax+sby) rounded once, and both
-    // argmaxes break ties on the partner id. Scale shape: the pair
-    // stage broadcasts the smaller side here (bounded eval corpus); at
-    // 100 TB candidates come from the bucketed hyperplane-LSH path
-    // (dedup_embed_lsh) and the margin/mutual-best stages are keyed
-    // joins + per-id argmax windows over candidates only.
+    // argmaxes break ties on the partner id.
+    //
+    // Scale shape (r14, the r13 verdict's one remaining plan swap):
+    // candidates come from the banded hyperplane-LSH cross-side
+    // equi-join — the CCMatrix shape, where FAISS kNN plays the
+    // candidate role — NOT the exact all-pairs product, and the
+    // neighborhood sums run over candidates only. The oracle mirrors
+    // the band keys bit-for-bit (deterministic sign folds), so the
+    // approximation is GATED, not just stress-checked: both engines
+    // mine the identical candidate set. At 100 TB the candidate join
+    // shuffles on a band key whose width is the corpus-size dial
+    // (StressCheck drives the same code at 16-plane bands, 25k x 25k,
+    // recall 1.000); the declared 4-plane x 2-band dial matches the
+    // bench corpus and the dedup_embed_lsh key space.
     "sim_margin_bitext" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
-        // norms precompute PER VECTOR (r11): inlining sqrt(dot(x,x)) in
-        // the pair projection re-ran two full dots per PAIR — 2/3 of the
-        // cross-stage FLOPs for values that are row properties of each
-        // side. Same expression tree per pair (dot / (sqrt_a * sqrt_b)),
-        // so the doubles are bit-identical; the oracle mirrors the hoist.
-        val a = e.where(expr("label % 2 = 0"))
-          .selectExpr("vec_id AS a_id", "embedding AS ea",
-            s"sqrt(${sparkDot("embedding", "embedding")}) AS na")
-        val b = e.where(expr("label % 2 = 1"))
-          .selectExpr("vec_id AS b_id", "embedding AS eb",
-            s"sqrt(${sparkDot("embedding", "embedding")}) AS nb")
-        // cache the pair frame PRE-PARTITIONED on a_id (r11): the a-side
-        // top-4 window, the per-a argmax window, and the final joins all
-        // cluster on a_id, so hash-partitioning once at build time lets
-        // three of the six pair-frame exchanges read straight from cache
-        // (window ClusteredDistribution is satisfied by the cached
-        // partitioning); only the b-side window and argmax re-shuffle
-        val pr = b.crossJoin(broadcast(a))
-          .selectExpr("a_id", "b_id",
-            s"${Q.scaledLong(s"${sparkDot("ea", "eb")} / (na * nb)", 6)} AS c_e6")
-          .repartition(col("a_id"))
-          .persistScoped()
-        def topSum(key: String, other: String, out: String) = pr
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(col("c_e6").desc, col(other))))
-          .where(col("rn") <= 4)
-          .groupBy(col(key)).agg(sum(col("c_e6")).as(out))
-        val sa = topSum("a_id", "b_id", "sax")
-        val sb = topSum("b_id", "a_id", "sby")
-        val mg = pr.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
-          // nullif guards the degenerate corpus whose top-4 cosine sums
-          // cancel to zero: unguarded, Spark yields Infinity and the
-          // BIGINT cast saturates while DuckDB errors — a cross-engine
-          // split. NULL margin fails the > 1e6 gate identically in both.
-          .selectExpr("a_id", "b_id", "c_e6",
-            s"${Q.scaledLong("8.0 * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6")
-        val ba = mg.withColumn("rn", row_number().over(
-            Window.partitionBy(col("a_id")).orderBy(col("margin_e6").desc, col("b_id"))))
-          .where(col("rn") === 1).drop("rn")
-        val bb = mg.withColumn("rn", row_number().over(
-            Window.partitionBy(col("b_id")).orderBy(col("margin_e6").desc, col("a_id"))))
-          .where(col("rn") === 1)
-          .select(col("a_id").as("a2"), col("b_id").as("b2"))
-        ba.join(bb, col("a_id") === col("a2") && col("b_id") === col("b2"))
+        val a = e.where(expr("label % 2 = 0")).select(col("vec_id"), col("embedding"))
+        val b = e.where(expr("label % 2 = 1")).select(col("vec_id"), col("embedding"))
+        marginBitextLshPairs(a, b, planesPerBand = 4, bands = 2)
           .where(col("margin_e6") > 1000000L)
-          .select(col("a_id"), col("b_id"), col("c_e6"), col("margin_e6"))
           .orderBy(col("margin_e6").desc, col("a_id"))
           .limit(20)
       },
       Some(s"""
         WITH a AS (SELECT vec_id AS a_id, embedding AS ea,
-                          sqrt(${duckDot("embedding", "embedding")}) AS na
+                          sqrt(${duckDot("embedding", "embedding")}) AS na,
+                          ${duckBandKey("embedding", 0, 4)} AS ka0,
+                          ${duckBandKey("embedding", 1, 4)} AS ka1
                    FROM embeddings WHERE label % 2 = 0),
         b AS (SELECT vec_id AS b_id, embedding AS eb,
-                     sqrt(${duckDot("embedding", "embedding")}) AS nb
+                     sqrt(${duckDot("embedding", "embedding")}) AS nb,
+                     ${duckBandKey("embedding", 0, 4)} AS kb0,
+                     ${duckBandKey("embedding", 1, 4)} AS kb1
               FROM embeddings WHERE label % 2 = 1),
+        cand AS (
+          SELECT a_id, b_id FROM a JOIN b ON ka0 = kb0
+          UNION
+          SELECT a_id, b_id FROM a JOIN b ON ka1 = kb1),
         pr AS MATERIALIZED (
-          SELECT a_id, b_id,
+          SELECT cand.a_id, cand.b_id,
                  ${Q.scaledLong(s"${duckDot("ea", "eb")} / (na * nb)", 6)} AS c_e6
-          FROM a CROSS JOIN b),
+          FROM cand JOIN a USING (a_id) JOIN b USING (b_id)),
         sa AS (
           SELECT a_id, CAST(sum(c_e6) AS BIGINT) AS sax FROM (
             SELECT a_id, c_e6, row_number() OVER (PARTITION BY a_id

@@ -360,7 +360,7 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(got == exp, s"got=$got\nexp=$exp")
   }
 
-  test("sim_margin_bitext matches a driver-side margin-mining recomputation") {
+  test("sim_margin_bitext matches a driver-side LSH margin-mining recomputation") {
     def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
     val vecs = graft.engine.Tables.embeddings(spark, d)
       .select("vec_id", "embedding", "label").collect()
@@ -372,8 +372,28 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
       acc
     }
-    val pr = for ((ai, ea) <- aSide; (bi, eb) <- bSide)
-      yield (ai, bi, e6(dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb)))))
+    // banded hyperplane-LSH keys, the deterministic plane formula the
+    // query and its oracle share: plane j's sign at 1-based dim i is
+    // +1 iff ((i*37 + j*101) % 97) % 2 == 0; band key packs 4 plane
+    // signs little-endian; candidates share key_0 OR key_1
+    def planeFold(x: Array[Float], j: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) {
+        val plus = (((i + 1) * 37 + j * 101) % 97) % 2 == 0
+        acc += (if (plus) x(i).toDouble else -x(i).toDouble)
+        i += 1
+      }
+      acc
+    }
+    def bandKey(x: Array[Float], band: Int): Long =
+      (0 until 4).map(p =>
+        if (planeFold(x, band * 4 + p) > 0) 1L << p else 0L).sum
+    val aKeys = aSide.map { case (ai, ea) => ai -> (bandKey(ea, 0), bandKey(ea, 1)) }.toMap
+    val bKeys = bSide.map { case (bi, eb) => bi -> (bandKey(eb, 0), bandKey(eb, 1)) }.toMap
+    val pr = for {
+      (ai, ea) <- aSide; (bi, eb) <- bSide
+      if aKeys(ai)._1 == bKeys(bi)._1 || aKeys(ai)._2 == bKeys(bi)._2
+    } yield (ai, bi, e6(dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb)))))
     val sax = pr.groupBy(_._1).map { case (ai, ps) =>
       ai -> ps.sortBy(p => (-p._3, p._2)).take(4).map(_._3).sum }
     val sby = pr.groupBy(_._2).map { case (bi, ps) =>

@@ -837,13 +837,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no shuffle may carry document text or word arrays:\n${ins.mkString("\n")}")
   }
 
-  test("margin bitext: side A broadcasts into the pair scan; keyed mutual-best joins") {
+  test("margin bitext: LSH-keyed candidates — no all-pairs product anywhere") {
     spark.catalog.clearCache()
     graft.queries.Persisted.drain()
     val p = plan("sim_margin_bitext")
+    // r14: candidates come from the banded-key EQUI-join (the CCMatrix
+    // 100 TB shape) — the exact cross-side product must be gone
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"the A side / avg-k sums must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bitext candidates must come from the LSH equi-join, not a product:\n$p")
   }
 
   test("LPA communities: rounds checkpoint to integer leaves; no cartesian") {
