@@ -44,6 +44,10 @@ object StressCheck {
       bitextLeg(args.lift(1).map(_.toInt).getOrElse(25000))
       return
     }
+    if (args.headOption.contains("amplify")) {
+      amplifyLeg(args.lift(1).map(_.toInt).getOrElse(240))
+      return
+    }
     val spark = graft.engine.Sessions.local(32, "graft-stress")
     val src = "/root/testdata/sf0.1"
     val dir = Files.createTempDirectory("graft_stress_").toString
@@ -415,12 +419,11 @@ object StressCheck {
   }
 
   /** LSH-bucketed margin-bitext leg (`runMain graft.StressCheck bitext
-    * [nPerSide]`, default 25k/side): the r13 scale audit measured the
-    * declared sim_margin_bitext at 21.6x on 10x data — exact all-pairs
-    * BY DESIGN over its bounded eval corpus, with the Scaladoc naming
-    * the LSH-bucketed candidate path as the 100 TB shape. This leg
-    * RUNS that shape (Similarity.marginBitextLshPairs) at a scale where
-    * the exact product (625M pairs) is off the table, on a corpus with
+    * [nPerSide]`, default 25k/side): drives the SAME plan the declared
+    * sim_margin_bitext gates since r14 (Similarity.marginBitextLshPairs
+    * — banded-LSH candidates, candidate-restricted neighborhood sums)
+    * at the wide-band dial (16 planes x 4 bands) and a scale where the
+    * exact product (625M pairs) is off the table, on a corpus with
     * known ground truth: the b-side is the a-side under a tiny
     * deterministic perturbation, so a_i's true partner is b-side id
     * i + 10M. Asserts candidates stay near-linear (the scale claim) and
@@ -550,6 +553,89 @@ object StressCheck {
       s"still_skips_after_compaction=${planAfter._3 < planAfter._2} => " +
       (if (ok) "OK" else "UNEXPECTED"))
     graft.engine.util.Fs.deleteRecursively(root)
+    spark.stop()
+  }
+
+  /** Write-amplification leg (`runMain graft.StressCheck amplify
+    * [nBatches]`, default 240): the r13 verdict's top finding measured.
+    * A long-lived stream with recurring in-line maintenance runs the
+    * SAME 240-tiny-batch ingest twice — once with the r13 full rewrite
+    * (every tick re-compacts the whole visible table, including the
+    * previous tick's output: O(T²/N) bytes over the stream lifetime)
+    * and once with the r14 incremental mode (size-thresholded +
+    * day-granular: a tick rewrites only new small dirs of still-active
+    * days). Ticks fire every 10 committed batches, event days roll
+    * every 48 batches (5 days over the default run), expiry keeps the
+    * last snapshot. Reports data bytes appended vs bytes rewritten by
+    * maintenance; asserts the incremental mode's amplification is
+    * small and BOUNDED (per-day, not per-table) while the full rewrite
+    * grows with table size.
+    */
+  private def amplifyLeg(nBatches: Int): Unit = {
+    val spark = graft.engine.Sessions.local(32, "graft-stress-amplify")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[amplify] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    def bytesUnder(p: java.nio.file.Path): Long =
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val w = Files.walk(p)
+        try w.filter(f => Files.isRegularFile(f)).mapToLong(f => Files.size(f)).sum()
+        finally w.close()
+      }
+    def run(incremental: Boolean): (Long, Long, Long) = {
+      val root = Files.createTempDirectory("graft_amp_")
+      val dir = root.toString + "/bronze"
+      val sink = new graft.engine.sinks.EvolvingTableSink(dir)
+      def rewriteDirs(): Map[Long, Long] = {
+        val d = new java.io.File(dir).listFiles()
+        if (d == null) Map.empty
+        else d.toSeq.flatMap { f =>
+          val n = f.getName
+          if (n.startsWith("_batch_id=-"))
+            Some(n.stripPrefix("_batch_id=").toLong -> bytesUnder(f.toPath))
+          else None
+        }.toMap
+      }
+      var dataBytes = 0L
+      var rewriteBytes = 0L
+      for (i <- 0 until nBatches) {
+        sink.write(spark.range(i * 10L, i * 10L + 10L).selectExpr(
+          "id",
+          s"CAST(timestamp'2024-01-01 00:00:00' + make_dt_interval(${i / 48}, 0, CAST(id % 1440 AS INT), 0) AS timestamp) AS event_timestamp",
+          "CAST(id % 1000 AS BIGINT) AS qty").coalesce(1), batchId = i)
+        dataBytes += bytesUnder(java.nio.file.Paths.get(dir, s"_batch_id=$i"))
+        if ((i + 1) % 10 == 0) {
+          val before = rewriteDirs().keySet
+          if (incremental)
+            sink.compactBatches(spark, targetBytes = 8192, byDay = true)
+          else
+            sink.compactBatches(spark)
+          rewriteBytes += rewriteDirs()
+            .filterNot { case (id, _) => before.contains(id) }.values.sum
+          sink.expireSnapshots(keepLast = 1)
+        }
+      }
+      val rows = sink.read(spark).count()
+      graft.engine.util.Fs.deleteRecursively(root)
+      (dataBytes, rewriteBytes, rows)
+    }
+    val (dataFull, rwFull, rowsFull) = t(s"$nBatches batches, FULL rewrite per tick") {
+      run(incremental = false)
+    }
+    val (dataInc, rwInc, rowsInc) = t(s"$nBatches batches, INCREMENTAL rewrite per tick") {
+      run(incremental = true)
+    }
+    val ampFull = rwFull.toDouble / dataFull
+    val ampInc = rwInc.toDouble / dataInc
+    println(f"[amplify] full:        data=${dataFull / 1024}%d KiB rewritten=${rwFull / 1024}%d KiB amplification=$ampFull%.1fx")
+    println(f"[amplify] incremental: data=${dataInc / 1024}%d KiB rewritten=${rwInc / 1024}%d KiB amplification=$ampInc%.1fx")
+    val ok = rowsFull == nBatches * 10L && rowsInc == rowsFull &&
+      ampInc <= 4.0 && ampFull >= 2 * ampInc
+    println(s"[amplify] rows_identical=${rowsInc == rowsFull} " +
+      f"incremental_bounded=${ampInc <= 4.0} full_grows=${ampFull >= 2 * ampInc} => " +
+      (if (ok) "OK" else "UNEXPECTED"))
     spark.stop()
   }
 

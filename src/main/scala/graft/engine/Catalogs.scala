@@ -98,11 +98,7 @@ object Catalogs {
     // skip partially-expired snapshots (a crash between expiry's dir
     // deletes and its log truncation): readAsOf THROWS for them, and
     // the SQL surface must not answer with silently-partial rows either
-    val publishable = sink.snapshotSeqs.filter { seq =>
-      sink.visibleIdsAsOf(seq).forall(id =>
-        java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(sink.path, s"_batch_id=$id")))
-    }
+    val publishable = sink.snapshotSeqs.filter(sink.snapshotIntact)
     // drop views of UNpublishable seqs left by a previous registration
     val cut = name.lastIndexOf('.')
     val (nsPrefix, base) =

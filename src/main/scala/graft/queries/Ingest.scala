@@ -381,7 +381,9 @@ object Ingest extends QueryPack {
             |  AS t(user_id, event_id, ts_s, event_type, product_id)""".stripMargin)
         sink.write(extra.where(col("event_id") === "e90"))
         sink.write(extra.where(col("event_id") === "e91"))
-        sink.compactBatches(s)
+        // day-granular mode (r14): the incremental rewrite the
+        // StreamProcessor maintenance tick ships is the one gated here
+        sink.compactBatches(s, byDay = true)
         sink.expireSnapshots(keepLast = 1)
         val bronze = sink.read(s)
           .select(lit("bronze").as("kind"),

@@ -329,6 +329,170 @@ class EvolvingTableSinkSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 4)
   }
 
+  test("a torn PARSEABLE commit-line prefix can never re-date a committed batch (r13 ADVICE)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))  // seq 1
+    assert(sink.write(df(v1, row3("b", 2)), batchId = 1))  // seq 2
+    // crash mid-append tears a line at a point where the PREFIX itself
+    // matches the entry grammar: "3 0" (a re-commit of batch 0 at seq
+    // 3). Pre-r14 the tolerant reader accepted it and last-line-wins
+    // re-dated batch 0 to seq 3 — readAsOf(1..2) silently lost its rows.
+    val log = java.nio.file.Paths.get(dir, "_graft_commits.log")
+    Files.write(log, "3 0".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    // the CRC-validating reader rejects the torn prefix: batch 0 stays
+    // at seq 1 and historical reads keep its rows
+    assert(sink.snapshots == Seq((1L, 0L), (2L, 1L)))
+    assert(sink.readAsOf(spark, 1).select("id").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    // the next append heals the torn tail and commits normally (the
+    // rejected torn line never consumed a snapshot seq)
+    assert(sink.write(df(v1, row3("c", 3)), batchId = 2))
+    assert(sink.snapshots == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    assert(sink.read(spark).count() == 3)
+  }
+
+  test("pre-r14 legacy logs read correctly and migrate on first append") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    assert(sink.write(df(v1, row3("b", 2)), batchId = 1))
+    val snapsBefore = sink.snapshots
+    // strip the CRC suffixes, simulating a table written before r14
+    val log = java.nio.file.Paths.get(dir, "_graft_commits.log")
+    val legacy = new String(Files.readAllBytes(log), "UTF-8")
+      .split("\n").map(_.replaceAll(" #[0-9a-f]+$", "")).mkString("", "\n", "\n")
+    Files.write(log, legacy.getBytes("UTF-8"))
+    assert(!legacy.contains("#"))
+    // legacy mode: reads are unchanged
+    assert(sink.snapshots == snapsBefore)
+    assert(sink.readAsOf(spark, 1).count() == 1)
+    // first append migrates the whole file to CRC'd lines atomically
+    assert(sink.write(df(v1, row3("c", 3)), batchId = 2))
+    val migrated = new String(Files.readAllBytes(log), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    assert(migrated.forall(_.matches(".* #[0-9a-f]+$")),
+      s"every line must carry a CRC after migration:\n${migrated.mkString("\n")}")
+    assert(sink.snapshots == snapsBefore :+ (3L, 2L))
+    assert(sink.read(spark).count() == 3)
+  }
+
+  test("a missing dir for a never-replaced id is an empty pre-upgrade batch, not expiry (r13 ADVICE)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1, row3("a", 1)), batchId = 0))
+    assert(sink.write(df(v1), batchId = 1)) // empty committed batch
+    assert(sink.write(df(v1, row3("b", 2)), batchId = 2))
+    // simulate a pre-r13 table: the explicit empty-dir creation did not
+    // exist, so the committed empty batch has NO dir
+    graft.engine.util.Fs.deleteRecursively(
+      java.nio.file.Paths.get(dir, "_batch_id=1"))
+    // as-of reads covering the empty batch answer exactly (zero rows
+    // from it) instead of throwing "partially expired"
+    assert(sink.readAsOf(spark, 2).select("id").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(sink.readAsOf(spark, 3).count() == 2)
+    assert(sink.snapshotIntact(2) && sink.snapshotIntact(3))
+    // a REPLACED id's missing dir still throws — that IS partial expiry
+    assert(sink.compactBatches(spark).isDefined)
+    graft.engine.util.Fs.deleteRecursively(
+      java.nio.file.Paths.get(dir, "_batch_id=0"))
+    val e = intercept[IllegalStateException] { sink.readAsOf(spark, 2) }
+    assert(e.getMessage.contains("partially expired"))
+    assert(!sink.snapshotIntact(2))
+  }
+
+  test("size-thresholded compaction never rewrites its own output (r13 verdict #1)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    // incompressible payload so parquet size tracks data size
+    val rnd = new scala.util.Random(41)
+    def batch(n: Int) = df(v1, (0 until 400).map(i =>
+      Row(s"b$n-$i-${rnd.alphanumeric.take(64).mkString}", Integer.valueOf(i),
+        ts("2024-01-01 10:00:00"))): _*)
+    for (i <- 0 until 4) assert(sink.write(batch(i), batchId = i))
+    def bytesOf(id: Long): Long = {
+      val p = java.nio.file.Paths.get(dir, s"_batch_id=$id")
+      val w = Files.walk(p)
+      try w.filter(f => Files.isRegularFile(f)).mapToLong(f => Files.size(f)).sum()
+      finally w.close()
+    }
+    // threshold just above the largest input dir: every input is small,
+    // the merged output (~4x the data) lands ABOVE it
+    val threshold = (0L to 3L).map(bytesOf).max + 1
+    val before = sink.read(spark).count()
+    assert(sink.compactBatches(spark, targetBytes = threshold).isDefined)
+    assert(sink.read(spark).count() == before)
+    assert(bytesOf(-1L) >= threshold,
+      "test premise: the compacted output must exceed the threshold")
+    // a second tick with NO new small dirs is a NO-OP — the previous
+    // output is at/above target size and is skipped, so steady-state
+    // maintenance cost is proportional to new data, not table size
+    assert(sink.compactBatches(spark, targetBytes = threshold).isEmpty,
+      "maintenance tick with no new small dirs must be a no-op")
+    // two new small batches arrive: only THEY are rewritten
+    assert(sink.write(batch(4), batchId = 4))
+    assert(sink.write(batch(5), batchId = 5))
+    assert(sink.compactBatches(spark, targetBytes = threshold).isDefined)
+    assert(!sink.replacedBatchIds.contains(-1L),
+      "an already-compacted dir must never be re-compacted")
+    assert(sink.replacedBatchIds.toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(sink.read(spark).count() == 6 * 400)
+  }
+
+  test("day-granular compaction settles each day once and never rewrites it (r13 verdict #4)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
+    val sink = new EvolvingTableSink(dir)
+    assert(sink.write(df(v1,
+      Row("a", Integer.valueOf(1), ts("2024-01-01 10:00:00")),
+      Row("b", Integer.valueOf(2), ts("2024-01-02 11:00:00"))), batchId = 0))
+    assert(sink.write(df(v1,
+      Row("c", Integer.valueOf(3), ts("2024-01-02 12:00:00"))), batchId = 1))
+    // tick 1: two input dirs spanning two days -> ONE output dir PER DAY,
+    // committed under a single snapshot
+    assert(sink.compactBatches(spark, byDay = true).contains(3L))
+    assert(sink.read(spark).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+    assert(sink.replacedBatchIds.toSet == Set(0L, 1L))
+    val dayOut = sink.read(spark)
+      .select("_batch_id", "_event_date").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toString).toSeq.sorted
+    assert(dayOut == Seq(-2L -> "2024-01-02", -1L -> "2024-01-01"),
+      s"each day must settle into its own single-day dir, got $dayOut")
+    // pre-compaction snapshots remain as-of readable
+    assert(sink.readAsOf(spark, 1).count() == 2)
+    // tick 2 with nothing new: every visible dir is single-day and alone
+    // for its day — a pure no-op
+    assert(sink.compactBatches(spark, byDay = true).isEmpty)
+    // a new day arrives in two small dirs: ONLY that day compacts; the
+    // settled day dirs are untouched (old days are never rewritten)
+    assert(sink.write(df(v1, Row("d", Integer.valueOf(4),
+      ts("2024-01-03 09:00:00"))), batchId = 2))
+    assert(sink.write(df(v1, Row("e", Integer.valueOf(5),
+      ts("2024-01-03 10:00:00"))), batchId = 3))
+    assert(sink.compactBatches(spark, byDay = true).isDefined)
+    assert(!sink.replacedBatchIds.contains(-1L) &&
+      !sink.replacedBatchIds.contains(-2L),
+      "a settled day outside the window must not be rewritten")
+    assert(sink.replacedBatchIds.toSet == Set(0L, 1L, 2L, 3L))
+    assert(sink.read(spark).select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c", "d", "e"))
+    // a multi-day stray dir still gets split per day
+    assert(sink.write(df(v1,
+      Row("f", Integer.valueOf(6), ts("2024-01-03 23:00:00")),
+      Row("g", Integer.valueOf(7), ts("2024-01-04 01:00:00"))), batchId = 4))
+    assert(sink.compactBatches(spark, byDay = true).isDefined)
+    assert(sink.read(spark).count() == 7)
+    val day3Dirs = sink.read(spark)
+      .where("_event_date = DATE'2024-01-03'")
+      .select("_batch_id").distinct().count()
+    assert(day3Dirs == 1, "a day's rows must re-settle into one dir")
+    // expiry still composes: only the latest snapshot's dirs survive
+    assert(sink.expireSnapshots(keepLast = 1).nonEmpty)
+    assert(sink.read(spark).count() == 7)
+  }
+
   test("an uncommitted compaction's replaces are ignored (crash window)") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/bronze"
     val sink = new EvolvingTableSink(dir)

@@ -102,6 +102,14 @@ class StreamProcessorSpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
     assert(bronze.read(spark).count() == expected)
+    // r14 incremental contract: run maintenance to quiescence, then a
+    // further tick with NO new small dirs must be a no-op — the stream's
+    // recurring maintenance never rewrites its own settled outputs
+    bronze.compactBatches(spark, targetBytes = 128L * 1024 * 1024, byDay = true)
+    assert(bronze.compactBatches(spark,
+      targetBytes = 128L * 1024 * 1024, byDay = true).isEmpty,
+      "a maintenance tick with no new small dirs must be a no-op")
+    assert(bronze.read(spark).count() == expected)
   }
 
   test("schema evolution flows through the streaming sink (purchase adds product_id)") {
