@@ -28,6 +28,57 @@ object Similarity extends QueryPack {
   /** IVF coarse-codebook size. */
   private val NList = 8
 
+  /** Corpus-size LSH dial (r14): one extra key bit per corpus DOUBLING
+    * past the 2k bench-corpus anchor. Collisions scale as N²/2^bits, so
+    * +1 bit per doubling holds per-key candidates LINEAR in N — the
+    * gated LSH plans are their own 100 TB shape instead of a 4-bit
+    * configuration that degrades quadratically off the bench corpus
+    * (the r13 10× audit's bitext/threshold-curve outliers). Every
+    * consumer derives its width from this ONE ladder, and the oracles
+    * mirror it with a COUNT(*)-driven CASE over the same thresholds —
+    * integer-exact on both engines, no floating log2 whose rounding
+    * could disagree at an exact power of two. At the gate corpora
+    * (n ≤ 2000) the ladder resolves to the historical widths, so every
+    * declared result there is unchanged.
+    */
+  private val LshAnchor = 2000L
+  private val LshLadderCap = 12
+  private[graft] def lshExtraBits(n: Long): Int = {
+    var extra = 0
+    var cap = LshAnchor
+    while (n > cap && extra < LshLadderCap) { extra += 1; cap *= 2 }
+    extra
+  }
+
+  /** Embeddings count backing the dial: parquet metadata count, cached
+    * driver-side per dir (the same bounded-driver-state pattern as the
+    * codebook builders).
+    */
+  private val corpusCounts = new scala.collection.concurrent.TrieMap[String, Long]
+  private def corpusN(s: SparkSession, d: String): Long =
+    corpusCounts.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
+  /** DuckDB mirror of [[lshExtraBits]]: an uncorrelated scalar subquery
+    * (evaluated once per query) over the same doubling thresholds.
+    */
+  private def duckExtraBits: String = {
+    val arms = (0 until LshLadderCap)
+      .map(k => s"WHEN n <= ${LshAnchor * (1L << k)} THEN $k").mkString(" ")
+    s"(SELECT CASE $arms ELSE $LshLadderCap END FROM (SELECT COUNT(*) AS n FROM embeddings) lshn)"
+  }
+
+  /** Semdedup cell-count dial: k ∝ √(corpus/anchor) — one doubling of k
+    * per QUADRUPLING of the corpus (see the semdedup_prune note), from
+    * the same integer ladder, with the DuckDB twin below.
+    */
+  private def semdedupK(n: Long): Int = NList << ((lshExtraBits(n) + 1) / 2)
+  private def duckSemK: String = {
+    val arms = (0 until LshLadderCap)
+      .map(k => s"WHEN n <= ${LshAnchor * (1L << k)} THEN ${NList << ((k + 1) / 2)}")
+      .mkString(" ")
+    s"(SELECT CASE $arms ELSE ${NList << ((LshLadderCap + 1) / 2)} END FROM (SELECT COUNT(*) AS n FROM embeddings) lshn)"
+  }
+
   /** Sign pattern for hyperplane j at dimension i (deterministic
     * pseudo-random, same formula inlined in the oracle SQL).
     */
@@ -47,22 +98,87 @@ object Similarity extends QueryPack {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> " +
       s"(CASE WHEN ${signCond(j)} THEN CAST($v[i] AS DOUBLE) ELSE -CAST($v[i] AS DOUBLE) END))), (acc, x) -> acc + x)"
 
-  private def sparkBucket(v: String): String =
-    (0 until Planes).map(j => s"(CASE WHEN ${sparkPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
-
-  private def duckBucket(v: String): String =
-    (0 until Planes).map(j => s"(CASE WHEN ${duckPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
-
-  /** DuckDB mirror of one banded LSH key: planes `bd*ppb .. bd*ppb+ppb-1`
-    * packed little-endian by sign (the oracle twin of the key exprs in
-    * [[bandScored]] / [[marginBitextLshPairs]]).
+  /** Bucket key over planes 0..w-1 (w = Planes + the corpus ladder):
+    * constant-occupancy scaling — n/2^(8+extra) stays ≈ n/2^8 at the
+    * anchor, so the bucket-equality consumers (ANN top-k, recall audit)
+    * keep the SAME per-bucket neighborhood size at any corpus scale
+    * while the join stays linear.
     */
-  private def duckBandKey(v: String, bd: Int, ppb: Int): String =
-    (0 until ppb).map(p =>
-      s"(CASE WHEN ${duckPlaneFold(v, bd * ppb + p)} > 0 THEN ${1L << p} ELSE 0 END)")
+  private def sparkBucket(v: String, w: Int): String =
+    (0 until w).map(j => s"(CASE WHEN ${sparkPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
+
+  /** DuckDB bucket mirror: bits at or beyond `Planes` are masked by the
+    * runtime ladder (the CASE guard keeps the fold unevaluated below the
+    * threshold corpus, so gate-SF oracle cost is unchanged).
+    */
+  private def duckBucket(v: String): String =
+    (0 until (Planes + LshLadderCap)).map { j =>
+      val bit = s"(CASE WHEN ${duckPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)"
+      if (j < Planes) bit
+      else s"(CASE WHEN $j < $Planes + $duckExtraBits THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** The `lshw` oracle CTE carrying the adaptive band width (4 + the
+    * corpus ladder) plus its power `pw = 2^bw` and the hot-key cap
+    * (`8·max(1, n div pw)`, the twin of [[bandHotCap]]) as plain
+    * columns, cross-joined where band keys are computed — band 1's
+    * plane indexes depend on the runtime width, so its folds need `bw`
+    * in scope rather than a baked plane constant.
+    */
+  private def duckLshwCte: String = {
+    val bwArms = (0 until LshLadderCap)
+      .map(k => s"WHEN n <= ${LshAnchor * (1L << k)} THEN ${4 + k}").mkString(" ")
+    s"""lshw AS (
+          SELECT bw, CAST(1 AS BIGINT) << bw AS pw,
+                 CAST(8 * GREATEST(1, n // (CAST(1 AS BIGINT) << bw)) AS BIGINT) AS hotcap
+          FROM (SELECT n, CASE $bwArms ELSE ${4 + LshLadderCap} END AS bw
+                FROM (SELECT COUNT(*) AS n FROM embeddings) t) t2)"""
+  }
+
+  /** One adaptive banded key as a SQL expression (expects columns
+    * `embedding` and `bw` in scope — see [[duckLshwCte]]): bit p of
+    * band bd is the sign of plane `(mult + bd)·bw + p`, masked to
+    * p < bw. mult=0 gives the base keys, mult=bands the extension
+    * chunk of the hot-key split — the twin of [[sparkBandKey]]. The
+    * (0, 0) key's plane indexes are static so its folds stay the cheap
+    * baked form; every other key inlines the plane-sign formula with
+    * the index as an expression.
+    */
+  private def duckBandKey(bd: Int, mult: Int = 0): String = {
+    def dynFold(jExpr: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> " +
+        s"(CASE WHEN ((i * 37 + ($jExpr) * 101) % 97) % 2 = 0 THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END))), (acc, x) -> acc + x)"
+    (0 until (4 + LshLadderCap)).map { p =>
+      val fold =
+        if (bd == 0 && mult == 0) duckPlaneFold("embedding", p)
+        else dynFold(s"($mult + $bd) * bw + $p")
+      val bit = s"(CASE WHEN $fold > 0 THEN ${1L << p} ELSE 0 END)"
+      if (p < 4 && mult == 0) bit
+      else s"(CASE WHEN $p < bw THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** Shared oracle CTE chain producing `bands(vec_id, band, key)` with
+    * the adaptive band width AND the hot-key split — the bit-for-bit
+    * mirror of [[bandCandidatesScored]]'s keys. Prepend inside WITH
+    * (composes with RECURSIVE: the keyword scopes the whole WITH list).
+    */
+  private def duckBandRows: String =
+    s"""$duckLshwCte,
+        ek AS (SELECT vec_id, ${duckBandKey(0)} AS k0, ${duckBandKey(1)} AS k1,
+                      ${duckBandKey(0, 2)} AS x0, ${duckBandKey(1, 2)} AS x1,
+                      pw, hotcap
+               FROM embeddings, lshw),
+        rawbands AS (
+          SELECT vec_id, 0 AS band, k0 AS key, x0 AS ext, pw, hotcap FROM ek
+          UNION ALL
+          SELECT vec_id, 1 AS band, k1 AS key, x1 AS ext, pw, hotcap FROM ek),
+        bkc AS (SELECT band, key, COUNT(*) AS kc FROM rawbands GROUP BY 1, 2),
+        bands AS (
+          SELECT vec_id, band,
+                 CASE WHEN kc > hotcap THEN (key + 1) * pw + ext ELSE key END AS key
+          FROM rawbands JOIN bkc USING (band, key))"""
 
   /** Cosine from three shared dot folds; both engines compute
     * dot / (sqrt(na) * sqrt(nb)) on bit-identical inputs.
@@ -80,28 +196,89 @@ object Similarity extends QueryPack {
     * the oracle mirrors), a self-equi-join on (band, key), and the
     * exact cosine scored on candidates only. The band width is the
     * corpus-size dial: candidate count per band grows as
-    * N²/2^planesPerBand, so the 4-bit bands tuned for the 2k bench
-    * corpus degrade quadratically on bigger corpora and a deployment
-    * raises planesPerBand instead — same plan, bigger key space.
-    * At (4, 2) the keys equal the declared queries' bucket%16 /
-    * bucket div 16 halves bit-for-bit, so the DuckDB oracles mirror
-    * this exactly.
+    * N²/2^planesPerBand, so the declared consumers pass
+    * `4 + lshExtraBits(N)` — one extra bit per corpus doubling keeps
+    * candidates linear, same plan, bigger key space — and the DuckDB
+    * oracles mirror the ladder key-for-key (see [[duckBandRows]]).
+    * StressCheck still drives explicit widths for its recall legs.
     */
-  private def bandScored(
-      e: DataFrame, planesPerBand: Int, bands: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(e.sparkSession)
-    val keyExprs = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { p =>
-        val j = b * planesPerBand + p
-        s"(CASE WHEN ${sparkPlaneFold("embedding", j)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }
-      s"(${bits.mkString(" + ")}) AS key_$b"
+  /** One banded key as a Spark SQL expression: band bd's bit p is the
+    * sign of plane `(mult + bd) * ppb + p`. mult=0 gives the base keys;
+    * mult=bands gives the EXTENSION keys (a fresh plane chunk past
+    * every base band, used only by the hot-key split below).
+    */
+  private def sparkBandKey(bd: Int, mult: Int, ppb: Int): String = {
+    val bits = (0 until ppb).map { p =>
+      val j = (mult + bd) * ppb + p
+      s"(CASE WHEN ${sparkPlaneFold("embedding", j)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }
-    val withKeys = e.selectExpr(Seq("vec_id", "embedding") ++ keyExprs: _*)
-    val bandRows = withKeys.selectExpr("vec_id",
-      s"explode(array(${(0 until bands)
-        .map(b => s"named_struct('band', $b, 'key', key_$b)").mkString(", ")})) AS bk")
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    s"(${bits.mkString(" + ")})"
+  }
+
+  /** (vec_id, band, key[, ext]) band rows: base key plus, when the
+    * split is armed, the extension chunk it may append. Input must
+    * expose `vec_id, embedding`.
+    */
+  private def rawBandRows(e: DataFrame, ppb: Int, bands: Int,
+      withExt: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    def fields(b: Int) =
+      Seq(s"${sparkBandKey(b, 0, ppb)} AS key_$b") ++
+        (if (withExt) Seq(s"${sparkBandKey(b, bands, ppb)} AS ext_$b") else Nil)
+    def struct(b: Int) =
+      s"named_struct('band', $b, 'key', key_$b" +
+        (if (withExt) s", 'ext', ext_$b" else "") + ")"
+    val outCols = Seq(col("vec_id"), col("bk.band").as("band"),
+      col("bk.key").as("key")) ++
+      (if (withExt) Seq(col("bk.ext").as("ext")) else Nil)
+    e.selectExpr(Seq("vec_id") ++ (0 until bands).flatMap(fields): _*)
+      .selectExpr("vec_id",
+        s"explode(array(${(0 until bands).map(struct).mkString(", ")})) AS bk")
+      .select(outCols: _*)
+  }
+
+  /** HOT-KEY SPLIT (r14): band keys whose occupancy exceeds `hotCap`
+    * (counted over `countRows`, which may union both sides of a
+    * cross-side join so the decision is symmetric) are re-keyed to
+    * `(key+1)·2^ppb + ext` — the base key extended by a second
+    * band-width chunk of planes, disjoint from every un-split key.
+    * Width alone cannot break DATA skew: identical sign-profiles (the
+    * all-positive corpus cluster here lands ~24% of vectors on one
+    * key) collide at any ladder width, the same pathology the shingle
+    * side caps with stop-shingles. Splitting (rather than dropping)
+    * preserves near-dup recall inside the hot region: true near-dups
+    * agree on the extension planes too. One level suffices for the
+    * declared corpora; a deployment recurses. No-op (and not planned)
+    * when hotCap is MaxValue.
+    */
+  private def splitBandRows(rows: DataFrame, counts: => DataFrame,
+      ppb: Int, hotCap: Long): DataFrame =
+    if (hotCap == Long.MaxValue)
+      rows.select(col("vec_id"), col("band"), col("key"))
+    else
+      rows.join(counts, Seq("band", "key"))
+        .selectExpr("vec_id", "band",
+          s"CASE WHEN _kc > $hotCap THEN (key + 1) * ${1L << ppb} + ext ELSE key END AS key")
+
+  /** (band, key, _kc) occupancy frame feeding [[splitBandRows]]. */
+  private def bandKeyCounts(countRows: DataFrame): DataFrame =
+    countRows.groupBy(col("band"), col("key")).agg(count(lit(1)).as("_kc"))
+
+  /** Occupancy cap feeding the split: 8× the expected uniform per-key
+    * occupancy (floored at one row). At the gate corpora the skewed
+    * keys sit well under 8× expected, so the split does not engage
+    * there and every anchor result is unchanged; at 10× the degenerate
+    * sign-profile keys are ~60× expected and split.
+    */
+  private def bandHotCap(n: Long, ppb: Int): Long = 8L * math.max(1L, n >> ppb)
+
+  private def bandScored(
+      e: DataFrame, planesPerBand: Int, bands: Int,
+      hotCap: Long = Long.MaxValue): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val raw = rawBandRows(e, planesPerBand, bands,
+      withExt = hotCap != Long.MaxValue)
+    val bandRows = splitBandRows(raw, bandKeyCounts(raw), planesPerBand, hotCap)
     val cand = bandRows.toDF("vid_a", "band", "key")
       .join(bandRows.toDF("vid_b", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") &&
@@ -127,8 +304,15 @@ object Similarity extends QueryPack {
       // arrays through, and caching them bloated each pair row ~20x —
       // at the 10x corpus the tier hit 2.4-5.5 GiB per partition and
       // spilled (the dedup_threshold_curve bench failure). Every
-      // consumer reads only the ids and the score.
-      bandScored(Tables.embeddings(s, d), planesPerBand = 4, bands = 2)
+      // consumer reads only the ids and the score. Band width rides the
+      // corpus ladder (r14): 4 bits at the anchor, +1 per doubling, so
+      // the candidate set — and this cache — stays linear in the corpus.
+      // corpus ladder + hot-key split (r14): width handles GROWTH,
+      // the split handles SKEW — both oracle-mirrored
+      val n = corpusN(s, d)
+      val ppb = 4 + lshExtraBits(n)
+      bandScored(Tables.embeddings(s, d), planesPerBand = ppb, bands = 2,
+        hotCap = bandHotCap(n, ppb))
         .select(col("vid_a"), col("vid_b"), col("cos"))
     }
 
@@ -167,27 +351,27 @@ object Similarity extends QueryPack {
     * growth to keep per-key candidates linear.
     */
   private[graft] def marginBitextLshPairs(a0: DataFrame, b0: DataFrame,
-      planesPerBand: Int, bands: Int, k: Int = 4): DataFrame = {
+      planesPerBand: Int, bands: Int, k: Int = 4,
+      hotCap: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(a0.sparkSession)
-    def keyed(df: DataFrame, id: String, vec: String, norm: String) = {
-      val keyExprs = (0 until bands).map { bd =>
-        val bits = (0 until planesPerBand).map { p =>
-          val j = bd * planesPerBand + p
-          s"(CASE WHEN ${sparkPlaneFold("embedding", j)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        }
-        s"(${bits.mkString(" + ")}) AS key_$bd"
-      }
-      df.selectExpr(Seq(s"vec_id AS $id", s"embedding AS $vec",
-        s"sqrt(${sparkDot("embedding", "embedding")}) AS $norm") ++ keyExprs: _*)
-    }
-    def bandRows(df: DataFrame, id: String) = df.selectExpr(id,
-      s"""explode(array(${(0 until bands)
-        .map(bd => s"named_struct('band', $bd, 'key', key_$bd)").mkString(", ")})) AS bk""")
-      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    def keyed(df: DataFrame, id: String, vec: String, norm: String) =
+      df.selectExpr(s"vec_id AS $id", s"embedding AS $vec",
+        s"sqrt(${sparkDot("embedding", "embedding")}) AS $norm")
     val ak = keyed(a0, "a_id", "ea", "na").persistScoped()
     val bk = keyed(b0, "b_id", "eb", "nb").persistScoped()
-    val cand = bandRows(ak, "a_id")
-      .join(bandRows(bk, "b_id"), Seq("band", "key"))
+    // hot-key split with SYMMETRIC hotness: occupancy counted over the
+    // union of both sides, so a key hot on either side re-keys both and
+    // cross-side collisions survive the split
+    val withExt = hotCap != Long.MaxValue
+    val aRaw = rawBandRows(a0, planesPerBand, bands, withExt)
+    val bRaw = rawBandRows(b0, planesPerBand, bands, withExt)
+    lazy val counts = bandKeyCounts(aRaw.select(col("band"), col("key"))
+      .unionAll(bRaw.select(col("band"), col("key")))).persistScoped()
+    val cand = splitBandRows(aRaw, counts, planesPerBand, hotCap)
+      .toDF("a_id", "band", "key")
+      .join(splitBandRows(bRaw, counts, planesPerBand, hotCap)
+        .toDF("b_id", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2"))
       .select(col("a_id"), col("b_id")).distinct()
     // candidates scored exactly like the declared query's pair frame,
     // pre-partitioned on a_id for the same three-exchange reuse
@@ -203,10 +387,14 @@ object Similarity extends QueryPack {
         Window.partitionBy(col(key)).orderBy(col("c_e6").desc, col(other))))
       .where(col("rn") <= k)
       .groupBy(col(key)).agg(sum(col("c_e6")).as(out))
+    // persisted: BOTH mutual-best branches read mg, and without the
+    // cache each would rebuild the two topSum windows over the full
+    // candidate frame (measured 2x mid-pipeline at the 10x corpus)
     val mg = pr.join(topSum("a_id", "b_id", "sax"), "a_id")
       .join(topSum("b_id", "a_id", "sby"), "b_id")
       .selectExpr("a_id", "b_id", "c_e6",
         s"${Q.scaledLong(s"2.0 * $k * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6")
+      .persistScoped()
     val ba = mg.withColumn("rn", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("margin_e6").desc, col("b_id"))))
       .where(col("rn") === 1).drop("rn")
@@ -258,11 +446,16 @@ object Similarity extends QueryPack {
       .orderBy(col("cell"))
   }
 
-  /** (vec_id, embedding, bucket): corpus with the 8-plane LSH bucket. */
+  /** (vec_id, embedding, bucket): corpus with the LSH bucket at the
+    * corpus-adaptive width (8 planes at the anchor, +1 per doubling —
+    * constant expected occupancy, so ANN neighborhoods don't thin out
+    * and the self-join stays linear).
+    */
   private def bucketed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val w = Planes + lshExtraBits(corpusN(s, d))
     Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding")} AS bucket")
+      .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding", w)} AS bucket")
   }
 
   /** Round 1 of the integer-exact PCA power iteration (see
@@ -366,12 +559,21 @@ object Similarity extends QueryPack {
     // plan, bigger key space. Cosines are the shared left-to-right
     // folds, so the 0.3 threshold can never flip between engines.
     "semdedup_prune" -> QueryDef(
+      // cell count rides the corpus ladder at the SQUARE-ROOT rate
+      // (r14): k ∝ √N balances the two stages — brute-force assign is
+      // N·k and within-cell verify is N²/k, so k ∝ √N holds both at
+      // N^1.5 (the classic quantization balance; a 100 TB deployment
+      // feeds a precomputed k-means codebook instead and goes linear).
+      // The "k is the corpus-size dial" note on semdedupLedger, now
+      // applied by the declared query itself and mirrored by the
+      // oracle's COUNT(*)-driven centroid cutoff.
       (s, d) => semdedupLedger(
         { graft.functions.GraftFunctions.register(s); Tables.embeddings(s, d) },
-        k = NList, tau = 0.3),
+        k = semdedupK(corpusN(s, d)), tau = 0.3),
       Some(s"""
         WITH cents AS (
-          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NList),
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          WHERE vec_id < $duckSemK),
         dists AS (
           SELECT e.vec_id, e.embedding, c.cent_id,
                  ${duckDot("e.embedding", "e.embedding")} - 2 * ${duckDot("e.embedding", "c.cv")}
@@ -1588,13 +1790,7 @@ object Similarity extends QueryPack {
           .orderBy(col("vid_a"), col("vid_b"))
       },
       Some(s"""
-        WITH e AS (
-          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
-          FROM embeddings),
-        bands AS (
-          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM e
-          UNION ALL
-          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM e),
+        WITH $duckBandRows,
         cand AS (
           SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
           FROM bands a JOIN bands b
@@ -1637,13 +1833,7 @@ object Similarity extends QueryPack {
           .orderBy(col("cluster_id"))
       },
       Some(s"""
-        WITH RECURSIVE e AS (
-          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
-          FROM embeddings),
-        bands AS (
-          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM e
-          UNION ALL
-          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM e),
+        WITH RECURSIVE $duckBandRows,
         cand AS (
           SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
           FROM bands a JOIN bands b
@@ -1703,13 +1893,7 @@ object Similarity extends QueryPack {
           .orderBy(col("bucket"))
       },
       Some(s"""
-        WITH e AS (
-          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
-          FROM embeddings),
-        bands AS (
-          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM e
-          UNION ALL
-          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM e),
+        WITH $duckBandRows,
         cand AS (
           SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
           FROM bands a JOIN bands b
@@ -1756,10 +1940,9 @@ object Similarity extends QueryPack {
         val cellStats = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_cells"), max(col("sz")).as("max_cell"))
           .persistScoped() // feeds the 2_cells and 3_max_cell stage rows
-        // the pair stage IS the shared scored-candidate frame (r11):
-        // bandScored's plane-fold keys equal the bucket%16 / bucket div
-        // 16 halves bit-for-bit at (4, 2), so this reuses the same
-        // session-cached frame the embed-LSH family reads
+        // the pair stage IS the shared scored-candidate frame (r11),
+        // at the corpus-adaptive band width the embed-LSH family reads
+        // (r14) — one session-cached build serves all four consumers
         val dupPairs = bandCandidatesScored(s, d).where("cos >= 0.4")
         e.agg(count(lit(1)).as("n"))
           .select(lit("1_total").as("stage"), col("n"))
@@ -1785,13 +1968,7 @@ object Similarity extends QueryPack {
                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
             FROM dists) t WHERE rn = 1),
         cellsz AS (SELECT cent_id, count(*) AS sz FROM assigned GROUP BY cent_id),
-        eb AS (
-          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
-          FROM embeddings),
-        bands AS (
-          SELECT vec_id, 0 AS band, bucket % 16 AS key FROM eb
-          UNION ALL
-          SELECT vec_id, 1 AS band, bucket // 16 AS key FROM eb),
+        $duckBandRows,
         cand AS (
           SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
           FROM bands a JOIN bands b
@@ -2098,36 +2275,63 @@ object Similarity extends QueryPack {
     // the band keys bit-for-bit (deterministic sign folds), so the
     // approximation is GATED, not just stress-checked: both engines
     // mine the identical candidate set. At 100 TB the candidate join
-    // shuffles on a band key whose width is the corpus-size dial
-    // (StressCheck drives the same code at 16-plane bands, 25k x 25k,
-    // recall 1.000); the declared 4-plane x 2-band dial matches the
-    // bench corpus and the dedup_embed_lsh key space.
+    // shuffles on a band key whose width is the corpus-size dial — and
+    // the declared query RIDES the dial (r14): 4-plane bands at the 2k
+    // anchor, +1 bit per corpus doubling, oracle-mirrored through the
+    // lshw CTE, so candidates stay linear at any scale (StressCheck
+    // additionally drives explicit 16-plane bands at 25k x 25k,
+    // recall 1.000).
     "sim_margin_bitext" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
         val a = e.where(expr("label % 2 = 0")).select(col("vec_id"), col("embedding"))
         val b = e.where(expr("label % 2 = 1")).select(col("vec_id"), col("embedding"))
-        marginBitextLshPairs(a, b, planesPerBand = 4, bands = 2)
+        val n = corpusN(s, d)
+        val ppb = 4 + lshExtraBits(n)
+        marginBitextLshPairs(a, b, planesPerBand = ppb, bands = 2,
+          hotCap = bandHotCap(n, ppb))
           .where(col("margin_e6") > 1000000L)
           .orderBy(col("margin_e6").desc, col("a_id"))
           .limit(20)
       },
       Some(s"""
-        WITH a AS (SELECT vec_id AS a_id, embedding AS ea,
-                          sqrt(${duckDot("embedding", "embedding")}) AS na,
-                          ${duckBandKey("embedding", 0, 4)} AS ka0,
-                          ${duckBandKey("embedding", 1, 4)} AS ka1
-                   FROM embeddings WHERE label % 2 = 0),
-        b AS (SELECT vec_id AS b_id, embedding AS eb,
-                     sqrt(${duckDot("embedding", "embedding")}) AS nb,
-                     ${duckBandKey("embedding", 0, 4)} AS kb0,
-                     ${duckBandKey("embedding", 1, 4)} AS kb1
-              FROM embeddings WHERE label % 2 = 1),
-        cand AS (
-          SELECT a_id, b_id FROM a JOIN b ON ka0 = kb0
-          UNION
-          SELECT a_id, b_id FROM a JOIN b ON ka1 = kb1),
+        WITH $duckLshwCte,
+        ae AS (SELECT vec_id AS a_id, embedding AS ea,
+                      sqrt(${duckDot("embedding", "embedding")}) AS na,
+                      ${duckBandKey(0)} AS k0, ${duckBandKey(1)} AS k1,
+                      ${duckBandKey(0, 2)} AS x0, ${duckBandKey(1, 2)} AS x1,
+                      pw, hotcap
+               FROM embeddings, lshw WHERE label % 2 = 0),
+        be AS (SELECT vec_id AS b_id, embedding AS eb,
+                      sqrt(${duckDot("embedding", "embedding")}) AS nb,
+                      ${duckBandKey(0)} AS k0, ${duckBandKey(1)} AS k1,
+                      ${duckBandKey(0, 2)} AS x0, ${duckBandKey(1, 2)} AS x1,
+                      pw, hotcap
+               FROM embeddings, lshw WHERE label % 2 = 1),
+        arows AS (
+          SELECT a_id, 0 AS band, k0 AS key, x0 AS ext, pw, hotcap FROM ae
+          UNION ALL
+          SELECT a_id, 1 AS band, k1 AS key, x1 AS ext, pw, hotcap FROM ae),
+        brows AS (
+          SELECT b_id, 0 AS band, k0 AS key, x0 AS ext, pw, hotcap FROM be
+          UNION ALL
+          SELECT b_id, 1 AS band, k1 AS key, x1 AS ext, pw, hotcap FROM be),
+        bkc AS (
+          SELECT band, key, COUNT(*) AS kc FROM (
+            SELECT band, key FROM arows UNION ALL SELECT band, key FROM brows) u
+          GROUP BY 1, 2),
+        af AS (
+          SELECT a_id, band,
+                 CASE WHEN kc > hotcap THEN (key + 1) * pw + ext ELSE key END AS key
+          FROM arows JOIN bkc USING (band, key)),
+        bf AS (
+          SELECT b_id, band,
+                 CASE WHEN kc > hotcap THEN (key + 1) * pw + ext ELSE key END AS key
+          FROM brows JOIN bkc USING (band, key)),
+        cand AS (SELECT DISTINCT a_id, b_id FROM af JOIN bf USING (band, key)),
+        a AS (SELECT a_id, ea, na FROM ae),
+        b AS (SELECT b_id, eb, nb FROM be),
         pr AS MATERIALIZED (
           SELECT cand.a_id, cand.b_id,
                  ${Q.scaledLong(s"${duckDot("ea", "eb")} / (na * nb)", 6)} AS c_e6

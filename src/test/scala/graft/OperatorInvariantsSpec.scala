@@ -374,8 +374,13 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
     // banded hyperplane-LSH keys, the deterministic plane formula the
     // query and its oracle share: plane j's sign at 1-based dim i is
-    // +1 iff ((i*37 + j*101) % 97) % 2 == 0; band key packs 4 plane
-    // signs little-endian; candidates share key_0 OR key_1
+    // +1 iff ((i*37 + j*101) % 97) % 2 == 0; band key packs `bw` plane
+    // signs little-endian (bw = 4 + the corpus ladder, same dial as the
+    // query); keys over the occupancy cap split by the extension plane
+    // chunk (planes (2+band)*bw..), occupancy counted over BOTH sides;
+    // candidates share key_0 OR key_1
+    val bw = 4 + graft.queries.Similarity.lshExtraBits(vecs.length.toLong)
+    val cap = 8L * math.max(1L, vecs.length.toLong >> bw)
     def planeFold(x: Array[Float], j: Int): Double = {
       var acc = 0.0; var i = 0
       while (i < x.length) {
@@ -385,9 +390,17 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       }
       acc
     }
-    def bandKey(x: Array[Float], band: Int): Long =
-      (0 until 4).map(p =>
-        if (planeFold(x, band * 4 + p) > 0) 1L << p else 0L).sum
+    def keyAt(x: Array[Float], basePlane: Int): Long =
+      (0 until bw).map(p =>
+        if (planeFold(x, basePlane + p) > 0) 1L << p else 0L).sum
+    val occ = (aSide ++ bSide).toSeq
+      .flatMap { case (_, v) => Seq((0, keyAt(v, 0)), (1, keyAt(v, bw))) }
+      .groupBy(identity).map { case (key, vs) => key -> vs.size }
+    def bandKey(x: Array[Float], band: Int): Long = {
+      val k = keyAt(x, band * bw)
+      if (occ((band, k)) > cap) (k + 1) * (1L << bw) + keyAt(x, (2 + band) * bw)
+      else k
+    }
     val aKeys = aSide.map { case (ai, ea) => ai -> (bandKey(ea, 0), bandKey(ea, 1)) }.toMap
     val bKeys = bSide.map { case (bi, eb) => bi -> (bandKey(eb, 0), bandKey(eb, 1)) }.toMap
     val pr = for {

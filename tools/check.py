@@ -64,8 +64,11 @@ def main():
         c = duckdb.connect()
         for t in TABLES:
             pth = f"{sfdir}/{t}.parquet"
-            if os.path.exists(pth):
-                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pth}')")
+            if os.path.isdir(pth):  # Spark-written tables are directories
+                pth = f"{pth}/*.parquet"
+            elif not os.path.exists(pth):
+                continue
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pth}')")
         return c
     con = fresh_con()
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
