@@ -58,15 +58,6 @@ object Similarity extends QueryPack {
   private def corpusN(s: SparkSession, d: String): Long =
     corpusCounts.getOrElseUpdate(d, Tables.embeddings(s, d).count())
 
-  /** DuckDB mirror of [[lshExtraBits]]: an uncorrelated scalar subquery
-    * (evaluated once per query) over the same doubling thresholds.
-    */
-  private def duckExtraBits: String = {
-    val arms = (0 until LshLadderCap)
-      .map(k => s"WHEN n <= ${LshAnchor * (1L << k)} THEN $k").mkString(" ")
-    s"(SELECT CASE $arms ELSE $LshLadderCap END FROM (SELECT COUNT(*) AS n FROM embeddings) lshn)"
-  }
-
   /** Semdedup cell-count dial: k ∝ √(corpus/anchor) — one doubling of k
     * per QUADRUPLING of the corpus (see the semdedup_prune note), from
     * the same integer ladder, with the DuckDB twin below.
@@ -82,103 +73,159 @@ object Similarity extends QueryPack {
   /** Sign pattern for hyperplane j at dimension i (deterministic
     * pseudo-random, same formula inlined in the oracle SQL).
     */
-  private def signCond(j: Int): String = s"((i * 37 + ${j * 101}) % 97) % 2 = 0"
+  private def sign(i: Int, j: Int): Boolean =
+    ((i * 37 + j * 101 + i * i * j * 13) % 97) % 2 == 0
 
-  /** The Spark side multiplies by a literal ±1.0f sign vector through the
-    * codegen dot product — x * ±1.0 is exact in IEEE, so the fold is
-    * bit-identical to the DuckDB signed-sum form below.
+  /** CENTERED integer LSH folds (r14, the 30× audit's fix). Raw
+    * sign-folds compare to zero, which assumes the corpus is centered;
+    * this corpus (like any un-normalized embedding dump) lives in a
+    * positive cone, so most planes fold positive for most vectors and
+    * the keys collapse onto a handful of values — the 30× tier scored
+    * 86.9M candidates for ~0.95M true pairs (91× waste) no matter how
+    * wide the ladder grew. The standard fix is to center the
+    * hyperplanes on the corpus mean. Done EXACTLY in integers so the
+    * oracle mirror is parity-safe by construction (the pcaRound1
+    * discipline — no double ever crosses a cross-row aggregation):
+    *
+    *   vq_i  = floor(v_i·1000 + 0.5)                (exact per row)
+    *   F_j   = Σ_i s(i,j)·vq_i                      (exact row fold)
+    *   mq_i  = Σ_rows vq_i,  C_j = Σ_i s(i,j)·mq_i  (exact corpus consts)
+    *   bit_j = n·F_j > C_j   ⟺   F_j/n > mean fold  (all-BIGINT compare)
+    *
+    * The engine computes (n, mq) in one aggregation pass and embeds
+    * n/C_j as literals in the key expressions; the oracle recomputes
+    * the identical integers from the same table.
     */
-  private def sparkPlaneFold(v: String, j: Int): String = {
-    val signs = (1 to Dim).map(i =>
-      if (((i * 37 + j * 101) % 97) % 2 == 0) "CAST(1.0 AS FLOAT)" else "CAST(-1.0 AS FLOAT)")
-    s"graft_dot($v, array(${signs.mkString(", ")}))"
+  private def lshConsts(e: DataFrame): (Long, Array[Long]) = {
+    val row = e.selectExpr(
+      Seq("count(*)") ++ (1 to Dim).map(i =>
+        s"sum(CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"): _*)
+      .collect()(0)
+    (row.getLong(0),
+      (1 to Dim).map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).toArray)
   }
 
-  private def duckPlaneFold(v: String, j: Int): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> " +
-      s"(CASE WHEN ${signCond(j)} THEN CAST($v[i] AS DOUBLE) ELSE -CAST($v[i] AS DOUBLE) END))), (acc, x) -> acc + x)"
+  /** Per-dir cache of [[lshConsts]] over the embeddings table (the
+    * dir-keyed callers; frame-based callers compute fresh).
+    */
+  private val constsCache =
+    new scala.collection.concurrent.TrieMap[String, (Long, Array[Long])]
+  private def lshConstsCached(s: SparkSession, d: String): (Long, Array[Long]) =
+    constsCache.getOrElseUpdate(d, lshConsts(Tables.embeddings(s, d)))
+
+  private def planeC(mq: Array[Long], j: Int): Long =
+    (1 to Dim).map(i => if (sign(i, j)) mq(i - 1) else -mq(i - 1)).sum
+
+  /** The quantized-vector projection key expressions fold over; emit
+    * once per keyed scan as `_vq` (multi-use non-cheap alias, so
+    * CollapseProject keeps it single-evaluation — the SuffixArray `_pk`
+    * lesson).
+    */
+  private val sparkVq: String =
+    s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS _vq"
+
+  /** Exact integer row fold for plane j over the `_vq` column. */
+  private def sparkIntFold(j: Int): String = {
+    val signs = (1 to Dim).map(i =>
+      if (sign(i, j)) "CAST(1 AS BIGINT)" else "CAST(-1 AS BIGINT)")
+    s"aggregate(zip_with(_vq, array(${signs.mkString(", ")}), (x, s) -> x * s), CAST(0 AS BIGINT), (a, x) -> a + x)"
+  }
+
+  /** One centered key bit: n·F_j > C_j, shifted to position p. */
+  private def sparkCenteredBit(j: Int, p: Int, n: Long, mq: Array[Long]): String =
+    s"(CASE WHEN $n * ${sparkIntFold(j)} > ${planeC(mq, j)}L THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
 
   /** Bucket key over planes 0..w-1 (w = Planes + the corpus ladder):
     * constant-occupancy scaling — n/2^(8+extra) stays ≈ n/2^8 at the
     * anchor, so the bucket-equality consumers (ANN top-k, recall audit)
     * keep the SAME per-bucket neighborhood size at any corpus scale
-    * while the join stays linear.
+    * while the join stays linear. Centered bits (see [[lshConsts]]).
     */
-  private def sparkBucket(v: String, w: Int): String =
-    (0 until w).map(j => s"(CASE WHEN ${sparkPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
+  private def sparkBucket(w: Int, n: Long, mq: Array[Long]): String =
+    (0 until w).map(j => sparkCenteredBit(j, j, n, mq)).mkString(" + ")
 
-  /** DuckDB bucket mirror: bits at or beyond `Planes` are masked by the
-    * runtime ladder (the CASE guard keeps the fold unevaluated below the
-    * threshold corpus, so gate-SF oracle cost is unchanged).
+  /** Shared oracle CTE prefix for every centered-LSH key chain:
+    *
+    *   lshw   — the ladder widths (band bw, bucket w1), pw = 2^bw and
+    *            the hot-key cap, all from ONE COUNT(*);
+    *   vq     — per-row quantized vectors (exact BIGINT milli-scale);
+    *   mq     — per-dimension corpus sums of vq;
+    *   planec — the centering constant C_j per needed plane;
+    *   folds  — exact integer row-fold F_j per (row, plane).
+    *
+    * Downstream chains compare n·f > c per bit — integer-for-integer
+    * the engine's [[sparkCenteredBit]].
     */
-  private def duckBucket(v: String): String =
-    (0 until (Planes + LshLadderCap)).map { j =>
-      val bit = s"(CASE WHEN ${duckPlaneFold(v, j)} > 0 THEN ${1 << j} ELSE 0 END)"
-      if (j < Planes) bit
-      else s"(CASE WHEN $j < $Planes + $duckExtraBits THEN $bit ELSE 0 END)"
-    }.mkString(" + ")
-
-  /** The `lshw` oracle CTE carrying the adaptive band width (4 + the
-    * corpus ladder) plus its power `pw = 2^bw` and the hot-key cap
-    * (`8·max(1, n div pw)`, the twin of [[bandHotCap]]) as plain
-    * columns, cross-joined where band keys are computed — band 1's
-    * plane indexes depend on the runtime width, so its folds need `bw`
-    * in scope rather than a baked plane constant.
-    */
-  private def duckLshwCte: String = {
-    val bwArms = (0 until LshLadderCap)
-      .map(k => s"WHEN n <= ${LshAnchor * (1L << k)} THEN ${4 + k}").mkString(" ")
+  private def duckKeyChain: String = {
+    val extraArms = (0 until LshLadderCap)
+      .map(k => s"WHEN n <= ${LshAnchor * (1L << k)} THEN $k").mkString(" ")
+    val maxPlanes = math.max(4 * (4 + LshLadderCap), Planes + LshLadderCap)
     s"""lshw AS (
-          SELECT bw, CAST(1 AS BIGINT) << bw AS pw,
-                 CAST(8 * GREATEST(1, n // (CAST(1 AS BIGINT) << bw)) AS BIGINT) AS hotcap
-          FROM (SELECT n, CASE $bwArms ELSE ${4 + LshLadderCap} END AS bw
-                FROM (SELECT COUNT(*) AS n FROM embeddings) t) t2)"""
+          SELECT n, 4 + extra AS bw, $Planes + extra AS w1,
+                 CAST(1 AS BIGINT) << (4 + extra) AS pw,
+                 CAST(8 * GREATEST(1, n // (CAST(1 AS BIGINT) << (4 + extra))) AS BIGINT) AS hotcap
+          FROM (SELECT COUNT(*) AS n,
+                       CASE $extraArms ELSE $LshLadderCap END AS extra
+                FROM embeddings) t),
+        vq AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        mq AS (
+          SELECT i, SUM(q[i]) AS m
+          FROM vq, range(1, ${Dim + 1}) dims(i) GROUP BY i),
+        planec AS (
+          SELECT j, SUM(CASE WHEN ((i * 37 + j * 101 + i * i * j * 13) % 97) % 2 = 0
+                             THEN m ELSE -m END) AS c
+          FROM mq, range(0, $maxPlanes) js(j), lshw
+          WHERE j < GREATEST(4 * bw, w1) GROUP BY j),
+        folds AS (
+          SELECT vq.vec_id, pc.j, pc.c,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, ${Dim + 1}), i ->
+                     (CASE WHEN ((i * 37 + pc.j * 101 + i * i * pc.j * 13) % 97) % 2 = 0
+                           THEN vq.q[i] ELSE -vq.q[i] END))),
+                   (a, x) -> a + x) AS f
+          FROM vq, planec pc)"""
   }
 
-  /** One adaptive banded key as a SQL expression (expects columns
-    * `embedding` and `bw` in scope — see [[duckLshwCte]]): bit p of
-    * band bd is the sign of plane `(mult + bd)·bw + p`, masked to
-    * p < bw. mult=0 gives the base keys, mult=bands the extension
-    * chunk of the hot-key split — the twin of [[sparkBandKey]]. The
-    * (0, 0) key's plane indexes are static so its folds stay the cheap
-    * baked form; every other key inlines the plane-sign formula with
-    * the index as an expression.
+  /** Oracle chain producing `buck(vec_id, bucket)` at the adaptive
+    * bucket width — the twin of [[bucketed]].
     */
-  private def duckBandKey(bd: Int, mult: Int = 0): String = {
-    def dynFold(jExpr: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> " +
-        s"(CASE WHEN ((i * 37 + ($jExpr) * 101) % 97) % 2 = 0 THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END))), (acc, x) -> acc + x)"
-    (0 until (4 + LshLadderCap)).map { p =>
-      val fold =
-        if (bd == 0 && mult == 0) duckPlaneFold("embedding", p)
-        else dynFold(s"($mult + $bd) * bw + $p")
-      val bit = s"(CASE WHEN $fold > 0 THEN ${1L << p} ELSE 0 END)"
-      if (p < 4 && mult == 0) bit
-      else s"(CASE WHEN $p < bw THEN $bit ELSE 0 END)"
-    }.mkString(" + ")
-  }
+  private def duckBucketChain: String =
+    s"""$duckKeyChain,
+        buck AS (
+          SELECT vec_id,
+                 SUM(CASE WHEN n * f > c THEN CAST(1 AS BIGINT) << j
+                          ELSE CAST(0 AS BIGINT) END) AS bucket
+          FROM folds, lshw WHERE j < w1 GROUP BY vec_id)"""
 
-  /** Shared oracle CTE chain producing `bands(vec_id, band, key)` with
-    * the adaptive band width AND the hot-key split — the bit-for-bit
-    * mirror of [[bandCandidatesScored]]'s keys. Prepend inside WITH
-    * (composes with RECURSIVE: the keyword scopes the whole WITH list).
+  /** Oracle CTE chain producing `bands(vec_id, band, key)` with the
+    * adaptive band width AND the hot-key split — the bit-for-bit mirror
+    * of [[bandCandidatesScored]]'s keys. Plane layout: j div bw picks
+    * the chunk (0-1 base bands, 2-3 extension chunks), j mod bw the bit
+    * position — identical to [[sparkBandKey]]'s `(mult + bd)·ppb + p`.
+    * Prepend inside WITH (composes with RECURSIVE: the keyword scopes
+    * the whole WITH list).
     */
   private def duckBandRows: String =
-    s"""$duckLshwCte,
-        ek AS (SELECT vec_id, ${duckBandKey(0)} AS k0, ${duckBandKey(1)} AS k1,
-                      ${duckBandKey(0, 2)} AS x0, ${duckBandKey(1, 2)} AS x1,
-                      pw, hotcap
-               FROM embeddings, lshw),
-        rawbands AS (
-          SELECT vec_id, 0 AS band, k0 AS key, x0 AS ext, pw, hotcap FROM ek
-          UNION ALL
-          SELECT vec_id, 1 AS band, k1 AS key, x1 AS ext, pw, hotcap FROM ek),
-        bkc AS (SELECT band, key, COUNT(*) AS kc FROM rawbands GROUP BY 1, 2),
+    s"""$duckKeyChain,
+        bandkeys AS (
+          SELECT vec_id, CAST((j // bw) % 2 AS INTEGER) AS band,
+                 SUM(CASE WHEN j // bw < 2 AND n * f > c
+                          THEN CAST(1 AS BIGINT) << (j % bw)
+                          ELSE CAST(0 AS BIGINT) END) AS key,
+                 SUM(CASE WHEN j // bw >= 2 AND n * f > c
+                          THEN CAST(1 AS BIGINT) << (j % bw)
+                          ELSE CAST(0 AS BIGINT) END) AS ext
+          FROM folds, lshw WHERE j < 4 * bw
+          GROUP BY vec_id, (j // bw) % 2),
+        bkc AS (SELECT band, key, COUNT(*) AS kc FROM bandkeys GROUP BY 1, 2),
         bands AS (
           SELECT vec_id, band,
                  CASE WHEN kc > hotcap THEN (key + 1) * pw + ext ELSE key END AS key
-          FROM rawbands JOIN bkc USING (band, key))"""
+          FROM bandkeys JOIN bkc USING (band, key), lshw)"""
 
   /** Cosine from three shared dot folds; both engines compute
     * dot / (sqrt(na) * sqrt(nb)) on bit-identical inputs.
@@ -202,36 +249,40 @@ object Similarity extends QueryPack {
     * oracles mirror the ladder key-for-key (see [[duckBandRows]]).
     * StressCheck still drives explicit widths for its recall legs.
     */
-  /** One banded key as a Spark SQL expression: band bd's bit p is the
-    * sign of plane `(mult + bd) * ppb + p`. mult=0 gives the base keys;
-    * mult=bands gives the EXTENSION keys (a fresh plane chunk past
-    * every base band, used only by the hot-key split below).
+  /** One banded key as a Spark SQL expression over the `_vq` column:
+    * band bd's bit p is the centered sign of plane `(mult + bd)·ppb +
+    * p`. mult=0 gives the base keys; mult=bands the EXTENSION keys (a
+    * fresh plane chunk past every base band, used only by the hot-key
+    * split below).
     */
-  private def sparkBandKey(bd: Int, mult: Int, ppb: Int): String = {
+  private def sparkBandKey(bd: Int, mult: Int, ppb: Int,
+      n: Long, mq: Array[Long]): String = {
     val bits = (0 until ppb).map { p =>
-      val j = (mult + bd) * ppb + p
-      s"(CASE WHEN ${sparkPlaneFold("embedding", j)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      sparkCenteredBit((mult + bd) * ppb + p, p, n, mq)
     }
     s"(${bits.mkString(" + ")})"
   }
 
   /** (vec_id, band, key[, ext]) band rows: base key plus, when the
     * split is armed, the extension chunk it may append. Input must
-    * expose `vec_id, embedding`.
+    * expose `vec_id, embedding`; (n, mq) are the centering consts of
+    * the KEYING corpus (both cross-side inputs together, so the two
+    * sides key identically).
     */
   private def rawBandRows(e: DataFrame, ppb: Int, bands: Int,
-      withExt: Boolean): DataFrame = {
+      withExt: Boolean, n: Long, mq: Array[Long]): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     def fields(b: Int) =
-      Seq(s"${sparkBandKey(b, 0, ppb)} AS key_$b") ++
-        (if (withExt) Seq(s"${sparkBandKey(b, bands, ppb)} AS ext_$b") else Nil)
+      Seq(s"${sparkBandKey(b, 0, ppb, n, mq)} AS key_$b") ++
+        (if (withExt) Seq(s"${sparkBandKey(b, bands, ppb, n, mq)} AS ext_$b") else Nil)
     def struct(b: Int) =
       s"named_struct('band', $b, 'key', key_$b" +
         (if (withExt) s", 'ext', ext_$b" else "") + ")"
     val outCols = Seq(col("vec_id"), col("bk.band").as("band"),
       col("bk.key").as("key")) ++
       (if (withExt) Seq(col("bk.ext").as("ext")) else Nil)
-    e.selectExpr(Seq("vec_id") ++ (0 until bands).flatMap(fields): _*)
+    e.selectExpr("vec_id", sparkVq)
+      .selectExpr(Seq("vec_id") ++ (0 until bands).flatMap(fields): _*)
       .selectExpr("vec_id",
         s"explode(array(${(0 until bands).map(struct).mkString(", ")})) AS bk")
       .select(outCols: _*)
@@ -276,8 +327,9 @@ object Similarity extends QueryPack {
       e: DataFrame, planesPerBand: Int, bands: Int,
       hotCap: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
+    val (n, mq) = lshConsts(e)
     val raw = rawBandRows(e, planesPerBand, bands,
-      withExt = hotCap != Long.MaxValue)
+      withExt = hotCap != Long.MaxValue, n, mq)
     val bandRows = splitBandRows(raw, bandKeyCounts(raw), planesPerBand, hotCap)
     val cand = bandRows.toDF("vid_a", "band", "key")
       .join(bandRows.toDF("vid_b", "band2", "key2"),
@@ -315,6 +367,12 @@ object Similarity extends QueryPack {
         hotCap = bandHotCap(n, ppb))
         .select(col("vid_a"), col("vid_b"), col("cos"))
     }
+
+  /** tools.TierStats hook: the shared tier frame, for candidate-vs-
+    * output accounting at scale dirs.
+    */
+  private[graft] def tierForStats(s: SparkSession, d: String): DataFrame =
+    bandCandidatesScored(s, d)
 
   /** Bench hook, mirroring Dedup.warmShared: materialize the embedding
     * LSH family's shared frame outside the timed region.
@@ -362,9 +420,13 @@ object Similarity extends QueryPack {
     // hot-key split with SYMMETRIC hotness: occupancy counted over the
     // union of both sides, so a key hot on either side re-keys both and
     // cross-side collisions survive the split
+    // centering consts over BOTH sides together (= the full corpus for
+    // the declared query), so the two sides key identically and the
+    // oracle's whole-table mq matches
+    val (n, mq) = lshConsts(a0.unionByName(b0))
     val withExt = hotCap != Long.MaxValue
-    val aRaw = rawBandRows(a0, planesPerBand, bands, withExt)
-    val bRaw = rawBandRows(b0, planesPerBand, bands, withExt)
+    val aRaw = rawBandRows(a0, planesPerBand, bands, withExt, n, mq)
+    val bRaw = rawBandRows(b0, planesPerBand, bands, withExt, n, mq)
     lazy val counts = bandKeyCounts(aRaw.select(col("band"), col("key"))
       .unionAll(bRaw.select(col("band"), col("key")))).persistScoped()
     val cand = splitBandRows(aRaw, counts, planesPerBand, hotCap)
@@ -446,16 +508,19 @@ object Similarity extends QueryPack {
       .orderBy(col("cell"))
   }
 
-  /** (vec_id, embedding, bucket): corpus with the LSH bucket at the
-    * corpus-adaptive width (8 planes at the anchor, +1 per doubling —
-    * constant expected occupancy, so ANN neighborhoods don't thin out
-    * and the self-join stays linear).
+  /** (vec_id, embedding, bucket): corpus with the centered LSH bucket
+    * at the corpus-adaptive width (8 planes at the anchor, +1 per
+    * doubling — constant expected occupancy, so ANN neighborhoods
+    * don't thin out and the self-join stays linear).
     */
   private def bucketed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val w = Planes + lshExtraBits(corpusN(s, d))
+    val (n, mq) = lshConstsCached(s, d)
+    val w = Planes + lshExtraBits(n)
     Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding", s"${sparkBucket("embedding", w)} AS bucket")
+      .selectExpr("vec_id", "embedding", sparkVq)
+      .selectExpr("vec_id", "embedding",
+        s"(${sparkBucket(w, n, mq)}) AS bucket")
   }
 
   /** Round 1 of the integer-exact PCA power iteration (see
@@ -1201,9 +1266,10 @@ object Similarity extends QueryPack {
           .orderBy(col("qid"), col("rn"))
       },
       Some(s"""
-        WITH e AS (
-          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
-          FROM embeddings),
+        WITH $duckBucketChain,
+        e AS (
+          SELECT em.vec_id, em.embedding, buck.bucket
+          FROM embeddings em JOIN buck USING (vec_id)),
         q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e WHERE vec_id < 50),
         n AS (SELECT vec_id AS vid, embedding AS nv, bucket AS bucket_n FROM e),
         sc AS (
@@ -1731,9 +1797,10 @@ object Similarity extends QueryPack {
           .orderBy(col("qid"))
       },
       Some(s"""
-        WITH e AS (
-          SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
-          FROM embeddings),
+        WITH $duckBucketChain,
+        e AS (
+          SELECT em.vec_id, em.embedding, buck.bucket
+          FROM embeddings em JOIN buck USING (vec_id)),
         q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e WHERE vec_id < 50),
         n AS (SELECT vec_id AS vid, embedding AS nv, bucket AS bucket_n FROM e),
         gsc AS (
@@ -2296,42 +2363,22 @@ object Similarity extends QueryPack {
           .limit(20)
       },
       Some(s"""
-        WITH $duckLshwCte,
-        ae AS (SELECT vec_id AS a_id, embedding AS ea,
-                      sqrt(${duckDot("embedding", "embedding")}) AS na,
-                      ${duckBandKey(0)} AS k0, ${duckBandKey(1)} AS k1,
-                      ${duckBandKey(0, 2)} AS x0, ${duckBandKey(1, 2)} AS x1,
-                      pw, hotcap
-               FROM embeddings, lshw WHERE label % 2 = 0),
-        be AS (SELECT vec_id AS b_id, embedding AS eb,
-                      sqrt(${duckDot("embedding", "embedding")}) AS nb,
-                      ${duckBandKey(0)} AS k0, ${duckBandKey(1)} AS k1,
-                      ${duckBandKey(0, 2)} AS x0, ${duckBandKey(1, 2)} AS x1,
-                      pw, hotcap
-               FROM embeddings, lshw WHERE label % 2 = 1),
-        arows AS (
-          SELECT a_id, 0 AS band, k0 AS key, x0 AS ext, pw, hotcap FROM ae
-          UNION ALL
-          SELECT a_id, 1 AS band, k1 AS key, x1 AS ext, pw, hotcap FROM ae),
-        brows AS (
-          SELECT b_id, 0 AS band, k0 AS key, x0 AS ext, pw, hotcap FROM be
-          UNION ALL
-          SELECT b_id, 1 AS band, k1 AS key, x1 AS ext, pw, hotcap FROM be),
-        bkc AS (
-          SELECT band, key, COUNT(*) AS kc FROM (
-            SELECT band, key FROM arows UNION ALL SELECT band, key FROM brows) u
-          GROUP BY 1, 2),
+        WITH $duckBandRows,
         af AS (
-          SELECT a_id, band,
-                 CASE WHEN kc > hotcap THEN (key + 1) * pw + ext ELSE key END AS key
-          FROM arows JOIN bkc USING (band, key)),
+          SELECT bd.vec_id AS a_id, band, key
+          FROM bands bd JOIN embeddings em ON em.vec_id = bd.vec_id
+          WHERE em.label % 2 = 0),
         bf AS (
-          SELECT b_id, band,
-                 CASE WHEN kc > hotcap THEN (key + 1) * pw + ext ELSE key END AS key
-          FROM brows JOIN bkc USING (band, key)),
+          SELECT bd.vec_id AS b_id, band, key
+          FROM bands bd JOIN embeddings em ON em.vec_id = bd.vec_id
+          WHERE em.label % 2 = 1),
         cand AS (SELECT DISTINCT a_id, b_id FROM af JOIN bf USING (band, key)),
-        a AS (SELECT a_id, ea, na FROM ae),
-        b AS (SELECT b_id, eb, nb FROM be),
+        a AS (SELECT vec_id AS a_id, embedding AS ea,
+                     sqrt(${duckDot("embedding", "embedding")}) AS na
+              FROM embeddings WHERE label % 2 = 0),
+        b AS (SELECT vec_id AS b_id, embedding AS eb,
+                     sqrt(${duckDot("embedding", "embedding")}) AS nb
+              FROM embeddings WHERE label % 2 = 1),
         pr AS MATERIALIZED (
           SELECT cand.a_id, cand.b_id,
                  ${Q.scaledLong(s"${duckDot("ea", "eb")} / (na * nb)", 6)} AS c_e6

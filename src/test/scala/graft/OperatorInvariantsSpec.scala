@@ -372,37 +372,50 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
       acc
     }
-    // banded hyperplane-LSH keys, the deterministic plane formula the
-    // query and its oracle share: plane j's sign at 1-based dim i is
-    // +1 iff ((i*37 + j*101) % 97) % 2 == 0; band key packs `bw` plane
-    // signs little-endian (bw = 4 + the corpus ladder, same dial as the
-    // query); keys over the occupancy cap split by the extension plane
-    // chunk (planes (2+band)*bw..), occupancy counted over BOTH sides;
+    // CENTERED banded hyperplane-LSH keys, the integer formula the
+    // query and its oracle share: vq_i = floor(v_i*1000 + 0.5); plane
+    // j's raw sign at 1-based dim i is +1 iff ((i*37 + j*101) % 97) %
+    // 2 == 0; row fold F_j = sum of signed vq; centering consts C_j
+    // from the corpus sums (both sides together); bit = n*F_j > C_j.
+    // Band key packs `bw` bits little-endian (bw = 4 + the corpus
+    // ladder, same dial as the query); keys over the occupancy cap
+    // split by the extension plane chunk (planes (2+band)*bw..);
     // candidates share key_0 OR key_1
-    val bw = 4 + graft.queries.Similarity.lshExtraBits(vecs.length.toLong)
-    val cap = 8L * math.max(1L, vecs.length.toLong >> bw)
-    def planeFold(x: Array[Float], j: Int): Double = {
-      var acc = 0.0; var i = 0
-      while (i < x.length) {
-        val plus = (((i + 1) * 37 + j * 101) % 97) % 2 == 0
-        acc += (if (plus) x(i).toDouble else -x(i).toDouble)
-        i += 1
+    val n = vecs.length.toLong
+    val bw = 4 + graft.queries.Similarity.lshExtraBits(n)
+    val cap = 8L * math.max(1L, n >> bw)
+    def vq(x: Array[Float]): Array[Long] =
+      x.map(v => math.floor(v.toDouble * 1000.0 + 0.5).toLong)
+    val dim = vecs.head._2.length
+    val mq = Array.tabulate(dim) { i0 =>
+      vecs.map(v => vq(v._2)(i0)).sum
+    }
+    def plus(i1: Int, j: Int): Boolean =
+      ((i1 * 37 + j * 101 + i1 * i1 * j * 13) % 97) % 2 == 0
+    def intFold(q: Array[Long], j: Int): Long = {
+      var acc = 0L; var i = 0
+      while (i < q.length) {
+        acc += (if (plus(i + 1, j)) q(i) else -q(i)); i += 1
       }
       acc
     }
-    def keyAt(x: Array[Float], basePlane: Int): Long =
+    def cj(j: Int): Long =
+      (1 to dim).map(i => if (plus(i, j)) mq(i - 1) else -mq(i - 1)).sum
+    def keyAt(q: Array[Long], basePlane: Int): Long =
       (0 until bw).map(p =>
-        if (planeFold(x, basePlane + p) > 0) 1L << p else 0L).sum
-    val occ = (aSide ++ bSide).toSeq
-      .flatMap { case (_, v) => Seq((0, keyAt(v, 0)), (1, keyAt(v, bw))) }
+        if (n * intFold(q, basePlane + p) > cj(basePlane + p)) 1L << p else 0L).sum
+    val aQ = aSide.map { case (ai, ea) => (ai, vq(ea)) }
+    val bQ = bSide.map { case (bi, eb) => (bi, vq(eb)) }
+    val occ = (aQ ++ bQ).toSeq
+      .flatMap { case (_, q) => Seq((0, keyAt(q, 0)), (1, keyAt(q, bw))) }
       .groupBy(identity).map { case (key, vs) => key -> vs.size }
-    def bandKey(x: Array[Float], band: Int): Long = {
-      val k = keyAt(x, band * bw)
-      if (occ((band, k)) > cap) (k + 1) * (1L << bw) + keyAt(x, (2 + band) * bw)
+    def bandKey(q: Array[Long], band: Int): Long = {
+      val k = keyAt(q, band * bw)
+      if (occ((band, k)) > cap) (k + 1) * (1L << bw) + keyAt(q, (2 + band) * bw)
       else k
     }
-    val aKeys = aSide.map { case (ai, ea) => ai -> (bandKey(ea, 0), bandKey(ea, 1)) }.toMap
-    val bKeys = bSide.map { case (bi, eb) => bi -> (bandKey(eb, 0), bandKey(eb, 1)) }.toMap
+    val aKeys = aQ.map { case (ai, q) => ai -> (bandKey(q, 0), bandKey(q, 1)) }.toMap
+    val bKeys = bQ.map { case (bi, q) => bi -> (bandKey(q, 0), bandKey(q, 1)) }.toMap
     val pr = for {
       (ai, ea) <- aSide; (bi, eb) <- bSide
       if aKeys(ai)._1 == bKeys(bi)._1 || aKeys(ai)._2 == bKeys(bi)._2
