@@ -6,11 +6,14 @@ package graft.tools
   * answer (output-bound); candidates >> output means the key scheme
   * still wastes verification and needs a deeper split.
   *
-  * Usage: runMain graft.tools.TierStats [sfDir]
+  * Usage: runMain graft.tools.TierStats [sfDir]   (defaults to
+  * SPARK_GRAFT_SF_DIR, then the checkout-relative target/sfx30)
   */
 object TierStats {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/repo/target/sfx30")
+    val d = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("target/sfx30")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.engine.Sessions.local(cpus, "graft-tierstats")
     val tier = graft.queries.Similarity.tierForStats(spark, d)

@@ -6,11 +6,14 @@ package graft.tools
   * `shared_setup_sec` number — this probe is how the r14 30x audit
   * attributed its 300s setup line).
   *
-  * Usage: runMain graft.tools.WarmProbe [sfDir]
+  * Usage: runMain graft.tools.WarmProbe [sfDir]   (defaults to
+  * SPARK_GRAFT_SF_DIR, then the checkout-relative target/sfx30)
   */
 object WarmProbe {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/repo/target/sfx30")
+    val d = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("target/sfx30")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.engine.Sessions.local(cpus, "graft-warmprobe")
     def t(name: String)(f: => Unit): Unit = {

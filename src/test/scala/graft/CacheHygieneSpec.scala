@@ -120,6 +120,40 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(GraftCacheProbe.cacheIsEmpty(spark))
   }
 
+  test("LSH corpus ladder re-keys when the embeddings dir grows in place (r15)") {
+    // the streaming-bronze shape: a long-lived session over a corpus
+    // that grows in place must get the wider ladder width on the NEXT
+    // query, not the width frozen at first touch (r14 What's wrong #3)
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ladder").toString
+    def writeCorpus(n: Int): Unit =
+      spark.range(n).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> CAST((id * i) % 7 AS FLOAT))")
+            .as("embedding"),
+          (col("id") % 3).cast("int").as("label"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    writeCorpus(1500) // <= 2000 anchor -> 0 extra bits
+    assert(queries.Similarity.corpusN(spark, dir) == 1500L)
+    assert(queries.Similarity.lshExtraBits(1500L) == 0)
+    val (n1, _) = queries.Similarity.lshConstsCached(spark, dir)
+    assert(n1 == 1500L)
+
+    writeCorpus(4100) // in-place growth past TWO doublings -> 2 extra bits
+    val n2 = queries.Similarity.corpusN(spark, dir)
+    assert(n2 == 4100L,
+      s"in-place growth must re-key the ladder count, got stale $n2")
+    assert(queries.Similarity.lshExtraBits(n2) == 2)
+    assert(queries.Similarity.lshConstsCached(spark, dir)._1 == 4100L,
+      "centering consts must re-key with the count")
+
+    // unchanged dir -> fingerprint stable -> no rebuild (cached value back)
+    assert(queries.Similarity.corpusN(spark, dir) == 4100L)
+    graft.engine.Tables.invalidate(Some(dir))
+  }
+
   test("no declared query uses bare .persist() (registry bypass)") {
     import scala.jdk.CollectionConverters._
     val packDir = java.nio.file.Paths.get("src/main/scala/graft/queries")

@@ -374,8 +374,10 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
     // CENTERED banded hyperplane-LSH keys, the integer formula the
     // query and its oracle share: vq_i = floor(v_i*1000 + 0.5); plane
-    // j's raw sign at 1-based dim i is +1 iff ((i*37 + j*101) % 97) %
-    // 2 == 0; row fold F_j = sum of signed vq; centering consts C_j
+    // j's raw sign at 1-based dim i is +1 iff ((i*37 + j*101 +
+    // i*i*j*13) % 97) % 2 == 0 (the r14 decorrelated family — the
+    // i²·j·13 term breaks the cyclic-shift degeneracy); row fold F_j =
+    // sum of signed vq; centering consts C_j
     // from the corpus sums (both sides together); bit = n*F_j > C_j.
     // Band key packs `bw` bits little-endian (bw = 4 + the corpus
     // ladder, same dial as the query); keys over the occupancy cap
