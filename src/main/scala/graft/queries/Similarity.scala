@@ -633,14 +633,41 @@ object Similarity extends QueryPack {
       SELECT list(CAST(floor(v1 / 1000000.0) AS BIGINT) ORDER BY dim) AS v1arr
       FROM v1)"""
 
+  /** Exact-baseline stratum dial (r15, the r14 verdict's "What's wrong
+    * #1"): dedup_embed_cosine's audit corpus is `vec_id % mod = 0` with
+    * mod = 2^lshExtraBits(N) — the stratum POPULATION stays pinned near
+    * the 2k anchor at any corpus scale (one halving per doubling), so
+    * the label-blocked all-pairs stage does anchor-constant work while
+    * the scan stays one linear pass. mod = 1 at the gate corpora: every
+    * declared result there is unchanged. The jaccard-pairs 1/16 stratum
+    * is the precedent; this one rides the same integer ladder as the
+    * LSH widths, and the oracle mirrors it with the COUNT(*)-driven
+    * CASE below (same arms, so the two engines can never disagree at a
+    * boundary).
+    */
+  private def stratumMod(n: Long): Long = 1L << lshExtraBits(n)
+  private def duckStratumMod: String = {
+    val arms = (0 until LshLadderCap)
+      .map(k => s"WHEN n <= ${LshAnchor * (1L << k)} THEN ${1L << k}")
+      .mkString(" ")
+    s"(SELECT CASE $arms ELSE ${1L << LshLadderCap} END FROM (SELECT COUNT(*) AS n FROM embeddings) sn)"
+  }
+
   def defs: Map[String, QueryDef] = Map(
-    // Exactness baseline: label-blocked all-pairs (quadratic per label) —
-    // kept exact because the 0.4-threshold pairs in this corpus are
-    // low-cosine and provably not LSH-capturable (see dedup_embed_lsh for
-    // the measurement and the bucketed scale path).
+    // Exactness baseline ON A LADDER-BOUNDED STRATUM: label-blocked
+    // all-pairs over the deterministic `vec_id % stratumMod(N) = 0`
+    // slice (the whole corpus at the gate corpora, anchor-sized at any
+    // scale — see stratumMod). Kept exact because the 0.4-threshold
+    // pairs in this corpus are low-cosine and provably not
+    // LSH-capturable (see dedup_embed_lsh for the measurement and the
+    // bucketed scale path); the stratum is what makes an exact audit
+    // DECLARABLE at 100 TB — the r14 30x run measured the unbounded
+    // form at 144x growth (label blocks grow with the corpus), the one
+    // remaining quadratic-by-plan declared query.
     "dedup_embed_cosine" -> QueryDef(
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val mod = stratumMod(corpusN(s, d))
+        val e = Tables.embeddings(s, d).where(s"vec_id % $mod = 0")
         val a = e.select(col("vec_id").as("vid_a"), col("label"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("vid_b"), col("label").as("label_b"), col("embedding").as("eb"))
         cosine(
@@ -651,10 +678,13 @@ object Similarity extends QueryPack {
           .orderBy(col("vid_a"), col("vid_b"))
       },
       Some(s"""
-        WITH pairs AS (
+        WITH strat AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % $duckStratumMod = 0),
+        pairs AS (
           SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
                  a.embedding AS ea, b.embedding AS eb
-          FROM embeddings a JOIN embeddings b
+          FROM strat a JOIN strat b
             ON a.label = b.label AND a.vec_id < b.vec_id),
         sc AS (
           SELECT vid_a, vid_b, ${duckDot("ea", "eb")} AS dot,
