@@ -288,9 +288,25 @@ object GlobalOrder {
     * `<col><suffix>` for each lead column.
     */
   def lead1(df: DataFrame, key: Column, ties: Seq[Column],
-      leadCols: Seq[String], suffix: String = "_nx"): DataFrame = {
-    val wloc = Window.partitionBy(col("_gb")).orderBy(col("_gok") +: ties: _*)
-    val base0 = bucketed(df, key)
+      leadCols: Seq[String], suffix: String = "_nx"): DataFrame =
+    lead1Impl(bucketed(df, key), col("_gok") +: ties, leadCols, suffix)
+
+  /** As [[lead1]], but with a CALLER-SUPPLIED bucket column instead of
+    * the quantile sketch — for keys the caller knows to be near-uniform
+    * (e.g. suffix-array ranks over 1..N, whose producer exports `_sab`),
+    * where the approx_percentile pass is a pure extra corpus aggregate.
+    * The caller owns the contract: `bucket` must be a monotone function
+    * of the (key, ties) order that never splits key ties.
+    */
+  def lead1With(df: DataFrame, bucket: Column, sort: Seq[Column],
+      leadCols: Seq[String], suffix: String = "_nx"): DataFrame =
+    lead1Impl(cut(df.withColumn("_gok", lit(0L))
+      .withColumn("_gb", bucket.cast("long"))), sort, leadCols, suffix)
+
+  private def lead1Impl(bdf: DataFrame, sort: Seq[Column],
+      leadCols: Seq[String], suffix: String): DataFrame = {
+    val wloc = Window.partitionBy(col("_gb")).orderBy(sort: _*)
+    val base0 = bdf
       .withColumn("_grn", row_number().over(wloc))
       // sentinel marking "has an in-bucket successor" — leadCols
       // themselves may legitimately hold NULLs

@@ -64,6 +64,7 @@ object SuffixArray {
     tlog("pos0 checkpoint", tInit)
     if (rounds <= 0)
       return cur.withColumn("rk_bound", col("rk"))
+        .withColumn("_sab", lit(0L))
     val curMax = Option(cur.agg(max(col("rk"))).head.get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     // initClasses = -1: the contract allows ANY order-isomorphic
@@ -205,6 +206,23 @@ object SuffixArray {
     * later pass keys on the numeric `rk`. `initClasses` < 0 skips the
     * fixpoint comparison for the first pass (class count of a raw key
     * column is unknown without an extra aggregate).
+    *
+    * Later passes refine TIES ONLY (r15): pass 1's rank window also
+    * emits the class size `_csz` (the peers count over the same
+    * exchange — RANGE CURRENT ROW..CURRENT ROW counts rows equal on
+    * the full key tuple), and each later pass re-ranks only rows whose
+    * class still has >1 member, partitioned by the CLASS ID itself:
+    * with position-count semantics the stitch is row-local arithmetic
+    * (new rk = class head + in-class rank − 1 — rows in earlier classes
+    * are strictly smaller by induction, in-class order refines within),
+    * so the global bucketing, the driver offset stitch, and the
+    * per-bucket counts collect all vanish from later passes, and the
+    * rank exchange carries only the TIED rows (the corpus's residual
+    * dup mass) instead of every position. Singleton-class rows keep
+    * their final rank untouched. The fixpoint is read off the same
+    * refinement: a pass splits nothing iff no refined row moved
+    * (in-class rank 1 everywhere), and ranks are final when no class
+    * has >1 member.
     */
   private def passes(cur0: DataFrame, rounds: Int, boundRound: Int,
       firstKey: String,
@@ -215,8 +233,7 @@ object SuffixArray {
     val bnd = math.min(math.max(boundRound, 0), rounds)
     val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     var cur = cur0
-    var curMax = initMax
-    var prevClasses = initClasses
+    var totalRows = 0L
     var spanLog = 0
     var frozen = false
     var stable = false
@@ -235,68 +252,106 @@ object SuffixArray {
       for (i <- 1 to nLead)
         paired = paired.withColumn(s"_rkb$i",
           coalesce(lead(col(key), (i * step).toInt).over(wdoc), sentinel))
-      val keys = col(key) +: (1 to nLead).map(i => col(s"_rkb$i"))
+      val rkbCols = (1 to nLead).map(i => col(s"_rkb$i"))
       val freezeNow = !frozen && spanLog + stepLog == bnd
-      val mx = math.max(curMax, 1L)
-      // later passes: fan scales with the session's shuffle parallelism
-      // (r12; a fixed 32 meant per-task volume grew with corpus size).
-      // The previous pass's position-count ranks are near-uniform over
-      // 1..totalRows by construction, so plain span scaling equalizes.
-      // The pass-1 boundary closure runs against `cur` (pre-pairing) so
-      // its aggregate never re-executes the lead-window shuffle
-      val fan = GlobalOrder.fanOf(paired)
-      val bucketed = firstBucket.filter(_ => isFirst) match {
-        case Some(fb) => fb(cur, paired)
-        case None => paired.withColumn("_b", expr(s"((rk - 1) * $fan) div $mx"))
+      var passNote = ""
+      if (isFirst) {
+        val keys = col(key) +: rkbCols
+        val mx = math.max(initMax, 1L)
+        // fan scales with the session's shuffle parallelism (r12; a
+        // fixed 32 meant per-task volume grew with corpus size). The
+        // pass-1 boundary closure runs against `cur` (pre-pairing) so
+        // its aggregate never re-executes the lead-window shuffle
+        val fan = GlobalOrder.fanOf(paired)
+        val bucketed = firstBucket match {
+          case Some(fb) => fb(cur, paired)
+          case None => paired.withColumn("_b", expr(s"((rk - 1) * $fan) div $mx"))
+        }
+        val wb = Window.partitionBy(col("_b")).orderBy(keys: _*)
+        val local = bucketed
+          .withColumn("_lrk", rank().over(wb).cast("long"))
+          .withColumn("_csz", count(lit(1)).over(
+            wb.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
+          .localCheckpoint()
+        // row-count offsets per bucket: with rank() semantics the stitch
+        // adds the number of rows in earlier buckets (all strictly
+        // smaller — the bucketing is monotone and classes never span
+        // buckets); the distinct count drives the fixpoint exit
+        val cnts = local.groupBy(col("_b"))
+          .agg(count(lit(1)).as("_cnt"), countDistinct(col("_lrk")).as("_ncls"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val offsets = cnts.map(_._1)
+          .zip(cnts.scanLeft(0L)(_ + _._2).init).toSeq
+        val newClasses = cnts.map(_._3).sum
+        val offExpr =
+          if (offsets.isEmpty) lit(0L)
+          else coalesce(element_at(
+            map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
+            col("_b")), lit(0L))
+        // drop-based projection keeps carried columns (rk_bound) in place
+        val dropCols = (1 to nLead).map(i => s"_rkb$i") ++ Seq("_b", "_lrk") ++
+          (if (firstKey != "rk") Seq(firstKey) else Nil)
+        cur = local.withColumn("rk", col("_lrk") + offExpr)
+          .drop(dropCols: _*)
+        totalRows = cnts.map(_._2).sum
+        // fixpoint at pass 1: a caller-declared prior class count (rare;
+        // numeric mode with a known round-0 partition) or all-singletons
+        stable = (initClasses >= 0 && newClasses == initClasses) ||
+          newClasses == totalRows
+        passNote = s"$newClasses classes"
+      } else {
+        // TIE REFINEMENT: only classes with >1 member can change; the
+        // class id (the shared rk) is the window partition, so the
+        // stitch is rk + in-class rank − 1 with no driver round-trip
+        val wcls = Window.partitionBy(col("rk")).orderBy(rkbCols: _*)
+        val refined = paired.where(col("_csz") > 1)
+          .withColumn("_lrk", rank().over(wcls).cast("long"))
+          .withColumn("_ncsz", count(lit(1)).over(
+            wcls.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
+          .withColumn("rk", col("rk") + col("_lrk") - 1)
+          .withColumn("_mv", col("_lrk") > 1)
+          .drop((1 to nLead).map(i => s"_rkb$i") ++ Seq("_lrk", "_csz"): _*)
+          .withColumnRenamed("_ncsz", "_csz")
+        val singles = cur.where(col("_csz") === 1)
+          .withColumn("_mv", lit(false))
+        cur = singles.unionByName(refined).localCheckpoint()
+        val st = cur.agg(
+          sum(when(col("_csz") > 1, 1L).otherwise(0L)).as("_nref"),
+          max(col("_mv")).as("_moved")).head
+        val nRef = if (st.isNullAt(0)) 0L else st.getLong(0)
+        val moved = !st.isNullAt(1) && st.getBoolean(1)
+        cur = cur.drop("_mv")
+        // no refined row moved ⇒ no class split this pass ⇒ every larger
+        // span's partition is equal by induction; nRef == 0 ⇒ ranks final
+        stable = nRef == 0 || !moved
+        passNote = s"$nRef tied rows left"
       }
-      val local = bucketed
-        .withColumn("_lrk", rank().over(
-          Window.partitionBy(col("_b")).orderBy(keys: _*)).cast("long"))
-        .localCheckpoint()
-      // row-count offsets per bucket: with rank() semantics the stitch
-      // adds the number of rows in earlier buckets (all strictly
-      // smaller — the bucketing is monotone and classes never span
-      // buckets); the distinct count drives the fixpoint exit
-      val cnts = local.groupBy(col("_b"))
-        .agg(count(lit(1)).as("_cnt"), countDistinct(col("_lrk")).as("_ncls"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
-      val offsets = cnts.map(_._1)
-        .zip(cnts.scanLeft(0L)(_ + _._2).init).toSeq
-      val newClasses = cnts.map(_._3).sum
-      val offExpr =
-        if (offsets.isEmpty) lit(0L)
-        else coalesce(element_at(
-          map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
-          col("_b")), lit(0L))
-      // drop-based projection keeps carried columns (rk_bound) in place
-      val dropCols = (1 to nLead).map(i => s"_rkb$i") ++ Seq("_b", "_lrk") ++
-        (if (isFirst && firstKey != "rk") Seq(firstKey) else Nil)
-      cur = local.withColumn("rk", col("_lrk") + offExpr)
-        .drop(dropCols: _*)
       if (freezeNow) {
         // the bound span ends exactly at this pass (stepLog lands on
         // it), so the bound rank IS this pass's full-tuple rank
         cur = cur.withColumn("rk_bound", col("rk"))
         frozen = true
       }
-      val totalRows = cnts.map(_._2).sum
-      // fixpoint: no class split since the previous pass (sound from
-      // pass 2 on — prevClasses is then a true class count); OR every
-      // class is a singleton, where the ranks are final regardless of
-      // how round 0 was keyed — both read the already-collected counts
-      stable = (prevClasses >= 0 && newClasses == prevClasses) ||
-        newClasses == totalRows
-      prevClasses = newClasses
-      curMax = totalRows // rank() max bound = total rows
       spanLog += stepLog
-      tlog(s"pass to span ${1L << spanLog} ($newClasses classes" +
+      tlog(s"pass to span ${1L << spanLog} ($passNote" +
         s"${if (stable) ", stable" else ""})", tPass)
     }
     // stable-early (ranks final, so the bound rank equals the final
     // rank) or rounds <= boundRound: freeze now
     if (!cur.columns.contains("rk_bound"))
       cur = cur.withColumn("rk_bound", col("rk"))
+    // consumer bucket column: suffix ranks are near-uniform over
+    // 1..totalRows by construction, so downstream global-order helpers
+    // can bucket with row-local arithmetic instead of paying their own
+    // quantile sketch over the corpus (see [[GlobalOrder.lead1With]]);
+    // monotone in rk and ties share a bucket, the full bucketing
+    // contract. totalRows is known from pass 1's stitch collect.
+    val fanOut = GlobalOrder.fanOf(cur)
     cur
+      .withColumn("_sab",
+        if (totalRows > 0) expr(s"((rk - 1) * $fanOut) div $totalRows")
+        else lit(0L))
+      .drop("_csz")
   }
 }

@@ -1744,16 +1744,18 @@ object Dedup extends QueryPack {
             "doc_id * 128 + CAST(pos + 1 AS BIGINT) AS gid", "col AS w")
         val sa = graft.engine.ops.SuffixArray.ranksFromWords(
             pos, rounds = 7, boundRound = MinRepeatSpanLog2)
-          .selectExpr("doc_id", "p", "gid", "rk", "rk_bound AS rk16")
+          .selectExpr("doc_id", "p", "gid", "rk", "rk_bound AS rk16", "_sab")
         // suffix-order adjacency WITHOUT a single-task global window
-        // (r9): GlobalOrder.lead1 quantile-buckets by rk (a monotone
-        // key; gappy class-head ranks are explicitly supported — the
-        // bucketing never splits ties), runs lead() within each
-        // bucket in parallel, and exchanges ONE boundary row per bucket
-        // for the seams — value-identical to lead() over the global
-        // (rk, gid) order at any corpus size
+        // (r9): bucket by the construction's exported near-uniform rank
+        // bucket (_sab — monotone in rk, tie-preserving, so the lead is
+        // value-identical to lead() over the global (rk, gid) order at
+        // any corpus size; r15 swaps lead1's quantile sketch for this
+        // row-local bucket, removing one corpus aggregate), run lead()
+        // within each bucket in parallel, and exchange ONE boundary row
+        // per bucket for the seams
         val cand = graft.engine.ops.GlobalOrder
-          .lead1(sa, col("rk"), Seq(col("gid")), Seq("doc_id", "p", "rk16"))
+          .lead1With(sa, col("_sab"), Seq(col("rk"), col("gid")),
+            Seq("doc_id", "p", "rk16"))
           .where(col("doc_id_nx").isNotNull && col("doc_id") =!= col("doc_id_nx") &&
             col("rk16") === col("rk16_nx"))
           .selectExpr("doc_id AS doc_a", "p AS p_a", "doc_id_nx AS doc_b", "p_nx AS p_b")

@@ -129,6 +129,21 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("lead1With (caller bucket) matches the single-task global lead (r15)") {
+    // the quantile-free entry suffix consumers use: any monotone
+    // tie-preserving bucket must be value-identical to lead1 — here a
+    // coarse span bucket over k, including empty buckets (k is sparse)
+    val df = frame(500)
+    val w = Window.orderBy(col("k"), col("id"))
+    val want = df
+      .withColumn("id_nx", lead(col("id"), 1).over(w))
+      .withColumn("v_nx", lead(col("v"), 1).over(w))
+    val got = GlobalOrder.lead1With(df, col("k") / 7L,
+      Seq(col("k"), col("id")), Seq("id", "v"))
+    assert(collectSorted(got, "id") == collectSorted(want, "id"))
+    assert(got.where(col("id_nx").isNull).count() == 1)
+  }
+
   test("lead1 carries NULL lead-column values through seam patching") {
     // a lead column that is itself NULL must not be confused with "no
     // successor" — the _ghn sentinel, not the lead value, marks seams
