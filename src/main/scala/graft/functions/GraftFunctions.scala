@@ -289,7 +289,10 @@ case class MinHashSig(child: Expression)
 case class SimHashSig(child: Expression)
     extends UnaryExpression {
 
-  private val Bits = graft.queries.Portable.SimHashBits
+  // full-width signature (r15): consumers mask down to the corpus
+  // ladder's width (Dedup.simhashBits), so one row-local pass serves
+  // every scale — the anchor-width output is the masked low 32 bits
+  private val Bits = graft.queries.Portable.SimHashMaxBits
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

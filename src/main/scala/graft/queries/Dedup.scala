@@ -49,6 +49,63 @@ object Dedup extends QueryPack {
     */
   private val DecontamMod = 50
 
+  /** Rank-proximity pair window for the blocked verifiers (r15, the r14
+    * verdict's exact-trio audit): within a candidate block (editdist's
+    * (prefix, length-band) block; containment's (band, key) bucket),
+    * each document pairs only with its `NeighborWindow` nearest
+    * PREDECESSORS in doc_id order. This bounds per-block work/output at
+    * W·|block| — linear in the corpus — instead of C(|block|, 2), which
+    * the 30×/100× audits measured as the dominant scale cost (the 100×
+    * editdist block reaches 400 members = 80k levenshteins per block).
+    * The chain keeps every block member CONNECTED to its neighbors, so
+    * downstream dedup clustering loses nothing; completeness within a
+    * block is exact whenever |block| ≤ W+1, which covers both gate
+    * corpora (max editdist block 4; capped containment results verified
+    * bit-identical at sf0.01 AND sf0.1). The oracle mirrors the window
+    * through the same ROW_NUMBER arithmetic.
+    */
+  private val NeighborWindow = 8
+
+  /** SimHash signature-width ladder (r15, from the 100× audit): the
+    * 32-bit/8-bit-chunk configuration is a bench-corpus dial — its 1024
+    * pigeonhole buckets go hot as the corpus grows (at 500k docs the
+    * chunk join scored ~2B candidates for ~24M true pairs). Signature
+    * WIDTH is the corpus-size knob with the recall guarantee intact:
+    * 4 chunks of bits/4 bits still leave ≥1 chunk untouched by any
+    * ≤3·bits/32 flipped bits, and +4 bits per doc-count doubling past
+    * the 5000-doc anchor doubles the bucket space per doubling —
+    * per-bucket occupancy, and so candidates, stay linear. The hamming
+    * threshold scales with the width ((3·bits)/32 integer — hamming
+    * between near-dup signatures grows ∝ bits), and the 64-bit shingle
+    * hashes bound the ladder at 64. At the anchor corpora the ladder
+    * resolves to exactly the historical 32/8/3 configuration, so every
+    * gate result is unchanged; the oracle mirrors bits/chunk/threshold
+    * through one COUNT(*)-driven CASE (integer-for-integer, the
+    * embedding-LSH lshw discipline).
+    */
+  private val SimHashAnchorDocs = 5000L
+  private[graft] def simhashBits(n: Long): Int = {
+    var bits = SimHashBits
+    var cap = SimHashAnchorDocs
+    while (n > cap && bits < Portable.SimHashMaxBits) { bits += 4; cap *= 2 }
+    bits
+  }
+  private def duckSimHashBitsArms: String = {
+    val steps = (Portable.SimHashMaxBits - SimHashBits) / 4
+    val arms = (0 until steps).map(k =>
+      s"WHEN n <= ${SimHashAnchorDocs * (1L << k)} THEN ${SimHashBits + 4 * k}")
+      .mkString(" ")
+    s"CASE $arms ELSE ${Portable.SimHashMaxBits} END"
+  }
+
+  /** Documents count backing the document-side dials, cached per
+    * (dir, fingerprint) — see [[Tables.freshen]].
+    */
+  private val docCounts =
+    new scala.collection.concurrent.TrieMap[(String, Long), Long]
+  private def docN(s: SparkSession, d: String): Long =
+    Tables.freshen(docCounts, d, "documents")(Tables.documents(s, d).count())
+
   // ---- Spark-side shared subplans --------------------------------------
 
   /** (doc_id, sh_arr): per-document word-3-gram shingle hash ARRAY,
@@ -359,9 +416,14 @@ object Dedup extends QueryPack {
     * shuffled the whole exploded shingle table; same math, oracle
     * unchanged).
     */
-  private def simHashSigs(s: SparkSession, d: String): DataFrame =
+  private def simHashSigs(s: SparkSession, d: String): DataFrame = {
+    // full-width row-local signature, masked to the corpus ladder's
+    // width (r15, see simhashBits) — at the anchor corpora the mask is
+    // the historical 32 bits, bit-identical output
+    val mask = (1L << simhashBits(docN(s, d))) - 1
     cappedShingleArrOver(s, d, hotShingleArr(s, d))
-      .selectExpr("doc_id", "graft_simhash(sh_arr) AS simhash")
+      .selectExpr("doc_id", s"graft_simhash(sh_arr) & ${mask}L AS simhash")
+  }
 
   /** (doc_a, doc_b, jacc): LSH band candidates verified by exact Jaccard
     * >= threshold. Signatures map shuffle-free over the scan; the band
@@ -571,6 +633,21 @@ object Dedup extends QueryPack {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
+  /** [[duckCand]] with the rank-proximity window (see NeighborWindow) —
+    * the containment verifier's bounded candidate mirror. Within-bucket
+    * doc_id rank order makes rn_b > rn_a equivalent to doc_b > doc_a.
+    */
+  private[queries] def duckCandWindowed: String = s"""
+    rb AS (
+      SELECT doc_id, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rb a JOIN rb b
+        ON a.band = b.band AND a.key = b.key
+       AND b.rn > a.rn AND b.rn <= a.rn + $NeighborWindow)"""
+
   /** Transitive-closure cluster labels over the verified dup pairs —
     * requires WITH RECURSIVE plus $duckBase/$duckSig/$duckBands/$duckJacc/
     * $duckCand in front; exposes `labels(doc_id, cluster_id)`. Shared by
@@ -606,13 +683,25 @@ object Dedup extends QueryPack {
       FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
                    JOIN sizes sb ON sb.doc_id = i.doc_b)"""
 
+  /** Full-width signature sums + the width-ladder consts (`shw`: bits,
+    * signature mask, chunk width cb, chunk mask cmask, hamming
+    * threshold ht) + the masked `sim` — see [[simhashBits]].
+    */
   private val duckSimHash: String = {
-    val sums = (0 until SimHashBits)
+    val sums = (0 until Portable.SimHashMaxBits)
       .map(j => s"sum(CASE WHEN ((sh >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-    val packed = (0 until SimHashBits)
+    val packed = (0 until Portable.SimHashMaxBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""sums AS (SELECT doc_id, $sums FROM shc GROUP BY doc_id),
-        sim AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums)"""
+    s"""shw AS (
+          SELECT bits, (CAST(1 AS BIGINT) << bits) - 1 AS mask,
+                 bits // 4 AS cb,
+                 (CAST(1 AS BIGINT) << (bits // 4)) - 1 AS cmask,
+                 (3 * bits) // 32 AS ht
+          FROM (SELECT $duckSimHashBitsArms AS bits
+                FROM (SELECT COUNT(*) AS n FROM documents) nn) t),
+        sums AS (SELECT doc_id, $sums FROM shc GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST($packed AS BIGINT) & mask AS simhash
+                FROM sums, shw)"""
   }
 
   // ---- declared queries ------------------------------------------------
@@ -1018,20 +1107,28 @@ object Dedup extends QueryPack {
     // quote-and-extend, page-within-crawl) — the asymmetric duplication
     // Jaccard structurally under-scores: a 100-shingle doc fully
     // contained in a 1000-shingle doc has containment 1.0 but Jaccard
-    // 0.1. Candidates come from the same banded-minhash equi-join and
-    // verification is candidate-restricted, so the scale shape is
-    // identical to dedup_minhash_pairs; the two thresholds differ
+    // 0.1. Candidates come from the same banded-minhash equi-join,
+    // BOUNDED by the rank-proximity window (r15, see NeighborWindow:
+    // per-bucket work W·n instead of n²/2 — the 30×/100× audits'
+    // output-quadratic shape), and verification is candidate-
+    // restricted; the two thresholds differ
     // (containment >= 0.8 vs jacc >= 0.5) because containment dominates
     // Jaccard pointwise. Emitting both scores per surviving pair makes
     // the asymmetry visible in the gated output.
     "dedup_containment_pairs" -> QueryDef(
       (s, d) => {
         val shd = sharedCappedShingles(s, d)
+        // rank-proximity candidate window (r15, see NeighborWindow): the
+        // banded equi-join stays, but a doc only pairs with its W
+        // nearest bucket predecessors — per-bucket work W·n, not n²/2
         val bands = sharedBands(s, d)
-        val cand = bands.toDF("doc_a", "band", "key")
-          .join(bands.toDF("doc_b", "band2", "key2"),
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+        val cand = bands.toDF("doc_a", "band", "key", "rn_a")
+          .join(bands.toDF("doc_b", "band2", "key2", "rn_b"),
             col("band") === col("band2") && col("key") === col("key2") &&
-              col("doc_a") < col("doc_b"))
+              col("rn_b") > col("rn_a") &&
+              col("rn_b") <= col("rn_a") + NeighborWindow)
           .select(col("doc_a"), col("doc_b")).distinct()
         val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         cand
@@ -1048,7 +1145,7 @@ object Dedup extends QueryPack {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
-        WITH $duckBase, $duckSig, $duckBands, $duckCand,
+        WITH $duckBase, $duckSig, $duckBands, $duckCandWindowed,
         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
@@ -1240,33 +1337,81 @@ object Dedup extends QueryPack {
         WITH $duckBase, $duckSimHash
         SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
 
+    // Pigeonhole chunk blocking at the LADDER width (r15, see
+    // simhashBits): 4 chunks of bits/4 bits — any pair within the
+    // hamming threshold (3·bits/32) differs in at most ht < 4 chunks,
+    // so ≥1 chunk collides and recall is exact by construction at
+    // every rung. Width, chunk size, and threshold all ride the same
+    // doc-count ladder the oracle mirrors through `shw`.
+    //
+    // The chunk join runs over DISTINCT SIGNATURES, expanded back to
+    // document pairs afterwards (r15, from the 100× audit): a dup-heavy
+    // corpus concentrates thousands of documents on identical or
+    // near-identical signatures (the short-doc majority-bias cluster —
+    // 512 docs share one 8-bit chunk key at sf0.1, ×100 copies at the
+    // scale dirs), and a doc-level chunk join is quadratic in that
+    // cluster at ANY ladder width (measured: two straggler tasks, 1.3B
+    // pair combos at 100×). Distinct sigs collapse every verbatim-dup
+    // family to one representative; identical-sig doc pairs come back
+    // as a pure hamming-0 expansion (output-bound by definition) and
+    // cross-sig pairs expand only for signature pairs that PASSED the
+    // threshold. Exact same pair set — a plan transform, not a dial.
     "dedup_simhash_pairs" -> QueryDef(
       (s, d) => {
+        val bits = simhashBits(docN(s, d))
+        val cb = bits / 4
+        val cmask = (1L << cb) - 1
+        val ht = (3 * bits) / 32
         val sim = simHashSigs(s, d).persistScoped()
+        val sigs = sim.select(col("simhash")).distinct()
         val chunks = (0 until 4).map(c =>
-          struct(lit(c).as("chunk"), expr(s"shiftright(simhash, ${8 * c}) & 255").as("key")))
-        val blocked = sim
-          .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
-          .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-        blocked.toDF("doc_a", "sim_a", "chunk", "key")
-          .join(blocked.toDF("doc_b", "sim_b", "chunk2", "key2"),
+          struct(lit(c).as("chunk"),
+            expr(s"shiftright(simhash, ${cb * c}) & ${cmask}L").as("key")))
+        val blocked = sigs
+          .select(col("simhash"), explode(array(chunks: _*)).as("ck"))
+          .select(col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+        val sigPairs = blocked.toDF("sim_a", "chunk", "key")
+          .join(blocked.toDF("sim_b", "chunk2", "key2"),
             col("chunk") === col("chunk2") && col("key") === col("key2") &&
-              col("doc_a") < col("doc_b"))
-          .where("bit_count(sim_a ^ sim_b) <= 3")
-          .selectExpr("doc_a", "doc_b", "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming")
-          .distinct()
+              col("sim_a") < col("sim_b"))
+          .where(s"bit_count(sim_a ^ sim_b) <= $ht")
+          .select(col("sim_a"), col("sim_b")).distinct()
+        val cross = sigPairs
+          .join(sim.toDF("da", "sim_a"), "sim_a")
+          .join(sim.toDF("db", "sim_b"), "sim_b")
+          .selectExpr("least(da, db) AS doc_a", "greatest(da, db) AS doc_b",
+            "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming")
+        val within = sim.toDF("doc_a", "simhash")
+          .join(sim.toDF("doc_b", "sim2"),
+            col("simhash") === col("sim2") && col("doc_a") < col("doc_b"))
+          .selectExpr("doc_a", "doc_b", "CAST(0 AS INT) AS hamming")
+        cross.unionByName(within)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
         WITH $duckBase, $duckSimHash,
-        chunks AS (${(0 until 4).map(c =>
-          s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${8 * c}) & 255 AS key FROM sim")
-          .mkString(" UNION ALL ")})
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM chunks a JOIN chunks b
-          ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        sigs AS (SELECT DISTINCT simhash FROM sim),
+        chunks AS (
+          SELECT simhash, c AS chunk,
+                 (simhash >> CAST(cb * c AS INTEGER)) & cmask AS key
+          FROM sigs, shw, range(0, 4) cs(c)),
+        sp AS (
+          SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+          FROM chunks a JOIN chunks b
+            ON a.chunk = b.chunk AND a.key = b.key AND a.simhash < b.simhash, shw
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= ht),
+        crossp AS (
+          SELECT least(x.doc_id, y.doc_id) AS doc_a,
+                 greatest(x.doc_id, y.doc_id) AS doc_b,
+                 CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+          FROM sp JOIN sim x ON x.simhash = sp.sa
+                  JOIN sim y ON y.simhash = sp.sb),
+        withinp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+          FROM sim a JOIN sim b
+            ON a.simhash = b.simhash AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming
+        FROM (SELECT * FROM crossp UNION ALL SELECT * FROM withinp) u
         ORDER BY doc_a, doc_b""")),
 
     // N-gram NOVELTY curve: per document, the fraction of its distinct
@@ -1405,14 +1550,16 @@ object Dedup extends QueryPack {
     // Fuzzy dedup by EDIT DISTANCE — the character-level complement to
     // the shingle family: shingles miss dense single-character noise
     // (OCR errors, mojibake) that Levenshtein catches. Candidates are
-    // blocked on (12-char normalized prefix, length//16 band) so the
-    // quadratic distance only runs inside tiny blocks (max block 3 at
-    // sf0.01 — prefix blocking bounds the join exactly like an LSH
-    // band), and the distance itself is capped to the first 120 chars:
-    // O(120²) per candidate, row-local, inside codegen. At 100 TB the
-    // prefix key is uniformly distributed (real corpora: prepend a
-    // cheap content hash of the first line) and a MinHash band would
-    // pre-filter candidates before any distance runs.
+    // blocked on (12-char normalized prefix, length//16 band) — prefix
+    // blocking bounds the join exactly like an LSH band — AND windowed
+    // to the NeighborWindow nearest block predecessors (r15), so
+    // per-block verification is W·|block| even when a verbatim-prefix
+    // family inflates a block (400 members at the 100× audit); the
+    // distance itself is capped to the first 120 chars: O(120²) per
+    // candidate, row-local, inside codegen. At 100 TB the prefix key is
+    // uniformly distributed (real corpora: prepend a cheap content hash
+    // of the first line) and a MinHash band would pre-filter candidates
+    // before any distance runs.
     //
     // CROSS-ENGINE UNIT CONTRACT (r7 ADVICE): Spark's levenshtein counts
     // Unicode codepoints, DuckDB's counts BYTES — one multibyte-character
@@ -1426,31 +1573,55 @@ object Dedup extends QueryPack {
         // persistScoped (r11): both sides of the blocked self-join read
         // this frame — uncached, the corpus-wide regexp normalization
         // ran twice (the staged-intermediate discipline)
+        // rank-proximity pair window (r15, see NeighborWindow): the 100×
+        // audit's editdist block reaches 400 members (verbatim-prefix
+        // families), and C(400,2) capped levenshteins per block is the
+        // quadratic the window removes — each doc now verifies against
+        // its W nearest block predecessors only (chain connectivity, so
+        // cluster-completeness survives; exact whenever |block| ≤ W+1,
+        // which covers the gate corpora: max block 4)
         val b = Tables.documents(s, d).selectExpr("doc_id",
           "substring(regexp_replace(lower(text), '[^ -~]', ''), 1, 120) AS lt",
           "substring(regexp_replace(lower(text), '[^ -~]', ''), 1, 12) AS pfx",
           "n_chars div 16 AS band")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("pfx"), col("band")).orderBy(col("doc_id"))))
           .persistScoped()
-        b.toDF("doc_a", "la", "pfx", "band")
-          .join(b.toDF("doc_b", "lb", "pfx2", "band2"),
+        // the distance threshold rides the JOIN CONDITION, as its LAST
+        // conjunct (r15): left as a post-join .where, Catalyst merges it
+        // into the join with the pushed predicate FIRST, and the O(120²)
+        // DP then runs on every key-equal combo BEFORE the cheap rank
+        // window prunes them (measured 262 s at the 100× corpus, where
+        // combos outnumber windowed candidates 14:1; 36 s with the
+        // conjunct ordered last). And-chains evaluate left-to-right, so
+        // the window prunes first and only survivors pay the distance —
+        // once more in the projection, which is ~2× fewer evals than the
+        // merged-filter plan, with no cache barrier needed.
+        b.toDF("doc_a", "la", "pfx", "band", "rn_a")
+          .join(b.toDF("doc_b", "lb", "pfx2", "band2", "rn_b"),
             col("pfx") === col("pfx2") && col("band") === col("band2") &&
-              col("doc_a") < col("doc_b"))
+              col("rn_b") > col("rn_a") &&
+              col("rn_b") <= col("rn_a") + NeighborWindow &&
+              expr("levenshtein(la, lb) <= 20"))
           .selectExpr("doc_a", "doc_b",
             "CAST(levenshtein(la, lb) AS BIGINT) AS dist")
-          .where(col("dist") <= 20)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("""
+      Some(s"""
         WITH b AS (
           SELECT doc_id,
                  substr(regexp_replace(lower(text), '[^ -~]', '', 'g'), 1, 120) AS lt,
                  substr(regexp_replace(lower(text), '[^ -~]', '', 'g'), 1, 12) AS pfx,
                  n_chars // 16 AS band
-          FROM documents)
+          FROM documents),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY pfx, band ORDER BY doc_id) AS rn
+          FROM b)
         SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
                CAST(levenshtein(a.lt, b2.lt) AS BIGINT) AS dist
-        FROM b a JOIN b b2
-          ON a.pfx = b2.pfx AND a.band = b2.band AND a.doc_id < b2.doc_id
+        FROM r a JOIN r b2
+          ON a.pfx = b2.pfx AND a.band = b2.band
+         AND b2.rn > a.rn AND b2.rn <= a.rn + $NeighborWindow
         WHERE levenshtein(a.lt, b2.lt) <= 20
         ORDER BY doc_a, doc_b""")),
 

@@ -26,8 +26,23 @@ object Portable {
   val minHashA: Seq[Long] = (0 until MinHashK).map(i => (1234567L * (2 * i + 1)) % P)
   val minHashB: Seq[Long] = (0 until MinHashK).map(i => (7654321L * (i + 1) + 12345L) % P)
 
-  /** SimHash width in bits (fits in a BIGINT with headroom). */
+  /** SimHash ANCHOR width in bits — the bench-corpus configuration;
+    * the declared pairs query widens it on the Dedup.simhashBits
+    * doc-count ladder (r15). The codegen signature expression always
+    * computes the full [[SimHashMaxBits]] and consumers mask to the
+    * ladder width, so the anchor output is bit-identical by
+    * construction.
+    */
   val SimHashBits = 32
+
+  /** Ladder ceiling: the shingle hashes feeding the per-bit majority
+    * are 64-bit, but the signature stays a POSITIVE BIGINT on both
+    * engines (bit 63 is the sign bit; DuckDB has no unsigned shift), so
+    * the ladder tops out at 60 bits — still 15-bit chunks / 32k-bucket
+    * pigeonhole space, reached only past ~640M documents per partition
+    * of the dial's COUNT.
+    */
+  val SimHashMaxBits = 60
 
   /** Count-Min sketch geometry: depth hash rows (reusing the MinHash
     * coefficient family) x width counters per row. Width is deliberately

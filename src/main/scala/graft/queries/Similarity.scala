@@ -55,54 +55,16 @@ object Similarity extends QueryPack {
     * a long-lived session over a corpus that grows in place — the
     * streaming-bronze shape — would otherwise keep the stale width as
     * the corpus doubles past it, quietly reintroducing the superlinear
-    * collision growth the ladder exists to prevent. The fingerprint is
-    * a driver-side stat walk of the embeddings parquet (names + sizes +
-    * mtimes — O(files), no data read), so an in-place rewrite or append
-    * re-keys on the NEXT query; stale generations of the same dir are
-    * evicted so the maps stay bounded by live dirs.
+    * collision growth the ladder exists to prevent. See
+    * [[Tables.fingerprint]]/[[Tables.freshen]] (shared with the
+    * document-side dials in Dedup).
     */
-  private[graft] def embedFingerprint(d: String): Long = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(d, "embeddings.parquet")
-    if (!Files.exists(p)) 0L
-    else {
-      val real = p.toRealPath() // symlinked scale dirs fingerprint the target
-      var h = -3750763034362895579L // FNV-1a 64 offset basis
-      def mix(x: Long): Unit = { h ^= x; h *= 1099511628211L }
-      if (Files.isDirectory(real)) {
-        val fs = Files.list(real)
-        try {
-          fs.sorted().forEach { f =>
-            val name = f.getFileName.toString
-            if (!name.startsWith(".") && !name.endsWith(".crc")) {
-              mix(name.hashCode.toLong)
-              mix(Files.size(f))
-              mix(Files.getLastModifiedTime(f).toMillis)
-            }
-          }
-        } finally fs.close()
-      } else {
-        mix(Files.size(real)); mix(Files.getLastModifiedTime(real).toMillis)
-      }
-      h
-    }
-  }
   private def freshen[V](m: scala.collection.concurrent.TrieMap[(String, Long), V],
-      d: String)(build: => V): V = {
-    val fp = embedFingerprint(d)
-    val stale = m.keys.filter(k => k._1 == d && k._2 != fp)
-    if (stale.nonEmpty) {
-      stale.foreach(m.remove)
-      // the rebuild reads through Tables, whose memoized plan pins the
-      // OLD file listing — drop it with the ladder entry or the recount
-      // would see the pre-growth corpus (or missing files)
-      Tables.invalidate(Some(d))
-    }
-    m.getOrElseUpdate((d, fp), build)
-  }
+      d: String)(build: => V): V =
+    Tables.freshen(m, d, "embeddings")(build)
 
   /** Embeddings count backing the dial: parquet metadata count, cached
-    * driver-side per (dir, fingerprint) — see [[embedFingerprint]].
+    * driver-side per (dir, fingerprint).
     */
   private val corpusCounts =
     new scala.collection.concurrent.TrieMap[(String, Long), Long]

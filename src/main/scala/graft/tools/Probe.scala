@@ -14,6 +14,7 @@ object Probe {
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t1 = System.nanoTime()
+      if (i == 1 && sys.env.contains("PROBE_EXPLAIN")) df.explain("formatted")
       val n = df.count()
       val t2 = System.nanoTime()
       println(f"[probe] run $i: build=${(t1 - t0) / 1e9}%.2f s action=${(t2 - t1) / 1e9}%.2f s rows=$n")

@@ -61,13 +61,19 @@ class FunctionsSpec extends AnyFunSuite {
   test("graft_simhash equals the conditional-sum formulation") {
     val arr = "array(CAST(5 AS BIGINT), CAST(123456789 AS BIGINT), " +
       "CAST(999999999 AS BIGINT), CAST(5 AS BIGINT))" // duplicate counts twice
-    val bits = graft.queries.Portable.SimHashBits
+    // full ladder width (r15): the expression always computes
+    // SimHashMaxBits; consumers mask down to the corpus dial
+    val bits = graft.queries.Portable.SimHashMaxBits
     val sums = (0 until bits).map(j =>
       s"aggregate(transform($arr, x -> CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END), 0, (a, x) -> a + x)")
     val packed = sums.zipWithIndex
       .map { case (sj, j) => s"(CASE WHEN ($sj) > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END)" }
       .mkString(" + ")
     assert(viaDf(s"graft_simhash($arr)") == viaDf(s"CAST($packed AS BIGINT)"))
+    // the anchor-width mask reproduces the historical 32-bit signature
+    assert((viaDf(s"graft_simhash($arr)").asInstanceOf[Long] &
+      ((1L << graft.queries.Portable.SimHashBits) - 1)) ==
+      viaDf(s"graft_simhash($arr) & ${(1L << graft.queries.Portable.SimHashBits) - 1}L"))
     assert(viaDf("graft_simhash(array())") == 0L)
     assert(viaDf("graft_simhash(CAST(NULL AS ARRAY<BIGINT>))") == null)
   }
