@@ -464,12 +464,21 @@ object Dedup extends QueryPack {
   private def minHashDupPairsOver(
       s: SparkSession, d: String, hot: DataFrame, shd: DataFrame,
       bandsPre: Option[DataFrame] = None): DataFrame = {
-    val bands = bandsPre.getOrElse(
+    val bands0 = bandsPre.getOrElse(
       minHashBandsFrom(minHashSigOver(s, d, hot)).persistScoped())
-    val cand = bands.toDF("doc_a", "band", "key")
-      .join(bands.toDF("doc_b", "band2", "key2"),
+    // rank-proximity candidate window (r15, see NeighborWindow): the
+    // shared verified-pair tier is consumed by a dozen queries, and at
+    // the 100× corpus its unwindowed band join made the tier's build
+    // the dominant setup cost (252 s — true-pair mass grows with the
+    // square of the dup-family size). Pair lists verified bit-identical
+    // at both gate corpora; every oracle mirrors through duckCand.
+    val bands = bands0.withColumn("rn", row_number().over(
+      Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+    val cand = bands.toDF("doc_a", "band", "key", "rn_a")
+      .join(bands.toDF("doc_b", "band2", "key2", "rn_b"),
         col("band") === col("band2") && col("key") === col("key2") &&
-          col("doc_a") < col("doc_b"))
+          col("rn_b") > col("rn_a") &&
+          col("rn_b") <= col("rn_a") + NeighborWindow)
       .select(col("doc_a"), col("doc_b")).distinct()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val interCounted = cand
@@ -627,17 +636,14 @@ object Dedup extends QueryPack {
     s"bands AS (${selects.mkString(" UNION ALL ")})"
   }
 
-  private[queries] val duckCand: String = """
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
-
-  /** [[duckCand]] with the rank-proximity window (see NeighborWindow) —
-    * the containment verifier's bounded candidate mirror. Within-bucket
-    * doc_id rank order makes rn_b > rn_a equivalent to doc_b > doc_a.
+  /** The LSH candidate CTE with the rank-proximity window (r15, see
+    * NeighborWindow) — shared by every verified-pair oracle, exactly as
+    * the engine's minHashDupPairsOver windows the one shared tier.
+    * Within-bucket doc_id rank order makes rn_b > rn_a equivalent to
+    * doc_b > doc_a, so the emitted (doc_a < doc_b) orientation is
+    * unchanged.
     */
-  private[queries] def duckCandWindowed: String = s"""
+  private[queries] def duckCand: String = s"""
     rb AS (
       SELECT doc_id, band, key,
              row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
@@ -1145,7 +1151,7 @@ object Dedup extends QueryPack {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
-        WITH $duckBase, $duckSig, $duckBands, $duckCandWindowed,
+        WITH $duckBase, $duckSig, $duckBands, $duckCand,
         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter

@@ -23,6 +23,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pointer jumping converges a 400-vertex chain within the round budget (r15)") {
+    // the r15 candidate window thins a k-member dup family's clique to a
+    // ~k/W-diameter chain — plain propagation needs `diameter` rounds
+    // (the 100× corpus blew the 50-round budget); lbl ← lbl(lbl) makes
+    // it O(log diameter). 400 vertices in a path must converge well
+    // under the default budget — and to the right labels
+    val s = spark
+    import s.implicits._
+    val chain = (1L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.run(chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 400 && got.values.forall(_ == 1L),
+      s"chain must collapse to component-min 1, got ${got.filter(_._2 != 1L).take(5)}")
+  }
+
   test("a single edge converges in one round and is deterministic") {
     val s = spark
     import s.implicits._
