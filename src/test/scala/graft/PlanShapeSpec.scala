@@ -124,15 +124,20 @@ class PlanShapeSpec extends AnyFunSuite {
   test("the shingle doc-frequency cap plans as aggregate + anti-join, not a window") {
     // count().over(Window.partitionBy(sh)) would shuffle the whole exploded
     // shingle table into per-shingle partitions — including the hot shingle
-    // the cap exists to drop
-    val windowNode = "(?m)^\\(\\d+\\) Window".r
-    // sanity: the detector must actually fire on a plan that HAS a window
-    assert(windowNode.findFirstIn(plan("window_topk_orders")).isDefined,
-      "window detector regex no longer matches formatted explain output")
+    // the cap exists to drop. The r15 rank-proximity candidate window IS
+    // a legitimate Window node, but it partitions by the (band, key)
+    // bucket — so the assertion is now scoped to the shingle column: no
+    // window spec may partition on `sh`.
+    val shingleWindow = "windowspecdefinition\\(sh#".r
+    // sanity: the spec-printing detector must fire on a plan that HAS a
+    // window over its partition column (window_topk_orders partitions on
+    // o_custkey; match the windowspecdefinition prefix itself)
+    assert("windowspecdefinition\\(".r.findFirstIn(plan("window_topk_orders")).isDefined,
+      "window-spec detector regex no longer matches formatted explain output")
     for (q <- Seq("dedup_minhash_pairs", "dedup_jaccard_pairs")) {
       val p = plan(q)
-      assert(windowNode.findFirstIn(p).isEmpty,
-        s"$q must cap shingle doc-frequency without a window operator")
+      assert(shingleWindow.findFirstIn(p).isEmpty,
+        s"$q must cap shingle doc-frequency without a shingle-partitioned window")
       assert(p.contains("LeftAnti"), s"$q must drop hot shingles via anti-join")
     }
   }
