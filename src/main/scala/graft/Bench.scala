@@ -157,13 +157,17 @@ object Bench {
         f"first ${f.first}%.2fs, re-measured ${f.remeasured}%.2fs vs prior ${f.prior}%.2fs")
     }
     unresolved.foreach { f =>
-      System.err.println(f"[bench] perf flag UNRESOLVED (re-measure ran at " +
-        f"loadavg ${f.remeasureLoad}%.1f > ${BenchGate.LoadedThreshold}%.1f): ${f.name} " +
+      val why =
+        if (f.status == "unresolved_load_unknown")
+          "platform hides loadavg - no load evidence either way"
+        else
+          f"re-measure ran at loadavg ${f.remeasureLoad}%.1f > ${BenchGate.LoadedThreshold}%.1f"
+      System.err.println(f"[bench] perf flag UNRESOLVED ($why): ${f.name} " +
         f"first ${f.first}%.2fs, re-measured ${f.remeasured}%.2fs vs prior ${f.prior}%.2fs " +
         "- re-run on a quiet box to adjudicate")
     }
     def flagJson(fs: Seq[BenchGate.Flag]) = fs.map { f =>
-      s"""\"${f.name}\":{"prior":${f.prior},"now":${f.now},"first":${f.first},"remeasured":${f.remeasured},"remeasure_load":${f.remeasureLoad}}"""
+      s"""\"${f.name}\":{"prior":${f.prior},"now":${f.now},"first":${f.first},"remeasured":${f.remeasured},"remeasure_load":${f.remeasureLoad},"status":"${f.status}"}"""
     }.mkString("{", ",", "}")
     val regJson = flagJson(regressions)
     val demJson = flagJson(demoted)

@@ -46,14 +46,20 @@ object BenchGate {
     *   - "confirmed"  — still regressing on a quiet box (real);
     *   - "demoted"    — re-measured at baseline (load artifact);
     *   - "unresolved_loaded" — still slow, but the re-measure itself ran
-    *     above [[LoadedThreshold]], so the round cannot adjudicate it.
+    *     above [[LoadedThreshold]], so the round cannot adjudicate it;
+    *   - "unresolved_load_unknown" — still slow, but the platform hides
+    *     loadavg (samples < 0), so there is no load evidence either way
+    *     (r16, ADVICE: max(-1,-1) = -1 silently passed the threshold
+    *     check and shipped confirmations with no load evidence — the
+    *     exact false-confirmation shape the r15 change exists to
+    *     prevent).
     */
   final case class Flag(name: String, prior: Double, first: Double,
       remeasured: Double, now: Double, remeasureLoad: Double,
       status: String) {
     def confirmed: Boolean = status == "confirmed"
     def demoted: Boolean = status == "demoted"
-    def unresolved: Boolean = status == "unresolved_loaded"
+    def unresolved: Boolean = status.startsWith("unresolved_")
   }
 
   /** The r11 flag rule: >2x move that also costs >0.3s absolute (the
@@ -93,6 +99,7 @@ object BenchGate {
       val now = if (r >= 0) math.min(first, r) else first
       val status =
         if (!isRegression(p, now)) "demoted"
+        else if (l0 < 0 || l < 0) "unresolved_load_unknown"
         else if (l > LoadedThreshold) "unresolved_loaded"
         else "confirmed"
       Flag(k, p, first, r, now, l, status)

@@ -57,22 +57,109 @@ object Dedup extends QueryPack {
     * W·|block| — linear in the corpus — instead of C(|block|, 2), which
     * the 30×/100× audits measured as the dominant scale cost (the 100×
     * editdist block reaches 400 members = 80k levenshteins per block).
-    * The chain keeps every block member CONNECTED to its neighbors, so
-    * downstream dedup clustering loses nothing; completeness within a
-    * block is exact whenever |block| ≤ W+1, which covers both gate
-    * corpora (max editdist block 4; capped containment results verified
-    * bit-identical at sf0.01 AND sf0.1). The oracle mirrors the window
-    * through the same ROW_NUMBER arithmetic.
+    * Completeness within a block is exact whenever |block| ≤ W+1; for
+    * the MULTI-BAND minhash buckets the candidate set can stay exact
+    * even past that bound (a pair beyond the window in one band's
+    * bucket collides inside the window of another — sf0.1 has a
+    * 12-member bucket yet zero lost candidates). Both gate claims are
+    * ENFORCED by WindowCompletenessSpec (r16, verdict #3): editdist's
+    * single-key blocks must measure ≤ W+1, and the banded candidate
+    * union must have windowed == unwindowed set parity — so a testdata
+    * refresh that breaks either fails loudly instead of silently
+    * comparing window-truncated lists.
+    * For |block| > W+1 the window is an APPROXIMATION at the pair level
+    * (r16, ADVICE): the candidate chain keeps every block member
+    * connected, but verification (jacc/containment/levenshtein) can
+    * fail a consecutive link whose beyond-window pair would have
+    * passed, so pair outputs and downstream clusters can diverge from
+    * unwindowed semantics in large blocks. That is the standard
+    * sorted-neighborhood trade — accepted deliberately for the at-scale
+    * regime, NOT claimed lossless. The oracle mirrors the window
+    * through the same ROW_NUMBER arithmetic, so the gate compares the
+    * same (windowed) semantics on both engines at every corpus size.
     */
-  private val NeighborWindow = 8
+  private[graft] val NeighborWindow = 8
+
+  /** Largest block in a blocked-verifier keying — the quantity the
+    * [[NeighborWindow]] completeness bound is stated over (pair lists
+    * are exact iff every block has ≤ W+1 members). Exposed for
+    * WindowCompletenessSpec, which enforces the bound at the gate
+    * corpora (r16, verdict #3).
+    */
+  private[graft] def maxBlockSize(df: DataFrame, cols: Seq[String]): Long = {
+    val byCols = cols.map(col)
+    df.groupBy(byCols: _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+  }
+
+  /** Max block size of editdist's (12-char prefix, length band)
+    * blocking — the SINGLE-KEY windowed verifier, where the ≤ W+1 bound
+    * is exactly the completeness condition (one blocking key, so a
+    * beyond-window pair has no second chance to surface).
+    */
+  private[graft] def editdistBlockMax(s: SparkSession, d: String): Long =
+    maxBlockSize(Tables.documents(s, d).selectExpr(
+      "substring(regexp_replace(lower(text), '[^ -~]', ''), 1, 12) AS pfx",
+      "n_chars div 16 AS band"), Seq("pfx", "band"))
+
+  /** Audit of the minhash (band, key) bucket window that feeds the
+    * shared verified-pair tier and dedup_containment_pairs: returns
+    * (windowed candidates, candidates LOST to the window, lost
+    * candidates that would have VERIFIED). The multi-band keying has no
+    * per-bucket ≤ W+1 completeness condition, and raw candidate-set
+    * parity does not hold either (sf0.1: a 12-member bucket loses 7 of
+    * 905 candidates) — the gate-exactness claim that IS true, and that
+    * r15 verified empirically as bit-identical pair lists, is that no
+    * lost candidate passes any verifier threshold (jacc ≥ 0.5 for the
+    * tier, containment ≥ 0.8 for dedup_containment_pairs). That is the
+    * claim WindowCompletenessSpec enforces (r16, verdict #3): third
+    * component == 0, or the gate is comparing truncated VERIFIED lists.
+    */
+  private[graft] def bandWindowAudit(s: SparkSession, d: String): (Long, Long, Long) = {
+    val bands = sharedBands(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+      .persistScoped()
+    val a = bands.toDF("doc_a", "band", "key", "rn_a")
+    val b = bands.toDF("doc_b", "band2", "key2", "rn_b")
+    val windowed = a.join(b,
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("rn_b") > col("rn_a") &&
+          col("rn_b") <= col("rn_a") + NeighborWindow)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val unwindowed = a.join(b,
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("rn_b") > col("rn_a"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val missing = unwindowed.exceptAll(windowed).persistScoped()
+    val shd = sharedCappedShingles(s, d)
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // pairs with zero shingle overlap drop out of the inner join — they
+    // trivially fail both thresholds
+    val lostVerified = missing
+      .join(shd.toDF("doc_a", "sh"), "doc_a")
+      .join(shd.toDF("doc_b2", "sh2"),
+        col("doc_b") === col("doc_b2") && col("sh") === col("sh2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .where(s"CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccThreshold " +
+        "OR CAST(inter AS DOUBLE) / least(na, nb) >= 0.8")
+      .count()
+    (windowed.count(), missing.count(), lostVerified)
+  }
 
   /** SimHash signature-width ladder (r15, from the 100× audit): the
     * 32-bit/8-bit-chunk configuration is a bench-corpus dial — its 1024
     * pigeonhole buckets go hot as the corpus grows (at 500k docs the
     * chunk join scored ~2B candidates for ~24M true pairs). Signature
     * WIDTH is the corpus-size knob with the recall guarantee intact:
-    * 4 chunks of bits/4 bits still leave ≥1 chunk untouched by any
-    * ≤3·bits/32 flipped bits, and +4 bits per doc-count doubling past
+    * ht+1 pigeonhole chunks (ht = 3·bits/32, see dedup_simhash_pairs)
+    * leave ≥1 chunk untouched by any ≤ht flipped bits — the chunk
+    * count rides the threshold, because a fixed chunk count breaks the
+    * guarantee once ht reaches it (r16 ADVICE: at bits ≥ 44 the old
+    * fixed-4 split silently dropped pairs) — and +4 bits per doc-count
+    * doubling past
     * the 5000-doc anchor doubles the bucket space per doubling —
     * per-bucket occupancy, and so candidates, stay linear. The hamming
     * threshold scales with the width ((3·bits)/32 integer — hamming
@@ -690,8 +777,8 @@ object Dedup extends QueryPack {
                    JOIN sizes sb ON sb.doc_id = i.doc_b)"""
 
   /** Full-width signature sums + the width-ladder consts (`shw`: bits,
-    * signature mask, chunk width cb, chunk mask cmask, hamming
-    * threshold ht) + the masked `sim` — see [[simhashBits]].
+    * signature mask, hamming threshold ht, pigeonhole chunk count
+    * nc = ht + 1) + the masked `sim` — see [[simhashBits]].
     */
   private val duckSimHash: String = {
     val sums = (0 until Portable.SimHashMaxBits)
@@ -700,9 +787,8 @@ object Dedup extends QueryPack {
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     s"""shw AS (
           SELECT bits, (CAST(1 AS BIGINT) << bits) - 1 AS mask,
-                 bits // 4 AS cb,
-                 (CAST(1 AS BIGINT) << (bits // 4)) - 1 AS cmask,
-                 (3 * bits) // 32 AS ht
+                 (3 * bits) // 32 AS ht,
+                 (3 * bits) // 32 + 1 AS nc
           FROM (SELECT $duckSimHashBitsArms AS bits
                 FROM (SELECT COUNT(*) AS n FROM documents) nn) t),
         sums AS (SELECT doc_id, $sums FROM shc GROUP BY doc_id),
@@ -1344,11 +1430,17 @@ object Dedup extends QueryPack {
         SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
 
     // Pigeonhole chunk blocking at the LADDER width (r15, see
-    // simhashBits): 4 chunks of bits/4 bits — any pair within the
-    // hamming threshold (3·bits/32) differs in at most ht < 4 chunks,
-    // so ≥1 chunk collides and recall is exact by construction at
-    // every rung. Width, chunk size, and threshold all ride the same
-    // doc-count ladder the oracle mirrors through `shw`.
+    // simhashBits), with ht+1 chunks (r16, ADVICE): a pair within the
+    // hamming threshold ht differs in at most ht chunks, so with ht+1
+    // chunks ≥1 chunk collides and recall is exact by construction at
+    // every rung. The chunk count MUST ride the threshold — the r15
+    // fixed-4-chunk split broke the guarantee at bits ≥ 44 (ht ≥ 4,
+    // corpora > 20k docs): a true pair differing in one bit per chunk
+    // collided nowhere and was silently dropped, invisible to the gate
+    // because the oracle mirrored the same blocking. Chunk boundaries
+    // are floor(c·bits/nc) so widths stay balanced when nc ∤ bits;
+    // width, chunk layout, and threshold all ride the same doc-count
+    // ladder the oracle mirrors through `shw`.
     //
     // The chunk join runs over DISTINCT SIGNATURES, expanded back to
     // document pairs afterwards (r15, from the 100× audit): a dup-heavy
@@ -1365,14 +1457,17 @@ object Dedup extends QueryPack {
     "dedup_simhash_pairs" -> QueryDef(
       (s, d) => {
         val bits = simhashBits(docN(s, d))
-        val cb = bits / 4
-        val cmask = (1L << cb) - 1
         val ht = (3 * bits) / 32
+        val nc = ht + 1
         val sim = simHashSigs(s, d).persistScoped()
         val sigs = sim.select(col("simhash")).distinct()
-        val chunks = (0 until 4).map(c =>
+        val chunks = (0 until nc).map { c =>
+          val lo = (c * bits) / nc
+          val width = ((c + 1) * bits) / nc - lo
+          val cmask = (1L << width) - 1
           struct(lit(c).as("chunk"),
-            expr(s"shiftright(simhash, ${cb * c}) & ${cmask}L").as("key")))
+            expr(s"shiftright(simhash, $lo) & ${cmask}L").as("key"))
+        }
         val blocked = sigs
           .select(col("simhash"), explode(array(chunks: _*)).as("ck"))
           .select(col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
@@ -1399,8 +1494,12 @@ object Dedup extends QueryPack {
         sigs AS (SELECT DISTINCT simhash FROM sim),
         chunks AS (
           SELECT simhash, c AS chunk,
-                 (simhash >> CAST(cb * c AS INTEGER)) & cmask AS key
-          FROM sigs, shw, range(0, 4) cs(c)),
+                 (simhash >> CAST((c * bits) // nc AS INTEGER)) &
+                 ((CAST(1 AS BIGINT) <<
+                   CAST(((c + 1) * bits) // nc - (c * bits) // nc AS INTEGER)) - 1)
+                   AS key
+          FROM sigs, shw, range(0, 7) cs(c)
+          WHERE c < nc),
         sp AS (
           SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
           FROM chunks a JOIN chunks b

@@ -96,6 +96,24 @@ class BenchGateSpec extends AnyFunSuite {
     assert(flags.size == 1 && flags.head.unresolved)
   }
 
+  test("a hidden loadavg (-1 samples) cannot confirm: no load evidence (r16 ADVICE)") {
+    // getSystemLoadAverage returns -1 on platforms that hide load;
+    // max(-1,-1) = -1 used to pass the LoadedThreshold check and ship a
+    // "confirmed" with no load evidence behind it.
+    val flags = BenchGate.adjudicate(
+      Map("q" -> 5.0), Map("q" -> 1.0), Map.empty.withDefaultValue(4.8),
+      load = () => -1.0)
+    assert(flags.size == 1, s"expected one flag, got: $flags")
+    assert(flags.head.status == "unresolved_load_unknown",
+      s"hidden-load still-slow flag must be unresolved_load_unknown, got: ${flags.head}")
+    assert(flags.head.unresolved && !flags.head.confirmed)
+    // demotions stay valid at unknown load: baseline is baseline
+    val demoted = BenchGate.adjudicate(
+      Map("q" -> 5.0), Map("q" -> 1.0), Map.empty.withDefaultValue(1.0),
+      load = () => -1.0)
+    assert(demoted.size == 1 && demoted.head.demoted)
+  }
+
   test("load is sampled around the re-measure: a spike on either side taints it") {
     val samples = Iterator(0.3, 8.0) // quiet before, spiked after
     val flags = BenchGate.adjudicate(

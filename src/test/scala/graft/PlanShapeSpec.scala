@@ -874,6 +874,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rounds must enter as checkpointed leaves:\n$p")
   }
 
+  test("editdist keeps the O(120^2) distance LAST in the join condition (r16 ADVICE)") {
+    // the 14:1 speedup at the 100x corpus depends on the levenshtein
+    // conjunct evaluating AFTER the cheap rank-window prune; And-chains
+    // evaluate left-to-right, but nothing in Catalyst's contract pins
+    // conjunct order across versions — so pin it here: the optimized
+    // join condition must order every rank-window conjunct before the
+    // distance, or a Spark upgrade silently reintroduces the 262s plan
+    spark.catalog.clearCache()
+    graft.queries.Persisted.drain()
+    val df = SparkEntry.queries("dedup_editdist_pairs")(spark, d)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("levenshtein")) => j
+    }
+    assert(joins.nonEmpty, "expected the blocked self-join carrying the distance conjunct")
+    joins.foreach { j =>
+      val cond = j.condition.get.toString
+      val lev = cond.indexOf("levenshtein")
+      val lastRank = cond.lastIndexOf("rn_")
+      assert(lastRank >= 0,
+        s"rank-window conjuncts missing from the join condition:\n$cond")
+      assert(lev > lastRank,
+        s"levenshtein must be the LAST conjunct (after the rank window):\n$cond")
+    }
+  }
+
   test("calibration: broadcast final weights; no explode; no text in exchanges") {
     spark.catalog.clearCache()
     graft.queries.Persisted.drain()
