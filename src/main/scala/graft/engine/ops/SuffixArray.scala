@@ -95,6 +95,40 @@ object SuffixArray {
     // no meaningful zero-pass result exists in word mode (ranks() can
     // hand back its numeric round-0 rk; a word column cannot be one)
     require(rounds >= 1, "ranksFromWords needs at least one pass")
+    // DICTIONARY-ENCODED pass 1 (r16, verdict #1 — the 100× profile):
+    // pass 1 as shipped sorts 27.5M rows of 16-STRING tuples, 199 s of
+    // the query's 227 s at the 100× corpus, while the corpus vocabulary
+    // is tiny (130 distinct words; real corpora: ~1e5–1e6 — Heaps' law
+    // keeps vocab orders of magnitude below positions). When the vocab
+    // fits [[DictVocabMax]], encode words to DENSE 1..V integer ranks
+    // first — the ranking stays engine-side (a single-partition
+    // row_number over the vocab frame, so the order is Spark's own
+    // string order, never a driver sort whose UTF-16 order could
+    // diverge on supplementary planes) and broadcasts back onto
+    // positions — then PACK the 16 tuple components into
+    // ceil(16/⌊63/bits(V)⌋) big-endian longs (order-isomorphic to the
+    // component tuple by construction): the pass-1 sort compares ~3
+    // longs instead of 16 strings and the exchange carries ~6-long rows
+    // instead of 16-string rows. Ranks are identical — the dictionary
+    // is order-preserving and packing is order-preserving — so rk,
+    // rk_bound, the fixpoint and the oracle contract are unchanged.
+    // Corpora whose vocabulary overflows the bound keep the string
+    // pass 1 below (the detection distinct is noise next to the string
+    // sort it precedes).
+    val posD = pos.localCheckpoint()
+    val t0 = System.nanoTime()
+    // the distinct is checkpointed so the dictionary build and every
+    // boundary/pass action read it once — uncheckpointed, each action
+    // re-ran the corpus-wide distinct through broadcast(dict)'s lineage
+    val vocab0 = posD.select(col("w")).distinct().localCheckpoint()
+    val v = vocab0.count()
+    tlog(s"vocab count ($v)", t0)
+    if (v == 0)
+      // empty corpus: schema-stable empty result
+      return posD.selectExpr("doc_id", "p", "gid", "CAST(1 AS BIGINT) AS rk")
+        .withColumn("rk_bound", col("rk")).withColumn("_sab", lit(0L))
+    if (v <= DictVocabMax)
+      return dictionaryPasses(posD, vocab0, v, rounds, boundRound, tlog)
     // QUANTILE-EQUALIZED pass-1 bucketing (r12, r11 VERDICT #2): the old
     // first-character-code bucket is monotone but Zipf-skewed on real
     // text (natural-language first letters concentrate on a dozen
@@ -108,13 +142,11 @@ object SuffixArray {
     // share a packed key, so classes never split across buckets; any
     // monotone tie-preserving bucketing yields identical ranks (the
     // GlobalOrder correctness argument), so values are unchanged.
-    // the positions frame now has TWO consumers (the boundary aggregate
-    // and pass 1's window) — checkpoint it once so the boundary pass
-    // reads materialized integer/word triples instead of re-running the
-    // caller's tokenize lineage (r11 removed this checkpoint when pass 1
-    // was the only consumer; the equalizer brings it back)
-    val pos0 = pos.localCheckpoint()
-    passes(pos0, rounds, boundRound, firstKey = "w",
+    // the positions frame has multiple consumers (vocab detection, the
+    // boundary aggregate, pass 1's window) — posD above checkpointed it
+    // once so each reads materialized integer/word triples instead of
+    // re-running the caller's tokenize lineage
+    passes(posD, rounds, boundRound, firstKey = "w",
       firstBucket = Some { (boundarySrc, paired) =>
         val t0 = System.nanoTime()
         // pass-1 fan capped at 512 (r12 ADVICE #3): the bucket column is
@@ -142,6 +174,97 @@ object SuffixArray {
       initClasses = -1L, initMax = 0L, tlog)
   }
 
+  /** Vocabulary bound for the dictionary-encoded pass 1: a 2^20-word
+    * dictionary broadcasts in ~tens of MB and its single-partition
+    * rank sorts in ~a second — both trivially affordable next to the
+    * string pass 1 they replace — while bits(2^20) = 21 still packs 3
+    * tuple components per long (sort width 6 longs, vs 16 strings).
+    */
+  private[graft] val DictVocabMax: Long = 1L << 20
+
+  /** Dictionary-mode pass 1 + tie refinement (see the
+    * [[ranksFromWords]] note): words become dense 1..V ranks, the
+    * 2^stepLog-component sort tuple packs into big-endian longs, and
+    * pass 1 sorts/checkpoints the NARROW packed frame; later passes are
+    * the shared [[refineFrom]] loop on integer ranks. The past-end
+    * sentinel packs as 0 < every rank, exactly the '' / −1 sentinel
+    * ordering of the other modes.
+    */
+  private def dictionaryPasses(pos0: DataFrame, vocab0: DataFrame, v: Long,
+      rounds: Int, boundRound: Int,
+      tlog: (String, Long) => Unit): DataFrame = {
+    val bnd = math.min(math.max(boundRound, 0), rounds)
+    val stepLog = math.min(4, if (bnd > 0) bnd else rounds)
+    val nComp = 1 << stepLog
+    val dict = vocab0.repartition(1).withColumn("_wrk",
+      row_number().over(Window.orderBy(col("w"))).cast("long"))
+    val enc = pos0.join(broadcast(dict), "w").drop("w")
+      .withColumnRenamed("_wrk", "rk")
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val bpc = (64 - java.lang.Long.numberOfLeadingZeros(v)).toInt
+    val npg = math.max(1, 63 / bpc)
+    def packGroups(comps: Seq[org.apache.spark.sql.Column]) =
+      comps.grouped(npg).toSeq.zipWithIndex.map { case (g, gi) =>
+        g.zipWithIndex.map { case (c, j) =>
+          shiftleft(c, bpc * (g.size - 1 - j)) }.reduce(_ + _).as(s"_pk$gi")
+      }
+    val t1 = System.nanoTime()
+    // fan capped at 512 like the string path (r12 ADVICE #3: the bucket
+    // column is a straight-line sum of fan-1 literal comparisons and
+    // must stay under the 64KB codegen method limit)
+    val fan = math.min(512, GlobalOrder.fanOf(enc))
+    // boundaries from a 10%-OF-DOCS mini window over just the first
+    // packed group (boundaries only steer load balance — any monotone
+    // set yields identical ranks — so a deterministic doc subset is as
+    // good as the corpus and keeps pass 1 to ONE full lead-window
+    // execution; sampling rows instead would corrupt the leads)
+    val nMini = math.min(npg, nComp)
+    var mini = enc.where(pmod(col("doc_id"), lit(10)) === 0)
+    for (i <- 1 until nMini)
+      mini = mini.withColumn(s"_rkb$i",
+        coalesce(lead(col("rk"), i).over(wdoc), lit(0L)))
+    val miniComps = col("rk") +: (1 until nMini).map(i => col(s"_rkb$i"))
+    // exact sketch in ONE job: the mini frame is already a 10% subset,
+    // so longBoundaries' sample-then-fallback would only add a second
+    // window execution (its fallback always fires at gate-corpus sizes)
+    val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
+    val bndsRow = mini.select(packGroups(miniComps).head.as("_pk"))
+      .agg(expr(s"approx_percentile(_pk, array($qs), 10000)")).head
+    val bnds =
+      if (bndsRow.isNullAt(0)) Seq.empty[Long] else bndsRow.getSeq[Long](0)
+    tlog("dict pass-1 boundary aggregate (10% docs)", t1)
+    val t2 = System.nanoTime()
+    var paired = enc
+    for (i <- 1 until nComp)
+      paired = paired.withColumn(s"_rkb$i",
+        coalesce(lead(col("rk"), i).over(wdoc), lit(0L)))
+    val packs = packGroups(
+      col("rk") +: (1 until nComp).map(i => col(s"_rkb$i")))
+    val m = packs.size
+    val sortKeys = (0 until m).map(i => col(s"_pk$i"))
+    val wb = Window.partitionBy(col("_b")).orderBy(sortKeys: _*)
+    // one chain — encode, leads, pack NARROW (doc_id, p, gid, m packed
+    // longs), bucket, rank — with a single checkpoint post-rank: the
+    // exchanges carry ~6-long rows instead of 16-string rows
+    val local = paired.select(
+        Seq(col("doc_id"), col("p"), col("gid")) ++ packs: _*)
+      .withColumn("_b", bucketBy(bnds, "_pk0"))
+      .withColumn("_lrk", rank().over(wb).cast("long"))
+      .withColumn("_csz", count(lit(1)).over(
+        wb.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
+      .localCheckpoint()
+    val (cur, totalRows, newClasses) =
+      stitchPass1(local, (0 until m).map(i => s"_pk$i"))
+    val stable = newClasses == totalRows
+    val (cur2, frozen) =
+      if (stepLog == bnd && bnd > 0)
+        (cur.withColumn("rk_bound", col("rk")), true)
+      else (cur, false)
+    tlog(s"dict pass to span ${1L << stepLog} ($newClasses classes" +
+      s"${if (stable) ", stable" else ""})", t2)
+    refineFrom(cur2, stepLog, rounds, bnd, frozen, totalRows, stable, tlog)
+  }
+
   /** The packed two-code-point prefix of `w` as a long — exactly
     * monotone wrt Spark's code-point string order (see the
     * [[ranksFromWords]] note).
@@ -161,9 +284,15 @@ object SuffixArray {
     * `private[graft]` so the stress leg measures the boundaries the
     * production pass actually uses.
     */
-  private[graft] def wordBoundaries(df: DataFrame, fan: Int): Seq[Long] = {
+  private[graft] def wordBoundaries(df: DataFrame, fan: Int): Seq[Long] =
+    longBoundaries(df.select(expr(s"$PackedPrefixSql AS _pk")), fan)
+
+  /** As [[wordBoundaries]], over a caller-supplied `_pk` long column
+    * (the dictionary path's first packed rank group, see
+    * [[ranksFromWords]]).
+    */
+  private[graft] def longBoundaries(base: DataFrame, fan: Int): Seq[Long] = {
     val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
-    val base = df.select(expr(s"$PackedPrefixSql AS _pk"))
     val sampled = base.sample(withReplacement = false, 0.1, seed = 42L)
     val row = sampled.agg(
       expr(s"approx_percentile(_pk, array($qs), 10000)").as("b"),
@@ -188,9 +317,13 @@ object SuffixArray {
     * nothing.
     */
   private[graft] def wordBucket(bnds: Seq[Long]): org.apache.spark.sql.Column =
+    bucketBy(bnds, "_pk")
+
+  /** As [[wordBucket]], over a caller-named packed long column. */
+  private[graft] def bucketBy(bnds: Seq[Long], c: String): org.apache.spark.sql.Column =
     if (bnds.isEmpty) lit(0L)
     else expr("CAST(" + bnds.map(b =>
-      s"(CASE WHEN _pk > $b THEN 1 ELSE 0 END)")
+      s"(CASE WHEN $c > $b THEN 1 ELSE 0 END)")
       .mkString(" + ") + " AS BIGINT)")
 
   private def mkTlog(): (String, Long) => Unit = {
@@ -232,18 +365,99 @@ object SuffixArray {
       tlog: (String, Long) => Unit): DataFrame = {
     val bnd = math.min(math.max(boundRound, 0), rounds)
     val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val tPass = System.nanoTime()
+    // advance up to ×16 in pass 1, but land exactly on the bound span
+    // so rk_bound is the tuple-prefix rank of this same pass
+    val stepLog = math.min(4, if (bnd > 0) bnd else rounds)
+    val nLead = (1 << stepLog) - 1
+    var paired = cur0
+    for (i <- 1 to nLead)
+      paired = paired.withColumn(s"_rkb$i",
+        coalesce(lead(col(firstKey), i).over(wdoc), firstSentinel))
+    val rkbCols = (1 to nLead).map(i => col(s"_rkb$i"))
+    val keys = col(firstKey) +: rkbCols
+    val mx = math.max(initMax, 1L)
+    // fan scales with the session's shuffle parallelism (r12; a
+    // fixed 32 meant per-task volume grew with corpus size). The
+    // pass-1 boundary closure runs against `cur0` (pre-pairing) so
+    // its aggregate never re-executes the lead-window shuffle
+    val fan = GlobalOrder.fanOf(paired)
+    val bucketed = firstBucket match {
+      case Some(fb) => fb(cur0, paired)
+      case None => paired.withColumn("_b", expr(s"((rk - 1) * $fan) div $mx"))
+    }
+    val wb = Window.partitionBy(col("_b")).orderBy(keys: _*)
+    val local = bucketed
+      .withColumn("_lrk", rank().over(wb).cast("long"))
+      .withColumn("_csz", count(lit(1)).over(
+        wb.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
+      .localCheckpoint()
+    // drop-based projection keeps carried columns (rk_bound) in place
+    val dropCols = (1 to nLead).map(i => s"_rkb$i") ++
+      (if (firstKey != "rk") Seq(firstKey) else Nil)
+    val (cur, totalRows, newClasses) = stitchPass1(local, dropCols)
+    // fixpoint at pass 1: a caller-declared prior class count (rare;
+    // numeric mode with a known round-0 partition) or all-singletons
+    val stable = (initClasses >= 0 && newClasses == initClasses) ||
+      newClasses == totalRows
+    val (cur2, frozen) =
+      if (stepLog == bnd && bnd > 0)
+        (cur.withColumn("rk_bound", col("rk")), true)
+      else (cur, false)
+    tlog(s"pass to span ${1L << stepLog} ($newClasses classes" +
+      s"${if (stable) ", stable" else ""})", tPass)
+    refineFrom(cur2, stepLog, rounds, bnd, frozen, totalRows, stable, tlog)
+  }
+
+  /** Row-count offset stitch for a pass-1 `local` frame (bucketed rank
+    * + class size, checkpointed): with rank() semantics the stitch adds
+    * the number of rows in earlier buckets (all strictly smaller — the
+    * bucketing is monotone and classes never span buckets); the
+    * distinct count drives the fixpoint exit. Returns (stitched frame,
+    * total rows, class count).
+    */
+  private def stitchPass1(local: DataFrame,
+      dropCols: Seq[String]): (DataFrame, Long, Long) = {
+    val cnts = local.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_cnt"), countDistinct(col("_lrk")).as("_ncls"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = cnts.map(_._1)
+      .zip(cnts.scanLeft(0L)(_ + _._2).init).toSeq
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
+        col("_b")), lit(0L))
+    val cur = local.withColumn("rk", col("_lrk") + offExpr)
+      .drop(dropCols ++ Seq("_b", "_lrk"): _*)
+    (cur, cnts.map(_._2).sum, cnts.map(_._3).sum)
+  }
+
+  /** The tie-refinement pass loop from `startSpanLog` on: only classes
+    * with >1 member can change; the class id (the shared rk) is the
+    * window partition, so the stitch is rk + in-class rank − 1 with no
+    * driver round-trip — the global bucketing, the driver offset
+    * stitch, and the per-bucket counts collect all vanish from later
+    * passes, and the rank exchange carries only the TIED rows (the
+    * corpus's residual dup mass). Singleton-class rows keep their final
+    * rank untouched. The fixpoint is read off the same refinement: a
+    * pass splits nothing iff no refined row moved (in-class rank 1
+    * everywhere), and ranks are final when no class has >1 member.
+    * Shared by the string/numeric pass 1 ([[passes]]) and the
+    * dictionary pass 1 ([[ranksFromWords]]).
+    */
+  private def refineFrom(cur0: DataFrame, startSpanLog: Int, rounds: Int,
+      bnd: Int, frozen0: Boolean, totalRows: Long, stable0: Boolean,
+      tlog: (String, Long) => Unit): DataFrame = {
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     var cur = cur0
-    var totalRows = 0L
-    var spanLog = 0
-    var frozen = false
-    var stable = false
+    var spanLog = startSpanLog
+    var frozen = frozen0
+    var stable = stable0
     while (spanLog < rounds && !stable) {
       val tPass = System.nanoTime()
-      val isFirst = spanLog == 0
-      val key = if (isFirst) firstKey else "rk"
-      val sentinel = if (isFirst) firstSentinel else lit(-1L)
-      // advance up to ×16 per pass, but land exactly on the bound span
-      // so rk_bound is the tuple-prefix rank of this same pass
+      // advance up to ×16 per pass, landing exactly on the bound span
       val stepLog = math.min(4,
         (if (!frozen && bnd > spanLog) bnd else rounds) - spanLog)
       val step = 1L << spanLog
@@ -251,82 +465,30 @@ object SuffixArray {
       var paired = cur
       for (i <- 1 to nLead)
         paired = paired.withColumn(s"_rkb$i",
-          coalesce(lead(col(key), (i * step).toInt).over(wdoc), sentinel))
+          coalesce(lead(col("rk"), (i * step).toInt).over(wdoc), lit(-1L)))
       val rkbCols = (1 to nLead).map(i => col(s"_rkb$i"))
       val freezeNow = !frozen && spanLog + stepLog == bnd
-      var passNote = ""
-      if (isFirst) {
-        val keys = col(key) +: rkbCols
-        val mx = math.max(initMax, 1L)
-        // fan scales with the session's shuffle parallelism (r12; a
-        // fixed 32 meant per-task volume grew with corpus size). The
-        // pass-1 boundary closure runs against `cur` (pre-pairing) so
-        // its aggregate never re-executes the lead-window shuffle
-        val fan = GlobalOrder.fanOf(paired)
-        val bucketed = firstBucket match {
-          case Some(fb) => fb(cur, paired)
-          case None => paired.withColumn("_b", expr(s"((rk - 1) * $fan) div $mx"))
-        }
-        val wb = Window.partitionBy(col("_b")).orderBy(keys: _*)
-        val local = bucketed
-          .withColumn("_lrk", rank().over(wb).cast("long"))
-          .withColumn("_csz", count(lit(1)).over(
-            wb.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
-          .localCheckpoint()
-        // row-count offsets per bucket: with rank() semantics the stitch
-        // adds the number of rows in earlier buckets (all strictly
-        // smaller — the bucketing is monotone and classes never span
-        // buckets); the distinct count drives the fixpoint exit
-        val cnts = local.groupBy(col("_b"))
-          .agg(count(lit(1)).as("_cnt"), countDistinct(col("_lrk")).as("_ncls"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          .sortBy(_._1)
-        val offsets = cnts.map(_._1)
-          .zip(cnts.scanLeft(0L)(_ + _._2).init).toSeq
-        val newClasses = cnts.map(_._3).sum
-        val offExpr =
-          if (offsets.isEmpty) lit(0L)
-          else coalesce(element_at(
-            map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
-            col("_b")), lit(0L))
-        // drop-based projection keeps carried columns (rk_bound) in place
-        val dropCols = (1 to nLead).map(i => s"_rkb$i") ++ Seq("_b", "_lrk") ++
-          (if (firstKey != "rk") Seq(firstKey) else Nil)
-        cur = local.withColumn("rk", col("_lrk") + offExpr)
-          .drop(dropCols: _*)
-        totalRows = cnts.map(_._2).sum
-        // fixpoint at pass 1: a caller-declared prior class count (rare;
-        // numeric mode with a known round-0 partition) or all-singletons
-        stable = (initClasses >= 0 && newClasses == initClasses) ||
-          newClasses == totalRows
-        passNote = s"$newClasses classes"
-      } else {
-        // TIE REFINEMENT: only classes with >1 member can change; the
-        // class id (the shared rk) is the window partition, so the
-        // stitch is rk + in-class rank − 1 with no driver round-trip
-        val wcls = Window.partitionBy(col("rk")).orderBy(rkbCols: _*)
-        val refined = paired.where(col("_csz") > 1)
-          .withColumn("_lrk", rank().over(wcls).cast("long"))
-          .withColumn("_ncsz", count(lit(1)).over(
-            wcls.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
-          .withColumn("rk", col("rk") + col("_lrk") - 1)
-          .withColumn("_mv", col("_lrk") > 1)
-          .drop((1 to nLead).map(i => s"_rkb$i") ++ Seq("_lrk", "_csz"): _*)
-          .withColumnRenamed("_ncsz", "_csz")
-        val singles = cur.where(col("_csz") === 1)
-          .withColumn("_mv", lit(false))
-        cur = singles.unionByName(refined).localCheckpoint()
-        val st = cur.agg(
-          sum(when(col("_csz") > 1, 1L).otherwise(0L)).as("_nref"),
-          max(col("_mv")).as("_moved")).head
-        val nRef = if (st.isNullAt(0)) 0L else st.getLong(0)
-        val moved = !st.isNullAt(1) && st.getBoolean(1)
-        cur = cur.drop("_mv")
-        // no refined row moved ⇒ no class split this pass ⇒ every larger
-        // span's partition is equal by induction; nRef == 0 ⇒ ranks final
-        stable = nRef == 0 || !moved
-        passNote = s"$nRef tied rows left"
-      }
+      val wcls = Window.partitionBy(col("rk")).orderBy(rkbCols: _*)
+      val refined = paired.where(col("_csz") > 1)
+        .withColumn("_lrk", rank().over(wcls).cast("long"))
+        .withColumn("_ncsz", count(lit(1)).over(
+          wcls.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
+        .withColumn("rk", col("rk") + col("_lrk") - 1)
+        .withColumn("_mv", col("_lrk") > 1)
+        .drop((1 to nLead).map(i => s"_rkb$i") ++ Seq("_lrk", "_csz"): _*)
+        .withColumnRenamed("_ncsz", "_csz")
+      val singles = cur.where(col("_csz") === 1)
+        .withColumn("_mv", lit(false))
+      cur = singles.unionByName(refined).localCheckpoint()
+      val st = cur.agg(
+        sum(when(col("_csz") > 1, 1L).otherwise(0L)).as("_nref"),
+        max(col("_mv")).as("_moved")).head
+      val nRef = if (st.isNullAt(0)) 0L else st.getLong(0)
+      val moved = !st.isNullAt(1) && st.getBoolean(1)
+      cur = cur.drop("_mv")
+      // no refined row moved ⇒ no class split this pass ⇒ every larger
+      // span's partition is equal by induction; nRef == 0 ⇒ ranks final
+      stable = nRef == 0 || !moved
       if (freezeNow) {
         // the bound span ends exactly at this pass (stepLog lands on
         // it), so the bound rank IS this pass's full-tuple rank
@@ -334,7 +496,7 @@ object SuffixArray {
         frozen = true
       }
       spanLog += stepLog
-      tlog(s"pass to span ${1L << spanLog} ($passNote" +
+      tlog(s"pass to span ${1L << spanLog} ($nRef tied rows left" +
         s"${if (stable) ", stable" else ""})", tPass)
     }
     // stable-early (ranks final, so the bound rank equals the final

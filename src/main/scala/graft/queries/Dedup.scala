@@ -2005,12 +2005,13 @@ object Dedup extends QueryPack {
           .selectExpr("doc_id", s"${sparkWords("lower(text)")} AS ws")
           .where(expr("size(ws) > 0 AND size(ws) <= 127"))
           .persistScoped()
-        // word-keyed round 0 (r11): the first ranking pass sorts its
-        // word-string tuple directly (SuffixArray.ranksFromWords), so
-        // the old separate machinery — distinct-word frame, distributed
-        // word rank, broadcast join back to positions, positions
-        // checkpoint — is gone; the first-char bucketing and its ASCII
-        // caveat live inside the op now. 2^7 = 128 > the generator's
+        // word-keyed round 0 (r11), dictionary-encoded when the vocab
+        // is bounded (r16): SuffixArray.ranksFromWords encodes words to
+        // dense integer ranks and PACKS the pass-1 sort tuple into ~3
+        // longs (order-isomorphic), falling back to the direct
+        // word-string tuple sort only for vocabularies past
+        // DictVocabMax — at the 100× corpus the string sort was 199 s
+        // of the query's 227 s. 2^7 = 128 > the generator's
         // 99-word max; the bound round is the MinRepeatSpanWords-word-
         // prefix rank for candidate filtering, frozen as a column
         // riding through the later passes.

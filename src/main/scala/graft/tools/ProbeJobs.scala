@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Job/stage accounting for one declared query (r16, verdict #4 — the
+  * text_bpe_train precedent): attach a listener, run the query warm
+  * (min-of-reps wall), and print how many jobs and stages it spawns and
+  * where the wall time sits. Fixed multi-stage job latency shows up as
+  * a high job count with tiny per-stage task time.
+  * Usage: runMain graft.tools.ProbeJobs <query> [sfDir] [reps]
+  */
+object ProbeJobs {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = graft.engine.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-probe-jobs")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+      }
+    })
+    for (i <- 1 to reps) {
+      jobs.set(0); stages.set(0); taskMs.set(0)
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      Thread.sleep(300) // let the listener bus drain
+      println(f"[jobs] $name run $i: wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"jobs=${jobs.get} stages=${stages.get} taskMs=${taskMs.get} rows=$n")
+    }
+    spark.stop()
+  }
+}
