@@ -518,36 +518,55 @@ object Curate extends QueryPack {
         val st = TextOps.docTermCounts(s, d)
           .groupBy(col("source"), col("term")).agg(sum(col("tc")).as("c"))
           .persistScoped()
+        // JOB-COLLAPSED orchestration (r16, verdict #4 — the
+        // text_bpe_train precedent): the old shape broadcast six
+        // one-row/one-frame aggregates (gt twice, tot twice, ref, k, z)
+        // and AQE turned every exchange into its own job — 44 jobs for
+        // a 20-row result, 7.3× the millisecond oracle twin on pure
+        // orchestration latency. The SCALARS (t, ref_ce, z, k) now
+        // collect once each from the two persisted roots and re-enter
+        // as literals — a collected double re-embeds bit-exactly, the
+        // fold orders are unchanged, so results are hash-identical —
+        // while everything vocab- or corpus-sized (st, gt, ce) keeps
+        // its distributed shape.
         val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
-        val tot = st.agg(sum(col("c")).as("t"))
-        val ce = st.join(broadcast(gt), "term").crossJoin(broadcast(tot))
+          .persistScoped()
+        val tRow = gt.agg(sum(col("gc"))).head
+        val t = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+        // corpus reference CE = the LM's own entropy, one term-sorted fold
+        val refCe = gt
+          .selectExpr("term",
+            s"CAST(gc AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST($t AS DOUBLE))) / CAST($t AS DOUBLE) AS contrib")
+          .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("rarr"))
+          .selectExpr("aggregate(rarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS ref_ce")
+          .head.getDouble(0)
+        val ex = st.join(broadcast(gt), "term")
           .selectExpr("source", "term", "c",
-            "CAST(c AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE))) AS nll")
+            s"CAST(c AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST($t AS DOUBLE))) AS nll")
           .groupBy(col("source"))
           .agg(sum(col("c")).as("n_tok"),
             sort_array(collect_list(struct(col("term"), col("nll")))).as("arr"))
-        // corpus reference CE = the LM's own entropy, one term-sorted fold
-        val ref = gt.crossJoin(broadcast(tot))
-          .selectExpr("term",
-            "CAST(gc AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST(t AS DOUBLE))) / CAST(t AS DOUBLE) AS contrib")
-          .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("rarr"))
-          .selectExpr("aggregate(rarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS ref_ce")
-        val k = ce.agg(count(lit(1)).as("k"))
-        val ex = ce.crossJoin(broadcast(ref))
           .selectExpr("source", "n_tok",
-            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.nll) / CAST(n_tok AS DOUBLE) AS ce",
-            "ref_ce")
-          .selectExpr("source", "n_tok", "ce", "ref_ce",
-            "greatest(0.0, ce - ref_ce) AS excess")
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.nll) / CAST(n_tok AS DOUBLE) AS ce")
+          .selectExpr("source", "n_tok", "ce",
+            s"greatest(0.0, ce - CAST('$refCe' AS DOUBLE)) AS excess")
           .withColumn("w", expr("exp(excess)"))
-        val z = ex
-          .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("zarr"))
-          .selectExpr("aggregate(zarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w) AS z")
-        ex.crossJoin(broadcast(z)).crossJoin(broadcast(k))
+          .persistScoped()
+        // one source-bounded aggregate yields the MW normalizer AND the
+        // domain count together
+        val zk = ex
+          .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("zarr"),
+            count(lit(1)).as("k"))
+          .selectExpr(
+            "aggregate(zarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w) AS z",
+            "k")
+          .head
+        val (z, k) = (zk.getDouble(0), zk.getLong(1))
+        ex
           .selectExpr("source", "n_tok",
             s"${Q.scaledLong("ce", 6)} AS ce_e6",
             s"${Q.scaledLong("excess", 6)} AS excess_e6",
-            s"${Q.scaledLong("0.99 * w / z + 0.01 / CAST(k AS DOUBLE)", 6)} AS alpha_e6")
+            s"${Q.scaledLong(s"0.99 * w / CAST('$z' AS DOUBLE) + 0.01 / CAST($k AS DOUBLE)", 6)} AS alpha_e6")
           .orderBy(col("source"))
       },
       Some(s"""

@@ -3501,31 +3501,42 @@ object Relational extends QueryPack {
     // pairs by support, full tie-breaks.
     "mine_brand_lift" -> QueryDef(
       (s, d) => {
-        // Basket-array shape (r11): the old pair stage self-joined the
-        // 550k-row (ok, brand) frame on the order key — two more
-        // exchanges of the corpus plus separate shuffles for the
-        // nOrders distinct and the singles marginals. Collapsing each
-        // order into ONE sorted basket array first (a single exchange;
-        // the array is provably ≤ MaxBasketBrands elements because
-        // capHotKeys dropped bigger baskets and items is distinct at
-        // (ok, brand), so collect_list state is bounded) lets every
-        // downstream read the 150k-row basket frame: nOrders is its
-        // count, the marginals explode it, and the within-order pairs
-        // come from a per-row array comprehension over the SORTED
-        // array — identical (a < b) pair set, no join.
-        val items = graft.engine.ops.Scale.capHotKeys(
-          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-            .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
-              col("l_partkey") === col("p_partkey"))
-            .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-            .distinct(),
-          col("ok"), MaxBasketBrands)
-        val baskets = items.groupBy(col("ok"))
-          .agg(sort_array(collect_list(col("brand"))).as("bs"))
+        // Basket-array shape (r11), built in ONE exchange (r16, verdict
+        // #4): the old pipeline shuffled the 550k-row (ok, brand) frame
+        // three times — distinct at (ok, brand), capHotKeys' hot-set
+        // anti-join, then the per-order groupBy. collect_set folds the
+        // per-order distinct into the basket aggregation itself
+        // (partial-merge state is bounded: it holds at most the brand
+        // universe per order), and the basket-size cap becomes a
+        // post-aggregation size() filter — SAME semantics as the old
+        // capHotKeys leg (an order with more than MaxBasketBrands
+        // distinct brands is dropped whole, oracle-mirrored), one
+        // corpus shuffle instead of three. Every downstream reads the
+        // 150k-row basket frame: the marginals explode it, and the
+        // within-order pairs come from a per-row array comprehension
+        // over the SORTED array — identical (a < b) pair set, no join.
+        val baskets = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .groupBy(col("ok"))
+          .agg(sort_array(collect_set(col("brand"))).as("bs"))
+          .where(size(col("bs")) <= MaxBasketBrands)
           .persistScoped()
-        val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-        val singles = baskets.select(explode(col("bs")).as("brand"))
+        // JOB-COLLAPSED marginals (r16, verdict #4): the brand universe
+        // is catalog-bounded (TPC-H: 25), so the per-brand counts and
+        // the order count COLLECT from the persisted basket frame —
+        // two tiny jobs instead of three broadcast exchanges (singles
+        // twice + nOrders), which with AQE ran the 20-row result at 19
+        // jobs and 3.9× its millisecond oracle twin. Counts re-enter as
+        // an integer literal map — arithmetic unchanged.
+        val cMap = baskets.select(explode(col("bs")).as("brand"))
           .groupBy(col("brand")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nOrdersL = baskets.count()
+        val cmLit = map(cMap.toSeq.sortBy(_._1)
+          .flatMap { case (b, c) => Seq(lit(b), lit(c)) }: _*)
         val pairs = baskets.select(explode(expr(
             """flatten(transform(bs, (a, i) ->
                transform(slice(bs, i + 2, size(bs)),
@@ -3535,11 +3546,10 @@ object Relational extends QueryPack {
           .groupBy(col("brand_a"), col("brand_b"))
           .agg(count(lit(1)).as("c_ab"))
         pairs
-          .join(broadcast(singles.toDF("brand_a", "c_a")), Seq("brand_a"))
-          .join(broadcast(singles.toDF("brand_b", "c_b")), Seq("brand_b"))
-          .crossJoin(broadcast(nOrders))
+          .withColumn("c_a", element_at(cmLit, col("brand_a")))
+          .withColumn("c_b", element_at(cmLit, col("brand_b")))
           .withColumn("lift_e6", expr(Q.scaledLong(
-            "CAST(c_ab * n_orders AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)", 6)))
+            s"CAST(c_ab * ${nOrdersL}L AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)", 6)))
           .withColumn("rn", row_number().over(
             Window.orderBy(col("c_ab").desc, col("brand_a"), col("brand_b"))))
           .where(col("rn") <= 20)

@@ -1446,34 +1446,42 @@ object TextOps extends QueryPack {
         // cache instead of rebuilding per query
         val dt = docTermCounts(s, d)
           .select(col("doc_id"), col("lang"), col("term"), col("tc"))
-        // df-top-256 vocabulary (dt is distinct at (doc_id, term), so
-        // count(*) per term IS the document frequency)
-        val vocab = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // JOB-COLLAPSED orchestration (r16, verdict #4): the NB model
+        // is driver-bounded by construction (|langs| × 256 cells), but
+        // the old shape derived it through seven broadcast exchanges
+        // (vocab, vs, langs, ndall, tot, cnt, the grid) and a persisted
+        // intermediate — 28 jobs for a 10-row result, 5.1× the
+        // millisecond oracle twin on orchestration latency alone. The
+        // three BOUNDED frames (vocab ≤ 256 terms, per-(lang, term)
+        // counts ≤ |langs|·256, per-lang doc counts) now collect once
+        // each; the L-table and priors are built as LOCAL frames with
+        // the IDENTICAL scaledLong expressions (same arithmetic, same
+        // association order → hash-identical results); and exactly ONE
+        // corpus-scale job remains — the vocab-restricted per-doc score
+        // aggregate feeding the confusion rollup.
+        // job 1: df-top-256 vocabulary (dt is distinct at (doc_id,
+        // term), so count(*) per term IS the document frequency)
+        val vocabRows = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("term")).limit(256)
-          .select("term")
-        val dtv = dt.join(broadcast(vocab), "term").persistScoped()
-        val vs = vocab.agg(count(lit(1)).cast("long").as("v"))
-        val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
-        val ndall = langs.agg(sum(col("nd")).as("ndall"))
-        val tot = dtv.groupBy(col("lang")).agg(sum(col("tc")).as("tt"))
-        val cnt = dtv.groupBy(col("lang"), col("term")).agg(sum(col("tc")).as("c"))
-        // full (lang x vocab-term) grid so UNSEEN (term, lang) pairs get
-        // the smoothed floor ln(1/(tt+V)) — absent cells would otherwise
-        // silently contribute 0 (= certainty) instead of the floor
-        val grid = langs.select(col("lang").as("slang"))
-          .crossJoin(broadcast(vocab)).crossJoin(broadcast(vs))
-          .join(broadcast(tot.withColumnRenamed("lang", "slang")), Seq("slang"), "left")
-          .join(broadcast(cnt.withColumnRenamed("lang", "slang")), Seq("slang", "term"), "left")
-          .selectExpr("slang", "term",
-            s"${Q.scaledLong("ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / CAST(coalesce(tt, 0) + v AS DOUBLE))", 6)} AS lw")
-        val prior = langs.crossJoin(broadcast(ndall))
-          .selectExpr("lang AS slang",
-            s"${Q.scaledLong("ln(CAST(nd AS DOUBLE) / CAST(ndall AS DOUBLE))", 6)} AS lp")
+          .select("term").collect().map(_.getString(0))
+        val dtv = dt.where(col("term").isin(vocabRows.toSeq: _*))
+        // job 2: the (lang, term) count cells over the restricted frame;
+        // per-lang token totals are their integer sums (exactly the old
+        // tot aggregate)
+        val cntRows = dtv.groupBy(col("lang"), col("term"))
+          .agg(sum(col("tc")).as("c")).collect()
+        val cMap = cntRows.map(r =>
+          (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+        val ttMap = cntRows.groupBy(r => Option(r.getString(0)))
+          .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+        // job 3: per-lang doc counts (priors)
+        val langRows = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+          .collect()
+        val ndall = langRows.map(_.getLong(1)).sum
         // WIDE L-table + row-local argmax (r11): scoring per (doc, lang)
         // ROW fanned the vocab-restricted frame x|langs| through an
-        // exchange and then a per-doc window. The model is
-        // driver-bounded by construction (|langs| x 256 cells), so the
-        // lang list and priors COLLECT, the grid pivots to one row per
+        // exchange and then a per-doc window. The lang list and priors
+        // are driver-side, the grid pivots to one row per
         // term (positional toDF rename — immune to a lang value
         // colliding with a column name), all langs score in ONE
         // doc-keyed integer aggregation, and the argmax is array_min
@@ -1487,13 +1495,25 @@ object TextOps extends QueryPack {
         // otherwise NPE); null-lang docs still score and group under
         // their own (null) truth key, and the priors' denominators are
         // unchanged
-        val langList = langs.select("lang").collect()
+        val langList = langRows
           .map(_.getString(0)).filter(_ != null).sorted
         if (langList.isEmpty)
           docs.selectExpr("lang", "lang AS pred_lang",
               "CAST(0 AS BIGINT) AS n_docs")
             .where(lit(false))
         else {
+          import s.implicits._
+          // the full (lang × vocab-term) grid — so UNSEEN (term, lang)
+          // pairs get the smoothed floor ln(1/(tt+V)) — is a LOCAL
+          // frame over the collected cells, with the same scaledLong
+          // expression the distributed grid used
+          val v = vocabRows.length.toLong
+          val grid = langList.toSeq.flatMap(l => vocabRows.toSeq.map(tm =>
+              (l, tm, cMap.getOrElse((Some(l), tm), 0L),
+                ttMap.getOrElse(Some(l), 0L))))
+            .toDF("slang", "term", "c", "tt")
+            .selectExpr("slang", "term",
+              s"${Q.scaledLong(s"ln(CAST(c + 1 AS DOUBLE) / CAST(tt + ${v}L AS DOUBLE))", 6)} AS lw")
           val gridW = grid.groupBy(col("term"))
             .pivot("slang", langList).agg(first(col("lw")))
             .toDF("term" +: langList.map(l => s"_lw_$l"): _*)
@@ -1503,7 +1523,12 @@ object TextOps extends QueryPack {
             .join(broadcast(gridW), Seq("term"))
             .groupBy(col("doc_id"))
             .agg(sums.head, sums.tail: _*)
-          val lp = prior.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val lp = langRows.filter(_.getString(0) != null).toSeq
+            .map(r => (r.getString(0), r.getLong(1)))
+            .toDF("slang", "nd")
+            .selectExpr("slang",
+              s"${Q.scaledLong(s"ln(CAST(nd AS DOUBLE) / CAST(${ndall}L AS DOUBLE))", 6)} AS lp")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           val cand = array(langList.map(l => struct(
             (-(lit(lp(l)) + coalesce(col(s"_ts_$l"), lit(0L)))).as("ns"),
             lit(l).as("slang"))): _*)
