@@ -190,7 +190,7 @@ object Dedup extends QueryPack {
     */
   private val docCounts =
     new scala.collection.concurrent.TrieMap[(String, Long), Long]
-  private def docN(s: SparkSession, d: String): Long =
+  private[graft] def docN(s: SparkSession, d: String): Long =
     Tables.freshen(docCounts, d, "documents")(Tables.documents(s, d).count())
 
   // ---- Spark-side shared subplans --------------------------------------
