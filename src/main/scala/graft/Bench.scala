@@ -108,6 +108,12 @@ object Bench {
           val c = timedRun(fn)
           if (c < 0) -1.0 else math.min(c, math.min(a, b))
         } else math.min(a, b)
+      // per-query progress on stderr (r16): a multi-hour scale-notch
+      // sweep was a black box until the final JSON — one line per query
+      // makes the offender attributable the moment it finishes (and a
+      // killed run keeps its partial evidence)
+      System.err.println(f"[bench] $name%-36s ${best}%8.2f s" +
+        (if (best < 0) "  FAILED" else ""))
       name -> best
     }
     // Perf-regression gate (r11 VERDICT #1, made load-robust in r13 —

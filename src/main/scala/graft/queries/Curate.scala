@@ -529,8 +529,11 @@ object Curate extends QueryPack {
         // fold orders are unchanged, so results are hash-identical —
         // while everything vocab- or corpus-sized (st, gt, ce) keeps
         // its distributed shape.
+        // gt stays UNpersisted: its three consumers (t, ref_ce, the ce
+        // join) each re-aggregate the CACHED st — a vocab-bounded
+        // groupBy per use — and a second cached relation would re-embed
+        // the tokenizer lineage in the plan (PlanShapeSpec pins one)
         val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
-          .persistScoped()
         val tRow = gt.agg(sum(col("gc"))).head
         val t = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
         // corpus reference CE = the LM's own entropy, one term-sorted fold
@@ -551,7 +554,10 @@ object Curate extends QueryPack {
           .selectExpr("source", "n_tok", "ce",
             s"greatest(0.0, ce - CAST('$refCe' AS DOUBLE)) AS excess")
           .withColumn("w", expr("exp(excess)"))
-          .persistScoped()
+        // ex stays UNpersisted like gt: its two consumers re-aggregate
+        // the cached st (cheap), and a cached ex would re-embed the
+        // tokenizer lineage in the plan a second time (PlanShapeSpec
+        // pins exactly one Generate)
         // one source-bounded aggregate yields the MW normalizer AND the
         // domain count together
         val zk = ex

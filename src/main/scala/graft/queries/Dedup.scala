@@ -1692,21 +1692,33 @@ object Dedup extends QueryPack {
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("pfx"), col("band")).orderBy(col("doc_id"))))
           .persistScoped()
-        // the distance threshold rides the JOIN CONDITION, as its LAST
-        // conjunct (r15): left as a post-join .where, Catalyst merges it
-        // into the join with the pushed predicate FIRST, and the O(120²)
-        // DP then runs on every key-equal combo BEFORE the cheap rank
-        // window prunes them (measured 262 s at the 100× corpus, where
-        // combos outnumber windowed candidates 14:1; 36 s with the
-        // conjunct ordered last). And-chains evaluate left-to-right, so
-        // the window prunes first and only survivors pay the distance —
-        // once more in the projection, which is ~2× fewer evals than the
-        // merged-filter plan, with no cache barrier needed.
-        b.toDF("doc_a", "la", "pfx", "band", "rn_a")
-          .join(b.toDF("doc_b", "lb", "pfx2", "band2", "rn_b"),
+        // candidates enumerate by RANK ARITHMETIC, not by join predicate
+        // (r16, the 300× notch): the r15 shape equi-joined on (pfx,
+        // band) and windowed with rank conjuncts — which bounds the
+        // VERIFICATION work at W·n but still ENUMERATES C(|block|, 2)
+        // key-equal combos per block just to evaluate the cheap rank
+        // conjuncts (the r15 conjunct-ordering fix moved the quadratic
+        // from the levenshtein to the enumeration, where the 100×
+        // corpus could still afford it). A dup-heavy corpus makes that
+        // the dominant cost: at 300× (verbatim families × 300 copies
+        // share a prefix block) the combo count grows with the SQUARE
+        // of the copy factor — measured 18.9 s at 100× → 319.5 s at
+        // 300× on 3× the data. Each doc now EXPLODES its ≤ W
+        // predecessor ranks (sequence(rn−W, rn−1)) and equi-joins on
+        // (pfx, band, rn) — the rank is unique within a block, so the
+        // join enumerates EXACTLY the W·n windowed candidates and only
+        // they pay the levenshtein. Same pair set by construction; the
+        // oracle's windowed self-join is semantically identical SQL.
+        val probes = b.toDF("doc_b", "lb", "pfx", "band", "rn_b")
+          .where(col("rn_b") >= 2)
+          .select(col("doc_b"), col("lb"), col("pfx"), col("band"),
+            explode(expr(
+              s"sequence(greatest(rn_b - $NeighborWindow, 1), rn_b - 1)"))
+              .as("rn_a"))
+        probes
+          .join(b.toDF("doc_a", "la", "pfx2", "band2", "rn_a2"),
             col("pfx") === col("pfx2") && col("band") === col("band2") &&
-              col("rn_b") > col("rn_a") &&
-              col("rn_b") <= col("rn_a") + NeighborWindow &&
+              col("rn_a") === col("rn_a2") &&
               expr("levenshtein(la, lb) <= 20"))
           .selectExpr("doc_a", "doc_b",
             "CAST(levenshtein(la, lb) AS BIGINT) AS dist")

@@ -717,10 +717,22 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     val p = plan("curate_doremi_round")
     // everything derives from ONE (source, term) count frame — a second
-    // Generate would mean the corpus tokenized twice
-    val generates = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size
-    assert(generates <= 1,
-      s"the tokenizer explode must run once, found $generates:\n$p")
+    // Generate would mean the corpus tokenized twice. Count unique
+    // Generate node ids OUTSIDE "== Initial Plan ==" sections: the
+    // query's driver-collected scalars (r16) materialize the cached
+    // roots during construction, so the formatted printout shows each
+    // adaptive sub-plan twice (final + initial) and a raw line count
+    // double-counts the same logical explode
+    val ids = scala.collection.mutable.Set[String]()
+    var skip = false
+    for (l <- p.linesIterator) {
+      if (l.contains("== Initial Plan ==")) skip = true
+      if (l.contains("== Final Plan ==")) skip = false
+      if (!skip)
+        "Generate \\((\\d+)\\)".r.findAllMatchIn(l).foreach(m => ids += m.group(1))
+    }
+    assert(ids.size <= 1,
+      s"the tokenizer explode must run once, found ${ids.size} ($ids):\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the vocabulary-bounded global counts must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -874,13 +886,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rounds must enter as checkpointed leaves:\n$p")
   }
 
-  test("editdist keeps the O(120^2) distance LAST in the join condition (r16 ADVICE)") {
-    // the 14:1 speedup at the 100x corpus depends on the levenshtein
-    // conjunct evaluating AFTER the cheap rank-window prune; And-chains
-    // evaluate left-to-right, but nothing in Catalyst's contract pins
-    // conjunct order across versions — so pin it here: the optimized
-    // join condition must order every rank-window conjunct before the
-    // distance, or a Spark upgrade silently reintroduces the 262s plan
+  test("editdist enumerates candidates by rank EQUI-join, distance last (r16)") {
+    // two pinned properties, each a measured regression shape:
+    //  (1) the rank window must be an EQUI key (rn_a = rn_a2 from the
+    //      exploded predecessor sequence), never a rank INEQUALITY in
+    //      the condition — the inequality form enumerates C(|block|,2)
+    //      key-equal combos per block just to evaluate it (319.5 s at
+    //      the 300× corpus vs W·n for the equi form);
+    //  (2) the levenshtein conjunct orders after the keys, so only the
+    //      exact-match pairs pay the O(120²) DP.
     spark.catalog.clearCache()
     graft.queries.Persisted.drain()
     val df = SparkEntry.queries("dedup_editdist_pairs")(spark, d)
@@ -891,12 +905,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins.nonEmpty, "expected the blocked self-join carrying the distance conjunct")
     joins.foreach { j =>
       val cond = j.condition.get.toString
+      assert(cond.contains("rn_a"),
+        s"rank equi-key missing from the join condition:\n$cond")
+      assert(!cond.matches("(?s).*rn_[A-Za-z0-9]*#\\d+[L]? [<>].*"),
+        s"rank INEQUALITY back in the join condition — the C(block,2) " +
+          s"enumeration shape:\n$cond")
       val lev = cond.indexOf("levenshtein")
       val lastRank = cond.lastIndexOf("rn_")
-      assert(lastRank >= 0,
-        s"rank-window conjuncts missing from the join condition:\n$cond")
       assert(lev > lastRank,
-        s"levenshtein must be the LAST conjunct (after the rank window):\n$cond")
+        s"levenshtein must order after the rank key:\n$cond")
     }
   }
 
