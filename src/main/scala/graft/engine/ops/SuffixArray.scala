@@ -227,11 +227,15 @@ object SuffixArray {
     // exact sketch in ONE job: the mini frame is already a 10% subset,
     // so longBoundaries' sample-then-fallback would only add a second
     // window execution (its fallback always fires at gate-corpus sizes)
-    val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
-    val bndsRow = mini.select(packGroups(miniComps).head.as("_pk"))
-      .agg(expr(s"approx_percentile(_pk, array($qs), 10000)")).head
-    val bnds =
+    // fan == 1 (reachable via the FanConf test override) means a single
+    // bucket and zero boundaries — approx_percentile over array() fails
+    // analysis, so skip the aggregate entirely (r17 ADVICE)
+    val bnds = if (fan < 2) Seq.empty[Long] else {
+      val qs = (1 until fan).map(i => i.toDouble / fan).mkString(", ")
+      val bndsRow = mini.select(packGroups(miniComps).head.as("_pk"))
+        .agg(expr(s"approx_percentile(_pk, array($qs), 10000)")).head
       if (bndsRow.isNullAt(0)) Seq.empty[Long] else bndsRow.getSeq[Long](0)
+    }
     tlog("dict pass-1 boundary aggregate (10% docs)", t1)
     val t2 = System.nanoTime()
     var paired = enc

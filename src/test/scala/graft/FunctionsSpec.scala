@@ -59,13 +59,18 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("graft_simhash equals the conditional-sum formulation") {
-    val arr = "array(CAST(5 AS BIGINT), CAST(123456789 AS BIGINT), " +
-      "CAST(999999999 AS BIGINT), CAST(5 AS BIGINT))" // duplicate counts twice
+    val raw = Seq(5L, 123456789L, 999999999L, 5L) // duplicate counts twice
+    val arr = raw.map(v => s"CAST($v AS BIGINT)").mkString("array(", ", ", ")")
+    // the vote runs over the MIXED hashes (r17, see GraftFunctions.mix64:
+    // raw mod-1e9+7 values have bits 30+ identically zero) — the
+    // reference formulation embeds the driver-computed mixed values
+    val mixedArr = raw.map(v => s"CAST(${GraftFunctions.mix64(v)} AS BIGINT)")
+      .mkString("array(", ", ", ")")
     // full ladder width (r15): the expression always computes
     // SimHashMaxBits; consumers mask down to the corpus dial
     val bits = graft.queries.Portable.SimHashMaxBits
     val sums = (0 until bits).map(j =>
-      s"aggregate(transform($arr, x -> CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END), 0, (a, x) -> a + x)")
+      s"aggregate(transform($mixedArr, x -> CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END), 0, (a, x) -> a + x)")
     val packed = sums.zipWithIndex
       .map { case (sj, j) => s"(CASE WHEN ($sj) > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END)" }
       .mkString(" + ")
