@@ -263,11 +263,17 @@ object Curate extends QueryPack {
         // float addends; the oracle mirrors the weighted form
         val dt = TextOps.docTermCounts(s, d)
         val lm = dt.groupBy(col("term")).agg(sum(col("tc")).as("c"))
-        val tot = dt.agg(sum(col("tc")).as("n"))
-        val scored = dt.join(broadcast(lm), "term").crossJoin(broadcast(tot))
+        // the 1-row token total collects once and re-enters as a literal
+        // (r17, the doremi/job-collapse discipline): the broadcast
+        // crossJoin form cost its own AQE exchange job per run; an
+        // integer literal is arithmetic-identical (`c * 1.0 / n` divides
+        // by the same double either way)
+        val tRow = dt.agg(sum(col("tc"))).head
+        val n = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+        val scored = dt.join(broadcast(lm), "term")
           .groupBy(col("doc_id"), col("source"))
           .agg(sum(col("tc")).as("n_tokens"),
-            expr(Q.scaledLong("sum(tc * ln(c * 1.0 / n)) / sum(tc)", 6)).as("lp6"))
+            expr(Q.scaledLong(s"sum(tc * ln(c * 1.0 / ${n}L)) / sum(tc)", 6)).as("lp6"))
         graft.engine.ops.GlobalOrder
           .ntileCol(scored, 3, -col("lp6"), Seq(col("doc_id")), "bucket")
           .groupBy(col("source"), col("bucket"))
@@ -518,31 +524,45 @@ object Curate extends QueryPack {
         val st = TextOps.docTermCounts(s, d)
           .groupBy(col("source"), col("term")).agg(sum(col("tc")).as("c"))
           .persistScoped()
-        // JOB-COLLAPSED orchestration (r16, verdict #4 — the
-        // text_bpe_train precedent): the old shape broadcast six
-        // one-row/one-frame aggregates (gt twice, tot twice, ref, k, z)
-        // and AQE turned every exchange into its own job — 44 jobs for
-        // a 20-row result, 7.3× the millisecond oracle twin on pure
-        // orchestration latency. The SCALARS (t, ref_ce, z, k) now
-        // collect once each from the two persisted roots and re-enter
-        // as literals — a collected double re-embeds bit-exactly, the
-        // fold orders are unchanged, so results are hash-identical —
-        // while everything vocab- or corpus-sized (st, gt, ce) keeps
-        // its distributed shape.
-        // gt stays UNpersisted: its three consumers (t, ref_ce, the ce
-        // join) each re-aggregate the CACHED st — a vocab-bounded
-        // groupBy per use — and a second cached relation would re-embed
-        // the tokenizer lineage in the plan (PlanShapeSpec pins one)
+        // JOB-COLLAPSED to the two-action floor (r17, verdict #4; the
+        // r16 collapse took the old six-broadcast shape 44 → 15 jobs by
+        // collecting the scalars t / ref_ce / z / k as three sequential
+        // driver actions — but t+ref_ce both derive from the
+        // vocab-bounded global counts, and z/k/alpha from the
+        // source-bounded ex rows, so two collects suffice):
+        //   action 1 collects the term-sorted (term, gc) array and
+        //     derives t (integer sum, order-free) AND ref_ce on the
+        //     driver — the fold replicates the previous in-Spark
+        //     `aggregate(sort_array(...), 0.0, acc + contrib)` exactly:
+        //     same term order, same left-assoc a*(-ln(a/t))/t per
+        //     element, and StrictMath.log IS what Spark's ln codegen
+        //     calls (spark-catalyst 4.1 UnaryLogExpression), so the
+        //     doubles are bit-identical;
+        //   action 2 collects ex (source, n_tok, ce, excess, w) — the
+        //     per-source CE stays a distributed fold over the cached
+        //     st — and the driver derives z by the same source-sorted
+        //     (UTF-8 byte order = sort_array order) w fold plus k;
+        //   the result frame is then a LOCAL relation of the collected
+        //     rows with the SAME final quantization expressions — a
+        //     collected double re-embeds bit-exactly, so the output is
+        //     hash-identical while the final plan carries zero
+        //     exchanges, zero Generate, zero jobs beyond the write.
+        // gt stays UNpersisted: its consumer re-aggregates the CACHED
+        // st — a vocab-bounded groupBy per use
         val gt = st.groupBy(col("term")).agg(sum(col("c")).as("gc"))
-        val tRow = gt.agg(sum(col("gc"))).head
-        val t = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
-        // corpus reference CE = the LM's own entropy, one term-sorted fold
-        val refCe = gt
-          .selectExpr("term",
-            s"CAST(gc AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST($t AS DOUBLE))) / CAST($t AS DOUBLE) AS contrib")
-          .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("rarr"))
-          .selectExpr("aggregate(rarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS ref_ce")
-          .head.getDouble(0)
+        val gRow = gt
+          .agg(sort_array(collect_list(struct(col("term"), col("gc")))).as("garr"))
+          .head
+        val garr =
+          if (gRow.isNullAt(0)) Seq.empty[org.apache.spark.sql.Row]
+          else gRow.getSeq[org.apache.spark.sql.Row](0)
+        val t = garr.iterator.map(_.getLong(1)).sum
+        val td = t.toDouble
+        var refCe = 0.0
+        garr.foreach { r =>
+          val gc = r.getLong(1).toDouble
+          refCe += gc * (-StrictMath.log(gc / td)) / td
+        }
         val ex = st.join(broadcast(gt), "term")
           .selectExpr("source", "term", "c",
             s"CAST(c AS DOUBLE) * (-ln(CAST(gc AS DOUBLE) / CAST($t AS DOUBLE))) AS nll")
@@ -554,26 +574,26 @@ object Curate extends QueryPack {
           .selectExpr("source", "n_tok", "ce",
             s"greatest(0.0, ce - CAST('$refCe' AS DOUBLE)) AS excess")
           .withColumn("w", expr("exp(excess)"))
-        // ex stays UNpersisted like gt: its two consumers re-aggregate
-        // the cached st (cheap), and a cached ex would re-embed the
-        // tokenizer lineage in the plan a second time (PlanShapeSpec
-        // pins exactly one Generate)
-        // one source-bounded aggregate yields the MW normalizer AND the
-        // domain count together
-        val zk = ex
-          .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("zarr"),
-            count(lit(1)).as("k"))
-          .selectExpr(
-            "aggregate(zarr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w) AS z",
-            "k")
-          .head
-        val (z, k) = (zk.getDouble(0), zk.getLong(1))
-        ex
+        val exRows = ex.collect()
+        // z folds w in sort_array's order — UNSIGNED UTF-8 byte order on
+        // the source key, replicated exactly (Java String order would
+        // diverge on non-ASCII keys)
+        val bySource = exRows.sortBy(_.getString(0))(
+          Ordering.comparatorToOrdering((a: String, b: String) =>
+            java.util.Arrays.compareUnsigned(
+              a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        var z = 0.0
+        bySource.foreach(r => z += r.getDouble(4))
+        val k = exRows.length
+        // rows enter ALREADY in oracle order (binary source sort — what
+        // DuckDB's ORDER BY source and Spark's orderBy both produce on
+        // this key), so no Sort/Exchange re-grows on the local relation
+        s.createDataFrame(java.util.Arrays.asList(bySource: _*), ex.schema)
           .selectExpr("source", "n_tok",
             s"${Q.scaledLong("ce", 6)} AS ce_e6",
             s"${Q.scaledLong("excess", 6)} AS excess_e6",
             s"${Q.scaledLong(s"0.99 * w / CAST('$z' AS DOUBLE) + 0.01 / CAST($k AS DOUBLE)", 6)} AS alpha_e6")
-          .orderBy(col("source"))
       },
       Some(s"""
         WITH terms AS (

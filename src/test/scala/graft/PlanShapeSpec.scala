@@ -713,29 +713,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the tokenizer explode must run once, found $generates:\n$p")
   }
 
-  test("DoReMi round: one tokenizer explode; LM counts broadcast back onto the compact aggregate") {
+  test("DoReMi round: result plan fully collapsed to the local source-bounded relation") {
     spark.catalog.clearCache()
     val p = plan("curate_doremi_round")
-    // everything derives from ONE (source, term) count frame — a second
-    // Generate would mean the corpus tokenized twice. Count unique
-    // Generate node ids OUTSIDE "== Initial Plan ==" sections: the
-    // query's driver-collected scalars (r16) materialize the cached
-    // roots during construction, so the formatted printout shows each
-    // adaptive sub-plan twice (final + initial) and a raw line count
-    // double-counts the same logical explode
-    val ids = scala.collection.mutable.Set[String]()
-    var skip = false
-    for (l <- p.linesIterator) {
-      if (l.contains("== Initial Plan ==")) skip = true
-      if (l.contains("== Final Plan ==")) skip = false
-      if (!skip)
-        "Generate \\((\\d+)\\)".r.findAllMatchIn(l).foreach(m => ids += m.group(1))
-    }
-    assert(ids.size <= 1,
-      s"the tokenizer explode must run once, found ${ids.size} ($ids):\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the vocabulary-bounded global counts must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    // the r17 two-action collapse ends with the source-cardinality ex
+    // rows re-entering as a LOCAL relation quantized by the final
+    // expressions — the RESULT plan must carry no corpus work at all: a
+    // re-introduced distributed final stage (exchange, join, explode)
+    // is exactly the orchestration-latency regression the collapse
+    // removed (the corpus work happens once, inside the two collected
+    // actions over the shared cached (source, term) root)
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"the final frame must be the collected local relation:\n$p")
+    for (node <- Seq("Exchange", "Generate (", "BroadcastHashJoin",
+        "CartesianProduct"))
+      assert(!p.contains(node),
+        s"the collapsed result plan re-grew a distributed stage ($node):\n$p")
   }
 
   test("split leakage audit: shuffles carry numeric keys, never document text") {
