@@ -283,7 +283,7 @@ object Similarity extends QueryPack {
     * the KEYING corpus (both cross-side inputs together, so the two
     * sides key identically).
     */
-  private def rawBandRows(e: DataFrame, ppb: Int, bands: Int,
+  private[graft] def rawBandRows(e: DataFrame, ppb: Int, bands: Int,
       withExt: Boolean, n: Long, mq: Array[Long]): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     def fields(b: Int) =
@@ -316,7 +316,7 @@ object Similarity extends QueryPack {
     * declared corpora; a deployment recurses. No-op (and not planned)
     * when hotCap is MaxValue.
     */
-  private def splitBandRows(rows: DataFrame, counts: => DataFrame,
+  private[graft] def splitBandRows(rows: DataFrame, counts: => DataFrame,
       ppb: Int, hotCap: Long): DataFrame =
     if (hotCap == Long.MaxValue)
       rows.select(col("vec_id"), col("band"), col("key"))
@@ -326,7 +326,7 @@ object Similarity extends QueryPack {
           s"CASE WHEN _kc > $hotCap THEN (key + 1) * ${1L << ppb} + ext ELSE key END AS key")
 
   /** (band, key, _kc) occupancy frame feeding [[splitBandRows]]. */
-  private def bandKeyCounts(countRows: DataFrame): DataFrame =
+  private[graft] def bandKeyCounts(countRows: DataFrame): DataFrame =
     countRows.groupBy(col("band"), col("key")).agg(count(lit(1)).as("_kc"))
 
   /** Occupancy cap feeding the split: 8× the expected uniform per-key
@@ -335,7 +335,7 @@ object Similarity extends QueryPack {
     * there and every anchor result is unchanged; at 10× the degenerate
     * sign-profile keys are ~60× expected and split.
     */
-  private def bandHotCap(n: Long, ppb: Int): Long = 8L * math.max(1L, n >> ppb)
+  private[graft] def bandHotCap(n: Long, ppb: Int): Long = 8L * math.max(1L, n >> ppb)
 
   private def bandScored(
       e: DataFrame, planesPerBand: Int, bands: Int,
@@ -432,8 +432,12 @@ object Similarity extends QueryPack {
     def keyed(df: DataFrame, id: String, vec: String, norm: String) =
       df.selectExpr(s"vec_id AS $id", s"embedding AS $vec",
         s"sqrt(${sparkDot("embedding", "embedding")}) AS $norm")
-    val ak = keyed(a0, "a_id", "ea", "na").persistScoped()
-    val bk = keyed(b0, "b_id", "eb", "nb").persistScoped()
+    // NOT persisted (r17): each side feeds exactly one consumer (the
+    // scored-pair build), and a cache on a single-consumer narrow map
+    // is a pure materialization barrier — two extra jobs per run at
+    // every scale for zero reuse
+    val ak = keyed(a0, "a_id", "ea", "na")
+    val bk = keyed(b0, "b_id", "eb", "nb")
     // hot-key split with SYMMETRIC hotness: occupancy counted over the
     // union of both sides, so a key hot on either side re-keys both and
     // cross-side collisions survive the split
@@ -455,25 +459,42 @@ object Similarity extends QueryPack {
         .toDF("b_id", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
       .select(col("a_id"), col("b_id")).distinct()
-    // candidates scored exactly like the declared query's pair frame,
-    // pre-partitioned on a_id for the same three-exchange reuse
+    // candidates scored exactly like the declared query's pair frame.
+    // Join order is b-side FIRST, a-side LAST (r17, verdict #5): the
+    // a_id equi-join's own shuffle then leaves the scored frame
+    // hash-partitioned on a_id — the partitioning the a-side window,
+    // the sax join and the mutual-best window all reuse — so the old
+    // explicit repartition(a_id) was a third full exchange of the pair
+    // frame for a partitioning the join already produces.
     val pr = cand
-      .join(ak.select(col("a_id"), col("ea"), col("na")), "a_id")
       .join(bk.select(col("b_id"), col("eb"), col("nb")), "b_id")
+      .join(ak.select(col("a_id"), col("ea"), col("na")), "a_id")
       .selectExpr("a_id", "b_id",
         s"${Q.scaledLong(s"${sparkDot("ea", "eb")} / (na * nb)", 6)} AS c_e6")
-      .repartition(col("a_id"))
       .persistScoped()
     def topSum(key: String, other: String, out: String) = pr
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(key)).orderBy(col("c_e6").desc, col(other))))
       .where(col("rn") <= k)
       .groupBy(col(key)).agg(sum(col("c_e6")).as(out))
+    // The neighborhood-sum frames (one row per vector) and the
+    // mutual-best frames join back onto the candidate-pair frame —
+    // caching pr/mg blocks AQE's runtime broadcast conversion, so
+    // without the hint every one of these vector-bounded sides
+    // SortMergeJoins: measured at the 100x corpus (200k vectors, 14.8M
+    // candidates) that is two extra full exchanges of the pair frame
+    // plus their sorts (r17, verdict #5 profile). Broadcast is dialed
+    // on the KNOWN vector count n: per-side frames are n-bounded rows
+    // (~16 bytes each), safely broadcastable through the 300x scale
+    // dirs; past the dial a deployment keeps the co-partitioned
+    // shuffle chain — identical values either way, join strategy only.
+    val bcastSums = n <= (1L << 22)
+    def maybeB(df: DataFrame) = if (bcastSums) broadcast(df) else df
     // persisted: BOTH mutual-best branches read mg, and without the
     // cache each would rebuild the two topSum windows over the full
     // candidate frame (measured 2x mid-pipeline at the 10x corpus)
-    val mg = pr.join(topSum("a_id", "b_id", "sax"), "a_id")
-      .join(topSum("b_id", "a_id", "sby"), "b_id")
+    val mg = pr.join(maybeB(topSum("a_id", "b_id", "sax")), "a_id")
+      .join(maybeB(topSum("b_id", "a_id", "sby")), "b_id")
       .selectExpr("a_id", "b_id", "c_e6",
         s"${Q.scaledLong(s"2.0 * $k * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6")
       .persistScoped()
@@ -484,7 +505,7 @@ object Similarity extends QueryPack {
         Window.partitionBy(col("b_id")).orderBy(col("margin_e6").desc, col("a_id"))))
       .where(col("rn") === 1)
       .select(col("a_id").as("a2"), col("b_id").as("b2"))
-    ba.join(bb, col("a_id") === col("a2") && col("b_id") === col("b2"))
+    ba.join(maybeB(bb), col("a_id") === col("a2") && col("b_id") === col("b2"))
       .select(col("a_id"), col("b_id"), col("c_e6"), col("margin_e6"))
   }
 

@@ -24,7 +24,10 @@ class JobCountGuardSpec extends AnyFunSuite {
     "curate_doremi_round" -> 13,
     "quality_nb_langid" -> 16,
     "mine_brand_lift" -> 11,
-    "curate_ccnet_buckets" -> 19)
+    "curate_ccnet_buckets" -> 19,
+    // r17: 33 -> 24 via the n-dialed broadcasts + single-consumer
+    // cache trim in marginBitextLshPairs
+    "sim_margin_bitext" -> 26)
 
   private def warmJobs(name: String): Int = {
     val d = "/root/testdata/sf0.1"
