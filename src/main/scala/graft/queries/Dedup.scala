@@ -838,7 +838,7 @@ object Dedup extends QueryPack {
     s"""shw AS (
           SELECT bits, (CAST(1 AS BIGINT) << bits) - 1 AS mask,
                  (3 * bits) // 32 AS ht,
-                 (3 * bits) // 32 + 1 AS nc
+                 (3 * bits) // 32 + 2 AS nc
           FROM (SELECT $duckSimHashBitsArms AS bits
                 FROM (SELECT COUNT(*) AS n FROM documents) nn) t),
         sums AS (SELECT doc_id, $sums FROM $duckSimHashMix GROUP BY doc_id),
@@ -1479,18 +1479,20 @@ object Dedup extends QueryPack {
         WITH $duckBase, $duckSimHash
         SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
 
-    // Pigeonhole chunk blocking at the LADDER width (r15, see
-    // simhashBits), with ht+1 chunks (r16, ADVICE): a pair within the
-    // hamming threshold ht differs in at most ht chunks, so with ht+1
-    // chunks ≥1 chunk collides and recall is exact by construction at
-    // every rung. The chunk count MUST ride the threshold — the r15
-    // fixed-4-chunk split broke the guarantee at bits ≥ 44 (ht ≥ 4,
-    // corpora > 20k docs): a true pair differing in one bit per chunk
-    // collided nowhere and was silently dropped, invisible to the gate
-    // because the oracle mirrored the same blocking. Chunk boundaries
-    // are floor(c·bits/nc) so widths stay balanced when nc ∤ bits;
-    // width, chunk layout, and threshold all ride the same doc-count
-    // ladder the oracle mirrors through `shw`.
+    // Pigeonhole CHUNK-PAIR blocking at the LADDER width (r15 ladder;
+    // r16 chunk-count-rides-threshold; r17 pair keys): with nc = ht+2
+    // chunks, a pair within the hamming threshold ht leaves at least
+    // TWO chunks untouched (its errors hit at most ht of them), so it
+    // collides on at least one pair of clean chunks — blocking on all
+    // C(nc,2) concatenated chunk-pair keys keeps recall exact by
+    // construction at every rung (LadderRecallSpec brute-force-checks
+    // this at the 44-bit rung). Pair keys exist because single-chunk
+    // key space saturates near 2^(32/3) regardless of width — see the
+    // builder comment below. The r15 fixed-4-chunk form broke recall at
+    // bits ≥ 44 (gate-blind: the oracle mirrored the blocking); the
+    // chunk layout is floor(c·bits/nc) so widths stay balanced when
+    // nc ∤ bits; width, layout, and threshold all ride the same
+    // doc-count ladder the oracle mirrors through `shw`.
     //
     // The chunk join runs over DISTINCT SIGNATURES, expanded back to
     // document pairs afterwards (r15, from the 100× audit): a dup-heavy
@@ -1508,16 +1510,29 @@ object Dedup extends QueryPack {
       (s, d) => {
         val bits = simhashBits(docN(s, d))
         val ht = (3 * bits) / 32
-        val nc = ht + 1
+        // CHUNK-PAIR blocking (r17, from the 100× refresh): single-chunk
+        // keys have width bits/nc ≈ 32/3 regardless of the ladder rung —
+        // the key space SATURATES near 2^11, so once the corpus outgrows
+        // it (mix64 made near-dup signatures genuinely distinct at 500k
+        // docs) every key holds hundreds of signatures and the equi-join
+        // enumerates C(occupancy, 2) per key (measured 33.6 → 71.3 s at
+        // 100× after the entropy fix). With nc = ht+2 chunks, a pair
+        // within the threshold leaves ≥ 2 chunks untouched (errors hit
+        // ≤ ht of them), so it collides on at least one PAIR of clean
+        // chunks — blocking on all C(nc,2) concatenated chunk-pair keys
+        // keeps recall exact (LadderRecallSpec enforces it) while the
+        // key space SQUARES (~2^22): random collisions vanish and the
+        // join is output-bound on true near-dup clusters at any corpus.
+        val nc = ht + 2
         val sim = simHashSigs(s, d).persistScoped()
         val sigs = sim.select(col("simhash")).distinct()
-        val chunks = (0 until nc).map { c =>
-          val lo = (c * bits) / nc
-          val width = ((c + 1) * bits) / nc - lo
-          val cmask = (1L << width) - 1
-          struct(lit(c).as("chunk"),
-            expr(s"shiftright(simhash, $lo) & ${cmask}L").as("key"))
-        }
+        def lo(c: Int) = (c * bits) / nc
+        def cw(c: Int) = ((c + 1) * bits) / nc - lo(c)
+        val chunks = for { i <- 0 until nc; j <- (i + 1) until nc } yield
+          struct(lit(i * nc + j).as("chunk"),
+            expr(s"(shiftright(simhash, ${lo(i)}) & ${(1L << cw(i)) - 1}L) " +
+              s"* ${1L << cw(j)}L + " +
+              s"(shiftright(simhash, ${lo(j)}) & ${(1L << cw(j)) - 1}L)").as("key"))
         val blocked = sigs
           .select(col("simhash"), explode(array(chunks: _*)).as("ck"))
           .select(col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
@@ -1543,13 +1558,18 @@ object Dedup extends QueryPack {
         WITH $duckBase, $duckSimHash,
         sigs AS (SELECT DISTINCT simhash FROM sim),
         chunks AS (
-          SELECT simhash, c AS chunk,
-                 (simhash >> CAST((c * bits) // nc AS INTEGER)) &
-                 ((CAST(1 AS BIGINT) <<
-                   CAST(((c + 1) * bits) // nc - (c * bits) // nc AS INTEGER)) - 1)
+          SELECT simhash, c1 * nc + c2 AS chunk,
+                 ((simhash >> CAST((c1 * bits) // nc AS INTEGER)) &
+                  ((CAST(1 AS BIGINT) <<
+                    CAST(((c1 + 1) * bits) // nc - (c1 * bits) // nc AS INTEGER)) - 1))
+                 * (CAST(1 AS BIGINT) <<
+                    CAST(((c2 + 1) * bits) // nc - (c2 * bits) // nc AS INTEGER))
+                 + ((simhash >> CAST((c2 * bits) // nc AS INTEGER)) &
+                    ((CAST(1 AS BIGINT) <<
+                      CAST(((c2 + 1) * bits) // nc - (c2 * bits) // nc AS INTEGER)) - 1))
                    AS key
-          FROM sigs, shw, range(0, 7) cs(c)
-          WHERE c < nc),
+          FROM sigs, shw, range(0, 7) ca(c1), range(0, 7) cb(c2)
+          WHERE c1 < c2 AND c2 < nc),
         sp AS (
           SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
           FROM chunks a JOIN chunks b
