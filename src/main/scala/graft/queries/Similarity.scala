@@ -472,11 +472,24 @@ object Similarity extends QueryPack {
       .selectExpr("a_id", "b_id",
         s"${Q.scaledLong(s"${sparkDot("ea", "eb")} / (na * nb)", 6)} AS c_e6")
       .persistScoped()
+    // top-k neighborhood sum as ONE hash aggregation (r17, guide §2.4):
+    // the window form (row_number over (c_e6 desc, other) + filter +
+    // re-aggregate) sorts every full partition of the pair frame before
+    // discarding all but k rows per key; sorting only each key's own
+    // candidate array inside the aggregate does strictly less work and
+    // drops the Sort node. Exactness: the sort key (-c_e6, other) is a
+    // pair of BIGINTs (ascending -c_e6 == the window's c_e6 DESC; ties
+    // by `other` ASC, unique within a key), the slice keeps the same k
+    // rows row_number kept, and the fold sums exact integers — order
+    // free. Per-key array size is the key's candidate count, the same
+    // bound the window's per-key group already had (band occupancy is
+    // hotCap-split).
     def topSum(key: String, other: String, out: String) = pr
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col("c_e6").desc, col(other))))
-      .where(col("rn") <= k)
-      .groupBy(col(key)).agg(sum(col("c_e6")).as(out))
+      .groupBy(col(key))
+      .agg(expr(
+        s"""aggregate(
+              slice(array_sort(collect_list(struct(-c_e6 AS nc, $other AS ob, c_e6 AS c))), 1, $k),
+              CAST(0 AS BIGINT), (a, x) -> a + x.c)""").as(out))
     // The neighborhood-sum frames (one row per vector) and the
     // mutual-best frames join back onto the candidate-pair frame —
     // caching pr/mg blocks AQE's runtime broadcast conversion, so
@@ -498,13 +511,27 @@ object Similarity extends QueryPack {
       .selectExpr("a_id", "b_id", "c_e6",
         s"${Q.scaledLong(s"2.0 * $k * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6")
       .persistScoped()
-    val ba = mg.withColumn("rn", row_number().over(
-        Window.partitionBy(col("a_id")).orderBy(col("margin_e6").desc, col("b_id"))))
-      .where(col("rn") === 1).drop("rn")
-    val bb = mg.withColumn("rn", row_number().over(
-        Window.partitionBy(col("b_id")).orderBy(col("margin_e6").desc, col("a_id"))))
-      .where(col("rn") === 1)
-      .select(col("a_id").as("a2"), col("b_id").as("b2"))
+    // mutual-best via max_by instead of row_number windows (r17, guide
+    // §2.3/§2.4): the windows sorted the full margin frame per side and
+    // materialized rn for EVERY row before keeping one per key; max_by
+    // is a hash aggregate with map-side partial merge, so the b_id-keyed
+    // side ships one partial best per (partition, key) instead of every
+    // scored pair, and neither side sorts. Exactness: the ordering proxy
+    // (coalesce(margin_e6, MinValue), -id) is a BIGINT pair whose max is
+    // precisely the row `orderBy(margin_e6 DESC, id ASC)` ranks first —
+    // DESC puts NULLs last, which coalesce-to-MinValue reproduces (real
+    // margins are e6-scaled and bounded far above MinValue), and ids are
+    // unique within a key so the proxy is total. Values identical.
+    def bestProxy(id: String) = struct(
+      coalesce(col("margin_e6"), lit(Long.MinValue)), -col(id))
+    val ba = mg.groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("c_e6"), col("margin_e6")),
+        bestProxy("b_id")).as("bst"))
+      .select(col("a_id"), col("bst.b_id").as("b_id"),
+        col("bst.c_e6").as("c_e6"), col("bst.margin_e6").as("margin_e6"))
+    val bb = mg.groupBy(col("b_id"))
+      .agg(max_by(col("a_id"), bestProxy("a_id")).as("a2"))
+      .select(col("a2"), col("b_id").as("b2"))
     ba.join(maybeB(bb), col("a_id") === col("a2") && col("b_id") === col("b2"))
       .select(col("a_id"), col("b_id"), col("c_e6"), col("margin_e6"))
   }

@@ -7,11 +7,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * (min-of-reps wall), and print how many jobs and stages it spawns and
   * where the wall time sits. Fixed multi-stage job latency shows up as
   * a high job count with tiny per-stage task time.
-  * Usage: runMain graft.tools.ProbeJobs <query> [sfDir] [reps]
+  * Usage: runMain graft.tools.ProbeJobs <query>[,<query>...] [sfDir] [reps]
+  * (comma list runs several queries in one session — one JVM/session
+  * startup amortized across the band being audited)
   */
 object ProbeJobs {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = graft.engine.Sessions.local(
@@ -26,13 +28,20 @@ object ProbeJobs {
         taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
       }
     })
-    for (i <- 1 to reps) {
-      jobs.set(0); stages.set(0); taskMs.set(0)
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      Thread.sleep(300) // let the listener bus drain
-      println(f"[jobs] $name run $i: wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        s"jobs=${jobs.get} stages=${stages.get} taskMs=${taskMs.get} rows=$n")
+    for (name <- names) {
+      for (i <- 1 to reps) {
+        jobs.set(0); stages.set(0); taskMs.set(0)
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9 // before drain + listener sleep
+        // drain INSIDE the loop, matching Bench.timedRun: without it a
+        // rep reuses the prior rep's persisted frames (CacheManager
+        // matches canonicalized plans) and the warm numbers flatter
+        graft.queries.Persisted.drain()
+        Thread.sleep(300) // let the listener bus drain
+        println(f"[jobs] $name run $i: wall=$wall%.2f s " +
+          s"jobs=${jobs.get} stages=${stages.get} taskMs=${taskMs.get} rows=$n")
+      }
     }
     spark.stop()
   }
