@@ -593,10 +593,17 @@ object Analytics extends QueryPack {
         val rev = Tables.lineitem(s, d)
           .groupBy(col("l_partkey"))
           .agg(sum(expr(Q.scaledLong("l_extendedprice", 2))).as("rev_c"))
-        val tot = rev.agg(sum(col("rev_c")).as("total"))
-        graft.engine.ops.GlobalOrder
+        // total = max(cum) read off the stitched running sum (r17, the
+        // sketch_moments treatment): the separate rev.agg(sum) branch
+        // re-ran the lineitem aggregation for a scalar the inclusive
+        // monotone cumulative already ends at — runningSum's internal
+        // cut caches only its own keyed copy, so that branch's exchange
+        // had no reuse partner and lineitem scanned twice per action.
+        // One corpus pass now; same single-action plan, same BIGINTs.
+        val cum = graft.engine.ops.GlobalOrder
           .runningSum(rev, -col("rev_c"), Seq(col("l_partkey")), col("rev_c"), "cum")
-          .crossJoin(broadcast(tot))
+        val tot = cum.agg(max(col("cum")).as("total"))
+        cum.crossJoin(broadcast(tot))
           .selectExpr(
             "CASE WHEN cum * 5 <= total * 4 THEN 'A' WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS cls",
             "rev_c", "total")

@@ -3531,10 +3531,22 @@ object Relational extends QueryPack {
         // twice + nOrders), which with AQE ran the 20-row result at 19
         // jobs and 3.9× its millisecond oracle twin. Counts re-enter as
         // an integer literal map — arithmetic unchanged.
-        val cMap = baskets.select(explode(col("bs")).as("brand"))
+        // ONE job for both scalars (r17, guide §1.2/the doremi
+        // discipline): the old shape collected the brand counts and ran
+        // a separate count() — two actions (and two AQE stages) over the
+        // cached basket frame. Appending a NULL sentinel to each basket
+        // before the explode makes every order contribute exactly one
+        // NULL-brand row, so the same single aggregation yields the
+        // 25-row brand counts AND the order count (the NULL group), one
+        // exchange, one job. Values are the identical exact integers.
+        val statRows = baskets
+          .select(explode(concat(col("bs"),
+            array(lit(null).cast("string")))).as("brand"))
           .groupBy(col("brand")).agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val nOrdersL = baskets.count()
+          .collect()
+        val cMap = statRows.filter(!_.isNullAt(0))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nOrdersL = statRows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
         // typedLit keeps map<string,bigint> typing on an EMPTY corpus —
         // a zero-arg map() degrades its value type to string and
         // element_at would feed strings into the lift arithmetic
@@ -3851,14 +3863,24 @@ object Relational extends QueryPack {
           .groupBy(col("price_c")).agg(count(lit(1)).as("c"))
         val cum = graft.engine.ops.GlobalOrder
           .runningSum(byPrice, col("price_c"), Nil, col("c"), "cum_n")
-        val tot = byPrice.agg(sum(col("c")).as("total"))
-        val qs = s.range(1).selectExpr("explode(array(50, 90)) AS q")
-        val exact = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
-          .filter(col("cum_n") * lit(100L) >= col("q") * col("total"))
-          .groupBy(col("q")).agg(min(col("price_c")).as("px"))
-        val ex = exact.groupBy()
-          .agg(min(when(col("q") === 50, col("px"))).as("exact_p50_c"),
-            min(when(col("q") === 90, col("px"))).as("exact_p90_c"))
+        // total = max(cum_n) read off the stitched running sum (r17,
+        // guide §2.3/§2.4): the old `tot` branch re-aggregated the
+        // CORPUS for a scalar the inclusive monotone cumulative already
+        // ends at (byPrice is not cached, and runningSum's internal cut
+        // only caches its own keyed copy — so the exchange had no reuse
+        // partner and the orders scan ran twice). Aggregating cum's
+        // cached lineage instead removes the second corpus pass; the
+        // exact-quantile pivot collapses to ONE aggregate over cum (min
+        // price whose cumulative share reaches q — the same rows the
+        // old filter+groupBy(q) kept), dropping the 2-row explode
+        // crossJoin. Same single-action plan, identical BIGINTs.
+        val tot = cum.agg(max(col("cum_n")).as("total"))
+        val ex = cum.crossJoin(broadcast(tot))
+          .agg(
+            min(when(col("cum_n") * lit(100L) >= lit(50L) * col("total"),
+              col("price_c"))).as("exact_p50_c"),
+            min(when(col("cum_n") * lit(100L) >= lit(90L) * col("total"),
+              col("price_c"))).as("exact_p90_c"))
         est.crossJoin(broadcast(ex))
           .selectExpr("n", "est_p50_c", "exact_p50_c",
             "abs(est_p50_c - exact_p50_c) * 100 <= 15 * exact_p50_c AS p50_within",

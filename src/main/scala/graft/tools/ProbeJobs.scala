@@ -21,16 +21,18 @@ object ProbeJobs {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val inRows = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        inRows.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
       }
     })
     for (name <- names) {
       for (i <- 1 to reps) {
-        jobs.set(0); stages.set(0); taskMs.set(0)
+        jobs.set(0); stages.set(0); taskMs.set(0); inRows.set(0)
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9 // before drain + listener sleep
@@ -40,7 +42,8 @@ object ProbeJobs {
         graft.queries.Persisted.drain()
         Thread.sleep(300) // let the listener bus drain
         println(f"[jobs] $name run $i: wall=$wall%.2f s " +
-          s"jobs=${jobs.get} stages=${stages.get} taskMs=${taskMs.get} rows=$n")
+          s"jobs=${jobs.get} stages=${stages.get} taskMs=${taskMs.get} " +
+          s"inRows=${inRows.get} rows=$n")
       }
     }
     spark.stop()
