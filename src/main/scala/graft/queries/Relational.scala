@@ -3421,8 +3421,15 @@ object Relational extends QueryPack {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("user_id"), epochUs(col("ts")).as("tus"), col("event_type"))
+        // persisted (r17): su feeds BOTH the purchase-side range filter
+        // and the left join, and the two references do NOT canonicalize
+        // to one reusable exchange under AQE — measured 3 full events
+        // scans per run (ProbeJobs inRows 303k vs the 100k-row table);
+        // caching the user-bounded firsts frame makes it 2 (one per
+        // event-type filter, the irreducible pair)
         val su = ev.filter(col("event_type") === "signup")
           .groupBy(col("user_id")).agg(min(col("tus")).as("s_us"))
+          .persistScoped()
         val pu = ev.filter(col("event_type") === "purchase")
           .join(su, Seq("user_id"))
           .where(col("tus") >= col("s_us"))
