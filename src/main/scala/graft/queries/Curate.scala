@@ -335,14 +335,20 @@ object Curate extends QueryPack {
           .groupBy(col("b")).agg(sum(col("tc")).as("ct"))
         val raw = toks.where(col("lang") =!= "en")
           .groupBy(col("b")).agg(sum(col("tc")).as("cr"))
-        // coalesce: sum over an empty slice is NULL where count was 0
-        val nt = toks.where(col("lang") === "en")
-          .agg(coalesce(sum(col("tc")), lit(0L)).as("nt"))
-        val nr = toks.where(col("lang") =!= "en")
-          .agg(coalesce(sum(col("tc")), lit(0L)).as("nr"))
-        val buckets = s.range(64).toDF("b")
+        // nt/nr derive from the 64-row bucket frame, not the corpus
+        // (r17, guide §1.2/§2.4): the totals are exactly the sums of
+        // the per-bucket sums (integer addition over the same BIGINTs),
+        // so the two extra corpus-frame aggregation branches — each a
+        // full pass over the cached token frame plus its own broadcast
+        // exchange — collapse into one aggregate of the persisted
+        // 64-row frame. coalesce keeps the empty-slice NULL → 0 rule.
+        val bc = s.range(64).toDF("b")
           .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
-          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .persistScoped()
+        val tots = bc.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"),
+          coalesce(sum(col("cr")), lit(0L)).as("nr"))
+        val buckets = bc
+          .crossJoin(broadcast(tots))
           .selectExpr("b", s"${Q.scaledLong(
             "ln((coalesce(ct, 0) + 1.0) / (nt + 64.0)) - ln((coalesce(cr, 0) + 1.0) / (nr + 64.0))",
             6)} AS lw_e6")

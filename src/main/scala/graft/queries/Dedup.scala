@@ -1658,8 +1658,14 @@ object Dedup extends QueryPack {
           .select(col("source"), col("sh")).distinct().persistScoped()
         val minCols = (0 until MinHashK).map(i =>
           min(expr(s"(${minHashA(i)} * sh + ${minHashB(i)}) % $P")).as(s"s$i"))
-        val sig = srcSh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
-        val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        // one source-keyed aggregation for the signature AND the size
+        // (r17, guide §2.4): both grouped the same cached frame by
+        // source — the count rides the min-aggregate's exchange, so the
+        // second pass + exchange disappears; same integers
+        val sigN = srcSh.groupBy(col("source"))
+          .agg(minCols.head, minCols.tail :+ count(lit(1)).as("n"): _*)
+        val sig = sigN.drop("n")
+        val sizes = sigN.select(col("source"), col("n"))
         val inter = srcSh.toDF("src_a", "sh")
           .join(srcSh.toDF("src_b", "sh2"),
             col("sh") === col("sh2") && col("src_a") < col("src_b"))
