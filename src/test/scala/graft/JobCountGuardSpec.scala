@@ -23,7 +23,8 @@ class JobCountGuardSpec extends AnyFunSuite {
   private val Bounds = Seq(
     "curate_doremi_round" -> 13,
     "quality_nb_langid" -> 16,
-    "mine_brand_lift" -> 11,
+    // r17: 9 -> 7 via the NULL-sentinel single-aggregation marginals
+    "mine_brand_lift" -> 9,
     "curate_ccnet_buckets" -> 19,
     // r17: 33 -> 24 via the n-dialed broadcasts + single-consumer
     // cache trim in marginBitextLshPairs
