@@ -45,6 +45,22 @@ object GraftFunctions {
       es => BloomShim.agg(es.head, es.drop(1).headOption), "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain",
       es => BloomShim.mightContain(es.head, es(1)), "built-in")
+    // quantile-boundary bucket id (r18, guide §2.5): the count of
+    // sorted-ascending boundaries strictly below the key, by binary
+    // search — O(log fan) per row where the straight-line CASE sum is
+    // O(fan) AND stops being JIT-compiled past ~128 terms (HotSpot's
+    // huge-method limit), which measured 3x slower at a 256 fan over
+    // the 300x suffix corpus. Arity: graft_bucket(longCol, sortedArr).
+    reg.createOrReplaceTempFunction("graft_bucket",
+      es => BoundaryBucket(es.head, es(1)), "built-in")
+    // bounded top-k sum (r18, guide §5): sum of the k largest BIGINT
+    // values per group with an O(k) aggregation buffer — the
+    // collect_list/array_sort/slice form buffers every row of a group
+    // before discarding all but k, so one skewed key at 100 TB pays
+    // executor memory proportional to its candidate count. Arity:
+    // graft_topk_sum(longCol, k) with k a literal INT.
+    reg.createOrReplaceTempFunction("graft_topk_sum",
+      es => TopKSumAgg(es.head, es(1)), "built-in")
   }
 
   /** Single choke point for the Spark-INTERNAL bloom expressions
@@ -130,6 +146,174 @@ object GraftFunctions {
       math.floor(norm * c * 10000.0 + 0.5).toLong
     }
   }.toArray
+}
+
+/** Count of elements of a SORTED-ascending long array strictly below a
+  * long key, by binary search — the quantile-equalized bucket id of
+  * GlobalOrder / SuffixArray (r18). Identical to the straight-line
+  * `sum(CASE WHEN x > b THEN 1 ELSE 0 END)` fold and to
+  * `size(filter(arr, b -> b < x))` for sorted input (duplicate
+  * boundaries included: the search finds the FIRST element >= x, so
+  * every strictly-smaller duplicate counts, exactly as the sum does).
+  * Contract: `right` MUST be sorted ascending (approx_percentile output
+  * is); a violation returns a monotone-but-shifted bucket, which the
+  * offset stitch would still correct only if monotone — callers pass
+  * sketch output, never data-dependent arrays.
+  */
+case class BoundaryBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bucket"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (left.dataType == LongType && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bucket expects (BIGINT, ARRAY<BIGINT>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[Long]
+    val arr = r.asInstanceOf[ArrayData]
+    var lo = 0
+    var hi = arr.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, arr) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0, $hi = $arr.numElements();
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($arr.getLong($mid) < $x) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = (long) $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundaryBucket =
+    copy(left = l, right = r)
+}
+
+/** Sum of the k LARGEST non-null BIGINT values per group, with an O(k)
+  * aggregation buffer (r18, guide §5). Semantically identical to
+  * `aggregate(slice(array_sort(collect_list(...)), 1, k), 0, sum)` over
+  * any top-k-by-value ordering: the sum depends only on the MULTISET of
+  * kept values, so tie-breaks among equal values cannot change it —
+  * while collect_list buffers a group's every row before discarding all
+  * but k (executor memory proportional to the hottest key's row count).
+  * Buffer layout: element 0 = n (values kept), elements 1..n = the kept
+  * values, ascending. NULL inputs are skipped (callers feed non-null
+  * measures); an all-NULL/empty group yields NULL, matching the fold
+  * over an empty slice... which cannot occur under groupBy (every group
+  * has a row), so the NULL is defensive only.
+  */
+case class TopKSumAgg(child: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val k: Int = kExpr match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _: IntegerType) =>
+      v.asInstanceOf[Int]
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _: LongType) =>
+      v.asInstanceOf[Long].toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_topk_sum: k must be an integer literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_topk_sum"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType && k > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_sum expects (BIGINT, positive INT literal), got " +
+          s"(${child.dataType.simpleString}, $kExpr)")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](k + 1)
+
+  /** Insert v keeping the k largest; buf(0) = n, buf(1..n) ascending. */
+  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+    val n = buf(0).toInt
+    if (n < k) {
+      // insertion into the ascending prefix
+      var i = n
+      while (i > 0 && buf(i) > v) { buf(i + 1) = buf(i); i -= 1 }
+      buf(i + 1) = v
+      buf(0) = n + 1
+    } else if (v > buf(1)) {
+      // evict the minimum, re-place v
+      var i = 1
+      while (i < k && buf(i + 1) < v) { buf(i) = buf(i + 1); i += 1 }
+      buf(i) = v
+    }
+    buf
+  }
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf else insert(buf, v.asInstanceOf[Long])
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 1
+    val n = other(0).toInt
+    var b = buf
+    while (i <= n) { b = insert(b, other(i)); i += 1 }
+    b
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = buf(0).toInt
+    if (n == 0) null
+    else {
+      var s = 0L
+      var i = 1
+      while (i <= n) { s += buf(i); i += 1 }
+      s
+    }
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKSumAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
 /** Polynomial rolling hash mod 1e9+7 over the characters of a string —

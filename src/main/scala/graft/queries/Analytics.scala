@@ -58,25 +58,32 @@ object Analytics extends QueryPack {
         val byV = ev.groupBy(col("v"))
           .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
           .persistScoped()
-        // distributed cumulative + broadcast totals (r9, was an
-        // unpartitioned window plus a literal-partition total window
-        // over the distinct-value frame — same note as the KS twin)
-        val tot = byV.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
-        graft.engine.ops.GlobalOrder
-          .runningSum(byV, col("v"), Nil, col("a") + col("b"), "call")
-          .crossJoin(broadcast(tot))
+        // distributed cumulative; n1/n2 = the running sums' grand totals,
+        // already on the driver from the per-bucket offset collect (r18)
+        // — the old broadcast `tot` aggregate and its crossJoin drop
+        // out. call = c1 + c2 exactly (BIGINT addition is associative,
+        // so the split cumulatives sum to the old a+b cumulative).
+        val (cum, totals) = graft.engine.ops.GlobalOrder
+          .runningSumsTotals(byV, col("v"), Nil,
+            Seq(col("a") -> "c1", col("b") -> "c2"))
+        val (n1, n2) = (totals.head, totals(1))
+        cum
+          .withColumn("call", col("c1") + col("c2"))
           // doubled rank-sum contribution of this tied block to sample A:
           // block spans ranks (call-a-b, call]; avg rank doubled is
           // 2*(call-a-b) + (a+b) + 1
           .withColumn("r2c",
             col("a") * (lit(2L) * (col("call") - col("a") - col("b"))
               + col("a") + col("b") + lit(1L)))
-          .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
-            sum(col("r2c")).as("r1x2"))
-          .selectExpr("n1", "n2",
-            "r1x2 - n1 * (n1 + 1) AS u2",
+          .agg(sum(col("r2c")).as("r1x2"))
+          // empty-input faithfulness: min(n1)/min(n2) were NULL over an
+          // empty frame (r1x2 IS NULL iff the frame was empty)
+          .selectExpr(
+            s"CASE WHEN r1x2 IS NULL THEN CAST(NULL AS BIGINT) ELSE ${n1}L END AS n1",
+            s"CASE WHEN r1x2 IS NULL THEN CAST(NULL AS BIGINT) ELSE ${n2}L END AS n2",
+            s"r1x2 - ${n1}L * (${n1}L + 1) AS u2",
             s"${Q.scaledLong(
-              "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))",
+              s"CAST(r1x2 - ${n1}L * (${n1}L + 1) AS DOUBLE) / (2.0 * CAST(${n1}L AS DOUBLE) * CAST(${n2}L AS DOUBLE))",
               6)} AS auc_e6")
       },
       Some(s"""
@@ -593,25 +600,23 @@ object Analytics extends QueryPack {
         val rev = Tables.lineitem(s, d)
           .groupBy(col("l_partkey"))
           .agg(sum(expr(Q.scaledLong("l_extendedprice", 2))).as("rev_c"))
-        // total = max(cum) read off the stitched running sum (r17, the
-        // sketch_moments treatment): the separate rev.agg(sum) branch
-        // re-ran the lineitem aggregation for a scalar the inclusive
-        // monotone cumulative already ends at — runningSum's internal
-        // cut caches only its own keyed copy, so that branch's exchange
-        // had no reuse partner and lineitem scanned twice per action.
-        // One corpus pass now; same single-action plan, same BIGINTs.
-        val cum = graft.engine.ops.GlobalOrder
-          .runningSum(rev, -col("rev_c"), Seq(col("l_partkey")), col("rev_c"), "cum")
-        val tot = cum.agg(max(col("cum")).as("total"))
-        cum.crossJoin(broadcast(tot))
+        // total = the running sum's grand total, already on the driver
+        // from the per-bucket offset collect (r18; the r17 max(cum)
+        // branch re-executed the whole cumulative plan for one scalar
+        // once runningSum stopped checkpointing internally) — embedded
+        // as a literal, so the stitched frame is consumed exactly once.
+        // Same BIGINT (the inclusive monotone cumulative ends at the
+        // grand sum), same output values.
+        val (cum, total) = graft.engine.ops.GlobalOrder
+          .runningSumTotal(rev, -col("rev_c"), Seq(col("l_partkey")), col("rev_c"), "cum")
+        cum
           .selectExpr(
-            "CASE WHEN cum * 5 <= total * 4 THEN 'A' WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS cls",
-            "rev_c", "total")
+            s"CASE WHEN cum * 5 <= ${total}L * 4 THEN 'A' WHEN cum * 20 <= ${total}L * 19 THEN 'B' ELSE 'C' END AS cls",
+            "rev_c")
           .groupBy(col("cls"))
-          .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"),
-            min(col("total")).as("total"))
+          .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"))
           .selectExpr("cls", "n_parts", "rev_c",
-            s"${Q.scaledLong("CAST(rev_c AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS share_e6")
+            s"${Q.scaledLong(s"CAST(rev_c AS DOUBLE) / CAST(${total}L AS DOUBLE)", 6)} AS share_e6")
           .orderBy(col("cls"))
       },
       Some(s"""

@@ -2141,15 +2141,25 @@ object Relational extends QueryPack {
         val byV = ev.groupBy(col("v"))
           .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
           .persistScoped()
-        val tot = byV.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
-        graft.engine.ops.GlobalOrder
-          .runningSums(byV, col("v"), Nil, Seq(col("a") -> "c1", col("b") -> "c2"))
-          .crossJoin(broadcast(tot))
-          .withColumn("dnum", abs(col("n2") * col("c1") - col("n1") * col("c2")))
-          .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
-            max(col("dnum")).as("ks_num"))
-          .selectExpr("n1", "n2", "ks_num",
-            s"${Q.scaledLong("CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)} AS ks_e6")
+        // n1/n2 = the running sums' grand totals, already on the driver
+        // from the per-bucket offset collect (r18) — the old broadcast
+        // `tot` aggregate and its crossJoin drop out; identical BIGINTs
+        val (cum, totals) = graft.engine.ops.GlobalOrder
+          .runningSumsTotals(byV, col("v"), Nil,
+            Seq(col("a") -> "c1", col("b") -> "c2"))
+        val (n1, n2) = (totals.head, totals(1))
+        cum
+          .withColumn("dnum",
+            abs(lit(n2) * col("c1") - lit(n1) * col("c2")))
+          .agg(max(col("dnum")).as("ks_num"))
+          // empty-input faithfulness: the old min(n1)/min(n2) aggregates
+          // were NULL over an empty cum frame; the literal totals must
+          // degrade the same way (ks_num IS NULL iff cum was empty)
+          .selectExpr(
+            s"CASE WHEN ks_num IS NULL THEN CAST(NULL AS BIGINT) ELSE ${n1}L END AS n1",
+            s"CASE WHEN ks_num IS NULL THEN CAST(NULL AS BIGINT) ELSE ${n2}L END AS n2",
+            "ks_num",
+            s"${Q.scaledLong(s"CAST(ks_num AS DOUBLE) / (CAST(${n1}L AS DOUBLE) * CAST(${n2}L AS DOUBLE))", 6)} AS ks_e6")
       },
       Some(s"""
         WITH ev AS (
@@ -3868,25 +3878,20 @@ object Relational extends QueryPack {
         val byPrice = Tables.orders(s, d)
           .selectExpr(s"${Q.scaledLong("o_totalprice", 2)} AS price_c")
           .groupBy(col("price_c")).agg(count(lit(1)).as("c"))
-        val cum = graft.engine.ops.GlobalOrder
-          .runningSum(byPrice, col("price_c"), Nil, col("c"), "cum_n")
-        // total = max(cum_n) read off the stitched running sum (r17,
-        // guide §2.3/§2.4): the old `tot` branch re-aggregated the
-        // CORPUS for a scalar the inclusive monotone cumulative already
-        // ends at (byPrice is not cached, and runningSum's internal cut
-        // only caches its own keyed copy — so the exchange had no reuse
-        // partner and the orders scan ran twice). Aggregating cum's
-        // cached lineage instead removes the second corpus pass; the
-        // exact-quantile pivot collapses to ONE aggregate over cum (min
-        // price whose cumulative share reaches q — the same rows the
-        // old filter+groupBy(q) kept), dropping the 2-row explode
-        // crossJoin. Same single-action plan, identical BIGINTs.
-        val tot = cum.agg(max(col("cum_n")).as("total"))
-        val ex = cum.crossJoin(broadcast(tot))
+        // total = the running sum's grand total, already on the driver
+        // from the per-bucket offset collect (r18; the r17 max(cum_n)
+        // branch would re-execute the cumulative plan for one scalar
+        // once runningSum stopped checkpointing internally) — embedded
+        // as a literal. Identical BIGINT (the inclusive monotone
+        // cumulative ends at the grand count); the exact-quantile pivot
+        // stays ONE aggregate over cum.
+        val (cum, total) = graft.engine.ops.GlobalOrder
+          .runningSumTotal(byPrice, col("price_c"), Nil, col("c"), "cum_n")
+        val ex = cum
           .agg(
-            min(when(col("cum_n") * lit(100L) >= lit(50L) * col("total"),
+            min(when(col("cum_n") * lit(100L) >= lit(50L * total),
               col("price_c"))).as("exact_p50_c"),
-            min(when(col("cum_n") * lit(100L) >= lit(90L) * col("total"),
+            min(when(col("cum_n") * lit(100L) >= lit(90L * total),
               col("price_c"))).as("exact_p90_c"))
         est.crossJoin(broadcast(ex))
           .selectExpr("n", "est_p50_c", "exact_p50_c",

@@ -472,24 +472,20 @@ object Similarity extends QueryPack {
       .selectExpr("a_id", "b_id",
         s"${Q.scaledLong(s"${sparkDot("ea", "eb")} / (na * nb)", 6)} AS c_e6")
       .persistScoped()
-    // top-k neighborhood sum as ONE hash aggregation (r17, guide §2.4):
-    // the window form (row_number over (c_e6 desc, other) + filter +
-    // re-aggregate) sorts every full partition of the pair frame before
-    // discarding all but k rows per key; sorting only each key's own
-    // candidate array inside the aggregate does strictly less work and
-    // drops the Sort node. Exactness: the sort key (-c_e6, other) is a
-    // pair of BIGINTs (ascending -c_e6 == the window's c_e6 DESC; ties
-    // by `other` ASC, unique within a key), the slice keeps the same k
-    // rows row_number kept, and the fold sums exact integers — order
-    // free. Per-key array size is the key's candidate count, the same
-    // bound the window's per-key group already had (band occupancy is
-    // hotCap-split).
-    def topSum(key: String, other: String, out: String) = pr
+    // top-k neighborhood sum as ONE hash aggregation (r17, guide §2.4)
+    // with an O(k) BOUNDED buffer (r18, guide §5): the r17
+    // collect_list/array_sort/slice form still buffered each key's FULL
+    // candidate list before discarding all but k — per-key memory
+    // proportional to the hottest key's occupancy, an executor-OOM
+    // hazard at 100 TB skew. graft_topk_sum keeps exactly k values per
+    // aggregation buffer (map-side partials included) and sums the k
+    // largest. Exactness: the sum depends only on the MULTISET of the k
+    // largest c_e6 values — the old (-c_e6, other) tie-break selects
+    // between EQUAL values, which cannot change the sum — and both
+    // forms sum exact BIGINTs, order-free.
+    def topSum(key: String, out: String) = pr
       .groupBy(col(key))
-      .agg(expr(
-        s"""aggregate(
-              slice(array_sort(collect_list(struct(-c_e6 AS nc, $other AS ob, c_e6 AS c))), 1, $k),
-              CAST(0 AS BIGINT), (a, x) -> a + x.c)""").as(out))
+      .agg(expr(s"graft_topk_sum(c_e6, $k)").as(out))
     // The neighborhood-sum frames (one row per vector) and the
     // mutual-best frames join back onto the candidate-pair frame —
     // caching pr/mg blocks AQE's runtime broadcast conversion, so
@@ -506,8 +502,8 @@ object Similarity extends QueryPack {
     // persisted: BOTH mutual-best branches read mg, and without the
     // cache each would rebuild the two topSum windows over the full
     // candidate frame (measured 2x mid-pipeline at the 10x corpus)
-    val mg = pr.join(maybeB(topSum("a_id", "b_id", "sax")), "a_id")
-      .join(maybeB(topSum("b_id", "a_id", "sby")), "b_id")
+    val mg = pr.join(maybeB(topSum("a_id", "sax")), "a_id")
+      .join(maybeB(topSum("b_id", "sby")), "b_id")
       .selectExpr("a_id", "b_id", "c_e6",
         s"${Q.scaledLong(s"2.0 * $k * CAST(c_e6 AS DOUBLE) / CAST(nullif(sax + sby, 0) AS DOUBLE)", 6)} AS margin_e6")
       .persistScoped()

@@ -164,6 +164,57 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaDf("graft_minus_sorted(CAST(NULL AS ARRAY<BIGINT>), array(CAST(1 AS BIGINT)))") == null)
   }
 
+  test("graft_bucket equals the strictly-below count on sorted boundaries") {
+    // the quantile-bucket binary search must match the linear filter
+    // count element-for-element — duplicates in the boundary array
+    // included (approx_percentile can emit repeated quantiles on
+    // tie-heavy keys), keys below/above every boundary included
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 30) {
+      val bnds = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(30).toLong).sorted
+      val x = rnd.nextInt(40).toLong - 5
+      val arrSql = bnds.mkString("array(CAST(", " AS BIGINT), CAST(", " AS BIGINT))")
+      val fast = viaDf(s"graft_bucket(CAST($x AS BIGINT), $arrSql)")
+      val slow = viaDf(s"CAST(size(filter($arrSql, b -> b < CAST($x AS BIGINT))) AS BIGINT)")
+      assert(fast == slow, s"trial $trial: x=$x bnds=$bnds")
+    }
+    assert(viaDf("graft_bucket(CAST(NULL AS BIGINT), array(CAST(1 AS BIGINT)))") == null)
+  }
+
+  test("graft_topk_sum equals the collect_list/sort/slice fold, bounded buffer") {
+    // the r18 bitext rewrite: sum of the k largest BIGINTs per group
+    // must match the unbounded collect_list form value-for-value on
+    // grouped data — ties included (equal values make tie-breaks
+    // sum-invariant), groups smaller than k included, single-row
+    // groups included. Partial (map-side) merge is exercised by the
+    // multi-partition frame.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(23).toLong, rnd.nextInt(40).toLong - 10L)
+    }
+    val df = rows.toDF("key", "v").repartition(7)
+    for (k <- Seq(1, 4, 9)) {
+      val fast = df.groupBy(col("key"))
+        .agg(expr(s"graft_topk_sum(v, $k)").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val slow = df.groupBy(col("key"))
+        .agg(expr(
+          s"""aggregate(
+                slice(array_sort(collect_list(struct(-v AS nv, v AS v))), 1, $k),
+                CAST(0 AS BIGINT), (a, x) -> a + x.v)""").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fast == slow, s"k=$k")
+    }
+    // nulls are skipped; an all-null group yields NULL
+    val withNulls = Seq((1L, Some(5L)), (1L, None), (2L, None))
+      .toDF("key", "v")
+    val got = withNulls.groupBy(col("key"))
+      .agg(expr("graft_topk_sum(v, 3)").as("s"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got == Map(1L -> 5L, 2L -> null))
+  }
+
   test("expressions survive with codegen disabled (interpreted path)") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
