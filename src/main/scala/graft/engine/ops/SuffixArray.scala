@@ -91,6 +91,8 @@ object SuffixArray {
     * any order-isomorphic round-0 key yields the same rank() values.
     */
   def ranksFromWords(pos: DataFrame, rounds: Int, boundRound: Int): DataFrame = {
+    // graft_bucket lives in the session function registry (idempotent)
+    graft.functions.GraftFunctions.register(pos.sparkSession)
     val tlog = mkTlog()
     // no meaningful zero-pass result exists in word mode (ranks() can
     // hand back its numeric round-0 rk; a word column cannot be one)
@@ -115,20 +117,30 @@ object SuffixArray {
     // Corpora whose vocabulary overflows the bound keep the string
     // pass 1 below (the detection distinct is noise next to the string
     // sort it precedes).
-    val posD = pos.localCheckpoint()
     val t0 = System.nanoTime()
     // the distinct is checkpointed so the dictionary build and every
     // boundary/pass action read it once — uncheckpointed, each action
-    // re-ran the corpus-wide distinct through broadcast(dict)'s lineage
-    val vocab0 = posD.select(col("w")).distinct().localCheckpoint()
+    // re-ran the corpus-wide distinct through broadcast(dict)'s lineage.
+    // The dictionary path reads the CALLER's lineage here and once more
+    // for the encode join, instead of checkpointing the word-string
+    // positions (r18, guide §5): at the 300x corpus that checkpoint held
+    // ~5 GB of strings alive through both rank passes, and the live-block
+    // pressure (not the data volume) was what turned the passes
+    // superlinear — the callers feed a cached/cheap tokenize lineage, so
+    // one extra read costs far less than the held memory did
+    val vocab0 = pos.select(col("w")).distinct().localCheckpoint()
     val v = vocab0.count()
     tlog(s"vocab count ($v)", t0)
     if (v == 0)
       // empty corpus: schema-stable empty result
-      return posD.selectExpr("doc_id", "p", "gid", "CAST(1 AS BIGINT) AS rk")
+      return pos.selectExpr("doc_id", "p", "gid", "CAST(1 AS BIGINT) AS rk")
         .withColumn("rk_bound", col("rk")).withColumn("_sab", lit(0L))
     if (v <= DictVocabMax)
-      return dictionaryPasses(posD, vocab0, v, rounds, boundRound, tlog)
+      return dictionaryPasses(pos, vocab0, v, rounds, boundRound, tlog)
+    // string fallback (vocab past DictVocabMax): checkpoint the word
+    // positions once so the boundary/pass actions don't re-run the
+    // caller's tokenize lineage per action
+    val posD = pos.localCheckpoint()
     // QUANTILE-EQUALIZED pass-1 bucketing (r12, r11 VERDICT #2): the old
     // first-character-code bucket is monotone but Zipf-skewed on real
     // text (natural-language first letters concentrate on a dozen
@@ -149,16 +161,15 @@ object SuffixArray {
     passes(posD, rounds, boundRound, firstKey = "w",
       firstBucket = Some { (boundarySrc, paired) =>
         val t0 = System.nanoTime()
-        // pass-1 fan capped at 512 (r12 ADVICE #3): the bucket column is
-        // a straight-line sum of `fan-1` literal comparisons, and at
-        // cluster-scale session fans (thousands) the generated
-        // whole-stage method would exceed the 64KB JVM limit and fall
-        // back to interpreted evaluation — recreating the serial
-        // map-side hot spot the straight-line form exists to avoid. 512
-        // buckets equalize pass 1 far beyond this corpus's skew; later
-        // passes keep the uncapped session fan (their bucket expression
-        // is one div, fan-independent).
-        val fan = math.min(512, GlobalOrder.fanOf(boundarySrc))
+        // pass-1 fan = 8x the shuffle parallelism (r18, guide §2.5 — see
+        // the dictionary path's note), capped at 512 (r12 ADVICE #3):
+        // the bucket column is a straight-line sum of `fan-1` literal
+        // comparisons, and at cluster-scale session fans (thousands) the
+        // generated whole-stage method would exceed the 64KB JVM limit
+        // and fall back to interpreted evaluation — recreating the
+        // serial map-side hot spot the straight-line form exists to
+        // avoid.
+        val fan = math.min(512, 8 * GlobalOrder.fanOf(boundarySrc))
         val bnds = wordBoundaries(boundarySrc, fan)
         tlog("pass-1 boundary aggregate", t0)
         // the packed prefix is PROJECTED ONCE and each comparison binds
@@ -198,8 +209,15 @@ object SuffixArray {
     val nComp = 1 << stepLog
     val dict = vocab0.repartition(1).withColumn("_wrk",
       row_number().over(Window.orderBy(col("w"))).cast("long"))
+    // the ENCODED positions are the checkpointed frame (r18, guide §5):
+    // narrow integer rows (vs the word-string frame the old posD
+    // checkpoint held), read by the boundary mini-window and pass 1,
+    // then released the moment pass 1's own checkpoint materializes
+    val tEnc = System.nanoTime()
     val enc = pos0.join(broadcast(dict), "w").drop("w")
       .withColumnRenamed("_wrk", "rk")
+      .localCheckpoint()
+    tlog("dict encode checkpoint", tEnc)
     val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val bpc = (64 - java.lang.Long.numberOfLeadingZeros(v)).toInt
     val npg = math.max(1, 63 / bpc)
@@ -209,10 +227,16 @@ object SuffixArray {
           shiftleft(c, bpc * (g.size - 1 - j)) }.reduce(_ + _).as(s"_pk$gi")
       }
     val t1 = System.nanoTime()
-    // fan capped at 512 like the string path (r12 ADVICE #3: the bucket
-    // column is a straight-line sum of fan-1 literal comparisons and
-    // must stay under the 64KB codegen method limit)
-    val fan = math.min(512, GlobalOrder.fanOf(enc))
+    // fan = 8x the shuffle parallelism, capped at 512 (r18, guide §2.5:
+    // with fan == partition count, hashing the bucket ids into the
+    // shuffle partitions is balls-in-bins — the fullest task carries
+    // 3-4 buckets and the rank window straggles on it; 8x more buckets
+    // than partitions bounds the collision variance AND keeps each
+    // per-bucket sort run small enough to stay in memory. The 512 cap
+    // is the r12 codegen guard: the bucket column is a straight-line
+    // sum of fan-1 literal comparisons under the 64KB method limit.
+    // Values are fan-invariant — GlobalOrderSpec pins it.)
+    val fan = math.min(512, 8 * GlobalOrder.fanOf(enc))
     // boundaries from a 10%-OF-DOCS mini window over just the first
     // packed group (boundaries only steer load balance — any monotone
     // set yields identical ranks — so a deterministic doc subset is as
@@ -248,17 +272,23 @@ object SuffixArray {
     val sortKeys = (0 until m).map(i => col(s"_pk$i"))
     val wb = Window.partitionBy(col("_b")).orderBy(sortKeys: _*)
     // one chain — encode, leads, pack NARROW (doc_id, p, gid, m packed
-    // longs), bucket, rank — with a single checkpoint post-rank: the
-    // exchanges carry ~6-long rows instead of 16-string rows
+    // longs), bucket, rank — with a single checkpoint post-rank; the
+    // packed sort keys are PROJECTED OUT before the checkpoint (r18,
+    // guide §5: they are dead once the rank window has consumed them,
+    // and keeping them in the checkpointed blocks held ~2 GB extra at
+    // the 300x corpus)
     val local = paired.select(
         Seq(col("doc_id"), col("p"), col("gid")) ++ packs: _*)
       .withColumn("_b", bucketBy(bnds, "_pk0"))
       .withColumn("_lrk", rank().over(wb).cast("long"))
       .withColumn("_csz", count(lit(1)).over(
         wb.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
+      .select(col("doc_id"), col("p"), col("gid"), col("_b"),
+        col("_lrk"), col("_csz"))
       .localCheckpoint()
-    val (cur, totalRows, newClasses) =
-      stitchPass1(local, (0 until m).map(i => s"_pk$i"))
+    // pass 1 is materialized — the encoded frame's blocks are dead
+    freeCheckpoint(enc)
+    val (cur, totalRows, newClasses) = stitchPass1(local, Nil)
     val stable = newClasses == totalRows
     val (cur2, frozen) =
       if (stepLog == bnd && bnd > 0)
@@ -323,12 +353,33 @@ object SuffixArray {
   private[graft] def wordBucket(bnds: Seq[Long]): org.apache.spark.sql.Column =
     bucketBy(bnds, "_pk")
 
-  /** As [[wordBucket]], over a caller-named packed long column. */
+  /** As [[wordBucket]], over a caller-named packed long column. Binary
+    * search over the sorted literal boundary array (r18, guide §2.5 —
+    * the graft_bucket expression): the old straight-line CASE sum is
+    * O(fan) per row and stops being JIT-compiled past ~128 terms, which
+    * measured 3x slower at a 256 fan over the 300x corpus. Identical
+    * values (count of boundaries strictly below the key).
+    */
   private[graft] def bucketBy(bnds: Seq[Long], c: String): org.apache.spark.sql.Column =
     if (bnds.isEmpty) lit(0L)
-    else expr("CAST(" + bnds.map(b =>
-      s"(CASE WHEN $c > $b THEN 1 ELSE 0 END)")
-      .mkString(" + ") + " AS BIGINT)")
+    else expr(s"graft_bucket($c, array(${bnds.map(_ + "L").mkString(",")}))")
+
+  /** Release the materialized blocks of a DEAD localCheckpoint (r18,
+    * guide §5): a checkpointed frame's blocks otherwise live until the
+    * context cleaner GCs the RDD, and this op holds references through
+    * the whole construction — at the 300x corpus the accumulated live
+    * checkpoints (positions + pass 1 + every refine pass) overflowed the
+    * storage pool and the resulting eviction/GC thrash turned the rank
+    * passes superlinear. Callers must only release a frame once NOTHING
+    * will read it again (a localCheckpoint's lineage is truncated, so an
+    * unpersisted one cannot be recomputed). Collects every LogicalRDD
+    * leaf under the plan (the frame may carry lazy projections on top of
+    * its checkpoint).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   private def mkTlog(): (String, Long) => Unit = {
     val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")
@@ -391,15 +442,18 @@ object SuffixArray {
       case None => paired.withColumn("_b", expr(s"((rk - 1) * $fan) div $mx"))
     }
     val wb = Window.partitionBy(col("_b")).orderBy(keys: _*)
+    // the lead tuple and the raw key are dead once the rank window has
+    // consumed them: project them out BEFORE the checkpoint (r18, guide
+    // §5 — in string mode they are 16 strings per row of checkpointed
+    // block memory); drop-based projection keeps carried columns in place
     val local = bucketed
       .withColumn("_lrk", rank().over(wb).cast("long"))
       .withColumn("_csz", count(lit(1)).over(
         wb.rangeBetween(Window.currentRow, Window.currentRow)).cast("long"))
+      .drop((1 to nLead).map(i => s"_rkb$i") ++
+        (if (firstKey != "rk") Seq(firstKey) else Nil): _*)
       .localCheckpoint()
-    // drop-based projection keeps carried columns (rk_bound) in place
-    val dropCols = (1 to nLead).map(i => s"_rkb$i") ++
-      (if (firstKey != "rk") Seq(firstKey) else Nil)
-    val (cur, totalRows, newClasses) = stitchPass1(local, dropCols)
+    val (cur, totalRows, newClasses) = stitchPass1(local, Nil)
     // fixpoint at pass 1: a caller-declared prior class count (rare;
     // numeric mode with a known round-0 partition) or all-singletons
     val stable = (initClasses >= 0 && newClasses == initClasses) ||
@@ -428,11 +482,18 @@ object SuffixArray {
       .sortBy(_._1)
     val offsets = cnts.map(_._1)
       .zip(cnts.scanLeft(0L)(_ + _._2).init).toSeq
+    // dense-array lookup, O(1) per row (r18): bucket ids are 0..fan-1 by
+    // construction, and a literal-map element_at is a LINEAR scan per
+    // row — at a 512 fan over the 300x corpus that is ~10^10 wasted
+    // comparisons. Missing (empty) buckets get 0 — never looked up.
     val offExpr =
       if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(
-        map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
-        col("_b")), lit(0L))
+      else {
+        val dense = new Array[Long](offsets.map(_._1).max.toInt + 1)
+        offsets.foreach { case (b, o) => dense(b.toInt) = o }
+        element_at(array(dense.map(lit(_)): _*),
+          (col("_b") + lit(1L)).cast("int"))
+      }
     val cur = local.withColumn("rk", col("_lrk") + offExpr)
       .drop(dropCols ++ Seq("_b", "_lrk"): _*)
     (cur, cnts.map(_._2).sum, cnts.map(_._3).sum)
@@ -483,7 +544,11 @@ object SuffixArray {
         .withColumnRenamed("_ncsz", "_csz")
       val singles = cur.where(col("_csz") === 1)
         .withColumn("_mv", lit(false))
+      val prev = cur
       cur = singles.unionByName(refined).localCheckpoint()
+      // the new pass checkpoint is materialized — the previous pass's
+      // blocks are dead (r18, guide §5; see [[freeCheckpoint]])
+      freeCheckpoint(prev)
       val st = cur.agg(
         sum(when(col("_csz") > 1, 1L).otherwise(0L)).as("_nref"),
         max(col("_mv")).as("_moved")).head
@@ -513,7 +578,11 @@ object SuffixArray {
     // quantile sketch over the corpus (see [[GlobalOrder.lead1With]]);
     // monotone in rk and ties share a bucket, the full bucketing
     // contract. totalRows is known from pass 1's stitch collect.
-    val fanOut = GlobalOrder.fanOf(cur)
+    // 8x the shuffle parallelism like the pass fans (r18, guide §2.5):
+    // the consumer (GlobalOrder.lead1With) partitions its lead window by
+    // this bucket — with bucket count == partition count the collision
+    // skew makes one task sort 3-4 buckets' worth of positions
+    val fanOut = math.min(512, 8 * GlobalOrder.fanOf(cur))
     cur
       .withColumn("_sab",
         if (totalRows > 0) expr(s"((rk - 1) * $fanOut) div $totalRows")

@@ -1661,27 +1661,55 @@ object Dedup extends QueryPack {
         // one source-keyed aggregation for the signature AND the size
         // (r17, guide §2.4): both grouped the same cached frame by
         // source — the count rides the min-aggregate's exchange, so the
-        // second pass + exchange disappears; same integers
-        val sigN = srcSh.groupBy(col("source"))
+        // second pass + exchange disappears; same integers.
+        // The S-bounded signature/size frame then COLLECTS (r18, guide
+        // §1.2 — the doremi local-relation discipline): the old shape
+        // re-derived sig/sizes as two frames and joined FOUR
+        // source-cardinality-bounded sides through broadcast exchanges
+        // (each an AQE stage-job per run); S is ~20, so the pair
+        // assembly — signature match counts and the size pairs — is
+        // driver arithmetic on the SAME collected BIGINTs, re-embedded
+        // as a local relation. Only the corpus-derived `inter` aggregate
+        // stays distributed; every output expression is unchanged Spark
+        // SQL over the same integers, so values are identical.
+        val sigRows = srcSh.groupBy(col("source"))
           .agg(minCols.head, minCols.tail :+ count(lit(1)).as("n"): _*)
-        val sig = sigN.drop("n")
-        val sizes = sigN.select(col("source"), col("n"))
+          .collect()
         val inter = srcSh.toDF("src_a", "sh")
           .join(srcSh.toDF("src_b", "sh2"),
             col("sh") === col("sh2") && col("src_a") < col("src_b"))
           .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
-        val matches = (0 until MinHashK)
-          .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
-        // the pair frames are source-cardinality-bounded (S^2 rows for S
-        // sources, never doc- or shingle-scaled): broadcast the build
-        // side explicitly so the inequality join is a nested loop over
-        // S rows, not a planner-chosen cartesian
-        val est = sig.as("a").join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
-          .selectExpr("a.source AS src_a", "b.source AS src_b", s"$matches AS m")
-        sizes.toDF("src_a", "na")
-          .join(broadcast(sizes.toDF("src_b", "nb")), col("src_a") < col("src_b"))
+        // the '<' pair filter replicates Spark's STRING '<' exactly:
+        // unsigned UTF-8 byte order (Java String '<' would diverge on
+        // non-ASCII source keys — the doremi z-fold discipline)
+        def ltUtf8(x: String, y: String): Boolean =
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+        val pairRows = for {
+          a <- sigRows.toSeq
+          b <- sigRows.toSeq
+          if ltUtf8(a.getString(0), b.getString(0))
+        } yield {
+          val m = (0 until MinHashK)
+            .count(i => a.getLong(i + 1) == b.getLong(i + 1)).toLong
+          org.apache.spark.sql.Row(a.getString(0), b.getString(0),
+            a.getLong(MinHashK + 1), b.getLong(MinHashK + 1), m)
+        }
+        val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src_a",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("src_b",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("na",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("nb",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("m",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        s.createDataFrame(
+            java.util.Arrays.asList(pairRows: _*), pairSchema)
           .join(inter, Seq("src_a", "src_b"), "left")
-          .join(est, Seq("src_a", "src_b"))
           .selectExpr("src_a", "src_b", "na", "nb",
             "coalesce(inter, CAST(0 AS BIGINT)) AS inter", "m")
           .selectExpr("src_a", "src_b", "na", "nb",
@@ -2118,21 +2146,36 @@ object Dedup extends QueryPack {
         // row-local bucket, removing one corpus aggregate), run lead()
         // within each bucket in parallel, and exchange ONE boundary row
         // per bucket for the seams
+        // the PREVIOUS position's span-16 rank, one per-doc lag window
+        // (r18, guide §2.3): given two suffixes with EQUAL span-16 ranks
+        // at (p_a, p_b), their preceding words are equal iff the span-16
+        // ranks at (p_a - 1, p_b - 1) are equal — the (p-1)-suffix's
+        // 16-tuple is (prev word) ++ (first 15 components of the
+        // p-suffix's tuple), and the last 15 components agree by the
+        // rk16 equality. So the left-maximality test moves BEFORE the
+        // word-array joins, on integer rank columns the frame already
+        // carries — the join then ships arrays for only the left-maximal
+        // survivors instead of every adjacent candidate (at the 300x
+        // copy-family corpus that is a ~50x pair cut before the heaviest
+        // shuffle).
+        val saP = sa.withColumn("prk16", lag(col("rk16"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
         val cand = graft.engine.ops.GlobalOrder
-          .lead1With(sa, col("_sab"), Seq(col("rk"), col("gid")),
-            Seq("doc_id", "p", "rk16"))
+          .lead1With(saP, col("_sab"), Seq(col("rk"), col("gid")),
+            Seq("doc_id", "p", "rk16", "prk16"))
           .where(col("doc_id_nx").isNotNull && col("doc_id") =!= col("doc_id_nx") &&
             col("rk16") === col("rk16_nx"))
+          // LEFT-MAXIMAL repeats only: a pair whose preceding words also
+          // match is a nested tail of a longer repeat and would crowd
+          // the report with p, p+1, p+2... shifts of the same span —
+          // tested on the integer prev-ranks (see above), value-identical
+          // to comparing the preceding words themselves
+          .where(col("p") === 1 || col("p_nx") === 1 ||
+            col("prk16") =!= col("prk16_nx"))
           .selectExpr("doc_id AS doc_a", "p AS p_a", "doc_id_nx AS doc_b", "p_nx AS p_b")
         val lcp = cand
           .join(ws0.selectExpr("doc_id AS doc_a", "ws AS ws_a"), Seq("doc_a"))
           .join(ws0.selectExpr("doc_id AS doc_b", "ws AS ws_b"), Seq("doc_b"))
-          // LEFT-MAXIMAL repeats only: a pair whose preceding words also
-          // match is a nested tail of a longer repeat and would crowd
-          // the report with p, p+1, p+2... shifts of the same span
-          .where(expr(
-            """p_a = 1 OR p_b = 1 OR
-               element_at(ws_a, CAST(p_a - 1 AS INT)) <> element_at(ws_b, CAST(p_b - 1 AS INT))"""))
           .selectExpr("doc_a", "p_a", "doc_b", "p_b", "ws_a", "ws_b",
             "least(size(ws_a) - p_a, size(ws_b) - p_b) + 1 AS m")
           .selectExpr("doc_a", "p_a", "doc_b", "p_b", "m",
