@@ -375,10 +375,13 @@ object GlobalOrder {
       cur.withColumn("_gntrn",
           row_number().over(wloc).cast("long") + offExpr)
         .withColumn(specs(i)._3, expr(
-          s"""CASE WHEN _gntrn <= ($tot % $n) * ($tot div $n + 1)
-                THEN (_gntrn - 1) div ($tot div $n + 1) + 1
-                ELSE ($tot % $n) + (_gntrn - 1 - ($tot % $n) * ($tot div $n + 1))
-                       div greatest($tot div $n, 1) + 1 END"""))
+          // BIGINT literals: a bare INT literal would fold the
+          // (tot % n) * (tot div n + 1) product in 32-bit arithmetic
+          // and silently wrap for corpus-scale totals
+          s"""CASE WHEN _gntrn <= (${tot}L % $n) * (${tot}L div $n + 1)
+                THEN (_gntrn - 1) div (${tot}L div $n + 1) + 1
+                ELSE (${tot}L % $n) + (_gntrn - 1 - (${tot}L % $n) * (${tot}L div $n + 1))
+                       div greatest(${tot}L div $n, 1) + 1 END"""))
         .drop("_gntrn")
     }
     banded.drop(idx.flatMap(i => Seq(s"_gok$i", s"_gb$i")): _*)

@@ -25,10 +25,16 @@ class JobCountGuardSpec extends AnyFunSuite {
     "quality_nb_langid" -> 16,
     // r17: 9 -> 7 via the NULL-sentinel single-aggregation marginals
     "mine_brand_lift" -> 9,
-    "curate_ccnet_buckets" -> 19,
+    // r18: 17 -> 14 via the driver-literal GlobalOrder ntile stitch
+    "curate_ccnet_buckets" -> 16,
     // r17: 33 -> 24 via the n-dialed broadcasts + single-consumer
     // cache trim in marginBitextLshPairs
-    "sim_margin_bitext" -> 26)
+    "sim_margin_bitext" -> 26,
+    // r18 GlobalOrder rework (driver-literal offsets, no per-stitch
+    // checkpoint/broadcast): 23 -> 12, 19 -> 10, 15 -> 7 warm
+    "events_rfm_segmentation" -> 14,
+    "orders_abc_pareto" -> 12,
+    "dedup_source_overlap" -> 9)
 
   private def warmJobs(name: String): Int = {
     val d = "/root/testdata/sf0.1"
